@@ -1,0 +1,73 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-style action
+that materializes every row) after a warm-up query primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ml_feature_store_enterprise_grade_spark import registry
+from ml_feature_store_enterprise_grade_spark.session import get_spark
+
+#: Headline set: the flagship feature pipeline + the operators that
+#: stress joins, windows, and the PIT path.
+BENCH_QUERIES = (
+    "user_hourly_features",
+    "user_sliding_features",
+    "user_sliding_features_rollup",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "event_customer_enrichment",
+    "pit_asof_join",
+    "latest_feature_snapshot",
+    "drift_ks_click_vs_view",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # Warm up JVM / parquet footer caches with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Materialize every output row without driver-side transfer.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "engine headline queries wall-clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

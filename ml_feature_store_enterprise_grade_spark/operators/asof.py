@@ -1,0 +1,211 @@
+"""Point-in-time retrieval: as-of join, snapshot, online lookup.
+
+The single most important non-trivial semantic in the reference
+(SURVEY §1.4): Feast's ``get_historical_features`` (reference
+scripts/drift_detection.py:260-269) is an **as-of join** — for each
+(entity_key, lookup_ts) row, attach the latest feature row with
+``feature_timestamp <= lookup_ts`` within TTL (24 h for click
+features, reference README.md:299; 365 d profiles,
+feast_repo/features.py:43) — with LEFT semantics (missing entities
+keep a NULL row, observed at reference
+airflow/dags/feature_store_materialization.py:105-113).
+
+Spark has no batch ASOF primitive, so the engine composes it:
+equi-join on the key + range predicate, then
+``row_number() over (partition by key, lookup_ts order by
+feature_ts desc) == 1``.  One shuffle of the feature side on the
+entity key; the entity side broadcasts when small (the serving
+case).  At 100 TB the feature side is additionally partition-pruned
+by ``feature_timestamp`` bounds derived from the entity frame's
+lookup range before the join.
+
+``materialize`` (latest-per-key snapshot) and ``online_lookup``
+re-express the reference's Redis materialization + serving path
+(SURVEY S8/S9) as pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+from .feature_agg import HOURLY_FEATURES_SQL_CTE, hourly_features
+
+#: Feature columns carried through retrieval examples.
+_FEATURE_COLS = ("total_events", "click_count", "total_revenue", "click_through_rate")
+
+#: Deterministic lookup timestamps for the oracle-checked PIT fixture
+#: (FIXTURES.md §4: must hit mid-interval, pre-first-feature, and
+#: TTL-expired cases; events span 2024-01-01 .. 2024-01-31).
+PIT_LOOKUP_TIMES = (
+    "2024-01-10 00:30:00",  # mid-range, plenty of history
+    "2024-01-20 12:00:00",  # mid-range
+    "2024-02-05 00:00:00",  # after last event → everything TTL-expired
+)
+
+TTL_HOURS = 24
+
+
+def asof_join(
+    entities: DataFrame,
+    features: DataFrame,
+    key: str,
+    lookup_ts: str = "lookup_ts",
+    feature_ts: str = "feature_timestamp",
+    ttl_hours: int | None = TTL_HOURS,
+    feature_cols: tuple[str, ...] = _FEATURE_COLS,
+) -> DataFrame:
+    """Generic point-in-time join (J1). LEFT semantics, TTL-bounded."""
+    cond = (entities[key] == features[key]) & (features[feature_ts] <= entities[lookup_ts])
+    if ttl_hours is not None:
+        cond = cond & (
+            features[feature_ts]
+            > entities[lookup_ts] - F.expr(f"INTERVAL {ttl_hours} HOURS")
+        )
+    joined = entities.alias("e").join(features.alias("f"), cond, "left")
+    w = Window.partitionBy(f"e.{key}", f"e.{lookup_ts}").orderBy(
+        F.col(f"f.{feature_ts}").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(f"e.{key}").alias(key),
+            F.col(f"e.{lookup_ts}").alias(lookup_ts),
+            F.col(f"f.{feature_ts}").alias(feature_ts),
+            *[F.col(f"f.{c}").alias(c) for c in feature_cols],
+        )
+    )
+
+
+def latest_snapshot(
+    features: DataFrame,
+    key: str = "user_id",
+    feature_ts: str = "feature_timestamp",
+) -> DataFrame:
+    """Latest feature row per entity — the materialization primitive
+    (reference `feast materialize-incremental`,
+    airflow/dags/feature_store_materialization.py:214-239)."""
+    w = Window.partitionBy(key).orderBy(F.col(feature_ts).desc())
+    return features.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+_PIT_VALUES_SQL = ", ".join(f"(TIMESTAMP '{t}')" for t in PIT_LOOKUP_TIMES)
+_FEATURE_COLS_SQL = ", ".join(f"f.{c}" for c in _FEATURE_COLS)
+
+
+@register(
+    "pit_asof_join",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    ),
+    j AS (
+        SELECT e.user_id, e.lookup_ts, f.feature_timestamp, {_FEATURE_COLS_SQL},
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY f.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN hourly f
+          ON e.user_id = f.user_id
+         AND f.feature_timestamp <= e.lookup_ts
+         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
+    )
+    SELECT user_id, lookup_ts, feature_timestamp,
+           {", ".join(_FEATURE_COLS)}
+    FROM j WHERE rn = 1
+    """,
+)
+def pit_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: point-in-time retrieval of hourly click features for every
+    customer at three fixed lookup times.  Exercises exact-boundary,
+    mid-interval, no-history and TTL-expired cases (FIXTURES.md §4)."""
+    events = load_table(spark, sf_dir, "events")
+    features = hourly_features(events)
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
+        )
+    )
+    return asof_join(entities, features, key="user_id")
+
+
+@register(
+    "latest_feature_snapshot",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE}
+    SELECT user_id, feature_timestamp, {", ".join(_FEATURE_COLS)}
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY feature_timestamp DESC
+        ) AS rn FROM hourly
+    ) WHERE rn = 1
+    """,
+)
+def latest_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 materialization: the online store *is* the latest-per-key
+    snapshot of the offline feature frame (SURVEY §1.1 Online store).
+    One shuffle on the entity key; at scale this runs incrementally
+    over fresh partitions and merges into the previous snapshot."""
+    features = hourly_features(load_table(spark, sf_dir, "events"))
+    return latest_snapshot(features).select(
+        "user_id", "feature_timestamp", *_FEATURE_COLS
+    )
+
+
+@register(
+    "online_feature_lookup",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    snapshot AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY feature_timestamp DESC
+            ) AS rn FROM hourly
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS user_id, s.feature_timestamp,
+           {", ".join(f"s.{c} AS {c}" for c in _FEATURE_COLS)}
+    FROM customer c
+    LEFT JOIN snapshot s ON c.c_custkey = s.user_id
+    WHERE c.c_custkey < 300
+    """,
+)
+def online_feature_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J2 online serving: fetch the feature vector for a batch of
+    entity keys from the snapshot.  LEFT semantics — absent entities
+    keep NULL feature rows (reference iterates Nones:
+    airflow/dags/feature_store_materialization.py:105-113).
+
+    Scale-aware formulation: a left join can't hash-build its
+    preserved side, so "broadcast the small entity batch" is
+    expressed as broadcast INNER join (zero shuffle of the big
+    snapshot) + left-anti against the hit keys (also broadcast) +
+    union of NULL rows for misses."""
+    snapshot = latest_snapshot(hourly_features(load_table(spark, sf_dir, "events")))
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    hits = snapshot.join(F.broadcast(entities), "user_id").select(
+        "user_id", "feature_timestamp", *_FEATURE_COLS
+    )
+    misses = entities.join(
+        F.broadcast(hits.select("user_id")), "user_id", "left_anti"
+    ).select(
+        "user_id",
+        F.lit(None).cast("timestamp").alias("feature_timestamp"),
+        *[F.lit(None).cast(t).alias(c) for c, t in zip(_FEATURE_COLS, ("bigint", "bigint", "double", "double"))],
+    )
+    return hits.unionByName(misses)

@@ -1,0 +1,157 @@
+"""Distribution drift detection: exact distributed two-sample KS.
+
+The reference detects feature drift with ``scipy.stats.ks_2samp``
+over two pandas samples (reference scripts/drift_detection.py:49,
+interpretation buckets :157-168, min-sample guard :40-46).  That is
+driver-side and caps at memory; the engine computes the **exact** KS
+statistic distributedly with window functions — no UDF, no collect
+(SURVEY §2.5 / §7 M3):
+
+    D = max over x of | ECDF_1(x) - ECDF_2(x) |
+
+via per-distinct-value conditional counts, a running prefix sum, and
+a global max.  The p-value uses the standard two-sided asymptotic
+Kolmogorov approximation (first series term), written identically in
+both engines so results hash-match.
+
+Scale: groupBy(x) is one shuffle with map-side combine; the ordered
+prefix sum is a single-partition window over *distinct values only*
+(bounded by value cardinality, not row count).  For truly huge
+cardinality, swap in a range-partitioned two-pass prefix sum; noted
+inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def ks_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_col: F.Column,
+) -> DataFrame:
+    """Exact two-sample KS over ``value_col``; ``sample_col`` must be
+    1 for sample A and 0 for sample B.  Returns one row:
+    (n1, n2, ks_stat, p_value, drift_detected)."""
+    s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
+        F.col(value_col).alias("x"), sample_col.alias("is1")
+    )
+    per_x = s.groupBy("x").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    # Running ECDF counts.  Single-partition window over DISTINCT x
+    # only; at extreme cardinality replace with a range-partitioned
+    # prefix sum (partition-local cumsum + broadcast partition offsets).
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_x.select(
+        F.sum("c1").over(w).alias("r1"),
+        F.sum("c2").over(w).alias("r2"),
+    )
+    return _ks_finalize(cum)
+
+
+def _ks_finalize(cum: DataFrame) -> DataFrame:
+    totals = cum.agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("r1").cast("double") / F.col("n1")
+                    - F.col("r2").cast("double") / F.col("n2")
+                )
+            ).alias("d"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    # Two-sided asymptotic p ≈ 2·exp(−2·(λ)²), λ = D·sqrt(n1·n2/(n1+n2)).
+    lam = F.col("d") * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
+    return d.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("d"), 6).alias("ks_stat"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).alias("drift_detected"),
+    )
+
+
+_KS_ORACLE = """
+WITH s AS (
+    SELECT value AS x,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND value IS NOT NULL AND NOT isnan(value)
+),
+per_x AS (
+    SELECT x, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM s GROUP BY x
+),
+cum AS (
+    SELECT SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+           SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+    FROM per_x
+),
+tot AS (SELECT MAX(r1) AS n1, MAX(r2) AS n2 FROM cum),
+dd AS (
+    SELECT MAX(ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)) AS d,
+           MAX(n1) AS n1, MAX(n2) AS n2
+    FROM cum, tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       ROUND(d, 6) AS ks_stat,
+       ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))), 6) AS p_value,
+       LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))) < 0.05 AS drift_detected
+FROM dd
+"""
+
+
+@register("drift_ks_click_vs_view", oracle=_KS_ORACLE)
+def drift_ks_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS between the value distributions of click vs view
+    events — the engine's distributed replacement for the reference's
+    ks_2samp call (scripts/drift_detection.py:49)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    return ks_2samp(e, "value", F.when(F.col("event_type") == "click", 1).otherwise(0))
+
+
+@register(
+    "feature_summary_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS mean,
+           ROUND(STDDEV_SAMP(value), 6) AS std,
+           ROUND(MEDIAN(value), 6) AS median,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type
+    """,
+)
+def feature_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 drift-report summary statistics (reference
+    scripts/drift_detection.py:99-113) — exact median via
+    ``percentile`` (interpolating, matching DuckDB's MEDIAN)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_samp("value"), 6).alias("std"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

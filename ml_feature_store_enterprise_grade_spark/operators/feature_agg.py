@@ -1,0 +1,240 @@
+"""Windowed feature aggregation — the analytical core.
+
+Re-expresses the reference's streaming clickstream aggregation
+(reference spark/apps/clickstream_aggregation.py:126-200: groupBy
+user + time window → 14 aggregates → derived ratios) as batch
+DataFrame queries over the ``events`` table:
+
+* ``user_hourly_features`` — tumbling 1 h window (SURVEY §7 M0
+  flagship; A1-A8).  Tumbling windows hash-match a plain
+  ``date_trunc`` GROUP BY, so the whole aggregate family is
+  oracle-checked.
+* ``user_sliding_features`` — the reference's actual 1 h / 10 min
+  sliding window (A9); oracle reconstructs Spark's epoch-aligned
+  window expansion with ``time_bucket`` + a 6-slide explode.
+* ``user_daily_activity`` — daily rollup exercising ``to_date`` (P9).
+
+Scale notes: one shuffle per query (the groupBy), with map-side
+partial aggregation supplied by Catalyst's two-phase HashAggregate.
+The filter and 6-column projection push into the parquet scan.  The
+sliding window multiplies rows ×6 *after* the scan but *before* the
+shuffle — unavoidable under Spark's window expansion; at 100 TB the
+mitigation is a coarser slide or a two-level rollup (aggregate per
+10-min bucket first — see ``user_sliding_features_rollup``), which
+shuffles pre-aggregated buckets instead of raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import safe_div
+from ..registry import register
+
+#: Event-type domain of the driver's ``events`` table (FIXTURES.md §2
+#: maps the reference's view/click/cart/purchase onto it).
+EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def _count_type(t: str) -> F.Column:
+    return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"{t}_count")
+
+
+def hourly_features(events: DataFrame) -> DataFrame:
+    """Per-user 1-hour tumbling feature frame.
+
+    Mirrors the reference aggregate block
+    (spark/apps/clickstream_aggregation.py:131-200): total +
+    conditional counts, exact distinct count (batch path per SURVEY
+    Appendix 1), conditional revenue sum, conditional average, JSON
+    prop extraction, NULLIF-guarded ratios, and
+    ``feature_timestamp = window_end`` (the Feast as-of convention).
+    """
+    e = events.filter(F.col("user_id").isNotNull())
+    agg = (
+        e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            *[_count_type(t) for t in EVENT_TYPES],
+            F.countDistinct("event_type").alias("distinct_event_types"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))), 2
+            ).alias("total_revenue"),
+            F.round(F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 4).alias(
+                "avg_view_value"
+            ),
+            F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_prop_k"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("feature_timestamp"),
+        "total_events",
+        "click_count",
+        "view_count",
+        "purchase_count",
+        "error_count",
+        "signup_count",
+        "distinct_event_types",
+        "total_revenue",
+        "avg_view_value",
+        "max_prop_k",
+        F.round(safe_div(F.col("click_count"), F.col("view_count")), 6).alias("click_through_rate"),
+        F.round(safe_div(F.col("purchase_count"), F.col("click_count")), 6).alias("conversion_rate"),
+    )
+
+
+#: Shared oracle CTE for the hourly feature frame (reused by the
+#: as-of / snapshot / lookup oracles in operators/asof.py).
+HOURLY_FEATURES_SQL_CTE = """
+hourly AS (
+    SELECT
+        user_id,
+        date_trunc('hour', ts) AS window_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS feature_timestamp,
+        COUNT(*) AS total_events,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click_count,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view_count,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_count,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error_count,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_count,
+        COUNT(DISTINCT event_type) AS distinct_event_types,
+        ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS total_revenue,
+        ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 4) AS avg_view_value,
+        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_prop_k,
+        ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+              / NULLIF(COUNT(*) FILTER (WHERE event_type = 'view'), 0), 6) AS click_through_rate,
+        ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+              / NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0), 6) AS conversion_rate
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+"""
+
+
+@register(
+    "user_hourly_features",
+    oracle=f"WITH {HOURLY_FEATURES_SQL_CTE} SELECT * FROM hourly",
+)
+def user_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_features(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_sliding_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               time_bucket(INTERVAL '10 minutes', ts) AS slide_bucket
+        FROM events
+        WHERE user_id IS NOT NULL
+    )
+    SELECT
+        user_id,
+        slide_bucket - (k * INTERVAL '10 minutes') AS window_start,
+        slide_bucket - (k * INTERVAL '10 minutes') + INTERVAL '1 hour' AS window_end,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS sum_value
+    FROM e CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def user_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h window / 10 min slide (reference window spec
+    spark/apps/clickstream_aggregation.py:27-28,135-139).  Each event
+    lands in exactly 6 epoch-aligned windows; the oracle replicates
+    Spark's expansion explicitly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy("user_id", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_sliding_features_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '10 minutes', ts) AS slide_bucket,
+               COUNT(*) AS n, SUM(value) AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           slide_bucket - (k * INTERVAL '10 minutes') AS window_start,
+           SUM(n) AS n_events,
+           ROUND(SUM(v), 2) AS sum_value
+    FROM b CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def user_sliding_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant of the sliding window: pre-aggregate into
+    10-min tumbling buckets (one shuffle over raw events), then expand
+    buckets ×6 and re-aggregate (second shuffle over the *much
+    smaller* bucket frame).  At 100 TB this turns "shuffle 6× the raw
+    data" into "shuffle raw once + shuffle ~#users×#buckets rows".
+    Additive aggregates only (count/sum — the hourly min/max/distinct
+    need the direct form or a sketch)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    buckets = (
+        e.groupBy("user_id", F.window("ts", "10 minutes").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select("user_id", F.col("b.start").alias("slide_bucket"), "n", "v")
+    )
+    expanded = buckets.select(
+        "user_id",
+        "slide_bucket",
+        "n",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+    ).select(
+        "user_id",
+        (F.col("slide_bucket") - F.expr("make_interval(0, 0, 0, 0, 0, k * 10, 0)")).alias(
+            "window_start"
+        ),
+        "n",
+        "v",
+    )
+    return expanded.groupBy("user_id", "window_start").agg(
+        F.sum("n").alias("n_events"), F.round(F.sum("v"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "user_daily_activity",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS DATE) AS activity_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return e.groupBy("user_id", F.to_date("ts").alias("activity_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )

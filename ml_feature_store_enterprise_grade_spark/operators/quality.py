@@ -1,0 +1,164 @@
+"""Declarative data-quality operators.
+
+Re-expresses the reference's Great Expectations suite
+(reference scripts/data_quality_checks.py:50-76: age not-null /
+in-range, tier in enum, user_id not-null + unique, country
+not-null, activity_weight in-range) as a single-pass aggregate that
+returns the reference's report shape — one row per expectation with
+``success`` / ``unexpected_count`` / ``unexpected_percent``
+(reference report fields: scripts/data_quality_checks.py:94-134).
+
+Mapped onto the driver's ``customer`` table per FIXTURES.md §1
+(c_custkey↔user_id, c_mktsegment↔subscription_tier,
+c_acctbal↔activity_weight).
+
+Scale: ONE full scan, zero shuffles (global aggregate → single-row
+partial from every partition), then a constant-size unpivot.  This
+is the right shape at 100 TB — never one pass per expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_BAL_LO, _BAL_HI = -1000.0, 10000.0
+
+
+@register(
+    "quality_expectation_suite",
+    oracle=f"""
+    WITH a AS (
+        SELECT
+            COUNT(*) AS n_rows,
+            COUNT(*) FILTER (WHERE c_custkey IS NULL) AS null_key,
+            COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_key,
+            COUNT(*) FILTER (WHERE c_name IS NULL) AS null_name,
+            COUNT(*) FILTER (WHERE c_acctbal IS NULL
+                             OR c_acctbal < {_BAL_LO} OR c_acctbal > {_BAL_HI}) AS bal_range,
+            COUNT(*) FILTER (WHERE c_mktsegment IS NULL
+                             OR c_mktsegment NOT IN {_SEGMENTS!r}) AS seg_enum,
+            COUNT(*) FILTER (WHERE c_nationkey IS NULL
+                             OR c_nationkey < 0 OR c_nationkey > 24) AS nation_range
+        FROM customer
+    )
+    SELECT e.expectation, e.unexpected_count,
+           ROUND(CAST(e.unexpected_count AS DOUBLE) / NULLIF(a.n_rows, 0) * 100, 6)
+               AS unexpected_percent,
+           e.unexpected_count = 0 AS success
+    FROM a, LATERAL (VALUES
+        ('key_not_null', a.null_key),
+        ('key_unique', a.dup_key),
+        ('name_not_null', a.null_name),
+        ('acctbal_between', a.bal_range),
+        ('mktsegment_in_set', a.seg_enum),
+        ('nationkey_between', a.nation_range)
+    ) e(expectation, unexpected_count)
+    """,
+)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13: the 7-expectation suite as one aggregate pass + unpivot."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def viol(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    a = c.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("c_custkey").isNull()).alias("key_not_null"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("key_unique"),
+        viol(F.col("c_name").isNull()).alias("name_not_null"),
+        viol(
+            F.col("c_acctbal").isNull() | ~F.col("c_acctbal").between(_BAL_LO, _BAL_HI)
+        ).alias("acctbal_between"),
+        viol(
+            F.col("c_mktsegment").isNull() | ~F.col("c_mktsegment").isin(*_SEGMENTS)
+        ).alias("mktsegment_in_set"),
+        viol(
+            F.col("c_nationkey").isNull() | ~F.col("c_nationkey").between(0, 24)
+        ).alias("nationkey_between"),
+    )
+    names = [
+        "key_not_null",
+        "key_unique",
+        "name_not_null",
+        "acctbal_between",
+        "mktsegment_in_set",
+        "nationkey_between",
+    ]
+    stack_expr = "stack({n}, {args}) as (expectation, unexpected_count)".format(
+        n=len(names), args=", ".join(f"'{x}', {x}" for x in names)
+    )
+    long = a.select("n_rows", F.expr(stack_expr))
+    return long.select(
+        "expectation",
+        F.col("unexpected_count").cast("bigint").alias("unexpected_count"),
+        F.round(
+            F.col("unexpected_count").cast("double") / F.nullif(F.col("n_rows"), F.lit(0)) * 100, 6
+        ).alias("unexpected_percent"),
+        (F.col("unexpected_count") == 0).alias("success"),
+    )
+
+
+@register(
+    "duplicate_key_check",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n_dupes
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 uniqueness check as groupBy-having (PK-violation listing,
+    cf. reference composite PK (entity_id, event_timestamp) in
+    init-scripts/01-init-db.sql:37-55)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.to_date("ts").alias("event_date"))
+        .agg(F.count("*").alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+@register(
+    "feature_coverage",
+    oracle="""
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE n_click > 0) AS users_with_clicks,
+           COUNT(*) FILTER (WHERE n_purchase > 0) AS users_with_purchases,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_click > 0) AS DOUBLE)
+                 / NULLIF(COUNT(*), 0), 6) AS click_coverage
+    FROM (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def feature_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 coverage tally (reference validate_online_store counts
+    users with non-null features, airflow/scripts/
+    validate_online_store.py:102-135)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("n_click") > 0, 1).otherwise(0)).cast("bigint").alias("users_with_clicks"),
+        F.sum(F.when(F.col("n_purchase") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_with_purchases"),
+        F.round(
+            F.sum(F.when(F.col("n_click") > 0, 1).otherwise(0)).cast("double")
+            / F.nullif(F.count("*"), F.lit(0)),
+            6,
+        ).alias("click_coverage"),
+    )

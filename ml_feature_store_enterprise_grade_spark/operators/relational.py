@@ -1,0 +1,302 @@
+"""Relational core: scans, joins, aggregation family, top-k, set ops.
+
+The reference's join semantics live in its serving layer (SURVEY §2.3:
+online lookup = broadcast left equi-join; enrichment = stream-static
+denormalization, reference scripts/stream_generator.py:86-97) and its
+oracle corpus is TPC-H-shaped, so the engine exposes the standard
+relational operator family as first-class, oracle-checked queries.
+
+Scale notes per query are inline; the common rules:
+
+* dimension tables (``region``/``nation``) are always broadcast —
+  no shuffle of the fact side for their joins;
+* fact-fact joins shuffle on the join key once, and AQE converts to
+  broadcast / splits skewed partitions at runtime;
+* every filter is declared *before* the join so Catalyst pushes it
+  into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (guide's canonical OLAP agg).
+
+    Plan shape: parquet scan with pushed ``l_shipdate`` filter +
+    7-column pruned read → partial HashAggregate → 6-group shuffle →
+    final HashAggregate.  Whole-stage codegen end to end; scales
+    linearly in input with a constant-size shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           o.o_orderdate,
+           o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-k: 3-way join + agg +
+    global top-10.  Revenue is rounded *before* ordering so the
+    Spark/DuckDB ranking agrees bit-for-bit; o_orderkey tiebreak keeps
+    LIMIT deterministic.  Spark executes the global top-k as
+    TakeOrderedAndProject (per-partition heap + driver merge) — no
+    full sort at scale."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(l.l_orderkey.alias("o_orderkey"), "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join.  ``region``/``nation`` are
+    broadcast explicitly (tiny dims — zero shuffle for their joins);
+    customer⋈orders⋈lineitem shuffle on their keys with AQE free to
+    re-plan.  Join order follows selectivity: region filter first."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    custs = c.join(F.broadcast(nations), c.c_nationkey == nations.n_nationkey)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(custs, o.o_custkey == custs.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS via left-semi join (SURVEY §2.3's join
+    family).  The semi join shuffles both sides on l_orderkey but
+    never materializes the multiplicity of lineitem matches."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join, grouped by segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "event_customer_enrichment",
+    oracle="""
+    SELECT n.n_name AS nation,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def event_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 enrichment join: the reference denormalizes profile columns
+    into events generator-side (scripts/stream_generator.py:86-97,
+    201-202); the idiomatic Spark replacement is a broadcast left join
+    of the fact stream against the profile dim.  At 100 TB the
+    customer dim may exceed broadcast size — then this becomes a
+    shuffle hash join on user_id, still one shuffle of events."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left").join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
+    )
+    return enriched.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, total_spend, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY n_name ORDER BY total_spend DESC, c_custkey
+        ) AS rank
+        FROM spend
+    )
+    WHERE rank <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY §2.5).  Spend is
+    rounded before ranking (cross-engine float determinism) with
+    c_custkey tiebreak.  One shuffle for the agg, one for the window
+    partition — both on keys that scale with customers, not orders."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return spend.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "event_customer_overlap",
+    oracle="""
+    SELECT 'customers_with_events' AS metric, COUNT(*) AS n FROM (
+        SELECT DISTINCT user_id FROM events
+        INTERSECT
+        SELECT c_custkey FROM customer
+    )
+    UNION ALL
+    SELECT 'customers_without_events' AS metric, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+    )
+    """,
+)
+def event_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (intersect / except) — SURVEY §2.6 notes the
+    engine exposes them as built-ins."""
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    with_events = e.intersect(c).agg(F.count("*").alias("n")).select(
+        F.lit("customers_with_events").alias("metric"), "n"
+    )
+    without = c.exceptAll(e.join(c, "k", "left_semi")).agg(F.count("*").alias("n")).select(
+        F.lit("customers_without_events").alias("metric"), "n"
+    )
+    return with_events.unionByName(without)

@@ -1,0 +1,70 @@
+"""Query registry: the oracle-checkable operator surface.
+
+Every operator from SURVEY.md §2 registers here as a named query —
+a ``(spark, sf_dir) -> DataFrame`` callable plus (when the semantics
+are ANSI-SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables.  ``__spark_entry__.py`` re-exports this registry to
+the verify driver.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_OPERATOR_MODULES = (
+    "ml_feature_store_enterprise_grade_spark.operators.feature_agg",
+    "ml_feature_store_enterprise_grade_spark.operators.relational",
+    "ml_feature_store_enterprise_grade_spark.operators.asof",
+    "ml_feature_store_enterprise_grade_spark.operators.quality",
+    "ml_feature_store_enterprise_grade_spark.operators.drift",
+    "ml_feature_store_enterprise_grade_spark.operators.dedup",
+    "ml_feature_store_enterprise_grade_spark.operators.text",
+    "ml_feature_store_enterprise_grade_spark.operators.similarity",
+    "ml_feature_store_enterprise_grade_spark.operators.multimodal",
+    "ml_feature_store_enterprise_grade_spark.streaming.clickstream",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its queries register."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        import_module(mod)
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

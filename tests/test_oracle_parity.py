@@ -1,0 +1,40 @@
+"""Differential tests: every registered query vs its DuckDB oracle.
+
+This mirrors the verify driver's correctness gate (row count + schema
++ order-insensitive values) at sf0.001 so it stays fast enough for
+the inner loop.  ``SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01`` runs
+the driver-scale sweep.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ml_feature_store_enterprise_grade_spark import registry
+from ml_feature_store_enterprise_grade_spark.testing import compare_query, duckdb_connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+registry.load_all()
+_NAMES = sorted(registry.queries())
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_query_matches_oracle(spark, con, name):
+    fn = registry.queries()[name]
+    df = fn(spark, SF_DIR)
+    oracle = registry.oracles().get(name)
+    if oracle is None:
+        assert df.count() >= 0  # rows-only contract for non-SQL-expressible ops
+        return
+    res = compare_query(name, df, oracle, con)
+    assert res.ok, f"{res.detail}\n" + "\n".join(res.mismatches)
