@@ -1,1 +1,392 @@
-"""Placeholder — filled in by later milestone."""
+"""Deduplication operators for training-data pipelines (SURVEY §7 M5).
+
+Not present in the reference (its only uniqueness semantics are the
+user_id-unique expectation, reference scripts/data_quality_checks.py:67,
+and the PK on (entity_id, event_timestamp),
+init-scripts/01-init-db.sql:37-55) — these are the BASELINE.json
+north-star extensions, built Spark-first:
+
+* exact dedup        — md5 over normalized text, one shuffle.
+* n-gram Jaccard     — shingle explode + self-equi-join on shingle;
+                       exact pairwise similarity on candidate pairs.
+* MinHash + LSH      — 8-permutation signature → 4 bands of 2 →
+                       bucket join; candidates verified by signature
+                       agreement.  The scale path: candidate
+                       generation cost is bounded by band-bucket
+                       sizes, never all-pairs.
+* SimHash            — 32-bit token-hash sign aggregate; byte-band
+                       candidates + Hamming(xor) verification.
+
+Cross-engine determinism: all hashing is the portable 60-bit
+MD5-prefix hash (functions/scalar.py), so every signature, band and
+similarity value hash-matches the DuckDB oracle.
+
+Scale notes: the shingle self-join is the classic quadratic risk —
+hot shingles (boilerplate) blow up the join.  Every operator here
+caps shingle document-frequency (``_MAX_SHINGLE_DF``) before the
+join: a shingle occurring in more documents carries no dedup signal
+but dominates the pair count.  At 100 TB you'd additionally salt the
+band-bucket join and run it per corpus partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
+from ..registry import register
+
+#: Drop shingles occurring in more than this many docs before the
+#: pair join (no discrimination value, quadratic cost).
+_MAX_SHINGLE_DF = 100
+
+#: MinHash configuration: 8 signature slots, 4 bands × 2 rows.
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+_JACCARD_THRESHOLD = 0.5
+_EST_JACCARD_THRESHOLD = 0.25
+
+
+def _normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc: (doc_id, shingle)."""
+    t = F.split(F.col("norm"), " ")
+    shingle_arr = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array())
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+
+
+_SHINGLES_SQL_CTE = f"""
+nd AS (
+    SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(norm, ' ')) - 2, 0)),
+               i -> string_split(norm, ' ')[i] || ' ' ||
+                    string_split(norm, ' ')[i + 1] || ' ' ||
+                    string_split(norm, ' ')[i + 2]
+           ))) AS shingle
+    FROM nd
+),
+shf AS (
+    SELECT doc_id, shingle FROM sh
+    WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {_MAX_SHINGLE_DF}
+    )
+)
+"""
+
+
+def _frequent_shingle_filter(shingles: DataFrame) -> DataFrame:
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    return shingles.join(rare, "shingle", "left_semi")
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, md5({NORMALIZE_TEXT_SQL("text")}) AS text_hash FROM documents
+    )
+    SELECT doc_id, text_hash,
+           doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS is_canonical,
+           COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+    FROM nd
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash normalized text, keep min doc_id per hash
+    group.  One shuffle on the hash; at 100 TB this is the cheapest
+    dedup pass and always runs first."""
+    nd = _normalized_docs(spark, sf_dir).select("doc_id", F.md5("norm").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return nd.select(
+        "doc_id",
+        "text_hash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE) / (x.n + y.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN sz x ON p.doc_a = x.doc_id
+    JOIN sz y ON p.doc_b = y.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (x.n + y.n - p.n_common) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.  Candidate pairs come from
+    the shingle self-join (only docs sharing ≥1 rare shingle are ever
+    compared); similarity is exact set Jaccard."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        pairs.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= _JACCARD_THRESHOLD)
+    )
+    return jac.select(
+        "doc_a", "doc_b", "n_common", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): min portable hash per seed."""
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), seed=j)).alias(f"sig_{j}") for j in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = ",\n           ".join(
+    f"MIN({PORTABLE_HASH64_SQL('shingle', seed=j)}) AS sig_{j}" for j in range(_MINHASH_K)
+)
+_MINHASH_BAND_ROWS = _MINHASH_K // _MINHASH_BANDS
+_MINHASH_BAND_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, sig_{i} AS h1, sig_{j} AS h2 FROM sig".format(
+        b=b, i=b * _MINHASH_BAND_ROWS, j=b * _MINHASH_BAND_ROWS + 1
+    )
+    for b in range(_MINHASH_BANDS)
+)
+_MINHASH_AGREE_SQL = " + ".join(
+    f"CASE WHEN x.sig_{j} = y.sig_{j} THEN 1 ELSE 0 END" for j in range(_MINHASH_K)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)}, 6) AS est_jaccard
+    FROM cand c
+    JOIN sig x ON c.doc_a = x.doc_id
+    JOIN sig y ON c.doc_b = y.doc_id
+    WHERE ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)} >= {_EST_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: 8-slot signatures, 4 bands of
+    2; docs colliding in any band become candidates; candidates are
+    scored by signature agreement (unbiased Jaccard estimate).
+
+    Scale: signatures are one shuffle over shingles; the band join
+    shuffles 4 small (doc, band-hash) rows per doc and only compares
+    within buckets — never all-pairs.  Hot buckets are bounded by the
+    rare-shingle filter upstream."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    sig = minhash_signatures(sh)
+    bands = None
+    for b in range(_MINHASH_BANDS):
+        i, j = b * _MINHASH_BAND_ROWS, b * _MINHASH_BAND_ROWS + 1
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"sig_{i}").alias("h1"),
+            F.col(f"sig_{j}").alias("h2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select([F.col("doc_id").alias("doc_a")] + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)])
+    y = sig.select([F.col("doc_id").alias("doc_b")] + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)])
+    agree = sum(
+        F.when(F.col(f"xa_{j}") == F.col(f"yb_{j}"), 1).otherwise(0) for j in range(_MINHASH_K)
+    )
+    est = agree / F.lit(float(_MINHASH_K))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("est_raw", est)
+        .filter(F.col("est_raw") >= _EST_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(F.col("est_raw"), 6).alias("est_jaccard"))
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def simhash(tokens_df: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from portable token hashes.
+
+    sign-sum per bit position over all tokens (weight 1), bit set
+    where the sum is positive."""
+    h = tokens_df.select("doc_id", portable_hash64(F.col("token"), seed=7).alias("h"))
+    bits = h.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1).alias("sign"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("sign").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+_TOKENS_SQL_CTE = f"""
+nd AS (
+    SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM nd
+)
+"""
+
+_SIMHASH_SQL_CTE = f"""
+{_TOKENS_SQL_CTE},
+th AS (
+    SELECT doc_id, {PORTABLE_HASH64_SQL("token", seed=7)} AS h FROM tok
+),
+bit AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS b)
+    GROUP BY doc_id, b
+),
+sim AS (
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bit GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH_SQL_CTE} SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sim",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash fingerprint (token multiset, weight 1)."""
+    nd = _normalized_docs(spark, sf_dir)
+    tok = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
+    return simhash(tok).select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+_SIMHASH_HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL_CTE},
+    bytes AS (
+        SELECT doc_id, simhash, i, (simhash >> (8 * i)) & 255 AS byte
+        FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bytes a JOIN bytes b
+          ON a.i = b.i AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte-banding: split the 32-bit hash
+    into 4 bytes; any pair within Hamming distance ≤3 must share at
+    least one exact byte (pigeonhole), so the byte equi-join generates
+    all true candidates without an all-pairs comparison."""
+    sim = dedup_simhash(spark, sf_dir)
+    bytes_df = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    ).withColumn("byte", F.expr("(simhash >> (8 * i)) & 255"))
+    a, b = bytes_df.alias("a"), bytes_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

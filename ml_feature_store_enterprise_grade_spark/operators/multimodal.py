@@ -1,1 +1,140 @@
-"""Placeholder — filled in by later milestone."""
+"""Multimodal column plumbing (SURVEY §7 M5 / BASELINE north star).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata.  The container ships no decode libraries (PIL/ffmpeg), so
+the *decode kernel* is stubbed — but everything Spark-side is real
+and tested: schema, binary encoding, Arrow batch shape through
+``mapInPandas``, partitioning, and metadata extraction.
+
+* ``multimodal_metadata`` — oracle-checked: byte length + content
+  hash + deterministic pseudo-dimensions derived from the hash
+  (stands in for width/height a real decoder would emit).
+* ``multimodal_decode_features`` — rows-only: the full
+  binary-payload → ``mapInPandas`` feature-extraction pipeline with
+  a deterministic fake decoder (``decode_image`` raises
+  ``NotImplementedError`` until a real codec is wired in).
+
+Scale: payload tables at 100 TB are read with
+``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads
+fits executor memory; the Arrow batch size caps per-batch decode
+memory (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal source frame: documents' text re-encoded as an
+    opaque binary payload + typed metadata — the exact shape an
+    image/audio table has (payload bytes + sidecar metadata)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(16 + (CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 624) AS INTEGER)
+               AS pseudo_width,
+           CAST(16 + (CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 464) AS INTEGER)
+               AS pseudo_height
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction over the binary payload: size, content
+    hash, and deterministic pseudo-dimensions (hash-derived stand-ins
+    for decoder-emitted width/height, keeping the query oracle-checkable
+    without a codec)."""
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5("text")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        md5.alias("content_md5"),
+        (F.lit(16) + F.conv(F.substring(md5, 1, 6), 16, 10).cast("bigint") % 624)
+        .cast("int")
+        .alias("pseudo_width"),
+        (F.lit(16) + F.conv(F.substring(md5, 7, 6), 16, 10).cast("bigint") % 464)
+        .cast("int")
+        .alias("pseudo_height"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — NOT IMPLEMENTED in this container (no
+    PIL/libjpeg).  Wire a codec here in a deployment that has one;
+    the pipeline below falls back to a deterministic fake featurizer
+    so the Spark plumbing stays testable."""
+    raise NotImplementedError("no image codec in this environment; use fake_features")
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_featurize(payload: bytes) -> list[float]:
+    """Deterministic 8-dim stand-in for a decoder+CNN featurizer:
+    normalized byte histogram over 8 buckets."""
+    if not payload:
+        return [0.0] * 8
+    hist = [0] * 8
+    for by in payload:
+        hist[by >> 5] += 1
+    n = float(len(payload))
+    return [round(h / n, 6) for h in hist]
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """The multimodal feature-extraction operator: Arrow-batched
+    ``mapInPandas`` over (doc_id, payload) producing typed features.
+    Batch shape, schema and partitioning are production-real; only
+    the per-payload kernel is the deterministic fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "mean_byte": payloads.map(
+                        lambda p: round(sum(p) / len(p), 6) if len(p) else 0.0
+                    ),
+                    "feature": payloads.map(_fake_featurize),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _DECODE_SCHEMA)
+
+
+@register("multimodal_decode_features")  # pandas-UDF kernel: rows-only check
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(binary_documents(spark, sf_dir))

@@ -1,1 +1,217 @@
-"""Placeholder — filled in by later milestone."""
+"""Text-analysis operators for training-data pipelines (SURVEY §7 M5).
+
+North-star extensions over the ``documents`` table: per-document
+quality statistics, BPE-ish token counting, an n-gram/stopword
+language-ID heuristic, and k-min hash fingerprints.  All pure
+Catalyst expressions (split/transform/filter/regexp) with exact
+DuckDB twins — zero UDFs, so the whole module stays inside
+whole-stage codegen and scales as a single narrow projection +
+one shuffle per aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
+from ..registry import register
+
+#: BPE-style pre-tokenizer: word pieces, single digits, punctuation.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+#: Tiny per-language stopword banks for the heuristic language ID.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               {NORMALIZE_TEXT_SQL("text")} AS norm,
+               len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang, n_chars, n_bpe_tokens,
+               string_split(norm, ' ') AS toks,
+               length(norm) AS norm_len
+        FROM d
+    )
+    SELECT doc_id, lang, n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(norm_len - len(toks) + 1 AS DOUBLE) / NULLIF(len(toks), 0), 4)
+               AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                 / NULLIF(len(toks), 0), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0), 6)
+               AS distinct_ratio,
+           ROUND(LEAST(1.0, len(toks) / 50.0)
+                 * (CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0)), 6)
+               AS quality_score
+    FROM t
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: token counts (whitespace and
+    BPE-ish regex), average token length, stopword/distinct ratios,
+    and a deterministic quality score = min(1, n_tokens/50) ·
+    distinct_ratio (length × lexical-diversity heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    norm_len = F.length(normalize_text(F.col("text")))
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    avg_len = F.round((norm_len - n_tok + 1).cast("double") / F.nullif(n_tok, F.lit(0)), 4)
+    distinct_ratio = n_dist.cast("double") / F.nullif(n_tok, F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_dist.cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        avg_len.alias("avg_token_len"),
+        F.round(n_stop.cast("double") / F.nullif(n_tok, F.lit(0)), 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(F.least(F.lit(1.0), n_tok / F.lit(50.0)) * distinct_ratio, 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(norm, ' '), x -> x IN {_LANG_MARKERS[lang]!r}))"
+    )
+
+
+_LANG_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} >= GREATEST({', '.join('s_' + o for o in _LANG_MARKERS)}) THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    + " ELSE 'unknown' END"
+)
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in _LANG_MARKERS)}
+        FROM d
+    ),
+    p AS (
+        SELECT lang, {_LANG_PRED_SQL} AS predicted_lang FROM s
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker votes, first-match-wins
+    tie break in fixed language order) aggregated into a confusion
+    matrix against the labeled ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def marker_count(lang: str) -> F.Column:
+        markers = _LANG_MARKERS[lang]
+        return F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lang}")
+
+    scored = d.select("lang", *[marker_count(lang) for lang in _LANG_MARKERS])
+    # when() chains short-circuit in order, so the first-listed
+    # language wins ties — matching the oracle's CASE order.
+    chain = None
+    for lang in _LANG_MARKERS:
+        cond = (F.col(f"s_{lang}") > 0) & (
+            F.col(f"s_{lang}") >= F.greatest(*[F.col(f"s_{o}") for o in _LANG_MARKERS])
+        )
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    predicted = chain.otherwise(F.lit("unknown"))
+    return (
+        scored.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(norm, ' ')) - 2, 0)),
+                   i -> string_split(norm, ' ')[i] || ' ' ||
+                        string_split(norm, ' ')[i + 1] || ' ' ||
+                        string_split(norm, ' ')[i + 2]
+               ))) AS shingle
+        FROM nd
+    )
+    SELECT doc_id,
+           MIN({PORTABLE_HASH64_SQL("shingle", seed=0)}) AS fp_min0,
+           MIN({PORTABLE_HASH64_SQL("shingle", seed=1)}) AS fp_min1,
+           COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: k-min sketch (k=2 seeds) over rolling
+    word-3-gram shingles — the winnowing-style content fingerprint
+    used for fast dedup prefilters."""
+    from .dedup import _normalized_docs, _shingles
+
+    sh = _shingles(_normalized_docs(spark, sf_dir))
+    return sh.groupBy("doc_id").agg(
+        F.min(portable_hash64(F.col("shingle"), seed=0)).alias("fp_min0"),
+        F.min(portable_hash64(F.col("shingle"), seed=1)).alias("fp_min1"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+@register(
+    "corpus_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language × source (the A11
+    histogram family applied to the documents corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -46,7 +46,16 @@ RUNTIME_CONFS: dict[str, str] = {
 
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime engine confs to an existing session (idempotent)."""
-    for k, v in RUNTIME_CONFS.items():
+    # Size shuffle partitions to cores: AQE coalesces batch shuffles
+    # anyway, but Structured Streaming state partitioning is fixed at
+    # query start and never coalesced — 200 tiny state partitions on a
+    # 32-core local session is pure overhead.
+    confs = dict(RUNTIME_CONFS)
+    confs.setdefault(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)),
+    )
+    for k, v in confs.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)

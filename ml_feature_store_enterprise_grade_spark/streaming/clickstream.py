@@ -1,1 +1,228 @@
-"""Placeholder — filled in by later milestone."""
+"""Structured Streaming feature pipeline (SURVEY §7 M4).
+
+Re-expresses the reference streaming job
+(reference spark/apps/clickstream_aggregation.py: Kafka source →
+parse → watermark 15 min → windowed agg → parquet sink, append mode,
+checkpointed) on Spark Structured Streaming with a deterministic
+test harness: the ``events`` parquet table replayed as a file stream
+under ``Trigger.availableNow`` (ST1-ST8).
+
+Semantics kept from the reference:
+
+* event-time watermark 15 min (ST1, reference :29,129);
+* append output mode — only finalized windows are emitted once the
+  watermark passes window end (ST3, :215);
+* ``approx_count_distinct`` replaces ``countDistinct`` — the
+  reference job as written would throw AnalysisException in a
+  streaming aggregation (SURVEY Appendix 1); HLL sketches are the
+  supported streaming form.
+
+Determinism: with availableNow the final watermark is
+``max(event_time) − 15 min`` regardless of micro-batch boundaries,
+so the emitted set is exactly the batch tumbling aggregate filtered
+to ``window_end <= max(ts) − 15 min`` — which is the DuckDB oracle.
+
+Prod path: swap the file source for
+``spark.readStream.format("kafka")`` (S1) and the memory sink for a
+date-partitioned parquet sink with a checkpoint (S2); the query
+graph is unchanged.  At scale the state store holds one row per
+(user, open window) — bounded by watermark eviction; use the RocksDB
+state store provider for large key spaces.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_engine_confs
+
+#: Explicit stream schema (never infer on a stream source) — raw
+#: physical form: ts is int64 nanos in the parquet testdata.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK = "15 minutes"
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file stream source needs a *directory*; stage the events
+    parquet file into a per-sf temp dir (idempotent)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    return d
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as a stream (the test
+    stand-in for the Kafka source S1)."""
+    ensure_engine_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_features(events: DataFrame) -> DataFrame:
+    """The streaming aggregate: watermark + 1 h tumbling window per
+    user with the reference's aggregate family (streaming-legal
+    subset: no exact distinct)."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click_count"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view_count"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("total_revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("feature_timestamp"),
+            "total_events",
+            "click_count",
+            "view_count",
+            "total_revenue",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming frame to completion with availableNow into
+    a memory sink; returns the sink table as a batch DataFrame."""
+    spark = result.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{qname}")
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "stream_hourly_features",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS feature_timestamp,
+           COUNT(*) AS total_events,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click_count,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view_count,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+               AS total_revenue
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST5 end-to-end: replay → watermark → windowed agg →
+    append-mode sink, run to completion under availableNow.  The
+    oracle is the batch aggregate restricted to watermark-finalized
+    windows — stream/batch equivalence is the correctness claim."""
+    result = windowed_features(streaming_events(spark, sf_dir))
+    return run_available_now(result, "stream_hourly_features")
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+        FROM (SELECT user_id, ts, value, event_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sess
+        FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sess
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) — the streaming-native
+    ``F.session_window`` evaluated in batch mode; the oracle is the
+    classic lag/gap-cumsum sessionization.  Session end = last event
+    + gap (Spark's session_window.end convention)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream deduplication by event_id within the watermark
+    (``dropDuplicates`` + watermark in streaming; exact batch
+    equivalent here).  The testdata has unique event_ids, so output =
+    input — asserted against the ROW_NUMBER oracle."""
+    events = streaming_events(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(deduped, "stream_dedup")

@@ -1,0 +1,128 @@
+"""Semantic tests beyond oracle parity: edge cases for the as-of
+join (FIXTURES.md §4) and quality checks for the approximate /
+pandas-UDF operators that register rows-only."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.operators.asof import asof_join
+from ml_feature_store_enterprise_grade_spark.operators.multimodal import (
+    binary_documents,
+    decode_features,
+)
+from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+    ann_cosine_topk,
+    ann_ivf_topk,
+)
+
+from conftest import SF_SMOKE
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoinEdges:
+    """TTL-boundary / tie / no-history semantics of the PIT join."""
+
+    def _frames(self, spark):
+        features = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-10 00:00:00"), 10),
+                (1, _ts("2024-01-10 06:00:00"), 11),
+                (2, _ts("2024-01-10 00:00:00"), 20),
+            ],
+            "user_id long, feature_timestamp timestamp, total_events long",
+        )
+        entities = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-10 06:00:00")),  # exact boundary: equal ts matches
+                (1, _ts("2024-01-10 03:00:00")),  # mid-interval: earlier row wins
+                (1, _ts("2024-01-09 00:00:00")),  # pre-first-feature: NULL
+                (2, _ts("2024-01-11 00:00:00")),  # exactly TTL(24h) later: expired
+                (3, _ts("2024-01-10 12:00:00")),  # unknown entity: NULL row kept
+            ],
+            "user_id long, lookup_ts timestamp",
+        )
+        return entities, features
+
+    def test_semantics(self, spark):
+        entities, features = self._frames(spark)
+        out = asof_join(
+            entities, features, key="user_id", ttl_hours=24, feature_cols=("total_events",)
+        )
+        rows = {
+            (r.user_id, r.lookup_ts.isoformat()): (
+                r.feature_timestamp.isoformat() if r.feature_timestamp else None,
+                r.total_events,
+            )
+            for r in out.collect()
+        }
+        assert len(rows) == 5  # left semantics: every entity row survives
+        assert rows[(1, "2024-01-10T06:00:00")] == ("2024-01-10T06:00:00", 11)
+        assert rows[(1, "2024-01-10T03:00:00")] == ("2024-01-10T00:00:00", 10)
+        assert rows[(1, "2024-01-09T00:00:00")] == (None, None)
+        # TTL bound is exclusive: feature_ts must be > lookup - 24h.
+        assert rows[(2, "2024-01-11T00:00:00")] == (None, None)
+        assert rows[(3, "2024-01-10T12:00:00")] == (None, None)
+
+    def test_no_ttl(self, spark):
+        entities, features = self._frames(spark)
+        out = asof_join(
+            entities, features, key="user_id", ttl_hours=None, feature_cols=("total_events",)
+        )
+        rows = {
+            (r.user_id, r.lookup_ts.isoformat()): r.total_events for r in out.collect()
+        }
+        assert rows[(2, "2024-01-11T00:00:00")] == 20  # no TTL → stale row allowed
+
+
+class TestIvfRecall:
+    def test_recall_vs_bruteforce(self, spark):
+        exact = {
+            (r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # Label-centroid cells with nprobe=3/10 probes: recall must be
+        # well above the 3/10 random-cell floor to prove the coarse
+        # quantizer routes queries to the right cells.
+        assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+class TestMultimodalPlumbing:
+    def test_decode_pipeline_shapes(self, spark):
+        src = binary_documents(spark, SF_SMOKE)
+        assert dict(src.dtypes)["payload"] == "binary"
+        out = decode_features(src)
+        rows = out.collect()
+        assert len(rows) == src.count()
+        r = rows[0]
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-3  # normalized histogram
+        assert r.n_bytes > 0 and 0 <= r.mean_byte <= 255
+
+    def test_decode_stub_marked(self):
+        import pytest
+
+        from ml_feature_store_enterprise_grade_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00")
+
+    def test_metadata_matches_payload(self, spark):
+        src = binary_documents(spark, SF_SMOKE).select(
+            "doc_id", F.octet_length("payload").alias("pb")
+        )
+        from ml_feature_store_enterprise_grade_spark.operators.multimodal import (
+            multimodal_metadata,
+        )
+
+        meta = multimodal_metadata(spark, SF_SMOKE)
+        j = src.join(meta, "doc_id")
+        assert j.filter(F.col("pb") != F.col("n_bytes")).count() == 0
