@@ -11,13 +11,16 @@ keep a NULL row, observed at reference
 airflow/dags/feature_store_materialization.py:105-113).
 
 Spark has no batch ASOF primitive, so the engine composes it:
-equi-join on the key + range predicate, then
-``row_number() over (partition by key, lookup_ts order by
-feature_ts desc) == 1``.  One shuffle of the feature side on the
-entity key; the entity side broadcasts when small (the serving
-case).  At 100 TB the feature side is additionally partition-pruned
-by ``feature_timestamp`` bounds derived from the entity frame's
-lookup range before the join.
+equi-join on the key + range predicate, then ``max_by(features,
+feature_ts)`` grouped by (key, lookup_ts).  The hash-aggregate
+formulation beats the equivalent ``row_number() == 1`` window: it
+needs no sort of the joined frame, and Catalyst's two-phase
+HashAggregate collapses the per-(entity, lookup) candidate rows
+map-side *before* the final shuffle — at 100 TB that is the
+difference between shuffling every in-TTL candidate row and
+shuffling one row per entity lookup.  The feature side is
+additionally partition-pruned by ``feature_timestamp`` bounds
+derived from the entity frame's lookup range before the join.
 
 ``materialize`` (latest-per-key snapshot) and ``online_lookup``
 re-express the reference's Redis materialization + serving path
@@ -66,18 +69,24 @@ def asof_join(
             > entities[lookup_ts] - F.expr(f"INTERVAL {ttl_hours} HOURS")
         )
     joined = entities.alias("e").join(features.alias("f"), cond, "left")
-    w = Window.partitionBy(f"e.{key}", f"e.{lookup_ts}").orderBy(
-        F.col(f"f.{feature_ts}").desc_nulls_last()
+    # max_by ignores rows whose ordering key is NULL, so entities with
+    # no in-TTL match keep their group and yield a NULL feature struct
+    # — exactly the reference's LEFT serving semantics.  Requires
+    # feature_ts unique per key (true for windowed feature frames,
+    # whose feature_timestamp is the window end).
+    picked = joined.groupBy(
+        F.col(f"e.{key}").alias(key), F.col(f"e.{lookup_ts}").alias(lookup_ts)
+    ).agg(
+        F.max_by(
+            F.struct(F.col(f"f.{feature_ts}").alias(feature_ts), *[F.col(f"f.{c}").alias(c) for c in feature_cols]),
+            F.col(f"f.{feature_ts}"),
+        ).alias("__f")
     )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(f"e.{key}").alias(key),
-            F.col(f"e.{lookup_ts}").alias(lookup_ts),
-            F.col(f"f.{feature_ts}").alias(feature_ts),
-            *[F.col(f"f.{c}").alias(c) for c in feature_cols],
-        )
+    return picked.select(
+        key,
+        lookup_ts,
+        F.col(f"__f.{feature_ts}").alias(feature_ts),
+        *[F.col(f"__f.{c}").alias(c) for c in feature_cols],
     )
 
 
