@@ -1,0 +1,144 @@
+"""Scalar projection coverage: string/date function family + rolling
+analytic windows.
+
+Covers the reference's scalar surface not already exercised by the
+aggregate queries (SURVEY §2.2 P15/P16, §2.7): string
+case/slice/pad/format (reference scripts/stream_generator.py:161-177
+builds IDs like ``f"{category[:3].upper()}_{n:05d}"``), feature-ref
+splitting on ``:`` (airflow/scripts/validate_online_store.py:114),
+timestamp formatting (strftime at
+airflow/dags/feature_store_materialization.py:137), date arithmetic,
+and percentile/rolling analytics (P95 latency,
+scripts/inference_service.py:194).
+
+All pure narrow transformations — whole-stage-codegen'd projections
+with no shuffle; the rolling query shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "event_code_projection",
+    oracle="""
+    SELECT event_id,
+           printf('%s_%06d', upper(substring(event_type, 1, 3)), user_id % 1000000) AS event_code,
+           split_part(event_type, 'i', 1) AS type_head,
+           concat_ws('/', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+           strftime(ts, '%Y-%m-%d %H') AS event_hour,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_epoch_start,
+           LEAST(ROUND(value, 1), 100.0) AS value_capped,
+           lpad(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR), 4, '0') AS prop_k_padded
+    FROM events
+    WHERE user_id IS NOT NULL
+    """,
+)
+def event_code_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15/P16 + §2.7 string/date scalar family as one wide
+    projection.  Plan: single codegen'd Project over the pruned scan —
+    zero shuffles, embarrassingly parallel at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return e.select(
+        "event_id",
+        F.format_string(
+            "%s_%06d", F.upper(F.substring("event_type", 1, 3)), F.col("user_id") % 1000000
+        ).alias("event_code"),
+        F.element_at(F.split("event_type", "i"), 1).alias("type_head"),
+        F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("event_hour"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.least(F.round("value", 1), F.lit(100.0)).alias("value_capped"),
+        F.lpad(
+            F.get_json_object("props", "$.k").cast("int").cast("string"), 4, "0"
+        ).alias("prop_k_padded"),
+    )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles per group (the reference's P95
+    latency metric, scripts/inference_service.py:194).  Exact
+    ``percentile`` matches DuckDB's quantile_cont bit-for-bit after
+    rounding; at 100 TB swap to ``approx_percentile`` (t-digest
+    sketch, mergeable map-side) — same call shape."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.95, 0.99)
+        ],
+    )
+
+
+@register(
+    "user_rolling_7d_features",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS activity_date,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id, activity_date,
+           SUM(n) OVER w AS events_7d,
+           ROUND(SUM(v) OVER w, 2) AS revenue_7d,
+           COUNT(*) OVER w AS days_active_7d,
+           lag(n) OVER (PARTITION BY user_id ORDER BY activity_date) AS prev_day_events
+    FROM d
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY date_diff('day', DATE '1970-01-01', activity_date)
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def user_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling features via a RANGE frame over epoch
+    days — the classic training-feature window (and the engine's
+    ``rangeBetween`` coverage, SURVEY §2.5).  Two-level: daily
+    pre-aggregation shuffles raw events once; the window then runs
+    over ~#users×#days rows partitioned by user — no skew beyond the
+    per-user day count, bounded at 100 TB by the date range."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = e.groupBy("user_id", F.to_date("ts").alias("activity_date")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("v"),
+    )
+    day_num = F.datediff("activity_date", F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("user_id").orderBy(day_num).rangeBetween(-6, 0)
+    wl = Window.partitionBy("user_id").orderBy("activity_date")
+    return daily.select(
+        "user_id",
+        "activity_date",
+        F.sum("n").over(w).alias("events_7d"),
+        F.round(F.sum("v").over(w), 2).alias("revenue_7d"),
+        F.count("*").over(w).alias("days_active_7d"),
+        F.lag("n").over(wl).alias("prev_day_events"),
+    )

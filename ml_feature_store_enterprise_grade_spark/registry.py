@@ -24,6 +24,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.feature_agg",
     "ml_feature_store_enterprise_grade_spark.operators.relational",
     "ml_feature_store_enterprise_grade_spark.operators.asof",
+    "ml_feature_store_enterprise_grade_spark.operators.projection",
     "ml_feature_store_enterprise_grade_spark.operators.quality",
     "ml_feature_store_enterprise_grade_spark.operators.drift",
     "ml_feature_store_enterprise_grade_spark.operators.dedup",

@@ -41,6 +41,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDF / toPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Offline-store incremental writes replace only the partitions
+    # present in the written frame (sources/files.py, store.py).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 

@@ -1,0 +1,147 @@
+"""FeatureStore facade: offline store, materialization, retrieval.
+
+Exercises the reference's end-to-end lifecycle (SURVEY §3.3) on the
+driver's events table: build hourly features → write date-partitioned
+offline store → incremental materialize → online lookup / historical
+(point-in-time) retrieval — asserting parity with the direct operator
+formulations and that partition pruning actually reaches the plan.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from ml_feature_store_enterprise_grade_spark.operators.asof import asof_join, latest_snapshot
+from ml_feature_store_enterprise_grade_spark.operators.feature_agg import hourly_features
+from ml_feature_store_enterprise_grade_spark.store import (
+    Entity,
+    FeatureStore,
+    FeatureView,
+    flatten_feature_names,
+)
+from tests.conftest import SF_SMOKE
+
+USER = Entity("user", join_key="user_id", value_type="bigint")
+CLICK_VIEW = FeatureView(
+    name="user_click_features",
+    entity=USER,
+    features=("total_events", "click_count", "total_revenue", "click_through_rate"),
+    ttl=timedelta(hours=24),
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    fs = FeatureStore(spark, str(tmp_path_factory.mktemp("fstore")))
+    fs.apply([USER, CLICK_VIEW])
+    feats = hourly_features(load_table(spark, SF_SMOKE, "events"))
+    fs.write_offline("user_click_features", feats)
+    return fs
+
+
+def test_offline_partitioned_and_pruned(store):
+    path = store._offline_path("user_click_features")
+    from ml_feature_store_enterprise_grade_spark.sources.files import (
+        latest_partitions,
+        partition_exists,
+    )
+
+    parts = latest_partitions(path, "event_date", n=100)
+    assert len(parts) >= 25  # events span 2024-01-01..01-30
+    assert partition_exists(path, "event_date", parts[0])
+
+    one_day = store.read_offline(
+        "user_click_features", start="2024-01-10", end="2024-01-11"
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # The date predicate must prune at planning time, not post-scan.
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    dates = [r[0] for r in one_day.select("event_date").distinct().collect()]
+    assert [str(d) for d in dates] == ["2024-01-10"]
+
+
+def test_materialize_matches_latest_snapshot(store, spark):
+    snap = store.materialize("user_click_features", incremental=False)
+    direct = latest_snapshot(
+        hourly_features(load_table(spark, SF_SMOKE, "events"))
+    ).select(*snap.columns)
+    assert snap.count() == direct.count()
+    assert snap.exceptAll(direct).count() == 0
+    assert direct.exceptAll(snap).count() == 0
+
+
+def test_incremental_materialize_equals_full(store, spark, tmp_path):
+    """Writing history in two batches then materializing twice must
+    equal one full materialization (the daily DAG invariant)."""
+    fs = FeatureStore(spark, str(tmp_path))
+    fs.apply([USER, CLICK_VIEW])
+    feats = hourly_features(load_table(spark, SF_SMOKE, "events"))
+    cutoff = "2024-01-15"
+    fs.write_offline("user_click_features", feats.filter(F.to_date("feature_timestamp") < F.lit(cutoff)))
+    first = fs.materialize("user_click_features")
+    assert first.count() > 0
+    fs.write_offline(
+        "user_click_features",
+        feats.filter(F.to_date("feature_timestamp") >= F.lit(cutoff)),
+        mode="append",
+    )
+    incr = fs.materialize("user_click_features")
+    full = store.materialize("user_click_features", incremental=False).select(*incr.columns)
+    assert incr.exceptAll(full).count() == 0 and full.exceptAll(incr).count() == 0
+
+
+def test_online_lookup_left_semantics(store, spark):
+    store.materialize("user_click_features", incremental=False)
+    entities = spark.createDataFrame(
+        [(1,), (2,), (10**9,)], "user_id bigint"  # 10^9: absent entity
+    )
+    out = store.get_online_features(
+        ["user_click_features:total_events", "user_click_features:click_count"],
+        entities,
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    assert len(rows) == 3  # absent entity kept
+    assert rows[10**9].user_click_features__total_events is None
+    flat = flatten_feature_names(out)
+    assert "total_events" in flat.columns
+
+
+def test_historical_matches_asof_operator(store, spark):
+    entities = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .limit(50)
+        .select("user_id", F.lit("2024-01-10 00:30:00").cast("timestamp").alias("event_timestamp"))
+    )
+    out = store.get_historical_features(
+        entities, ["user_click_features:total_events", "user_click_features:total_revenue"]
+    )
+    feats = hourly_features(load_table(spark, SF_SMOKE, "events"))
+    direct = asof_join(
+        entities,
+        feats,
+        key="user_id",
+        lookup_ts="event_timestamp",
+        ttl_hours=24,
+        feature_cols=("total_events", "total_revenue"),
+    ).select(
+        "user_id",
+        "event_timestamp",
+        F.col("total_events").alias("user_click_features__total_events"),
+        F.col("total_revenue").alias("user_click_features__total_revenue"),
+    )
+    assert out.count() == entities.count()
+    assert out.select(*direct.columns).exceptAll(direct).count() == 0
+
+
+def test_feature_ref_errors(store, spark):
+    entities = spark.createDataFrame([(1,)], "user_id bigint")
+    with pytest.raises(KeyError):
+        store.get_online_features(["nope:total_events"], entities)
+    with pytest.raises(KeyError):
+        store.get_online_features(["user_click_features:nope"], entities)
