@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.similarity",
     "ml_feature_store_enterprise_grade_spark.operators.multimodal",
     "ml_feature_store_enterprise_grade_spark.streaming.clickstream",
+    "ml_feature_store_enterprise_grade_spark.streaming.joins",
 )
 
 _loaded = False

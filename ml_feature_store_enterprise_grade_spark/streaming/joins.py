@@ -1,0 +1,189 @@
+"""Streaming joins + custom stateful operators (SURVEY §2.8 extras).
+
+The reference denormalizes profile attributes into events on the
+producer side (reference scripts/stream_generator.py:86-97,201-202);
+the idiomatic Spark replacement is a stream-static broadcast join
+(J3).  Stream-stream joins and arbitrary stateful processing are the
+two Structured Streaming capabilities SURVEY §2.8 lists as engine
+additions beyond the reference.
+
+Determinism for oracle checks: under ``Trigger.availableNow`` over a
+single staged parquet file the replay is one micro-batch, and each
+query is formulated so its *final* output is batch-equivalent even if
+the source were split into multiple batches (see per-query notes).
+
+Scale notes:
+
+* stream-static join: the static dim is re-broadcast per micro-batch
+  — no stream state at all; at 100 TB of stream the cost stays one
+  broadcast hash probe per event.
+* stream-stream interval join: state holds only rows inside the
+  watermark + interval bound on both sides — sized by traffic in the
+  join window, not history.
+* ``applyInPandasWithState``: per-key state is a handful of counters;
+  Arrow-batched transfer amortizes the Python hop (the designated
+  escape hatch, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import load_table
+from ..registry import register
+from .clickstream import WATERMARK, run_available_now, streaming_events
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 as a stream-static broadcast LEFT join: each micro-batch of
+    events probes the broadcast customer dim; the enriched stream then
+    aggregates per segment.  Stateless join ⇒ the complete-on-EOF
+    output equals the batch LEFT join, which is the oracle.
+
+    The aggregation itself would need a watermark in append mode, so
+    the streaming part here is the *join* (stateless, append-legal);
+    the segment rollup runs batch-side on the joined result."""
+    e = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left").select(
+        F.col("c_mktsegment").alias("segment"), "value"
+    )
+    out = run_available_now(enriched, "stream_static_enrichment")
+    return out.groupBy("segment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(SUM(p.value), 2) AS joined_purchase_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTES
+    GROUP BY 1
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    purchases within 30 min after a click by the same user.  Both
+    sides are watermarked so join state evicts rows older than
+    watermark + interval.  Inner join emits exactly the matched pairs
+    regardless of micro-batch slicing ⇒ batch self-join oracle.
+    The per-user rollup runs batch-side on the emitted pairs."""
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "value")
+    out = run_available_now(pairs, "stream_stream_interval_join")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("value"), 2).alias("joined_purchase_value"),
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user cumulative counters: the custom-stateful-operator
+    escape hatch (Arrow-batched, one state row per key).  Emits the
+    running snapshot each micro-batch; snapshots are monotone in
+    total_events so the final one is recoverable batch-side."""
+    (n, v) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, v))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [n], "total_value": [v]})
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS total_events,
+           ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: per-user running totals with explicit
+    GroupState.  Each micro-batch emits the cumulative snapshot; the
+    query then keeps the last snapshot per user (``max_by`` on the
+    monotone event count), which equals the batch GROUP BY oracle
+    however the input is micro-batched."""
+    e = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    snapshots = e.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(snapshots, "stream_stateful_running_totals")
+    final = out.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.max_by("total_value", "total_events").alias("total_value"),
+    )
+    return final.select(
+        "user_id", "total_events", F.round("total_value", 2).alias("total_value")
+    )

@@ -1,0 +1,53 @@
+"""Golden behavioral scenarios for the distributed KS operator —
+the reference ships a 3-scenario seeded demo as its statistical
+regression test (reference scripts/drift_detection.py:289-328:
+Poisson(15) vs itself → no drift; Poisson(15) vs Poisson(25) → mean
+shift; Normal(15,2) vs Normal(15,8) → variance shift; seed 42,
+min-sample guard n<10 at :40-46)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.operators.drift import ks_2samp
+
+RNG = np.random.default_rng(42)
+
+
+def _ks(spark, a: np.ndarray, b: np.ndarray):
+    rows = [(float(x), 1) for x in a] + [(float(x), 0) for x in b]
+    df = spark.createDataFrame(rows, "x double, is1 int")
+    return ks_2samp(df, "x", F.col("is1")).first()
+
+
+def test_no_drift_same_distribution(spark):
+    a = RNG.poisson(15, 1000).astype(float)
+    b = RNG.poisson(15, 1000).astype(float)
+    r = _ks(spark, a, b)
+    assert r.n1 == 1000 and r.n2 == 1000
+    assert not r.drift_detected, f"false positive: D={r.ks_stat} p={r.p_value}"
+
+
+def test_mean_shift_detected(spark):
+    a = RNG.poisson(15, 1000).astype(float)
+    b = RNG.poisson(25, 1000).astype(float)
+    r = _ks(spark, a, b)
+    assert r.drift_detected and r.ks_stat > 0.5
+
+
+def test_variance_shift_detected(spark):
+    a = RNG.normal(15, 2, 1000)
+    b = RNG.normal(15, 8, 1000)
+    r = _ks(spark, a, b)
+    assert r.drift_detected and r.ks_stat > 0.2
+
+
+def test_matches_scipy_if_available(spark):
+    scipy_stats = pytest.importorskip("scipy.stats")
+    a = RNG.normal(0, 1, 500)
+    b = RNG.normal(0.3, 1, 500)
+    r = _ks(spark, a, b)
+    ref = scipy_stats.ks_2samp(a, b)
+    assert abs(r.ks_stat - ref.statistic) < 1e-6
