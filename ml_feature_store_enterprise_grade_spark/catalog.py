@@ -59,6 +59,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to cluster parallelism when the input has fewer
+    partitions.
+
+    Spark sizes scan partitions by *bytes* (maxPartitionBytes), so a
+    small-on-disk but CPU-expensive input (e.g. ``documents`` feeding
+    2M md5-based MinHash signatures) can land in one task and run
+    single-threaded.  Upscaling costs one shuffle of the small input;
+    at 100 TB the scan already has ≥ parallelism partitions and this
+    is a no-op (never downscales — no data movement on big inputs).
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
 from ..registry import register
 
@@ -52,23 +52,30 @@ _EST_JACCARD_THRESHOLD = 0.25
 
 
 def _normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
+    # spread(): the corpus is CPU-heavy (shingle + k×md5 per shingle)
+    # but byte-light, so scan partitioning alone under-parallelizes.
+    return spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", normalize_text(F.col("text")).alias("norm")
     )
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word-3-gram shingles per doc: (doc_id, shingle).
+
+    Formulated with three array slices zipped positionally rather
+    than per-position ``element_at`` lambdas: expressions inside a
+    higher-order-function lambda are re-evaluated per element (no
+    common-subexpression elimination), so the naive form re-splits
+    the document ~3× per shingle position — O(tokens²) per doc."""
     t = F.split(F.col("norm"), " ")
-    shingle_arr = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array())
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
+        F.expr("slice(split(norm, ' '), 2, greatest(size(split(norm, ' ')) - 2, 0))"),
+        F.expr("slice(split(norm, ' '), 3, greatest(size(split(norm, ' ')) - 2, 0))"),
+    )
+    shingle_arr = F.transform(
+        zipped, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"])
+    )
     return docs.select(
         "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
     )
@@ -155,7 +162,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.  Candidate pairs come from
     the shingle self-join (only docs sharing ≥1 rare shingle are ever
     compared); similarity is exact set Jaccard."""
-    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    # The filtered shingle frame feeds the size agg and both sides of
+    # the pair join — cache it so normalize+explode+DF-filter runs
+    # once.  count() materializes the cache eagerly: a lazy cache
+    # inside one action lets concurrently scheduled subtrees each
+    # recompute the still-empty partitions.
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
+    sh.count()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -177,17 +190,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 2^60 — signature slots live in [0, 2^60); h1 + 7·h2 < 2^63 so the
+#: double-hash arithmetic never overflows BIGINT (ANSI-safe).
+_MINHASH_MOD = 1 << 60
+
+
 def minhash_signatures(shingles: DataFrame, k: int = _MINHASH_K) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1}): min portable hash per seed."""
+    """(doc_id, sig_0..sig_{k-1}) via Kirsch-Mitzenmacher double
+    hashing: ONE md5 per shingle yields two independent 60-bit halves
+    (h1, h2); slot j minimizes (h1 + j·h2) mod 2^60.  8× cheaper than
+    k independent md5s with the same collision behavior — the hashing
+    is the dominant CPU cost of MinHash at corpus scale."""
+    md5 = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("bigint")
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), seed=j)).alias(f"sig_{j}") for j in range(k)
+        F.min((h1 + F.lit(j) * h2) % F.lit(_MINHASH_MOD)).alias(f"sig_{j}")
+        for j in range(k)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-_MINHASH_SIG_SQL = ",\n           ".join(
-    f"MIN({PORTABLE_HASH64_SQL('shingle', seed=j)}) AS sig_{j}" for j in range(_MINHASH_K)
-)
+def _minhash_slot_sql(j: int) -> str:
+    h1 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT)"
+    return f"MIN(({h1} + {j} * {h2}) % {_MINHASH_MOD}) AS sig_{j}"
+
+
+_MINHASH_SIG_SQL = ",\n           ".join(_minhash_slot_sql(j) for j in range(_MINHASH_K))
 _MINHASH_BAND_ROWS = _MINHASH_K // _MINHASH_BANDS
 _MINHASH_BAND_SQL = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, sig_{i} AS h1, sig_{j} AS h2 FROM sig".format(
@@ -234,17 +264,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     within buckets — never all-pairs.  Hot buckets are bounded by the
     rare-shingle filter upstream."""
     sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
-    sig = minhash_signatures(sh)
-    bands = None
-    for b in range(_MINHASH_BANDS):
-        i, j = b * _MINHASH_BAND_ROWS, b * _MINHASH_BAND_ROWS + 1
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"sig_{i}").alias("h1"),
-            F.col(f"sig_{j}").alias("h2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # The signature table (one row per doc, k longs) appears in the
+    # plan 8× (band self-join sides + both verification joins); cache
+    # it so the expensive shingle→hash→min pipeline runs once.  At
+    # 100 TB you persist signatures to a table for the same reason.
+    # count() materializes eagerly — see dedup_ngram_jaccard.
+    sig = minhash_signatures(sh).cache()
+    sig.count()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.h1", "bs.h2"
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -85,6 +85,117 @@ def _ks_finalize(cum: DataFrame) -> DataFrame:
     )
 
 
+def ks_2samp_keyed(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sample_col: F.Column,
+) -> DataFrame:
+    """Keyed two-sample KS: one statistic per ``key_col`` group in a
+    single pass — the engine's form of the reference's *loop over
+    monitored features* (scripts/drift_detection.py:171-225), which
+    re-reads the data per feature.  The prefix-sum window partitions
+    by key, so unlike the global variant there is no single-partition
+    stage: parallelism = number of monitored features × their value
+    cardinality spread."""
+    s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
+        F.col(key_col).alias("feature"), F.col(value_col).alias("x"), sample_col.alias("is1")
+    )
+    per_x = s.groupBy("feature", "x").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_x.select(
+        "feature",
+        F.sum("c1").over(w).alias("r1"),
+        F.sum("c2").over(w).alias("r2"),
+    )
+    totals = cum.groupBy("feature").agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
+    d = (
+        cum.join(F.broadcast(totals), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("r1").cast("double") / F.col("n1")
+                    - F.col("r2").cast("double") / F.col("n2")
+                )
+            ).alias("d"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    lam = F.col("d") * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
+    return d.select(
+        "feature",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("d"), 6).alias("ks_stat"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).alias("drift_detected"),
+    )
+
+
+_SPLIT = "2024-01-16 00:00:00"
+
+_KS_MULTI_ORACLE = f"""
+WITH s AS (
+    SELECT event_type AS feature, value AS x,
+           CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is1
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+per_x AS (
+    SELECT feature, x, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM s GROUP BY 1, 2
+),
+cum AS (
+    SELECT feature,
+           SUM(c1) OVER w AS r1,
+           SUM(c2) OVER w AS r2
+    FROM per_x
+    WINDOW w AS (PARTITION BY feature ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT feature, MAX(r1) AS n1, MAX(r2) AS n2 FROM cum GROUP BY 1),
+dd AS (
+    SELECT c.feature,
+           MAX(ABS(CAST(r1 AS DOUBLE) / t.n1 - CAST(r2 AS DOUBLE) / t.n2)) AS d,
+           MAX(t.n1) AS n1, MAX(t.n2) AS n2
+    FROM cum c JOIN tot t ON c.feature = t.feature
+    GROUP BY 1
+)
+SELECT feature,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       ROUND(d, 6) AS ks_stat,
+       ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))), 6) AS p_value,
+       LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))) < 0.05 AS drift_detected
+FROM dd
+"""
+
+
+@register("drift_report_multi_feature", oracle=_KS_MULTI_ORACLE)
+def drift_report_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed KS drift report: first vs second half of the month, one
+    row per event_type — the reference's multi-feature drift loop
+    (scripts/drift_detection.py:171-225) in a single distributed
+    pass."""
+    e = load_table(spark, sf_dir, "events")
+    return ks_2samp_keyed(
+        e,
+        key_col="event_type",
+        value_col="value",
+        sample_col=F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), 1).otherwise(0),
+    )
+
+
 _KS_ORACLE = """
 WITH s AS (
     SELECT value AS x,

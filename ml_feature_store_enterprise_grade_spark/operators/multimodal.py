@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 
@@ -37,7 +37,7 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal source frame: documents' text re-encoded as an
     opaque binary payload + typed metadata — the exact shape an
     image/audio table has (payload bytes + sidecar metadata)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -67,7 +67,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, and deterministic pseudo-dimensions (hash-derived stand-ins
     for decoder-emitted width/height, keeping the query oracle-checkable
     without a codec)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     md5 = F.md5("text")
     return d.select(
         "doc_id",

@@ -273,6 +273,71 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_rollup_cube",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           o.o_orderpriority AS priority,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+    """,
+)
+def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (segment → priority → grand total) via
+    ``df.rollup`` — SURVEY §2.4 notes cube/rollup come free from
+    Catalyst (Expand operator feeding one hash agg; no extra passes
+    over the input)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "small_quantity_parts",
+    oracle="""
+    SELECT p.p_type,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_type
+    """,
+)
+def small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated by
+    hand the way Catalyst would: per-part average as an aggregate,
+    joined back to lineitem.  One extra shuffle on l_partkey instead
+    of a per-row subquery — the only formulation that survives scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(per_part, l.l_partkey == per_part.avg_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
     "event_customer_overlap",
     oracle="""
     SELECT 'customers_with_events' AS metric, COUNT(*) AS n FROM (

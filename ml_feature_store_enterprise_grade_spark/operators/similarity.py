@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 _TOPK = 5
@@ -94,7 +94,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus.  The query block is broadcast; ranking is on the
     6-dp-rounded similarity with neighbor_id tiebreak so Spark and
     DuckDB order identically."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -139,7 +139,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold {t}).  The
     all-pairs formulation is the exactness baseline; at scale the
     same predicate runs after LSH/IVF blocking (see ann_ivf_topk)."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings")))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
     )
@@ -192,7 +192,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a map-side transform over the corpus (no shuffle);
     the per-cell search touches nprobe/k of the corpus per query.
     No all-pairs stage anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     cent = with_norm(ivf_codebook(emb), "centroid").select(
         "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
 from ..registry import register
 
@@ -72,7 +72,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex), average token length, stopword/distinct ratios,
     and a deterministic quality score = min(1, n_tokens/50) ·
     distinct_ratio (length × lexical-diversity heuristic)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
     norm_len = F.length(normalize_text(F.col("text")))
     n_tok = F.size(toks)
@@ -136,7 +136,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-marker votes, first-match-wins
     tie break in fixed language order) aggregated into a confusion
     matrix against the labeled ``lang`` column."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
     def marker_count(lang: str) -> F.Column:
         markers = _LANG_MARKERS[lang]
@@ -209,7 +209,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup by language × source (the A11
     histogram family applied to the documents corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
