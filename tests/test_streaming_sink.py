@@ -1,0 +1,164 @@
+"""Streaming sink + micro-batch-boundary coverage (ST2-ST6):
+
+* the reference's real sink — append-mode date-partitioned parquet
+  with a checkpoint (reference spark/apps/clickstream_aggregation.py:
+  204-218) — round-trips: reading the sink back equals the batch
+  aggregate restricted to watermark-finalized windows;
+* splitting the replay into many micro-batches (maxFilesPerTrigger=1
+  over a multi-file staging dir) changes nothing: watermark semantics
+  and the stateful operator's final output are batch-equivalent
+  however the input is sliced.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+    EVENTS_RAW_SCHEMA,
+    windowed_features,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def multi_file_source(spark, tmp_path_factory):
+    """events staged as 6 parquet files so maxFilesPerTrigger=1 forces
+    6 micro-batches (file order ~ arbitrary ⇒ real out-of-order and
+    late-data pressure on the watermark)."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_SMOKE}/events.parquet")
+    # Six sequential append-writes of consecutive time ranges, each
+    # with a strictly later modification time: FileStreamSource orders
+    # files by mtime, so maxFilesPerTrigger=1 replays an in-order
+    # stream with no cross-batch late data — the multi-batch run must
+    # be *exactly* batch-equivalent.  (Unordered staging would
+    # legitimately drop >15-min-late events per watermark semantics.)
+    import time as _time
+
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) // 6
+    edges = [None, *[lo + step * i for i in range(1, 6)], None]
+    for i in range(6):
+        chunk = raw
+        if edges[i] is not None:
+            chunk = chunk.filter(F.col("ts") > edges[i])
+        if edges[i + 1] is not None:
+            chunk = chunk.filter(F.col("ts") <= edges[i + 1])
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct whole-second mtimes (fs granularity)
+    return d
+
+
+def _stream(spark, src_dir, max_files=None):
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.load(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_parquet_sink_roundtrip_partitioned(spark, multi_file_source, tmp_path):
+    out = str(tmp_path / "offline")
+    ckpt = str(tmp_path / "ckpt")
+    result = windowed_features(_stream(spark, multi_file_source)).withColumn(
+        "event_date", F.to_date("window_start")
+    )
+    q = (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    # Partition layout: event_date dirs exist and prune.
+    import os
+
+    assert any(x.startswith("event_date=") for x in os.listdir(out))
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    max_ts = e.agg(F.max("ts")).first()[0]
+    batch = (
+        e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click_count"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view_count"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+            ).alias("total_revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("feature_timestamp"),
+            "total_events",
+            "click_count",
+            "view_count",
+            "total_revenue",
+            F.to_date(F.col("w.start")).alias("event_date"),
+        )
+        .filter(F.col("feature_timestamp") <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES"))
+    )
+    cols = sorted(back.columns)
+    got, want = back.select(*cols), batch.select(*cols)
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
+
+
+def test_multi_batch_replay_is_batch_equivalent(spark, multi_file_source):
+    """6 time-ordered micro-batches: the watermark advances batch by
+    batch, windows finalize progressively, and the union of all
+    append-mode emissions must exactly equal the single-batch result —
+    finalized windows present with complete aggregates, each emitted
+    at most once."""
+    import uuid
+
+    qname = f"mb_{uuid.uuid4().hex[:8]}"
+    result = windowed_features(_stream(spark, multi_file_source, max_files=1))
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(qname)
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    max_ts = e.agg(F.max("ts")).first()[0]
+    batch_all = (
+        e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click_count"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view_count"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+            ).alias("total_revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("feature_timestamp"),
+            "total_events",
+            "click_count",
+            "view_count",
+            "total_revenue",
+        )
+    )
+    # At-most-once emission per window.
+    assert emitted.count() == emitted.select("user_id", "window_start").distinct().count()
+    # Exact batch equivalence on finalized windows.
+    finalized = batch_all.filter(
+        F.col("feature_timestamp") <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES")
+    ).select(*emitted.columns)
+    assert emitted.exceptAll(finalized).count() == 0
+    assert finalized.exceptAll(emitted).count() == 0
