@@ -1,0 +1,100 @@
+"""Property-based tests (Hypothesis) for the semantics that are easy
+to get subtly wrong: the TTL-bounded as-of join and the distributed
+KS statistic, each checked against a direct Python reference
+implementation on randomized inputs (SURVEY §7 "hard parts" 1 and 4).
+
+Examples are kept small (Spark round-trip per example); the value is
+in the adversarial shapes Hypothesis finds — boundary-equal
+timestamps, TTL-edge hits, all-missing entities, duplicate lookups.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.operators.asof import asof_join
+from ml_feature_store_enterprise_grade_spark.operators.drift import ks_2samp
+
+T0 = datetime(2024, 1, 1)
+
+# Timestamps on a coarse grid so boundary collisions are frequent.
+ts_strategy = st.integers(min_value=0, max_value=48).map(
+    lambda h: T0 + timedelta(hours=h)
+)
+
+feature_rows = st.lists(
+    st.tuples(st.integers(0, 3), ts_strategy, st.integers(0, 1000)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # feature_ts unique per key (engine contract)
+)
+entity_rows = st.lists(
+    st.tuples(st.integers(0, 4), ts_strategy),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _python_asof(entities, features, ttl_hours):
+    out = {}
+    for key, lookup in entities:
+        best = None
+        for fk, fts, val in features:
+            if fk != key or fts > lookup:
+                continue
+            if ttl_hours is not None and fts <= lookup - timedelta(hours=ttl_hours):
+                continue
+            if best is None or fts > best[0]:
+                best = (fts, val)
+        out[(key, lookup)] = best
+    return out
+
+
+@pytest.mark.parametrize("ttl_hours", [6, None])
+@settings(max_examples=12, deadline=None)
+@given(entities=entity_rows, features=feature_rows)
+def test_asof_join_matches_reference(spark, ttl_hours, entities, features):
+    e = spark.createDataFrame(
+        entities, "user_id int, lookup_ts timestamp"
+    )
+    f = spark.createDataFrame(
+        features, "user_id int, feature_timestamp timestamp, v int"
+    )
+    got = {
+        (r.user_id, r.lookup_ts): (r.feature_timestamp, r.v)
+        if r.feature_timestamp is not None
+        else None
+        for r in asof_join(
+            e, f, key="user_id", ttl_hours=ttl_hours, feature_cols=("v",)
+        ).collect()
+    }
+    want = _python_asof(entities, features, ttl_hours)
+    assert got == want  # includes NULL rows for unmatched entities
+
+
+def _python_ks(a, b):
+    xs = sorted(set(a) | set(b))
+    d = 0.0
+    for x in xs:
+        cdf_a = sum(1 for v in a if v <= x) / len(a)
+        cdf_b = sum(1 for v in b if v <= x) / len(b)
+        d = max(d, abs(cdf_a - cdf_b))
+    return round(d, 6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 20).map(float), min_size=1, max_size=30),
+    b=st.lists(st.integers(0, 20).map(float), min_size=1, max_size=30),
+)
+def test_ks_stat_matches_reference(spark, a, b):
+    rows = [(x, 1) for x in a] + [(x, 0) for x in b]
+    df = spark.createDataFrame(rows, "x double, is1 int")
+    r = ks_2samp(df, "x", F.col("is1")).first()
+    assert r.ks_stat == pytest.approx(_python_ks(a, b), abs=1e-6)
+    assert (r.n1, r.n2) == (len(a), len(b))
