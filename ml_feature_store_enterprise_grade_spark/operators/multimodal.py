@@ -138,3 +138,96 @@ def decode_features(df: DataFrame) -> DataFrame:
 @register("multimodal_decode_features")  # pandas-UDF kernel: rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_documents(spark, sf_dir))
+
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(floor((length(text) - 1) / {_FRAME_BYTES * _FRAME_STRIDE}) AS INTEGER)
+               )) AS k
+        FROM documents
+        WHERE length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(k * {_FRAME_STRIDE} AS INTEGER) AS frame_idx,
+           md5(substring(text, k * {_FRAME_BYTES * _FRAME_STRIDE} + 1, {_FRAME_BYTES})) AS frame_md5,
+           CAST(length(substring(text, k * {_FRAME_BYTES * _FRAME_STRIDE} + 1, {_FRAME_BYTES})) AS INTEGER)
+               AS n_frame_chars
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling, pure Catalyst: treat the payload as
+    fixed-size frames and keep every Nth one via ``substring`` slicing
+    — no Python in the hot path, so frame extraction whole-stage-
+    codegens and scales like any projection.  A real container-format
+    demuxer would replace fixed-size slicing with codec frame
+    boundaries (that kernel belongs in ``decode_image``'s deployment
+    slot); frame hashes keep it oracle-checkable.  Frames are
+    character slices here because the stand-in payload is text (DuckDB
+    cannot slice BLOBs with substring); byte slicing is the
+    one-line swap for true binary payloads."""
+    frames_per_stride = _FRAME_BYTES * _FRAME_STRIDE
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= 1)
+    k = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length("text") - 1) / frames_per_stride).cast("int"),
+        )
+    ).alias("k")
+    f = d.select("doc_id", "text", k)
+    frame = F.expr(f"substring(text, k * {frames_per_stride} + 1, {_FRAME_BYTES})")
+    return f.select(
+        "doc_id",
+        (F.col("k") * _FRAME_STRIDE).cast("int").alias("frame_idx"),
+        F.md5(frame).alias("frame_md5"),
+        F.length(frame).cast("int").alias("n_frame_chars"),
+    )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Image-resize operator shell: Arrow-batched ``mapInPandas`` with
+    the production schema (doc_id, width, height, thumbnail binary).
+    The kernel is a deterministic fake (truncate/zero-pad the payload
+    to width×height bytes); a real deployment swaps in a codec resize
+    at the marked line."""
+    n = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # REAL KERNEL GOES HERE: decode_image(payload).resize(...)
+            thumbs = pdf["payload"].map(
+                lambda p: bytes(p[:n]) + b"\x00" * max(0, n - len(p))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _RESIZE_SCHEMA)
+
+
+@register("multimodal_resize")  # pandas-UDF kernel: rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(binary_documents(spark, sf_dir))
