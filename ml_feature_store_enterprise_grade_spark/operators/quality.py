@@ -105,6 +105,73 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_distribution_stats",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_profiles,
+           ROUND(AVG(c_acctbal), 4) AS avg_balance,
+           ROUND(MIN(c_acctbal), 2) AS min_balance,
+           ROUND(MAX(c_acctbal), 2) AS max_balance,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_high_balance
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def profile_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 generator sanity stats (reference
+    scripts/batch_generator.py:155-193 prints segment/tier histograms,
+    numeric min/mean/max, and a high-activity share after generation)
+    — as one grouped aggregate over the profile table."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_profiles"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("n_high_balance"),
+    )
+
+
+_FRESHNESS_ASOF = "2024-02-01 00:00:00"
+
+
+@register(
+    "feature_freshness",
+    oracle=f"""
+    SELECT 'user_hourly_features' AS feature_view,
+           MAX(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS last_feature_timestamp,
+           CAST(date_diff('minute',
+                MAX(date_trunc('hour', ts) + INTERVAL 1 HOUR),
+                TIMESTAMP '{_FRESHNESS_ASOF}') AS BIGINT) AS staleness_minutes,
+           date_diff('minute',
+                MAX(date_trunc('hour', ts) + INTERVAL 1 HOUR),
+                TIMESTAMP '{_FRESHNESS_ASOF}') <= 1440 AS is_fresh
+    FROM events
+    WHERE user_id IS NOT NULL
+    """,
+)
+def feature_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 freshness metadata (reference
+    init-scripts/01-init-db.sql:18-27 defines
+    feast_metadata.feature_freshness with view name / last ts /
+    staleness): latest feature_timestamp per view and minutes of
+    staleness against a fixed as-of (deterministic stand-in for
+    now()), with a 24 h freshness SLA flag."""
+    from .feature_agg import hourly_features
+
+    asof = F.lit(_FRESHNESS_ASOF).cast("timestamp")
+    feats = hourly_features(load_table(spark, sf_dir, "events"))
+    last = F.max("feature_timestamp")
+    staleness = (asof.cast("long") - last.cast("long")) / 60
+    return feats.agg(
+        F.lit("user_hourly_features").alias("feature_view"),
+        last.alias("last_feature_timestamp"),
+        staleness.cast("bigint").alias("staleness_minutes"),
+        (staleness <= 1440).alias("is_fresh"),
+    ).select("feature_view", "last_feature_timestamp", "staleness_minutes", "is_fresh")
+
+
+@register(
     "duplicate_key_check",
     oracle="""
     SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n_dupes
