@@ -15,10 +15,9 @@ Kolmogorov approximation (first series term), written identically in
 both engines so results hash-match.
 
 Scale: groupBy(x) is one shuffle with map-side combine; the ordered
-prefix sum is a single-partition window over *distinct values only*
-(bounded by value cardinality, not row count).  For truly huge
-cardinality, swap in a range-partitioned two-pass prefix sum; noted
-inline.
+prefix sum is a two-pass bucketed computation — per-bucket offsets
+(tiny) + within-bucket windows partitioned by bucket — so no stage
+ever runs on a single partition, whatever the value cardinality.
 """
 
 from __future__ import annotations
@@ -29,6 +28,9 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import register
+
+#: Value-range buckets for the distributed ECDF prefix sum.
+_KS_BUCKETS = 1024
 
 
 def ks_2samp(
@@ -45,13 +47,50 @@ def ks_2samp(
     per_x = s.groupBy("x").agg(
         F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
     )
-    # Running ECDF counts.  Single-partition window over DISTINCT x
-    # only; at extreme cardinality replace with a range-partitioned
-    # prefix sum (partition-local cumsum + broadcast partition offsets).
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per_x.select(
-        F.sum("c1").over(w).alias("r1"),
-        F.sum("c2").over(w).alias("r2"),
+    # Distributed prefix sum over x (two-pass, exact, no global
+    # single-partition sort):
+    #   1. assign each distinct x to one of _KS_BUCKETS value-range
+    #      buckets (bounds from one tiny min/max job);
+    #   2. per-bucket totals → running offsets (window over ≤1024
+    #      rows — trivially small);
+    #   3. within-bucket cumsum windows partitioned BY BUCKET (fully
+    #      parallel) + broadcast-joined offsets.
+    # ECDF_i(x) = offset_i(bucket) + within_i(x).
+    lo, hi = per_x.agg(F.min("x"), F.max("x")).first()
+    if lo is None or lo == hi:
+        # Degenerate: ≤1 distinct value ⇒ ECDFs only differ at that
+        # point; a single bucket suffices.
+        bucketed = per_x.withColumn("b", F.lit(0))
+    else:
+        span = float(hi) - float(lo)
+        bucketed = per_x.withColumn(
+            "b",
+            F.least(
+                F.lit(_KS_BUCKETS - 1),
+                F.floor((F.col("x") - F.lit(float(lo))) / span * _KS_BUCKETS).cast("int"),
+            ),
+        )
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .select(
+            "b",
+            F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("o2"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            (F.col("o1") + F.sum("c1").over(w_in)).alias("r1"),
+            (F.col("o2") + F.sum("c2").over(w_in)).alias("r2"),
+        )
     )
     return _ks_finalize(cum)
 

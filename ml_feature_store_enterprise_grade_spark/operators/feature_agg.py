@@ -214,6 +214,32 @@ def user_sliding_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_distinct_users_rollup")  # sketch estimates: rows-only check
+def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-day HLL sketches of
+    user_id, unioned into per-event-type totals WITHOUT re-reading raw
+    data — the 100 TB path for "distinct users last N days" feature
+    families (exact countDistinct cannot pre-aggregate; sketches merge
+    associatively, so daily sketches persist once and any date-range
+    rollup is a tiny union).  Estimates are approximate ⇒ rows-only
+    driver check; relative-error bounds are asserted in
+    tests/test_operators_extra.py."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct_users"),
+            F.sum("exact_daily").alias("sum_daily_distinct"),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "approx_distinct_users", "sum_daily_distinct", "n_days")
+    )
+
+
 @register(
     "user_daily_activity",
     oracle="""
