@@ -196,17 +196,37 @@ class FeatureStore:
             out = F.broadcast(out).join(snap, key, "left")
         return out
 
-    def get_historical_features(self, entity_df: DataFrame, features: list[str]) -> DataFrame:
+    def get_historical_features(
+        self, entity_df: DataFrame, features: list[str], prune: bool = True
+    ) -> DataFrame:
         """Point-in-time correct training frame: for each
         (entity, event_timestamp) row, the latest feature values with
         ``feature_timestamp <= event_timestamp`` inside the view TTL
         (reference get_historical_features,
-        scripts/drift_detection.py:266-269)."""
+        scripts/drift_detection.py:266-269).
+
+        ``prune`` (default) first computes the entity frame's lookup
+        range (one tiny aggregate job) and reads only offline
+        partitions inside [min_lookup − TTL, max_lookup] — at 100 TB
+        the as-of join then scans days, not years, of history."""
+        from datetime import timedelta as _td
+
         out = entity_df
+        bounds = (
+            entity_df.agg(
+                F.min("event_timestamp").alias("lo"), F.max("event_timestamp").alias("hi")
+            ).first()
+            if prune
+            else None
+        )
         for view, feats in feature_refs(self.views, features).items():
             v = self.views[view]
             ttl_h = int(v.ttl.total_seconds() // 3600) if v.ttl is not None else None
-            hist = self.read_offline(view).drop(v.partition_col)
+            start = end = None
+            if bounds is not None and bounds.lo is not None:
+                start = str((bounds.lo - (v.ttl or _td(0))).date())
+                end = str((bounds.hi + _td(days=1)).date())
+            hist = self.read_offline(view, start=start, end=end).drop(v.partition_col)
             joined = asof_join(
                 out,
                 hist,

@@ -204,6 +204,57 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+        FROM (SELECT user_id, ts, value, event_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sess
+        FROM x
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM s
+        GROUP BY user_id, sess
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: ``F.session_window`` with a watermark
+    under availableNow — merging session state per (user, session),
+    emitted in append mode once the watermark passes session end
+    (last event + gap).  The oracle is the batch lag/gap-cumsum
+    sessionization restricted to watermark-finalized sessions."""
+    e = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    sessions = (
+        e.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(sessions, "stream_session_windows")
+
+
+@register(
     "stream_dedup",
     oracle="""
     SELECT event_id, user_id, event_type

@@ -139,6 +139,23 @@ def test_historical_matches_asof_operator(store, spark):
     assert out.select(*direct.columns).exceptAll(direct).count() == 0
 
 
+def test_historical_prunes_offline_partitions(store, spark):
+    """With pruning on, the offline scan must carry PartitionFilters
+    bounding event_date to [lookup − TTL, lookup]; results identical
+    to the unpruned read."""
+    entities = spark.createDataFrame(
+        [(1, "2024-01-10 00:30:00"), (2, "2024-01-12 06:00:00")],
+        "user_id bigint, event_timestamp string",
+    ).select("user_id", F.col("event_timestamp").cast("timestamp").alias("event_timestamp"))
+    refs = ["user_click_features:total_events"]
+    pruned = store.get_historical_features(entities, refs)
+    plain = store.get_historical_features(entities, refs, prune=False)
+    assert pruned.exceptAll(plain).count() == 0 and plain.exceptAll(pruned).count() == 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1][:200]
+    assert "event_date" in pf and "2024-01-09" in pf and "2024-01-13" in pf
+
+
 def test_feature_ref_errors(store, spark):
     entities = spark.createDataFrame([(1,)], "user_id bigint")
     with pytest.raises(KeyError):
