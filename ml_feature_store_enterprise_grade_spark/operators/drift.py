@@ -172,13 +172,23 @@ def ks_2samp_keyed(
         F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
     )
     p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
+    # Interpretation buckets from the reference's when-ladder
+    # (scripts/drift_detection.py:157-168).
+    ks6 = F.round(F.col("d"), 6)
+    severity = (
+        F.when(ks6 >= 0.2, "strong")
+        .when(ks6 >= 0.1, "moderate")
+        .when(ks6 >= 0.05, "weak")
+        .otherwise("none")
+    )
     return d.select(
         "feature",
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
-        F.round(F.col("d"), 6).alias("ks_stat"),
+        ks6.alias("ks_stat"),
         F.round(p, 6).alias("p_value"),
         (p < 0.05).alias("drift_detected"),
+        severity.alias("severity"),
     )
 
 
@@ -215,7 +225,11 @@ SELECT feature,
        CAST(n2 AS BIGINT) AS n2,
        ROUND(d, 6) AS ks_stat,
        ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))), 6) AS p_value,
-       LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))) < 0.05 AS drift_detected
+       LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))) < 0.05 AS drift_detected,
+       CASE WHEN ROUND(d, 6) >= 0.2 THEN 'strong'
+            WHEN ROUND(d, 6) >= 0.1 THEN 'moderate'
+            WHEN ROUND(d, 6) >= 0.05 THEN 'weak'
+            ELSE 'none' END AS severity
 FROM dd
 """
 
