@@ -16,3 +16,29 @@ are the designated escape hatch for genuinely non-relational ops.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    """Lazy public API (avoids importing pyspark at package import):
+
+    >>> from ml_feature_store_enterprise_grade_spark import FeatureStore, Entity, FeatureView
+    >>> from ml_feature_store_enterprise_grade_spark import get_spark, asof_join, latest_snapshot
+    """
+    from importlib import import_module
+
+    exports = {
+        "FeatureStore": "store",
+        "Entity": "store",
+        "FeatureView": "store",
+        "flatten_feature_names": "store",
+        "get_spark": "session",
+        "load_table": "catalog",
+        "register_views": "catalog",
+        "asof_join": "operators.asof",
+        "latest_snapshot": "operators.asof",
+        "ks_2samp": "operators.drift",
+        "ks_2samp_keyed": "operators.drift",
+    }
+    if name in exports:
+        return getattr(import_module(f".{exports[name]}", __name__), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
