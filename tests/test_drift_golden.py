@@ -44,6 +44,20 @@ def test_variance_shift_detected(spark):
     assert r.drift_detected and r.ks_stat > 0.2
 
 
+def test_degenerate_single_value(spark):
+    """lo == hi branch of the bucketed prefix sum: one distinct value
+    in both samples ⇒ D = 0, no drift."""
+    r = _ks(spark, np.full(20, 7.0), np.full(30, 7.0))
+    assert r.ks_stat == 0.0 and not r.drift_detected
+    assert (r.n1, r.n2) == (20, 30)
+
+
+def test_degenerate_disjoint_singletons(spark):
+    """Two distinct values, fully separated samples ⇒ D = 1."""
+    r = _ks(spark, np.full(10, 1.0), np.full(10, 2.0))
+    assert r.ks_stat == 1.0 and r.drift_detected
+
+
 def test_matches_scipy_if_available(spark):
     scipy_stats = pytest.importorskip("scipy.stats")
     a = RNG.normal(0, 1, 500)
