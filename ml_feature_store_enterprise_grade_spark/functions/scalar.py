@@ -47,6 +47,25 @@ def PORTABLE_HASH64_SQL(expr: str, seed: int = 0) -> str:
     return f"CAST('0x' || substr(md5('{seed}:' || ({expr})), 1, 15) AS BIGINT)"
 
 
+#: Exact-arithmetic money type for unbounded-group SUMs.  Double
+#: summation is order-sensitive: at sf0.1 a 1.7e8 revenue sum already
+#: landed a cent apart between Spark and DuckDB (and partial-agg
+#: order is nondeterministic run to run at cluster scale).  DECIMAL
+#: sums are exact and associative — deterministic under any shuffle
+#: order.  (12,2) keeps 3-factor products within both engines' 38-digit
+#: cap with zero precision loss.
+MONEY = "decimal(12,2)"
+
+
+def money(col: Column) -> Column:
+    return col.cast(MONEY)
+
+
+def MONEY_SQL(expr: str) -> str:
+    """DuckDB twin of :func:`money`."""
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form for dedup: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

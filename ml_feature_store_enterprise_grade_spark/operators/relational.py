@@ -23,17 +23,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import money
 from ..registry import register
+
+#: DuckDB twins of the exact-decimal money arithmetic (see
+#: functions/scalar.MONEY): double SUMs over unbounded groups are
+#: summation-order-sensitive — at sf0.1 a revenue sum already landed a
+#: cent apart between engines.  DECIMAL sums are exact/associative ⇒
+#: deterministic under any shuffle order; results cast back to DOUBLE
+#: after the final ROUND so output schemas are unchanged.
+_EXT = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_TOTALPRICE = "CAST(o_totalprice AS DECIMAL(16,4))"
+_rate = lambda c: F.col(c).cast("decimal(4,2)")
 
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM({_EXT}), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC}) * (1 + {_TAX})), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -53,12 +67,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(money(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(money(F.col("l_extendedprice"))), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + _rate("l_tax"))), 2).cast("double").alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -68,11 +82,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_revenue_orders",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS o_orderkey,
            o.o_orderdate,
            o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -99,7 +113,11 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(l.l_orderkey.alias("o_orderkey"), "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -107,9 +125,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
            COUNT(DISTINCT c.c_custkey) AS n_customers
     FROM region r
     JOIN nation n ON r.r_regionkey = n.n_regionkey
@@ -142,7 +160,9 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(custs, o.o_custkey == custs.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
@@ -199,12 +219,12 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_customer_enrichment",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
            c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
            COUNT(DISTINCT e.user_id) AS n_users,
-           ROUND(SUM(e.value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -229,16 +249,16 @@ def event_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(money(F.col("value"))), 2).cast("double").alias("sum_value"),
     )
 
 
 @register(
     "top_customers_per_nation",
-    oracle="""
+    oracle=f"""
     WITH spend AS (
         SELECT c.c_custkey, c.c_name, n.n_name,
-               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+               CAST(ROUND(SUM({_TOTALPRICE}), 2) AS DOUBLE) AS total_spend
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN orders o ON o.o_custkey = c.c_custkey
@@ -266,7 +286,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(16,4)")), 2).cast("double").alias("total_spend"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
     return spend.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
@@ -274,10 +294,10 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_rollup_cube",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment AS segment,
            o.o_orderpriority AS priority,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM({_TOTALPRICE}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
@@ -294,7 +314,7 @@ def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .rollup(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(16,4)")), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -302,10 +322,10 @@ def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "small_quantity_parts",
-    oracle="""
+    oracle=f"""
     SELECT p.p_type,
            COUNT(*) AS n_lineitems,
-           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+           CAST(ROUND(SUM({_EXT}), 2) AS DOUBLE) AS total_price
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_quantity < (
@@ -332,7 +352,7 @@ def small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count("*").alias("n_lineitems"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(money(F.col("l_extendedprice"))), 2).cast("double").alias("total_price"),
         )
     )
 

@@ -158,6 +158,86 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class VectorIndex:
+    """Persisted IVF index with the storage layout that matters at
+    100 TB: cell assignments live in parquet **partitioned by cell**,
+    so a search over ``nprobe`` cells is a partition-pruned scan of
+    nprobe/k of the corpus — the directory tree is the inverted file.
+
+    * :meth:`build` — train the coarse codebook (spherical k-means),
+      assign every vector to its nearest cell, write
+      ``{path}/centroids`` + ``{path}/cells/cell=<i>/``.
+    * :meth:`search` — assign the query batch to its ``nprobe``
+      nearest cells (broadcast codebook, no shuffle), scan only the
+      union of probed cell partitions, exact-rank inside them.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @classmethod
+    def build(cls, emb: DataFrame, path: str, k: int = 8) -> "VectorIndex":
+        spark = emb.sparkSession
+        cent = ivf_codebook(emb, k)
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        cent_n = with_norm(spark.read.parquet(f"{path}/centroids"), "centroid").select(
+            "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
+        )
+        vecs = with_norm(emb)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent_n))
+            .withColumn(
+                "c_sim", _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "nrm", "cell")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+        return cls(spark, path)
+
+    def search(self, queries: DataFrame, topk: int = 5, nprobe: int = 3) -> DataFrame:
+        """``queries``: (query_id, embedding).  Returns
+        (query_id, neighbor_id, cosine_sim, rnk ≤ topk)."""
+        cent_n = with_norm(self.spark.read.parquet(f"{self.path}/centroids"), "centroid").select(
+            "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
+        )
+        q = with_norm(queries).select(
+            "query_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+        probed = (
+            q.crossJoin(F.broadcast(cent_n))
+            .withColumn("c_sim", _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= nprobe)
+            .select("query_id", "q_emb", "q_nrm", "cell")
+        )
+        # Static partition pruning: the probed-cell set is tiny —
+        # collect it and filter, so the scan lists only those dirs.
+        cells = [r.cell for r in probed.select("cell").distinct().collect()]
+        corpus = self.spark.read.parquet(f"{self.path}/cells").filter(F.col("cell").isin(cells))
+        sims = (
+            corpus.join(F.broadcast(probed), "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+                ).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+        return (
+            sims.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select("query_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
+        )
+
+
 _IVF_K = 8
 
 

@@ -45,7 +45,7 @@ from .clickstream import WATERMARK, run_available_now, streaming_events
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.user_id IS NOT NULL
@@ -68,7 +68,8 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(enriched, "stream_static_enrichment")
     return out.groupBy("segment").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("sum_value"),
     )
 
 
