@@ -215,3 +215,101 @@ def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "text_clean_projection",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^ ]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text,
+           length(text) - length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^ ]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS n_chars_removed
+    FROM documents
+    """,
+)
+def text_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training text cleanup (the C4-style scrub pass): strip
+    URLs and e-mail addresses, collapse whitespace — one codegen'd
+    regexp projection, embarrassingly parallel at corpus scale."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"https?://[^ ]+", " "),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).alias("n_chars_removed"),
+    )
+
+
+#: C4-style corpus admission thresholds.
+_MIN_TOKENS, _MAX_TOKENS = 5, 5000
+_MIN_DISTINCT_RATIO = 0.3
+_MAX_STOPWORD_RATIO = 0.6
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS distinct_ratio,
+               CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (n_tokens >= {_MIN_TOKENS} AND n_tokens <= {_MAX_TOKENS}) AS len_ok,
+           (distinct_ratio >= {_MIN_DISTINCT_RATIO}) AS diversity_ok,
+           (stopword_ratio <= {_MAX_STOPWORD_RATIO}) AS stopword_ok,
+           (n_tokens >= {_MIN_TOKENS} AND n_tokens <= {_MAX_TOKENS}
+            AND distinct_ratio >= {_MIN_DISTINCT_RATIO}
+            AND stopword_ratio <= {_MAX_STOPWORD_RATIO}) AS admitted
+    FROM m
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus admission filter: per-document pass/fail on
+    length bounds, lexical diversity, and stopword saturation, plus
+    the combined verdict — the predicate set a training-data pipeline
+    runs before dedup.  Pure projections + no shuffle; at 100 TB this
+    is a single scan emitting the admission bitmap."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(n_tok, F.lit(0))
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+        / F.nullif(n_tok, F.lit(0))
+    )
+    len_ok = (n_tok >= _MIN_TOKENS) & (n_tok <= _MAX_TOKENS)
+    diversity_ok = distinct_ratio >= _MIN_DISTINCT_RATIO
+    stopword_ok = stopword_ratio <= _MAX_STOPWORD_RATIO
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        len_ok.alias("len_ok"),
+        diversity_ok.alias("diversity_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (len_ok & diversity_ok & stopword_ok).alias("admitted"),
+    )
