@@ -64,6 +64,39 @@ def event_code_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_props_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 proper: schema-on-read JSON parsing with ``from_json`` and a
+    declared StructType (the reference's Kafka-value pattern,
+    spark/apps/clickstream_aggregation.py:89-91), then flatten and
+    aggregate.  Catalyst's OptimizeJsonExprs prunes the parsed struct
+    to the referenced field, so the JSON decode cost is per-referenced-
+    field, not per-schema-field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+    )
+
+
+@register(
     "event_value_percentiles",
     oracle="""
     SELECT event_type,
