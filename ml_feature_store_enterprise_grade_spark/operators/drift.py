@@ -319,3 +319,86 @@ def feature_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+_PSI_ORACLE = f"""
+WITH s AS (
+    SELECT event_type AS feature, value AS x,
+           CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rng AS (
+    SELECT feature, MIN(x) AS lo, MAX(x) AS hi FROM s GROUP BY 1
+),
+b AS (
+    SELECT s.feature, s.is_ref,
+           LEAST({_PSI_BINS - 1}, CAST(floor((s.x - r.lo) / NULLIF(r.hi - r.lo, 0) * {_PSI_BINS}) AS INTEGER)) AS bin
+    FROM s JOIN rng r ON s.feature = r.feature
+),
+c AS (
+    SELECT feature, bin,
+           SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+    FROM b GROUP BY 1, 2
+),
+t AS (
+    SELECT feature, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c GROUP BY 1
+),
+p AS (
+    SELECT c.feature,
+           GREATEST(CAST(c.n_ref AS DOUBLE) / t.t_ref, {_PSI_EPS}) AS p_ref,
+           GREATEST(CAST(c.n_cur AS DOUBLE) / t.t_cur, {_PSI_EPS}) AS p_cur
+    FROM c JOIN t ON c.feature = t.feature
+)
+SELECT feature,
+       ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+       SUM((p_cur - p_ref) * ln(p_cur / p_ref)) >= 0.2 AS shifted
+FROM p
+GROUP BY feature
+"""
+
+
+@register("drift_psi_multi_feature", oracle=_PSI_ORACLE)
+def drift_psi_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per monitored feature — the other
+    standard production drift metric next to KS (decile-binned,
+    epsilon-clipped, PSI >= 0.2 = "significant shift" convention).
+    Same single-pass keyed shape as the KS report: one shuffle for
+    binning counts, bin ranges from a broadcast per-feature min/max —
+    no collect, no UDF, no per-feature rescan."""
+    split = F.lit(_SPLIT).cast("timestamp")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            F.col("event_type").alias("feature"),
+            F.col("value").alias("x"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("is_ref"),
+        )
+    )
+    rng = s.groupBy("feature").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    b = s.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "is_ref",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor((F.col("x") - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)) * _PSI_BINS).cast("int"),
+        ).alias("bin"),
+    )
+    c = b.groupBy("feature", "bin").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
+    )
+    t = c.groupBy("feature").agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p = c.join(F.broadcast(t), "feature").select(
+        "feature",
+        F.greatest(F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(_PSI_EPS)).alias("p_ref"),
+        F.greatest(F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(_PSI_EPS)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return p.groupBy("feature").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) >= 0.2).alias("shifted"),
+    )
