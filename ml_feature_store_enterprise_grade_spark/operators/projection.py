@@ -175,3 +175,23 @@ def user_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("days_active_7d"),
         F.lag("n").over(wl).alias("prev_day_events"),
     )
+
+
+#: Stratified sampling fractions (J4/O3): downsample the dominant
+#: event types, keep the rare ones whole — the class-rebalancing
+#: pattern for training-data extraction.
+_SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.25, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+
+
+@register("stratified_event_sample")  # seeded Bernoulli sampling: rows-only check
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a fixed seed
+    (``df.sampleBy`` — the engine's J4/O3 surface).  Seeded so one
+    engine's runs are reproducible; still unregistered as an oracle
+    because Spark's and DuckDB's PRNG streams differ by construction.
+    Statistical correctness (per-stratum rates) is asserted in
+    tests/test_sampling.py."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return e.sampleBy("event_type", _SAMPLE_FRACTIONS, seed=42).select(
+        "event_id", "user_id", "event_type", "value"
+    )
