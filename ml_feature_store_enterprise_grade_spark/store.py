@@ -180,6 +180,26 @@ class FeatureStore:
             )
         return self.spark.read.parquet(online)
 
+    def export_online(self, view_name: str, writer, batch_size: int = 10_000) -> None:
+        """Push the online snapshot to an external KV store (the
+        reference's Redis upsert, S8).  ``writer(batch: list[dict])``
+        runs EXECUTOR-side per batch via ``foreachPartition`` — every
+        executor pipelines its partition to the KV store in parallel
+        (each executor opens its own client; MSET/pipeline the batch).
+        The driver never materializes the snapshot.  In streaming mode
+        the same callable drops into ``foreachBatch``."""
+        def _part(rows) -> None:
+            batch: list = []
+            for r in rows:
+                batch.append(r.asDict())
+                if len(batch) >= batch_size:
+                    writer(batch)
+                    batch = []
+            if batch:
+                writer(batch)
+
+        self._snapshot(view_name).foreachPartition(_part)
+
     # -- retrieval (S9/J2, J1) -----------------------------------------
     def get_online_features(self, features: list[str], entity_df: DataFrame) -> DataFrame:
         """Point lookup of the latest feature vector for each entity

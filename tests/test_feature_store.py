@@ -162,3 +162,29 @@ def test_feature_ref_errors(store, spark):
         store.get_online_features(["nope:total_events"], entities)
     with pytest.raises(KeyError):
         store.get_online_features(["user_click_features:nope"], entities)
+
+
+def test_export_online_executor_side(store, spark, tmp_path):
+    """export_online pushes every snapshot row through the
+    executor-side writer exactly once (file-per-batch sink)."""
+    import glob
+    import json as _json
+    import uuid as _uuid
+
+    store.materialize("user_click_features", incremental=False)
+    out_dir = str(tmp_path / "kv_export")
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def writer(batch):
+        with open(f"{out_dir}/{_uuid.uuid4().hex}.jsonl", "w") as f:
+            for row in batch:
+                f.write(_json.dumps({"user_id": row["user_id"]}) + "\n")
+
+    store.export_online("user_click_features", writer, batch_size=100)
+    exported = []
+    for p in glob.glob(f"{out_dir}/*.jsonl"):
+        exported += [_json.loads(line)["user_id"] for line in open(p)]
+    snap_keys = [r.user_id for r in store._snapshot("user_click_features").select("user_id").collect()]
+    assert sorted(exported) == sorted(snap_keys)
