@@ -167,7 +167,14 @@ class FeatureStore:
                 hwm = prev.agg(F.max(F.to_date(ts))).first()[0]
                 start = str(hwm) if hwm is not None else None
         fresh = self.read_offline(view_name, start=start).drop(v.partition_col)
-        merged = fresh if prev is None else prev.unionByName(fresh)
+        # allowMissingColumns: a view may gain feature columns over
+        # time — an old snapshot unions against wider fresh data with
+        # NULLs for the columns it predates (and vice versa).
+        merged = (
+            fresh
+            if prev is None
+            else prev.unionByName(fresh, allowMissingColumns=True)
+        )
         snap = latest_snapshot(merged, key=key, feature_ts=ts)
         snap.write.mode("overwrite").parquet(online)
         return self.spark.read.parquet(online)
