@@ -385,3 +385,89 @@ def event_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customers_without_events").alias("metric"), "n"
     )
     return with_events.unionByName(without)
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(l.l_shipdate AS DATE) AS ship_date,
+           CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN {_EXT} * (1 - {_DISC})
+                               ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_EXT} * (1 - {_DISC})
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END)
+                 / SUM({_EXT} * (1 - {_DISC})), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share per ship day:
+    broadcast part dim, conditional decimal revenue, exact share
+    ratio.  The date filter pushes into the lineitem scan; one
+    shuffle on the daily group key."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH sup_rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN sup_rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM sup_rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: revenue view + scalar max
+    subquery (ties all kept, ordered by key).  The max is a broadcast
+    single-row frame crossed against the per-supplier aggregate —
+    Catalyst's decorrelated form of the scalar subquery."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    sup_rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = sup_rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup_rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
