@@ -471,3 +471,42 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "discounted_bracket_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def discounted_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive bracket filter: OR-of-ANDs mixing
+    part attributes and lineitem ranges.  Catalyst extracts the
+    common-side conjuncts (quantity ∈ [1,50], size ∈ [1,50]) and
+    pushes them into each scan while the residual OR evaluates after
+    the broadcast join — the pattern that keeps complex eligibility
+    predicates from forcing full scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(10, 30) & q.between(10, 35))
+        | ((F.col("p_type") == "PROMO") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
