@@ -510,3 +510,60 @@ def discounted_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
+
+
+@register(
+    "nation_pair_trade",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) AS ship_year,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name IN ('NATION_2', 'NATION_7')
+      AND nc.n_name IN ('NATION_2', 'NATION_7')
+      AND ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: lineitem resolves its
+    supplier nation and (via orders) its customer nation — two
+    independent dimension paths in one query.  supplier/nation
+    broadcast; orders⋈lineitem is the only large shuffle; the nation
+    IN-filters cut both paths before the fact join."""
+    ns = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_7")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(ns.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(ns.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+            .cast("double")
+            .alias("volume")
+        )
+    )
