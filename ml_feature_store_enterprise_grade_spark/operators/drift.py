@@ -37,10 +37,17 @@ def ks_2samp(
     df: DataFrame,
     value_col: str,
     sample_col: F.Column,
+    min_samples: int | None = None,
 ) -> DataFrame:
     """Exact two-sample KS over ``value_col``; ``sample_col`` must be
     1 for sample A and 0 for sample B.  Returns one row:
-    (n1, n2, ks_stat, p_value, drift_detected)."""
+    (n1, n2, ks_stat, p_value, drift_detected).
+
+    ``min_samples`` mirrors the reference's small-sample guard
+    (scripts/drift_detection.py:40-46: n < 10 ⇒ report no drift):
+    when either sample is smaller, ``drift_detected`` is forced false
+    (the statistic is still reported).  Default off so oracle-checked
+    callers keep pure KS semantics."""
     s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
         F.col(value_col).alias("x"), sample_col.alias("is1")
     )
@@ -92,7 +99,15 @@ def ks_2samp(
             (F.col("o2") + F.sum("c2").over(w_in)).alias("r2"),
         )
     )
-    return _ks_finalize(cum)
+    out = _ks_finalize(cum)
+    if min_samples is not None:
+        out = out.withColumn(
+            "drift_detected",
+            F.col("drift_detected")
+            & (F.col("n1") >= min_samples)
+            & (F.col("n2") >= min_samples),
+        )
+    return out
 
 
 def _ks_finalize(cum: DataFrame) -> DataFrame:

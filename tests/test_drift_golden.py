@@ -65,3 +65,18 @@ def test_matches_scipy_if_available(spark):
     r = _ks(spark, a, b)
     ref = scipy_stats.ks_2samp(a, b)
     assert abs(r.ks_stat - ref.statistic) < 1e-6
+
+
+def test_min_sample_guard(spark):
+    """Reference guard (scripts/drift_detection.py:40-46): fewer than
+    min_samples in either sample ⇒ never flag drift, however extreme
+    the statistic."""
+    from ml_feature_store_enterprise_grade_spark.operators.drift import ks_2samp as _ks2
+    from pyspark.sql import functions as _F
+
+    rows = [(1.0, 1)] * 5 + [(9.0, 0)] * 50  # D = 1.0 but n1 = 5
+    df = spark.createDataFrame(rows, "x double, is1 int")
+    guarded = _ks2(df, "x", _F.col("is1"), min_samples=10).first()
+    assert guarded.ks_stat == 1.0 and not guarded.drift_detected
+    unguarded = _ks2(df, "x", _F.col("is1")).first()
+    assert unguarded.drift_detected
