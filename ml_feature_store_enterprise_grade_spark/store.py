@@ -254,8 +254,12 @@ class FeatureStore:
                 start = str((bounds.lo - (v.ttl or _td(0))).date())
                 end = str((bounds.hi + _td(days=1)).date())
             hist = self.read_offline(view, start=start, end=end).drop(v.partition_col)
+            # Each view's as-of join shuffles only the bare
+            # (key, lookup_ts) pairs — not the result frame as it
+            # widens with earlier views' feature columns.
+            lookups = entity_df.select(v.entity.join_key, "event_timestamp").distinct()
             joined = asof_join(
-                out,
+                lookups,
                 hist,
                 key=v.entity.join_key,
                 lookup_ts="event_timestamp",
