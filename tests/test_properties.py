@@ -98,3 +98,47 @@ def test_ks_stat_matches_reference(spark, a, b):
     r = ks_2samp(df, "x", F.col("is1")).first()
     assert r.ks_stat == pytest.approx(_python_ks(a, b), abs=1e-6)
     assert (r.n1, r.n2) == (len(a), len(b))
+
+
+def _python_sliding_windows(ts_epoch_s: int, dur_s: int = 3600, slide_s: int = 600):
+    """All [start, start+dur) windows containing ts, starts aligned to
+    epoch multiples of slide — Spark's F.window expansion contract."""
+    starts = []
+    s = (ts_epoch_s // slide_s) * slide_s
+    while s > ts_epoch_s - dur_s:
+        starts.append(s)
+        s -= slide_s
+    return sorted(starts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 48 * 3600)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sliding_window_alignment_matches_reference(spark, events):
+    """SURVEY §7 hard-part 2: Spark's sliding-window expansion must
+    assign each event to exactly dur/slide epoch-aligned windows —
+    checked against a direct Python reference on random timestamps."""
+    import calendar
+
+    rows = [(u, datetime.utcfromtimestamp(1704067200 + s)) for u, s in events]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    agg = (
+        df.groupBy("user_id", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .count()
+        .select("user_id", F.col("w.start").alias("ws"), "count")
+        .collect()
+    )
+    # timegm: interpret the session-UTC-rendered naive datetime as UTC
+    # regardless of the machine timezone.
+    got = {(r.user_id, calendar.timegm(r.ws.timetuple())): r["count"] for r in agg}
+
+    want: dict = {}
+    for u, s in events:
+        for ws in _python_sliding_windows(1704067200 + s):
+            want[(u, ws)] = want.get((u, ws), 0) + 1
+    assert got == want
