@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import safe_div
+from ..functions import money, safe_div
 from ..registry import register
 
 #: Event-type domain of the driver's ``events`` table (FIXTURES.md §2
@@ -168,15 +168,15 @@ def user_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT user_id,
                time_bucket(INTERVAL '10 minutes', ts) AS slide_bucket,
-               COUNT(*) AS n, SUM(value) AS v
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS v
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT user_id,
            slide_bucket - (k * INTERVAL '10 minutes') AS window_start,
-           SUM(n) AS n_events,
-           ROUND(SUM(v), 2) AS sum_value
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value
     FROM b CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
     GROUP BY 1, 2
     """,
@@ -188,11 +188,14 @@ def user_sliding_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller* bucket frame).  At 100 TB this turns "shuffle 6× the raw
     data" into "shuffle raw once + shuffle ~#users×#buckets rows".
     Additive aggregates only (count/sum — the hourly min/max/distinct
-    need the direct form or a sketch)."""
+    need the direct form or a sketch).  The re-summed partial sums go
+    through exact DECIMAL (``money``) — double re-summation is
+    association-order-sensitive, so the direct and rollup forms (and
+    the DuckDB oracle) would disagree in the last bits otherwise."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     buckets = (
         e.groupBy("user_id", F.window("ts", "10 minutes").alias("b"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .agg(F.count("*").alias("n"), F.sum(money(F.col("value"))).alias("v"))
         .select("user_id", F.col("b.start").alias("slide_bucket"), "n", "v")
     )
     expanded = buckets.select(
@@ -210,7 +213,8 @@ def user_sliding_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return expanded.groupBy("user_id", "window_start").agg(
-        F.sum("n").alias("n_events"), F.round(F.sum("v"), 2).alias("sum_value")
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import money
 from ..registry import register
 
 
@@ -68,7 +69,7 @@ def event_code_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
            COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null_k
@@ -135,14 +136,15 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(ts AS DATE) AS activity_date,
                COUNT(*) AS n,
-               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS v
+               SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                        AS DECIMAL(12,2))) AS v
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT user_id, activity_date,
-           SUM(n) OVER w AS events_7d,
-           ROUND(SUM(v) OVER w, 2) AS revenue_7d,
+           CAST(SUM(n) OVER w AS BIGINT) AS events_7d,
+           CAST(ROUND(SUM(v) OVER w, 2) AS DOUBLE) AS revenue_7d,
            COUNT(*) OVER w AS days_active_7d,
            lag(n) OVER (PARTITION BY user_id ORDER BY activity_date) AS prev_day_events
     FROM d
@@ -162,7 +164,9 @@ def user_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     daily = e.groupBy("user_id", F.to_date("ts").alias("activity_date")).agg(
         F.count("*").alias("n"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("v"),
+        F.sum(
+            money(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+        ).alias("v"),
     )
     day_num = F.datediff("activity_date", F.lit("1970-01-01").cast("date"))
     w = Window.partitionBy("user_id").orderBy(day_num).rangeBetween(-6, 0)
@@ -171,7 +175,7 @@ def user_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "activity_date",
         F.sum("n").over(w).alias("events_7d"),
-        F.round(F.sum("v").over(w), 2).alias("revenue_7d"),
+        F.round(F.sum("v").over(w), 2).cast("double").alias("revenue_7d"),
         F.count("*").over(w).alias("days_active_7d"),
         F.lag("n").over(wl).alias("prev_day_events"),
     )
