@@ -58,10 +58,12 @@ _FRONT: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_resize",
     "ann_ivf_topk",
-    # (b) changed this round (oracle numeric-type fixes)
+    # (b) changed this round (oracle numeric-type fixes; LSH-blocked
+    # near-dup rewrite)
     "user_sliding_features_rollup",
     "user_rolling_7d_features",
     "event_props_struct",
+    "embedding_neardup",
 )
 
 

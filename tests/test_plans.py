@@ -70,3 +70,27 @@ def test_feature_aggs_are_codegen_hash_aggs(spark, name):
     assert "*(1)" in plan  # whole-stage-codegen stage marker
     # user_id IS NOT NULL must be pushed to the scan.
     assert "IsNotNull(user_id)" in plan.split("PushedFilters")[1][:120]
+
+
+def test_sliding_rollup_expands_buckets_not_raw_events(spark):
+    """The rollup's ×6 explode must run over the pre-aggregated bucket
+    frame, not the raw events — i.e. below the Generate node there is
+    a full (partial+shuffle+final) aggregate.  Guards the 100× claim
+    in feature_agg.user_sliding_features_rollup: 'shuffle raw once +
+    shuffle ~#users×#buckets rows', never 'shuffle 6× raw'."""
+    plan = plan_of(spark, "user_sliding_features_rollup")
+    assert "Generate explode" in plan
+    below_generate = plan.split("Generate explode", 1)[1]
+    assert "HashAggregate" in below_generate
+    assert "Exchange" in below_generate
+
+
+def test_embedding_neardup_has_no_cartesian(spark):
+    """The blocked near-dup (sign-LSH band equi-join + exact verify)
+    must never fall back to an all-pairs stage: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the executed plan."""
+    plan = plan_of(spark, "embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate generator is a real equi-join on (band, key)
+    assert "band" in plan and "key" in plan
