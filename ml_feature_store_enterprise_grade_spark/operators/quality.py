@@ -26,7 +26,19 @@ from ..catalog import load_table
 from ..registry import register
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-_BAL_LO, _BAL_HI = -1000.0, 10000.0
+#: The balance SLA deliberately sits inside the generator's value
+#: range (cf. reference activity_weight in-range check,
+#: scripts/data_quality_checks.py:63-66) so the suite exercises the
+#: *failed*-expectation report path — offending counts AND sample
+#: values — not just a wall of greens.
+_BAL_LO, _BAL_HI = -1000.0, 8000.0
+
+#: DuckDB twin of the per-expectation sample aggregate: sorted
+#: distinct offending values, first 5, comma-joined ('' when none).
+_SAMPLE_SQL = (
+    "COALESCE(array_to_string(list_sort(list_distinct("
+    "list({val}) FILTER (WHERE {cond})))[1:5], ','), '')"
+)
 
 
 @register(
@@ -40,47 +52,82 @@ _BAL_LO, _BAL_HI = -1000.0, 10000.0
             COUNT(*) FILTER (WHERE c_name IS NULL) AS null_name,
             COUNT(*) FILTER (WHERE c_acctbal IS NULL
                              OR c_acctbal < {_BAL_LO} OR c_acctbal > {_BAL_HI}) AS bal_range,
+            {_SAMPLE_SQL.format(
+                val="CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)",
+                cond=f"c_acctbal < {_BAL_LO} OR c_acctbal > {_BAL_HI}",
+            )} AS bal_range_s,
             COUNT(*) FILTER (WHERE c_mktsegment IS NULL
                              OR c_mktsegment NOT IN {_SEGMENTS!r}) AS seg_enum,
+            {_SAMPLE_SQL.format(
+                val="c_mktsegment",
+                cond=f"c_mktsegment NOT IN {_SEGMENTS!r}",
+            )} AS seg_enum_s,
             COUNT(*) FILTER (WHERE c_nationkey IS NULL
-                             OR c_nationkey < 0 OR c_nationkey > 24) AS nation_range
+                             OR c_nationkey < 0 OR c_nationkey > 24) AS nation_range,
+            {_SAMPLE_SQL.format(
+                val="CAST(c_nationkey AS VARCHAR)",
+                cond="c_nationkey < 0 OR c_nationkey > 24",
+            )} AS nation_range_s
         FROM customer
     )
     SELECT e.expectation, e.unexpected_count,
            ROUND(CAST(e.unexpected_count AS DOUBLE) / NULLIF(a.n_rows, 0) * 100, 6)
                AS unexpected_percent,
-           e.unexpected_count = 0 AS success
+           e.unexpected_count = 0 AS success,
+           e.sample_unexpected
     FROM a, LATERAL (VALUES
-        ('key_not_null', a.null_key),
-        ('key_unique', a.dup_key),
-        ('name_not_null', a.null_name),
-        ('acctbal_between', a.bal_range),
-        ('mktsegment_in_set', a.seg_enum),
-        ('nationkey_between', a.nation_range)
-    ) e(expectation, unexpected_count)
+        ('key_not_null', a.null_key, ''),
+        ('key_unique', a.dup_key, ''),
+        ('name_not_null', a.null_name, ''),
+        ('acctbal_between', a.bal_range, a.bal_range_s),
+        ('mktsegment_in_set', a.seg_enum, a.seg_enum_s),
+        ('nationkey_between', a.nation_range, a.nation_range_s)
+    ) e(expectation, unexpected_count, sample_unexpected)
     """,
 )
 def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12/A13: the 7-expectation suite as one aggregate pass + unpivot."""
+    """A12/A13: the expectation suite as one aggregate pass + unpivot,
+    returning the reference's failed-expectation report shape —
+    ``unexpected_count`` / ``unexpected_percent`` / ``success`` plus a
+    ``sample_unexpected`` debugging sample (sorted distinct offending
+    values, first 5, comma-joined — the reference's
+    ``partial_unexpected_list``, scripts/data_quality_checks.py:94-116).
+
+    Samples are gathered inline via ``collect_set`` guarded by the
+    violation predicate, so the report stays ONE scan.  The buffer is
+    bounded by the *distinct offending value* count — naturally small
+    for null/enum/range families; a pathological high-cardinality
+    failure would switch the sample branch to a filter→distinct→
+    TakeOrdered side query.  Null-violation families (``key_not_null``,
+    ``name_not_null``) and the grouped ``key_unique`` check sample
+    empty by construction (the offending "value" is NULL / a group,
+    not a row value)."""
     c = load_table(spark, sf_dir, "customer")
 
     def viol(cond: F.Column) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0))
 
+    def sample(cond: F.Column, val: F.Column) -> F.Column:
+        return F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set(F.when(cond, val))), 1, 5)
+        )
+
+    bal_bad = ~F.col("c_acctbal").between(_BAL_LO, _BAL_HI)
+    seg_bad = ~F.col("c_mktsegment").isin(*_SEGMENTS)
+    nation_bad = ~F.col("c_nationkey").between(0, 24)
     a = c.agg(
         F.count("*").alias("n_rows"),
         viol(F.col("c_custkey").isNull()).alias("key_not_null"),
         (F.count("*") - F.countDistinct("c_custkey")).alias("key_unique"),
         viol(F.col("c_name").isNull()).alias("name_not_null"),
-        viol(
-            F.col("c_acctbal").isNull() | ~F.col("c_acctbal").between(_BAL_LO, _BAL_HI)
-        ).alias("acctbal_between"),
-        viol(
-            F.col("c_mktsegment").isNull() | ~F.col("c_mktsegment").isin(*_SEGMENTS)
-        ).alias("mktsegment_in_set"),
-        viol(
-            F.col("c_nationkey").isNull() | ~F.col("c_nationkey").between(0, 24)
-        ).alias("nationkey_between"),
+        viol(F.col("c_acctbal").isNull() | bal_bad).alias("acctbal_between"),
+        sample(bal_bad, F.col("c_acctbal").cast("decimal(12,2)").cast("string")).alias(
+            "acctbal_between_s"
+        ),
+        viol(F.col("c_mktsegment").isNull() | seg_bad).alias("mktsegment_in_set"),
+        sample(seg_bad, F.col("c_mktsegment")).alias("mktsegment_in_set_s"),
+        viol(F.col("c_nationkey").isNull() | nation_bad).alias("nationkey_between"),
+        sample(nation_bad, F.col("c_nationkey").cast("string")).alias("nationkey_between_s"),
     )
     names = [
         "key_not_null",
@@ -90,8 +137,12 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mktsegment_in_set",
         "nationkey_between",
     ]
-    stack_expr = "stack({n}, {args}) as (expectation, unexpected_count)".format(
-        n=len(names), args=", ".join(f"'{x}', {x}" for x in names)
+    sampled = {"acctbal_between", "mktsegment_in_set", "nationkey_between"}
+    stack_expr = "stack({n}, {args}) as (expectation, unexpected_count, sample_unexpected)".format(
+        n=len(names),
+        args=", ".join(
+            f"'{x}', {x}, {x + '_s' if x in sampled else repr('')}" for x in names
+        ),
     )
     long = a.select("n_rows", F.expr(stack_expr))
     return long.select(
@@ -101,6 +152,7 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unexpected_count").cast("double") / F.nullif(F.col("n_rows"), F.lit(0)) * 100, 6
         ).alias("unexpected_percent"),
         (F.col("unexpected_count") == 0).alias("success"),
+        "sample_unexpected",
     )
 
 

@@ -64,6 +64,7 @@ _FRONT: tuple[str, ...] = (
     "user_rolling_7d_features",
     "event_props_struct",
     "embedding_neardup",
+    "quality_expectation_suite",
 )
 
 
