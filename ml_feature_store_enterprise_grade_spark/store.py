@@ -46,6 +46,7 @@ is one row per entity (bounded by entity cardinality, not history);
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 from datetime import timedelta
 
@@ -176,7 +177,18 @@ class FeatureStore:
             else prev.unionByName(fresh, allowMissingColumns=True)
         )
         snap = latest_snapshot(merged, key=key, feature_ts=ts)
-        snap.write.mode("overwrite").parquet(online)
+        # Staged write + swap: the plan above still READS the current
+        # snapshot, so overwriting it in place would delete its own
+        # input mid-execution (and a mid-write failure would destroy
+        # the serving snapshot).  Write fully to a staging dir first;
+        # the live snapshot stays intact until the new one is durable.
+        # On an object store / HDFS the same pattern is a versioned
+        # prefix plus a pointer-file flip.
+        staging = online + "__staging"
+        snap.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(online):
+            shutil.rmtree(online)
+        os.replace(staging, online)
         return self.spark.read.parquet(online)
 
     def _snapshot(self, view_name: str) -> DataFrame:
@@ -210,17 +222,31 @@ class FeatureStore:
     # -- retrieval (S9/J2, J1) -----------------------------------------
     def get_online_features(self, features: list[str], entity_df: DataFrame) -> DataFrame:
         """Point lookup of the latest feature vector for each entity
-        row.  LEFT join against the snapshot — the entity batch is
-        small (a serving request) so it broadcasts; the snapshot side
-        streams without a shuffle of the probe."""
+        row, LEFT semantics (absent entities yield NULL features).
+
+        Spark cannot broadcast-hash-build the *preserved* side of a
+        left outer join, so a naive ``broadcast(entities).join(snap,
+        "left")`` silently shuffles the full snapshot.  Instead (same
+        formulation as operators.asof.online_feature_lookup): broadcast
+        INNER join on the entity batch — zero shuffle of the snapshot —
+        plus a left-anti for the misses, unioned back with NULL
+        feature columns."""
         out = entity_df
         for view, feats in feature_refs(self.views, features).items():
             v = self.views[view]
             key = v.entity.join_key
+            aliased = [(f"{view}__{f}", f) for f in feats]
             snap = self._snapshot(view).select(
-                key, *[F.col(f).alias(f"{view}__{f}") for f in feats]
+                key, *[F.col(f).alias(a) for a, f in aliased]
             )
-            out = F.broadcast(out).join(snap, key, "left")
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            hits = snap.join(F.broadcast(out), key)
+            misses = out.join(F.broadcast(hits.select(key)), key, "left_anti").select(
+                "*", *[F.lit(None).cast(types[a]).alias(a) for a, _ in aliased]
+            )
+            out = hits.unionByName(misses).select(
+                *out.columns, *[a for a, _ in aliased]
+            )
         return out
 
     def get_historical_features(
@@ -251,7 +277,11 @@ class FeatureStore:
             ttl_h = int(v.ttl.total_seconds() // 3600) if v.ttl is not None else None
             start = end = None
             if bounds is not None and bounds.lo is not None:
-                start = str((bounds.lo - (v.ttl or _td(0))).date())
+                # A TTL-less view has UNBOUNDED lookback: an entity
+                # whose latest feature predates the lookup window must
+                # still resolve, so only the upper bound may prune.
+                if v.ttl is not None:
+                    start = str((bounds.lo - v.ttl).date())
                 end = str((bounds.hi + _td(days=1)).date())
             hist = self.read_offline(view, start=start, end=end).drop(v.partition_col)
             # Each view's as-of join shuffles only the bare

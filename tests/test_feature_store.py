@@ -156,6 +156,50 @@ def test_historical_prunes_offline_partitions(store, spark):
     assert "event_date" in pf and "2024-01-09" in pf and "2024-01-13" in pf
 
 
+def test_historical_ttl_none_has_unbounded_lookback(store, spark):
+    """A TTL-less view must resolve features that predate the lookup
+    window even with pruning on (regression: prune=True used to derive
+    a lower partition bound from ttl=None as timedelta(0), silently
+    NULLing every entity whose latest feature was older than the
+    earliest lookup)."""
+    no_ttl = FeatureView(
+        name="user_click_features_nottl",
+        entity=USER,
+        features=CLICK_VIEW.features,
+        ttl=None,
+    )
+    store.apply([no_ttl])
+    feats = hourly_features(load_table(store.spark, SF_SMOKE, "events"))
+    store.write_offline("user_click_features_nottl", feats)
+    # Lookup weeks after the last feature row (events end 2024-01-30).
+    entities = spark.createDataFrame([(1,), (2,)], "user_id bigint").select(
+        "user_id", F.lit("2024-02-20 00:00:00").cast("timestamp").alias("event_timestamp")
+    )
+    pruned = store.get_historical_features(
+        entities, ["user_click_features_nottl:total_events"]
+    )
+    plain = store.get_historical_features(
+        entities, ["user_click_features_nottl:total_events"], prune=False
+    )
+    got = {r.user_id: r.user_click_features_nottl__total_events for r in pruned.collect()}
+    want = {r.user_id: r.user_click_features_nottl__total_events for r in plain.collect()}
+    assert got == want
+    assert any(v is not None for v in got.values())
+
+
+def test_online_lookup_plan_never_shuffles_snapshot(store, spark):
+    """The lookup must be broadcast-inner + anti + union — a shuffle
+    (SortMergeJoin / ShuffledHashJoin) of the snapshot defeats the
+    point of a point lookup."""
+    store.materialize("user_click_features", incremental=False)
+    entities = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    out = store.get_online_features(["user_click_features:total_events"], entities)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_feature_ref_errors(store, spark):
     entities = spark.createDataFrame([(1,)], "user_id bigint")
     with pytest.raises(KeyError):
