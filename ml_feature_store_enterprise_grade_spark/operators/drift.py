@@ -44,10 +44,11 @@ def ks_2samp(
     (n1, n2, ks_stat, p_value, drift_detected).
 
     ``min_samples`` mirrors the reference's small-sample guard
-    (scripts/drift_detection.py:40-46: n < 10 ⇒ report no drift):
-    when either sample is smaller, ``drift_detected`` is forced false
-    (the statistic is still reported).  Default off so oracle-checked
-    callers keep pure KS semantics."""
+    (scripts/drift_detection.py:40-46): when either sample is smaller
+    the result is reported exactly as the reference reports it —
+    ``(drift=False, stat=0.0, p=1.0)`` — not just an unflagged
+    statistic.  Default off so oracle-checked callers keep pure KS
+    semantics."""
     s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
         F.col(value_col).alias("x"), sample_col.alias("is1")
     )
@@ -77,7 +78,11 @@ def ks_2samp(
                 F.floor((F.col("x") - F.lit(float(lo))) / span * _KS_BUCKETS).cast("int"),
             ),
         )
-    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit(0)) is semantically the unpartitioned window but
+    # silences Spark's "No Partition Defined" warning — safe here
+    # because the frame is the per-bucket totals, hard-capped at
+    # _KS_BUCKETS (=1024) rows regardless of input size.
+    w_off = Window.partitionBy(F.lit(0)).orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         bucketed.groupBy("b")
         .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
@@ -101,11 +106,13 @@ def ks_2samp(
     )
     out = _ks_finalize(cum)
     if min_samples is not None:
-        out = out.withColumn(
-            "drift_detected",
-            F.col("drift_detected")
-            & (F.col("n1") >= min_samples)
-            & (F.col("n2") >= min_samples),
+        small = (F.col("n1") < min_samples) | (F.col("n2") < min_samples)
+        out = out.select(
+            "n1",
+            "n2",
+            F.when(small, F.lit(0.0)).otherwise(F.col("ks_stat")).alias("ks_stat"),
+            F.when(small, F.lit(1.0)).otherwise(F.col("p_value")).alias("p_value"),
+            (~small & F.col("drift_detected")).alias("drift_detected"),
         )
     return out
 
@@ -144,6 +151,7 @@ def ks_2samp_keyed(
     key_col: str,
     value_col: str,
     sample_col: F.Column,
+    min_samples: int | None = None,
 ) -> DataFrame:
     """Keyed two-sample KS: one statistic per ``key_col`` group in a
     single pass — the engine's form of the reference's *loop over
@@ -151,7 +159,11 @@ def ks_2samp_keyed(
     re-reads the data per feature.  The prefix-sum window partitions
     by key, so unlike the global variant there is no single-partition
     stage: parallelism = number of monitored features × their value
-    cardinality spread."""
+    cardinality spread.
+
+    ``min_samples`` applies the reference's per-feature small-sample
+    guard (scripts/drift_detection.py:40-46): an under-sampled feature
+    reports ``(stat=0.0, p=1.0, drift=False, severity='negligible')``."""
     s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
         F.col(key_col).alias("feature"), F.col(value_col).alias("x"), sample_col.alias("is1")
     )
@@ -187,22 +199,29 @@ def ks_2samp_keyed(
         F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
     )
     p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
-    # Interpretation buckets from the reference's when-ladder
-    # (scripts/drift_detection.py:157-168).
-    ks6 = F.round(F.col("d"), 6)
+    # The reference's exact interpretation ladder
+    # (scripts/drift_detection.py:157-168): <0.1 negligible, <0.2
+    # small, <0.3 moderate, <0.5 large, else very large.
+    small = (
+        F.lit(False)
+        if min_samples is None
+        else (F.col("n1") < min_samples) | (F.col("n2") < min_samples)
+    )
+    ks6 = F.when(small, F.lit(0.0)).otherwise(F.round(F.col("d"), 6))
     severity = (
-        F.when(ks6 >= 0.2, "strong")
-        .when(ks6 >= 0.1, "moderate")
-        .when(ks6 >= 0.05, "weak")
-        .otherwise("none")
+        F.when(ks6 < 0.1, "negligible")
+        .when(ks6 < 0.2, "small")
+        .when(ks6 < 0.3, "moderate")
+        .when(ks6 < 0.5, "large")
+        .otherwise("very large")
     )
     return d.select(
         "feature",
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
         ks6.alias("ks_stat"),
-        F.round(p, 6).alias("p_value"),
-        (p < 0.05).alias("drift_detected"),
+        F.when(small, F.lit(1.0)).otherwise(F.round(p, 6)).alias("p_value"),
+        (~small & (p < 0.05)).alias("drift_detected"),
         severity.alias("severity"),
     )
 
@@ -241,10 +260,11 @@ SELECT feature,
        ROUND(d, 6) AS ks_stat,
        ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))), 6) AS p_value,
        LEAST(1.0, 2.0 * EXP(-2.0 * POW(d * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 2))) < 0.05 AS drift_detected,
-       CASE WHEN ROUND(d, 6) >= 0.2 THEN 'strong'
-            WHEN ROUND(d, 6) >= 0.1 THEN 'moderate'
-            WHEN ROUND(d, 6) >= 0.05 THEN 'weak'
-            ELSE 'none' END AS severity
+       CASE WHEN ROUND(d, 6) < 0.1 THEN 'negligible'
+            WHEN ROUND(d, 6) < 0.2 THEN 'small'
+            WHEN ROUND(d, 6) < 0.3 THEN 'moderate'
+            WHEN ROUND(d, 6) < 0.5 THEN 'large'
+            ELSE 'very large' END AS severity
 FROM dd
 """
 

@@ -65,6 +65,7 @@ _FRONT: tuple[str, ...] = (
     "event_props_struct",
     "embedding_neardup",
     "quality_expectation_suite",
+    "drift_report_multi_feature",
 )
 
 

@@ -69,14 +69,36 @@ def test_matches_scipy_if_available(spark):
 
 def test_min_sample_guard(spark):
     """Reference guard (scripts/drift_detection.py:40-46): fewer than
-    min_samples in either sample ⇒ never flag drift, however extreme
-    the statistic."""
+    min_samples in either sample ⇒ the reference's exact degenerate
+    report (False, 0.0, 1.0), not just an unflagged statistic."""
     from ml_feature_store_enterprise_grade_spark.operators.drift import ks_2samp as _ks2
     from pyspark.sql import functions as _F
 
     rows = [(1.0, 1)] * 5 + [(9.0, 0)] * 50  # D = 1.0 but n1 = 5
     df = spark.createDataFrame(rows, "x double, is1 int")
     guarded = _ks2(df, "x", _F.col("is1"), min_samples=10).first()
-    assert guarded.ks_stat == 1.0 and not guarded.drift_detected
+    assert guarded.ks_stat == 0.0
+    assert guarded.p_value == 1.0
+    assert not guarded.drift_detected
     unguarded = _ks2(df, "x", _F.col("is1")).first()
-    assert unguarded.drift_detected
+    assert unguarded.ks_stat == 1.0 and unguarded.drift_detected
+
+
+def test_min_sample_guard_keyed(spark):
+    """The keyed variant guards per feature: an under-sampled feature
+    zeroes out while a well-sampled one still reports, in one pass."""
+    from ml_feature_store_enterprise_grade_spark.operators.drift import ks_2samp_keyed
+    from pyspark.sql import functions as _F
+
+    rows = [("tiny", 1.0, 1)] * 5 + [("tiny", 9.0, 0)] * 50
+    rows += [("big", 1.0, 1)] * 40 + [("big", 9.0, 0)] * 40
+    df = spark.createDataFrame(rows, "feature string, x double, is1 int")
+    out = {
+        r.feature: r
+        for r in ks_2samp_keyed(df, "feature", "x", _F.col("is1"), min_samples=10).collect()
+    }
+    assert out["tiny"].ks_stat == 0.0 and out["tiny"].p_value == 1.0
+    assert not out["tiny"].drift_detected
+    assert out["tiny"].severity == "negligible"
+    assert out["big"].ks_stat == 1.0 and out["big"].drift_detected
+    assert out["big"].severity == "very large"
