@@ -227,7 +227,7 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively, so daily sketches persist once and any date-range
     rollup is a tiny union).  Estimates are approximate ⇒ rows-only
     driver check; relative-error bounds are asserted in
-    tests/test_operators_extra.py."""
+    tests/test_sketches.py."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id", 14).alias("sketch"),

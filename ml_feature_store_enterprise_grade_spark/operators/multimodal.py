@@ -192,6 +192,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(floor((length(text) - 1) / {_FRAME_BYTES * _FRAME_STRIDE}) AS INTEGER)
+               )) AS k
+        FROM documents
+        WHERE length(text) >= 1
+    ),
+    fr AS (
+        SELECT doc_id,
+               md5(substring(text, k * {_FRAME_BYTES * _FRAME_STRIDE} + 1, {_FRAME_BYTES}))
+                   AS frame_md5
+        FROM f
+    )
+    SELECT frame_md5,
+           COUNT(*) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM fr
+    GROUP BY frame_md5
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-frame detection: compose the frame
+    sampler with the exact-dedup pattern (frame_md5 → hash-groupBy →
+    dup groups), the way a video pipeline finds shared intro/outro
+    segments or re-uploads.  One shuffle on the frame hash; the
+    canonical representative is the lowest doc_id, matching
+    operators.dedup's convention."""
+    frames = multimodal_frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_frames") > 1)
+    )
+
+
+@register(
+    "multimodal_sidecar_kv",
+    oracle="""
+    WITH kv AS (
+        SELECT d.doc_id, e.k, e.v
+        FROM documents d, LATERAL (VALUES
+            ('mime', 'text/plain'),
+            ('lang', d.lang),
+            ('bytes', CAST(d.n_chars AS VARCHAR)),
+            ('camera', 'cam' || CAST(d.doc_id % 5 AS VARCHAR))
+        ) e(k, v)
+        WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+    )
+    SELECT k, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
+           MIN(v) AS min_value, MAX(v) AS max_value
+    FROM kv GROUP BY k
+    """,
+)
+def multimodal_sidecar_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-style sidecar parsing: each payload arrives with an opaque
+    JSON key-value sidecar (here synthesized deterministically from
+    the document fields, as an upstream capture device would attach
+    it); the operator parses it schema-on-read with
+    ``from_json(map<string,string>)``, explodes the map, and profiles
+    per-key cardinality/range — the P2 JSON family applied to the
+    multimodal pillar.  The oracle computes the same profile straight
+    from the base columns, so a green row proves the construct→parse→
+    explode round trip is lossless.  Pure Catalyst: parse + generate +
+    one shuffle on the key."""
+    d = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    sidecar = F.concat(
+        F.lit('{"mime":"text/plain","lang":"'),
+        F.col("lang"),
+        F.lit('","bytes":"'),
+        F.col("n_chars").cast("string"),
+        F.lit('","camera":"cam'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"}'),
+    )
+    kv = d.select(
+        "doc_id", F.explode(F.from_json(sidecar, "map<string,string>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("v").alias("n_values"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
+
+
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -66,6 +66,9 @@ _FRONT: tuple[str, ...] = (
     "embedding_neardup",
     "quality_expectation_suite",
     "drift_report_multi_feature",
+    # (c) new this round
+    "multimodal_frame_dedup",
+    "multimodal_sidecar_kv",
 )
 
 
