@@ -218,6 +218,63 @@ def user_sliding_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mode_by(df: DataFrame, key: str, value: str, out_col: str = "mode") -> DataFrame:
+    """TRUE deterministic mode of ``value`` per ``key`` — the exact
+    form of the reference's ``primary_referrer`` column, which it only
+    *approximates* with ``first(ignorenulls)``
+    (spark/apps/clickstream_aggregation.py:169-170).
+
+    Two hash aggregates, zero window sorts: count per (key, value),
+    then per key take ``min(struct(-cnt, value))`` — struct ordering
+    gives highest count first, lexicographically-smallest value on
+    ties, so the result is deterministic under any shuffle order (the
+    reference's ``first()`` is not).  Both shuffles are two-phase with
+    map-side partials; at 100 TB this is strictly cheaper than the
+    row_number-over-window formulation (no per-key sort buffer)."""
+    counts = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(key, value)
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = counts.groupBy(key).agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col(value).alias("v"))).alias("m")
+    )
+    return m.select(
+        key,
+        F.col("m.v").alias(out_col),
+        (-F.col("m.neg_cnt")).cast("bigint").alias(f"{out_col}_count"),
+    )
+
+
+@register(
+    "user_primary_event_type",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           event_type AS primary_event_type,
+           cnt AS primary_event_type_count
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type
+        ) AS rn FROM c
+    )
+    WHERE rn = 1
+    """,
+)
+def user_primary_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (the reference's primary_referrer
+    semantics, made exact and deterministic).  The oracle uses the
+    textbook row_number formulation; the engine's hash-agg plan must
+    produce identical rows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return mode_by(e, "user_id", "event_type", out_col="primary_event_type")
+
+
 @register("sketch_distinct_users_rollup")  # sketch estimates: rows-only check
 def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: per-day HLL sketches of

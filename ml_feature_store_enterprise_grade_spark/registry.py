@@ -69,6 +69,7 @@ _FRONT: tuple[str, ...] = (
     # (c) new this round
     "multimodal_frame_dedup",
     "multimodal_sidecar_kv",
+    "user_primary_event_type",
 )
 
 
