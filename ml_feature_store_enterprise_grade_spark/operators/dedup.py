@@ -429,3 +429,82 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+#: Deterministic stand-in for a held-out benchmark/eval set: every
+#: 97th document.  In production this frame is the real benchmark
+#: suite — a few MB against a 100 TB corpus.
+_BENCH_MOD = 97
+#: A corpus document sharing at least this fraction of its distinct
+#: 3-gram shingles with the benchmark set is flagged.
+_CONTAMINATION_RATE = 0.02
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(norm, ' ')) - 2, 0)),
+                   i -> string_split(norm, ' ')[i] || ' ' ||
+                        string_split(norm, ' ')[i + 1] || ' ' ||
+                        string_split(norm, ' ')[i + 2]
+               ))) AS shingle
+        FROM nd
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1
+    ),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n_shingles,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS contamination_rate,
+           CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / t.n_shingles
+               >= {_CONTAMINATION_RATE} AS contaminated
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (the GPT-3/PaLM-style n-gram
+    overlap check): for every corpus document, the fraction of its
+    distinct 3-gram shingles that also occur in a held-out benchmark
+    set, plus the contamination verdict.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus, so it is BROADCAST — the corpus-side shingles are counted
+    and probed map-side and never shuffle; the only exchanges are the
+    two per-doc count aggregates (both two-phase).  No corpus-vs-
+    corpus join exists anywhere, so cost is linear in corpus shingles."""
+    sh = _shingles(_normalized_docs(spark, sf_dir))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    rate = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_shingles")
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(rate, 6).alias("contamination_rate"),
+        (rate >= _CONTAMINATION_RATE).alias("contaminated"),
+    )

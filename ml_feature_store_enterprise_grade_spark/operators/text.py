@@ -313,3 +313,75 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ok.alias("stopword_ok"),
         (len_ok & diversity_ok & stopword_ok).alias("admitted"),
     )
+
+
+#: Gopher-style repetition gate: documents whose single most frequent
+#: word-bigram exceeds this share of all bigrams are flagged
+#: (cf. Rae et al. 2021 "Scaling Language Models" Table A1 uses 0.18
+#: for the top-2-gram fraction; lowered here to produce a mixed
+#: verdict on the synthetic corpus).
+_TOP_BIGRAM_SHARE = 0.08
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1]
+               )) AS bigram
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS n_distinct_bigrams,
+           ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_bigram_fraction,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_share,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.08 AS repetitive
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals per document: duplicate-bigram
+    fraction and top-bigram share, with the repetition verdict —
+    the standard filter against boilerplate/looping text that
+    length/diversity heuristics miss.
+
+    Shape: bigrams explode (non-distinct — multiplicity IS the
+    signal) → two-phase count per (doc, bigram) → per-doc rollup.
+    One shuffle on (doc_id, bigram); both aggregates get map-side
+    partials, and the per-doc state is three numbers, so the operator
+    scales like word-count, not like a window sort.  Documents with
+    fewer than two tokens carry no bigram and drop out (both
+    engines)."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    t = F.split(F.col("norm"), " ")
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.expr("slice(split(norm, ' '), 2, greatest(size(split(norm, ' ')) - 1, 0))"),
+    )
+    bigrams = F.transform(zipped, lambda x: F.concat_ws(" ", x["0"], x["1"]))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    c = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    tot = F.sum("c")
+    top = F.max("c")
+    return c.groupBy("doc_id").agg(
+        tot.cast("bigint").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.round((tot - F.count("*")).cast("double") / tot, 6).alias("dup_bigram_fraction"),
+        F.round(top.cast("double") / tot, 6).alias("top_bigram_share"),
+        (top.cast("double") / tot > _TOP_BIGRAM_SHARE).alias("repetitive"),
+    )

@@ -70,6 +70,8 @@ _FRONT: tuple[str, ...] = (
     "multimodal_frame_dedup",
     "multimodal_sidecar_kv",
     "user_primary_event_type",
+    "doc_repetition_stats",
+    "corpus_contamination",
 )
 
 
