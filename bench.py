@@ -40,9 +40,18 @@ BENCH_QUERIES = (
     "drift_report_multi_feature",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # similarity scale path: IVF probe search.  embedding_neardup is
+    # deliberately absent: at its demo threshold (0.4, chosen so the
+    # synthetic corpus yields pairs) sign-LSH blocking passes ~all
+    # pairs by construction — its plan shape is asserted in
+    # tests/test_plans.py and its recall proven by the driver oracle.
+    "ann_ivf_topk",
     "session_windows",
     "event_value_percentiles",
     "stream_hourly_features",
+    "doc_repetition_stats",
+    "corpus_contamination",
+    "user_primary_event_type",
 )
 
 

@@ -336,7 +336,12 @@ def ivf_codebook(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
             F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("nrm"))
         ).alias("features")
     )
-    model = KMeans(k=k, seed=42, maxIter=20).fit(unit)
+    # Seeded random init + few iterations: a coarse IVF codebook only
+    # needs rough Voronoi cells, not a converged clustering (probing
+    # nprobe cells absorbs boundary error), and k-means|| init alone
+    # costs more driver round-trips than the whole training.  Recall
+    # vs brute force is asserted in tests/test_vector_index.py.
+    model = KMeans(k=k, seed=42, maxIter=8, initMode="random").fit(unit)
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
