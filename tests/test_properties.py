@@ -142,3 +142,42 @@ def test_sliding_window_alignment_matches_reference(spark, events):
         for ws in _python_sliding_windows(1704067200 + s):
             want[(u, ws)] = want.get((u, ws), 0) + 1
     assert got == want
+
+
+# -- mode_by: true mode with deterministic tie-break -------------------
+
+mode_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c", "d"])),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _python_mode(rows):
+    from collections import Counter
+
+    out = {}
+    for key in {k for k, _ in rows}:
+        counts = Counter(v for k, v in rows if k == key)
+        # highest count, lexicographically smallest value on ties
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[key] = best
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=mode_rows)
+def test_mode_by_matches_python_reference(spark, rows):
+    """mode_by must return the exact modal value per key with the
+    lexicographically-smallest tie-break, independent of input order
+    (the reference's first(ignorenulls) 'mode approximation' is
+    order-dependent; the engine's must not be)."""
+    from ml_feature_store_enterprise_grade_spark.operators.feature_agg import mode_by
+
+    df = spark.createDataFrame(rows, "k int, v string").repartition(4)
+    got = {
+        r.k: (r.m, r.m_count)
+        for r in mode_by(df, "k", "v", out_col="m").collect()
+    }
+    want = {k: (v, c) for k, (v, c) in _python_mode(rows).items()}
+    assert got == want
