@@ -1,0 +1,42 @@
+"""Registry invariants: the driver contract must not silently decay.
+
+The verify driver oracle-checks only the FIRST 50 entries of
+``queries()``; the rotation list (``registry._FRONT``) is how every
+query earns a driver correctness row across rounds.  A typo'd name
+there would silently fall back to tail order — these tests make that
+loud."""
+
+from __future__ import annotations
+
+from ml_feature_store_enterprise_grade_spark import registry
+
+registry.load_all()
+
+
+def test_front_names_all_exist():
+    unknown = [n for n in registry._FRONT if n not in registry.QUERIES]
+    assert not unknown, f"_FRONT lists unregistered queries: {unknown}"
+
+
+def test_front_has_no_duplicates():
+    assert len(set(registry._FRONT)) == len(registry._FRONT)
+
+
+def test_every_oracle_has_a_query():
+    missing = [n for n in registry.ORACLES if n not in registry.QUERIES]
+    assert not missing
+
+
+def test_ordering_is_consistent_between_queries_and_oracles():
+    q = [n for n in registry.queries() if n in registry.ORACLES]
+    o = list(registry.oracles())
+    assert q == o
+
+
+def test_front_window_has_room():
+    """Every _FRONT query must actually land inside the driver's
+    first-50 window."""
+    assert len(registry._FRONT) <= 50
+    ordered = list(registry.queries())
+    for n in registry._FRONT:
+        assert ordered.index(n) < 50

@@ -45,3 +45,31 @@ def test_search_recall_and_pruning(spark, index):
     exact = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_lsh_banding_blocks_hard_at_production_params(spark):
+    """The sign-LSH candidate generator must actually PRUNE when
+    configured for the production near-dup regime (r=16 bits/band,
+    b=8 bands — the parameters for cosine >= 0.9): on this corpus the
+    band join must emit under 5% of all pairs.  The registered
+    embedding_neardup query deliberately runs weaker parameters so its
+    demo threshold (0.4) keeps 100% recall; this test pins down that
+    the blocking machinery itself scales when the threshold does."""
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import lsh_band_keys
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    bands = emb.select(
+        "vec_id", F.posexplode(lsh_band_keys(F.col("embedding"), r=16, b=8)).alias("band", "key")
+    )
+    la = bands.select(F.col("vec_id").alias("a"), "band", "key")
+    lb = bands.select(F.col("vec_id").alias("b"), "band", "key")
+    n_candidates = (
+        la.join(lb, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert n_candidates < 0.05 * all_pairs, (n_candidates, all_pairs)
