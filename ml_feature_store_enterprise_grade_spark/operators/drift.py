@@ -437,3 +437,70 @@ def drift_psi_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("psi"),
         (F.sum(term) >= 0.2).alias("shifted"),
     )
+
+
+_HIST_ORACLE = f"""
+WITH s AS (
+    SELECT event_type AS feature, value AS x
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rng AS (
+    SELECT feature, MIN(x) AS lo, MAX(x) AS hi FROM s GROUP BY 1
+),
+b AS (
+    SELECT s.feature, r.lo, r.hi,
+           LEAST({_PSI_BINS - 1}, CAST(floor((s.x - r.lo) / NULLIF(r.hi - r.lo, 0) * {_PSI_BINS}) AS INTEGER)) AS bin
+    FROM s JOIN rng r ON s.feature = r.feature
+),
+c AS (
+    SELECT feature, bin, lo, hi, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2, 3, 4
+)
+SELECT feature, bin,
+       ROUND(lo + bin * (hi - lo) / {_PSI_BINS}, 6) AS bin_lo,
+       ROUND(lo + (bin + 1) * (hi - lo) / {_PSI_BINS}, 6) AS bin_hi,
+       n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY feature), 6) AS pct
+FROM c
+"""
+
+
+@register("feature_value_histogram", oracle=_HIST_ORACLE)
+def feature_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per monitored feature — the profile shape a
+    drift dashboard plots next to the PSI number (the reference's
+    monitoring stack charts per-feature distributions; this is the
+    batch profile feeding that chart).  Same scale shape as PSI: bin
+    ranges from a broadcast per-feature min/max, one shuffle for the
+    bin counts, and the pct window runs over <= features x bins rows.
+    Equal floor-binning arithmetic on both engines keeps bin edges
+    bit-identical for the hash compare."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(F.col("event_type").alias("feature"), F.col("value").alias("x"))
+    )
+    rng = s.groupBy("feature").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = F.col("hi") - F.col("lo")
+    b = s.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor((F.col("x") - F.col("lo")) / F.nullif(width, F.lit(0.0)) * _PSI_BINS).cast(
+                "int"
+            ),
+        ).alias("bin"),
+    )
+    c = b.groupBy("feature", "bin", "lo", "hi").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("feature")
+    return c.select(
+        "feature",
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * width / _PSI_BINS, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width / _PSI_BINS, 6).alias("bin_hi"),
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("pct"),
+    )

@@ -385,3 +385,43 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top.cast("double") / tot, 6).alias("top_bigram_share"),
         (top.cast("double") / tot > _TOP_BIGRAM_SHARE).alias("repetitive"),
     )
+
+
+@register(
+    "corpus_top_bigrams",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+        FROM t
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter bigrams: the vocabulary/collocation
+    profile a pretraining pipeline computes before tokenizer training.
+    Bigram expansion is a narrow flatMap (zip the token array with its
+    own tail — no index arithmetic, no UDF); the count is one shuffle
+    with map-side partial aggregation, so a hot bigram never
+    concentrates on one reducer; the top-k is TakeOrderedAndProject
+    (no global sort).  Ties at the k boundary are broken by bigram
+    text so the top-20 *set* is deterministic across engines."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(_tokens(F.col("text")).alias("toks"))
+    head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    tail = F.slice(F.col("toks"), 2, F.size("toks"))
+    bigrams = F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -72,6 +72,8 @@ _FRONT: tuple[str, ...] = (
     "user_primary_event_type",
     "doc_repetition_stats",
     "corpus_contamination",
+    "feature_value_histogram",
+    "corpus_top_bigrams",
 )
 
 
