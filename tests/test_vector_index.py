@@ -73,3 +73,34 @@ def test_lsh_banding_blocks_hard_at_production_params(spark):
     )
     all_pairs = n * (n - 1) // 2
     assert n_candidates < 0.05 * all_pairs, (n_candidates, all_pairs)
+
+
+def test_neardup_blocked_recall_vs_all_pairs(spark):
+    """The blocked near-dup operator's recall against the all-pairs
+    ground truth is a measured property (its oracle pins the
+    *algorithm*, not the ideal — see the operator docstring).  At
+    sf0.001 the fixed planes realize 100% recall; keep that exact so
+    a parameter regression (fewer bands, broken band keys) shows up
+    as missing pairs here rather than as a silent recall drop."""
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        _NEARDUP_THRESHOLD,
+        _dot,
+        embedding_neardup,
+        with_norm,
+    )
+
+    emb = with_norm(load_table(spark, SF_SMOKE, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    blocked = {(r.vec_a, r.vec_b) for r in embedding_neardup(spark, SF_SMOKE).collect()}
+    assert blocked <= truth  # verification step admits no false positives
+    assert blocked == truth, f"recall {len(blocked)}/{len(truth)}"
