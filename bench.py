@@ -44,8 +44,10 @@ BENCH_QUERIES = (
     # deliberately absent: at its demo threshold (0.4, chosen so the
     # synthetic corpus yields pairs) sign-LSH blocking passes ~all
     # pairs by construction — its plan shape is asserted in
-    # tests/test_plans.py and its recall proven by the driver oracle.
+    # tests/test_plans.py and its recall measured in
+    # tests/test_vector_index.py.
     "ann_ivf_topk",
+    "dedup_clusters",
     "session_windows",
     "event_value_percentiles",
     "stream_hourly_features",

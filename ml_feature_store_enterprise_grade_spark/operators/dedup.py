@@ -508,3 +508,151 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("contamination_rate"),
         (rate >= _CONTAMINATION_RATE).alias("contaminated"),
     )
+
+
+#: Iteration cap for min-label propagation.  Convergence needs at
+#: most the graph diameter; duplicate clusters are shallow (a near-dup
+#: chain longer than ~20 hops does not occur in practice) and the cap
+#: exists only to turn a logic bug into a loud error.
+_CC_MAX_ITERS = 20
+
+
+def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected duplicate-relation edges ``(a, b)``, ``a < b``:
+    exact-duplicate star edges (min doc_id of each identical-text
+    group → other members, linear in group size — never the
+    quadratic within-group pair set) unioned with the MinHash-LSH
+    near-dup pairs.  This is the edge list a production dedup
+    pipeline feeds into clustering."""
+    nd = _normalized_docs(spark, sf_dir)
+    exh = nd.select("doc_id", F.md5("norm").alias("h"))
+    m = F.min("doc_id").over(Window.partitionBy("h"))
+    exact = exh.select(m.alias("a"), F.col("doc_id").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    near = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return exact.union(near).distinct()
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    ),
+    mh AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM cand c
+        JOIN sig x ON c.doc_a = x.doc_id
+        JOIN sig y ON c.doc_b = y.doc_id
+        WHERE ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)} >= {_EST_JACCARD_THRESHOLD}
+    ),
+    exh AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS m FROM nd
+    ),
+    ex AS (SELECT m AS a, doc_id AS b FROM exh WHERE m <> doc_id),
+    e0 AS (SELECT a, b FROM mh UNION SELECT a, b FROM ex),
+    sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    reach AS (
+        SELECT a AS src, b AS dst FROM sym
+        UNION
+        SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    lbl AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+        FROM nd d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lbl
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via distributed connected components: the
+    terminal step of a real dedup pipeline (pairs alone don't dedup —
+    A~B and B~C must collapse to ONE kept document, so components,
+    not pairs, are the unit of removal).  Every document gets
+    ``cluster_id`` = min doc_id of its component over the
+    ``duplicate_edges`` graph (exact + MinHash-LSH relations),
+    ``cluster_size``, and ``is_canonical`` (the one row per cluster a
+    filtering pass keeps).
+
+    Algorithm: hash-to-min label propagation — labels start as own
+    doc_id; each round every vertex takes the min of its own and its
+    neighbors' labels; converges in diameter rounds (clusters are
+    shallow).  Each round is ONE shuffle join of the slim symmetric
+    edge list (2 longs/row) against the (doc_id, label) frame plus a
+    two-phase min-aggregate; ``localCheckpoint`` after each round
+    truncates lineage so the plan stays O(1) deep regardless of
+    iteration count (and materializes eagerly — a lazy cache inside
+    the loop would race, see MEMORY).  Convergence is detected from
+    ``sum(label)``: labels only ever decrease, so an unchanged sum is
+    exactly "no label moved" — one cheap scalar agg per round instead
+    of an old-vs-new join.  At 100 TB you'd swap hash-to-min for the
+    alternating large-star/small-star variant (same join shape,
+    provably O(log n) rounds) and persist labels to a table between
+    rounds; the per-round plan here is already that shape.
+
+    The DuckDB oracle computes the same components by recursive-CTE
+    transitive closure (viable at oracle scale only — closure is
+    O(sum cluster_size²); the Spark side never materializes it).
+    """
+    edges = duplicate_edges(spark, sf_dir)
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Slim two-long frame read every round: cache once, eagerly.
+    sym = sym.cache()
+    sym.count()
+    labels = (
+        _normalized_docs(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+        )
+    sym.unpersist()
+    clusters = labels.withColumnRenamed("label", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -74,6 +74,7 @@ _FRONT: tuple[str, ...] = (
     "corpus_contamination",
     "feature_value_histogram",
     "corpus_top_bigrams",
+    "dedup_clusters",
 )
 
 

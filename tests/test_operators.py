@@ -126,3 +126,45 @@ class TestMultimodalPlumbing:
         meta = multimodal_metadata(spark, SF_SMOKE)
         j = src.join(meta, "doc_id")
         assert j.filter(F.col("pb") != F.col("n_bytes")).count() == 0
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components vs a driver-side union-find over the same
+    edge list: identical partition into clusters, min-id canonical,
+    correct sizes, and every doc present exactly once."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        dedup_clusters,
+        duplicate_edges,
+    )
+
+    edges = [(r.a, r.b) for r in duplicate_edges(spark, SF_SMOKE).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = dedup_clusters(spark, SF_SMOKE).collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 500
+    # min-relabel union-find roots so both sides name clusters by min id
+    root_of = {x: find(x) for x in parent}
+    members: dict = {}
+    for x, r in root_of.items():
+        members.setdefault(r, set()).add(x)
+    expected = {x: min(m) for r, m in members.items() for x in m}
+    for r in rows:
+        assert r.cluster_id == expected.get(r.doc_id, r.doc_id), r
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id], r
