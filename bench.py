@@ -35,6 +35,8 @@ BENCH_QUERIES = (
     "region_revenue",
     "event_customer_enrichment",
     "pit_asof_join",
+    "pit_label_join",
+    "target_encoding_loo",
     "latest_feature_snapshot",
     "drift_ks_click_vs_view",
     "drift_report_multi_feature",

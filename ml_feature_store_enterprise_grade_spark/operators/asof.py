@@ -149,6 +149,101 @@ def pit_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(entities, features, key="user_id")
 
 
+#: Label horizon: a lookup converts if a purchase follows within 72 h.
+LABEL_HORIZON_HOURS = 72
+
+
+@register(
+    "pit_label_join",
+    oracle=f"""
+    WITH entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    ),
+    conv AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT e.user_id, e.lookup_ts, c.ts, c.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN conv c
+          ON e.user_id = c.user_id
+         AND c.ts > e.lookup_ts
+         AND c.ts <= e.lookup_ts + INTERVAL {LABEL_HORIZON_HOURS} HOURS
+    )
+    SELECT user_id, lookup_ts,
+           CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END AS label,
+           CAST(floor(epoch(ts)) AS BIGINT) AS conversion_epoch_s,
+           ROUND(value, 6) AS conversion_value
+    FROM j WHERE rn = 1
+    """,
+)
+def pit_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label join — the time-reversed twin of the
+    as-of join and the other half of training-set generation: features
+    come from *before* the lookup time (``pit_asof_join``), labels
+    from the first conversion event strictly *after* it within a
+    horizon.  The strict ``>`` and hard horizon are the leakage
+    guards: a purchase at exactly the lookup instant is information
+    the model would not have had.
+
+    Same scale shape as the as-of join: equi-join on the key + range
+    predicate, then ``min_by(conversion, (ts, event_id))`` grouped by
+    (key, lookup_ts) — two-phase hash aggregate collapses candidates
+    map-side, no sort, no window over the joined frame.  The
+    (ts, event_id) ordering struct makes the pick deterministic under
+    ties; LEFT misses surface as label 0 with NULL conversion fields.
+    Conversion time is surfaced as epoch seconds (both engines floor
+    identically; raw nanosecond timestamps would hash-differ from
+    Spark's microsecond truncation).
+    """
+    conv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
+        )
+    )
+    cond = (
+        (entities["user_id"] == conv["user_id"])
+        & (conv["ts"] > entities["lookup_ts"])
+        & (
+            conv["ts"]
+            <= entities["lookup_ts"] + F.expr(f"INTERVAL {LABEL_HORIZON_HOURS} HOURS")
+        )
+    )
+    joined = entities.alias("e").join(conv.alias("c"), cond, "left")
+    picked = joined.groupBy(
+        F.col("e.user_id").alias("user_id"), F.col("e.lookup_ts").alias("lookup_ts")
+    ).agg(
+        F.min_by(
+            F.struct(
+                F.col("c.ts").alias("ts"), F.col("c.value").alias("value")
+            ),
+            F.struct(F.col("c.ts"), F.col("c.event_id")),
+        ).alias("__c")
+    )
+    return picked.select(
+        "user_id",
+        "lookup_ts",
+        F.when(F.col("__c.ts").isNotNull(), 1).otherwise(0).alias("label"),
+        F.unix_timestamp("__c.ts").alias("conversion_epoch_s"),
+        F.round("__c.value", 6).alias("conversion_value"),
+    )
+
+
 @register(
     "latest_feature_snapshot",
     oracle=f"""

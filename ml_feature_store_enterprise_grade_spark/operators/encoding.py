@@ -1,0 +1,176 @@
+"""Feature-encoding operators: target encoding, hashing trick, splits.
+
+The reference engineers its features with plain aggregates and serves
+them raw (reference feast_repo/features.py, scripts/
+generate_features.py); the model-side encodings a training pipeline
+applies on top — smoothed target encoding, the feature-hashing trick,
+deterministic dataset splits — are BASELINE north-star extensions,
+built Spark-first and fully oracle-checkable:
+
+* target encoding — leave-one-out smoothed category→mean(target)
+  mapping.  LOO (subtract the row's own target before averaging) is
+  the standard leakage guard: the encoded value for a row never
+  contains that row's label.
+* feature hash cross — bucket a categorical cross product with the
+  portable 60-bit hash (no vocabulary build, fixed width — the only
+  crossing strategy that works when the cross cardinality is
+  unbounded at 100 TB).
+* split assignment — hash-of-key split (80/10/10).  Hashing the key
+  (never ``rand()``) keeps the split stable under re-runs, data
+  arrival order, and cluster topology, and keeps all rows of one
+  entity in one split.
+
+Scale shapes: target encoding is one two-phase aggregate over the
+fact table producing a tiny category map that broadcasts back — the
+fact table is scanned twice but never shuffled.  Hash cross and
+split assignment are pure map-side projections: zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import MONEY_SQL, PORTABLE_HASH64_SQL, money, portable_hash64
+from ..registry import register
+
+#: Smoothing pseudo-count: the encoded value is pulled toward the
+#: global mean with the weight of this many virtual rows — the usual
+#: guard against high-variance estimates for rare categories.
+_TE_SMOOTHING = 10
+
+#: Hashing-trick output width (buckets).
+_CROSS_BUCKETS = 1024
+
+#: Split hash seed + boundaries: [0,80) train, [80,90) val, rest test.
+_SPLIT_SEED = 7
+_SPLIT_TRAIN_END = 80
+_SPLIT_VAL_END = 90
+
+
+@register(
+    "target_encoding_loo",
+    oracle=f"""
+    WITH cat AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_c,
+               SUM({MONEY_SQL("o_totalprice")}) AS s_c
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(SUM({MONEY_SQL("o_totalprice")}) AS DOUBLE) / COUNT(*) AS gmean
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           {MONEY_SQL("o.o_totalprice")} AS target,
+           ROUND((CAST(c.s_c - {MONEY_SQL("o.o_totalprice")} AS DOUBLE)
+                  + {_TE_SMOOTHING} * g.gmean)
+                 / (c.n_c - 1 + {_TE_SMOOTHING}), 6) AS te_loo
+    FROM orders o
+    JOIN cat c USING (o_orderpriority)
+    CROSS JOIN g
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of ``o_orderpriority``
+    against target ``o_totalprice``:
+
+        te(row) = ((S_cat − target_row) + m·global_mean) / (n_cat − 1 + m)
+
+    Exact-decimal sums (MONEY discipline) make the category/global
+    sums associative, so the encoding is deterministic under any
+    partial-aggregation order; the one double division happens last,
+    in an identical expression tree on both engines.
+
+    Scale: the category map is |categories| rows — broadcast back to
+    the fact table (zero fact shuffle); the global mean is a scalar
+    broadcast.  Two scans, no shuffle of the big side.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = money(F.col("o_totalprice"))
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_c"), F.sum(t).alias("s_c")
+    )
+    g = orders.agg(
+        (F.sum(t).cast("double") / F.count("*")).alias("gmean")
+    )
+    te = (
+        (F.col("s_c") - t).cast("double") + F.lit(_TE_SMOOTHING) * F.col("gmean")
+    ) / (F.col("n_c") - 1 + _TE_SMOOTHING)
+    return (
+        orders.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            t.alias("target"),
+            F.round(te, 6).alias("te_loo"),
+        )
+    )
+
+
+@register(
+    "feature_hash_cross",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           {PORTABLE_HASH64_SQL("c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)")}
+               % {_CROSS_BUCKETS} AS cross_bucket
+    FROM customer
+    """,
+)
+def feature_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing trick: bucket the (market segment × nation)
+    cross into a fixed {n}-wide space with the portable 60-bit hash
+    (nonnegative, so ``%`` agrees across engines).  Pure projection:
+    no vocabulary, no shuffle, no state — the only crossing strategy
+    whose cost is flat when category cardinalities explode.
+    """
+    crossed = F.concat_ws(
+        "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        (portable_hash64(crossed) % _CROSS_BUCKETS).alias("cross_bucket"),
+    )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    SELECT c_custkey,
+           {PORTABLE_HASH64_SQL("CAST(c_custkey AS VARCHAR)", _SPLIT_SEED)} % 100
+               AS split_bucket,
+           CASE
+               WHEN {PORTABLE_HASH64_SQL("CAST(c_custkey AS VARCHAR)", _SPLIT_SEED)} % 100
+                    < {_SPLIT_TRAIN_END} THEN 'train'
+               WHEN {PORTABLE_HASH64_SQL("CAST(c_custkey AS VARCHAR)", _SPLIT_SEED)} % 100
+                    < {_SPLIT_VAL_END} THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM customer
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    entity key.  Hash-of-key (never ``rand()``) is what survives at
+    scale: assignments are reproducible across runs and clusters,
+    unaffected by row order or partitioning, and every row of an
+    entity lands in the same split (no entity-level leakage between
+    train and test).  Pure map-side projection — zero shuffles.
+    """
+    bucket = (
+        portable_hash64(F.col("c_custkey").cast("string"), seed=_SPLIT_SEED) % 100
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        bucket.alias("split_bucket"),
+        F.when(bucket < _SPLIT_TRAIN_END, "train")
+        .when(bucket < _SPLIT_VAL_END, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -25,6 +25,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.relational",
     "ml_feature_store_enterprise_grade_spark.operators.asof",
     "ml_feature_store_enterprise_grade_spark.operators.projection",
+    "ml_feature_store_enterprise_grade_spark.operators.encoding",
     "ml_feature_store_enterprise_grade_spark.operators.quality",
     "ml_feature_store_enterprise_grade_spark.operators.drift",
     "ml_feature_store_enterprise_grade_spark.operators.dedup",
@@ -75,6 +76,10 @@ _FRONT: tuple[str, ...] = (
     "feature_value_histogram",
     "corpus_top_bigrams",
     "dedup_clusters",
+    "pit_label_join",
+    "target_encoding_loo",
+    "feature_hash_cross",
+    "dataset_split_assignment",
 )
 
 

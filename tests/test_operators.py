@@ -168,3 +168,93 @@ def test_dedup_clusters_match_union_find(spark):
     sizes = Counter(r.cluster_id for r in rows)
     for r in rows:
         assert r.cluster_size == sizes[r.cluster_id], r
+
+
+def test_pit_label_join_semantics(spark):
+    """Forward label join vs a brute-force Python reference: first
+    purchase strictly after lookup within the horizon; lookups after
+    the last event are all label 0 with NULL conversion fields."""
+    from datetime import datetime, timedelta
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.asof import (
+        LABEL_HORIZON_HOURS,
+        pit_label_join,
+    )
+
+    purchases = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    rows = pit_label_join(spark, SF_SMOKE).collect()
+    horizon = timedelta(hours=LABEL_HORIZON_HOURS)
+    by_user: dict = {}
+    for p in purchases:
+        by_user.setdefault(p.user_id, []).append(p)
+    for r in rows:
+        cands = [
+            p
+            for p in by_user.get(r.user_id, [])
+            if r.lookup_ts < p.ts <= r.lookup_ts + horizon
+        ]
+        if not cands:
+            assert (r.label, r.conversion_epoch_s, r.conversion_value) == (0, None, None), r
+        else:
+            first = min(cands, key=lambda p: (p.ts, p.event_id))
+            assert r.label == 1, r
+            assert r.conversion_epoch_s == int(first.ts.timestamp()), r
+            assert r.conversion_value == round(first.value, 6), r
+        if r.lookup_ts >= datetime(2024, 2, 5):
+            assert r.label == 0, r
+
+
+def test_target_encoding_loo_excludes_own_row(spark):
+    """LOO leakage guard vs a Python reference on one category."""
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.encoding import (
+        _TE_SMOOTHING,
+        target_encoding_loo,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    from decimal import Decimal
+
+    q = lambda x: Decimal(str(round(x, 2)))
+    gmean = float(sum(q(o.o_totalprice) for o in orders)) / len(orders)
+    cat = [o for o in orders if o.o_orderpriority == "1-URGENT"]
+    s_c = sum(q(o.o_totalprice) for o in cat)
+    got = {
+        r.o_orderkey: r.te_loo
+        for r in target_encoding_loo(spark, SF_SMOKE).collect()
+        if r.o_orderpriority == "1-URGENT"
+    }
+    assert len(got) == len(cat)
+    for o in cat:
+        want = (float(s_c - q(o.o_totalprice)) + _TE_SMOOTHING * gmean) / (
+            len(cat) - 1 + _TE_SMOOTHING
+        )
+        assert abs(got[o.o_orderkey] - want) < 1e-6, (o.o_orderkey, got[o.o_orderkey], want)
+
+
+def test_dataset_split_partition_and_rates(spark):
+    """Every row gets exactly one split; rates near 80/10/10; the
+    assignment is a pure function of the key (stable across runs)."""
+    from ml_feature_store_enterprise_grade_spark.operators.encoding import (
+        dataset_split_assignment,
+    )
+
+    rows = dataset_split_assignment(spark, SF_SMOKE).collect()
+    again = {r.c_custkey: r.split for r in dataset_split_assignment(spark, SF_SMOKE).collect()}
+    n = len(rows)
+    from collections import Counter
+
+    counts = Counter(r.split for r in rows)
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.7 and counts["test"] / n < 0.2
+    for r in rows:
+        assert r.split == ("train" if r.split_bucket < 80 else "val" if r.split_bucket < 90 else "test")
+        assert again[r.c_custkey] == r.split

@@ -94,3 +94,27 @@ def test_embedding_neardup_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the candidate generator is a real equi-join on (band, key)
     assert "band" in plan and "key" in plan
+
+
+def test_label_join_is_hash_agg_not_window_sort(spark):
+    """Forward label join keeps the as-of join's scale shape: min_by
+    two-phase hash aggregate, no window sort of the joined frame."""
+    plan = plan_of(spark, "pit_label_join")
+    assert "min_by" in plan
+    assert "Window" not in plan
+
+
+def test_target_encoding_broadcasts_category_map(spark):
+    """The category map and global mean must broadcast back to the
+    fact table — a SortMergeJoin here would shuffle the fact side."""
+    plan = plan_of(spark, "target_encoding_loo")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["feature_hash_cross", "dataset_split_assignment"])
+def test_hash_projections_have_zero_shuffles(spark, name):
+    """Hashing-trick ops are pure map-side projections: any Exchange
+    in the plan means a regression introduced a shuffle."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, plan
