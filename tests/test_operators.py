@@ -258,3 +258,44 @@ def test_dataset_split_partition_and_rates(spark):
     for r in rows:
         assert r.split == ("train" if r.split_bucket < 80 else "val" if r.split_bucket < 90 else "test")
         assert again[r.c_custkey] == r.split
+
+
+def test_connected_components_long_chain_and_random_graph(spark):
+    """Pointer jumping must converge a 256-vertex path (diameter 255)
+    inside the 20-round cap — plain one-hop min propagation cannot.
+    Also: a seeded random graph matches a union-find reference."""
+    import random
+
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(256)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(255)], "a long, b long")
+    got = {r.doc_id: r.label for r in connected_components(verts, chain).collect()}
+    assert got == {i: 0 for i in range(256)}
+
+    rng = random.Random(11)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict = {}
+    for i in range(n):
+        roots.setdefault(find(i), []).append(i)
+    expected = {i: min(m) for r, m in roots.items() for i in m}
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.doc_id: r.label for r in connected_components(vdf, edf).collect()}
+    assert got == expected
