@@ -443,3 +443,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale = 0 THEN v
+                    ELSE list_transform(v, x -> round(x / scale) * scale)
+               END AS dq
+        FROM d
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS q_scale,
+           ROUND(list_max(list_transform(
+               list_zip(v, dq), p -> abs(p[1] - p[2]))), 6) AS max_abs_err,
+           ROUND(list_dot_product(
+               list_transform(list_zip(v, dq), p -> p[1] - p[2]),
+               list_transform(list_zip(v, dq), p -> p[1] - p[2]))
+               / len(v), 8) AS mse,
+           ROUND(list_dot_product(v, dq)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(dq, dq))), 6) AS cos_orig_dq
+    FROM q
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit: per vector, the
+    quantization ``q_scale`` (= max|x|/127), the worst per-dimension
+    reconstruction error, the MSE, and cosine(original, dequantized).
+
+    This is the go/no-go report before swapping an ANN corpus to int8
+    storage (4x smaller, 4x more vectors per executor); downstream the
+    quantized codes feed the same IVF plan with exact re-ranking on
+    the shortlist.  Pure map-side projection — zero shuffles, and the
+    whole audit of a 100 TB embedding store is one scan.
+
+    Determinism: ``scale`` is materialized once as a column (HOFs get
+    no common-subexpression elimination — see MEMORY — so inlining it
+    would re-derive the array max per element); every per-element op
+    is then a single IEEE double expression evaluated identically by
+    both engines, and the error folds (max, sequential-sum) are
+    order-fixed.  ``round`` to integer ties away from zero on both
+    engines (Spark HALF_UP / DuckDB round-half-away).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    s = F.col("scale")
+    q = d.withColumn(
+        "dq",
+        F.when(s == 0, F.col("v")).otherwise(
+            F.transform(F.col("v"), lambda x: F.round(x / s) * s)
+        ),
+    )
+    err = F.zip_with(F.col("v"), F.col("dq"), lambda x, y: x - y)
+    q = q.withColumn("err", err)
+    return q.select(
+        "vec_id",
+        F.round(s, 6).alias("q_scale"),
+        F.round(F.array_max(F.transform(F.col("err"), lambda e: F.abs(e))), 6).alias(
+            "max_abs_err"
+        ),
+        F.round(
+            _dot(F.col("err"), F.col("err")) / F.size(F.col("v")), 8
+        ).alias("mse"),
+        F.round(
+            _dot(F.col("v"), F.col("dq"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("dq"), F.col("dq")))),
+            6,
+        ).alias("cos_orig_dq"),
+    )

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.drift",
     "ml_feature_store_enterprise_grade_spark.operators.dedup",
     "ml_feature_store_enterprise_grade_spark.operators.text",
+    "ml_feature_store_enterprise_grade_spark.operators.corpus_plan",
     "ml_feature_store_enterprise_grade_spark.operators.similarity",
     "ml_feature_store_enterprise_grade_spark.operators.multimodal",
     "ml_feature_store_enterprise_grade_spark.streaming.clickstream",
@@ -80,6 +81,9 @@ _FRONT: tuple[str, ...] = (
     "target_encoding_loo",
     "feature_hash_cross",
     "dataset_split_assignment",
+    "corpus_mixture_weights",
+    "sequence_packing_plan",
+    "embedding_quantization_error",
 )
 
 

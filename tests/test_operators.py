@@ -299,3 +299,62 @@ def test_connected_components_long_chain_and_random_graph(spark):
     edf = spark.createDataFrame(edges, "a long, b long")
     got = {r.doc_id: r.label for r in connected_components(vdf, edf).collect()}
     assert got == expected
+
+
+def test_corpus_mixture_weights_invariants(spark, sf_dir=SF_SMOKE):
+    from ml_feature_store_enterprise_grade_spark.operators.corpus_plan import (
+        corpus_mixture_weights,
+    )
+
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    assert rows and abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    tot_chars = sum(r.slice_chars for r in rows)
+    for r in rows:
+        # eff_repeat = mix_weight / natural char share (to rounding)
+        assert abs(r.eff_repeat - r.mix_weight * tot_chars / r.slice_chars) < 1e-4
+        assert r.mix_weight > 0
+    # temperature flattens: smallest slice upsampled, largest downsampled
+    small = min(rows, key=lambda r: r.slice_chars)
+    big = max(rows, key=lambda r: r.slice_chars)
+    if small.slice_chars < big.slice_chars:
+        assert small.eff_repeat > big.eff_repeat
+
+
+def test_sequence_packing_plan_matches_python_reference(spark, sf_dir=SF_SMOKE):
+    from ml_feature_store_enterprise_grade_spark.operators.corpus_plan import (
+        _SEQ_LEN,
+        _SEQ_STRIDE,
+        sequence_packing_plan,
+    )
+
+    rows = sequence_packing_plan(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for shard, docs in by_shard.items():
+        cum = 0
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            assert r.est_tokens >= 1
+            assert r.seq_id == shard * _SEQ_STRIDE + cum // _SEQ_LEN
+            assert r.offset_in_seq == cum % _SEQ_LEN
+            assert (
+                r.seqs_spanned
+                == (cum + r.est_tokens - 1) // _SEQ_LEN - cum // _SEQ_LEN + 1
+            )
+            cum += r.est_tokens
+
+
+def test_embedding_quantization_error_bounds(spark, sf_dir=SF_SMOKE):
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        embedding_quantization_error,
+    )
+
+    rows = embedding_quantization_error(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # round-to-nearest: per-dim error is at most half a quantization step
+        # tolerance = the 6-dp display rounding on both columns
+        assert r.max_abs_err <= r.q_scale / 2 + 1e-6
+        assert r.mse <= (r.q_scale / 2 + 1e-6) ** 2 + 1e-8
+        assert r.cos_orig_dq > 0.999
