@@ -56,6 +56,9 @@ BENCH_QUERIES = (
     "doc_repetition_stats",
     "corpus_contamination",
     "user_primary_event_type",
+    "dedup_incremental",
+    "sequence_packing_plan",
+    "embedding_quantization_error",
 )
 
 

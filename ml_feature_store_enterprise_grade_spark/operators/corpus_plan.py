@@ -196,3 +196,106 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("seqs_spanned"),
     )
+
+
+#: Target fraction of total corpus chars the sampled mixture draws.
+_SAMPLE_BUDGET = 0.5
+
+_SAMPLE_SEED = 13
+
+#: 2^60 — the portable hash is uniform on [0, 2^60).
+_HASH_SPAN = float(1 << 60)
+
+
+@register(
+    "corpus_sampling_plan",
+    oracle=f"""
+    WITH slice AS (
+        SELECT lang,
+               SUM(n_chars) AS slice_chars,
+               CAST(ROUND(SQRT(CAST(SUM(n_chars) AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS temp_mass
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(temp_mass) AS tot_mass, SUM(slice_chars) AS tot_chars
+        FROM slice
+    ),
+    rate AS (
+        SELECT s.lang,
+               ROUND(LEAST(1.0,
+                   {_SAMPLE_BUDGET}
+                   * (CAST(s.temp_mass AS DOUBLE) / CAST(t.tot_mass AS DOUBLE))
+                   * (CAST(t.tot_chars AS DOUBLE)
+                      / CAST(s.slice_chars AS DOUBLE))), 6) AS keep_rate
+        FROM slice s CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate,
+           ROUND(CAST({PORTABLE_HASH64_SQL("CAST(d.doc_id AS VARCHAR)", _SAMPLE_SEED)}
+                      AS DOUBLE) / {_HASH_SPAN}, 9) AS u,
+           ROUND(CAST({PORTABLE_HASH64_SQL("CAST(d.doc_id AS VARCHAR)", _SAMPLE_SEED)}
+                      AS DOUBLE) / {_HASH_SPAN}, 9) < r.keep_rate AS keep
+    FROM documents d JOIN rate r ON d.lang = r.lang
+    """,
+)
+def corpus_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-aware downsampling plan: each document
+    gets a uniform deviate ``u`` from the portable hash of its id and
+    is kept iff ``u < keep_rate(lang)``, where the per-language rate
+    realizes the temperature mixture (:func:`corpus_mixture_weights`)
+    at a ``{_SAMPLE_BUDGET:.0%}``-of-corpus character budget
+    (rates clamp at 1 — upsampling beyond 1 epoch is the training
+    loader's repeat, not the sampler's).
+
+    Hash-of-key (never ``rand()``) for the same reason as
+    ``dataset_split_assignment``: the keep decision is reproducible
+    across runs, clusters, and row order, so two teams sampling the
+    same corpus get byte-identical datasets.  Composes upstream of
+    packing: filter by ``keep``, then :func:`sequence_packing_plan`.
+    Scale: rates are a ~|languages|-row broadcast; the scan is one
+    map-side projection — zero shuffles of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    slice_ = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("slice_chars"),
+        F.round(F.sqrt(F.sum("n_chars").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("temp_mass"),
+    )
+    tot = slice_.agg(
+        F.sum("temp_mass").alias("tot_mass"),
+        F.sum("slice_chars").alias("tot_chars"),
+    )
+    rate = slice_.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                _SAMPLE_BUDGET
+                * (F.col("temp_mass").cast("double") / F.col("tot_mass").cast("double"))
+                * (
+                    F.col("tot_chars").cast("double")
+                    / F.col("slice_chars").cast("double")
+                ),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    u = F.round(
+        portable_hash64(F.col("doc_id").cast("string"), seed=_SAMPLE_SEED).cast(
+            "double"
+        )
+        / _HASH_SPAN,
+        9,
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rate), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "keep_rate",
+            u.alias("u"),
+            (u < F.col("keep_rate")).alias("keep"),
+        )
+    )

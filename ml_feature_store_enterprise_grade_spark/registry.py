@@ -84,6 +84,8 @@ _FRONT: tuple[str, ...] = (
     "corpus_mixture_weights",
     "sequence_packing_plan",
     "embedding_quantization_error",
+    "dedup_incremental",
+    "corpus_sampling_plan",
 )
 
 

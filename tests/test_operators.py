@@ -358,3 +358,57 @@ def test_embedding_quantization_error_bounds(spark, sf_dir=SF_SMOKE):
         assert r.max_abs_err <= r.q_scale / 2 + 1e-6
         assert r.mse <= (r.q_scale / 2 + 1e-6) ** 2 + 1e-8
         assert r.cos_orig_dq > 0.999
+
+
+def test_dedup_incremental_verdicts(spark, sf_dir=SF_SMOKE):
+    """Exact rejections agree with the global exact-dup operator; the
+    batch never pairs with itself; verdicts are total and stable."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _INCR_BATCH_MOD,
+        dedup_exact,
+        dedup_incremental,
+    )
+
+    rows = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
+    assert rows and all(d % _INCR_BATCH_MOD == _INCR_BATCH_MOD - 1 for d in rows)
+    hashes = {r.doc_id: r.text_hash for r in dedup_exact(spark, sf_dir).collect()}
+    corpus_by_hash: dict = {}
+    for d, h in hashes.items():
+        if d % _INCR_BATCH_MOD != _INCR_BATCH_MOD - 1:
+            corpus_by_hash.setdefault(h, []).append(d)
+    for d, r in rows.items():
+        expect_exact = hashes[d] in corpus_by_hash
+        assert (r.verdict == "dup_exact") == expect_exact
+        if expect_exact:
+            assert r.match_doc_id == min(corpus_by_hash[hashes[d]])
+        if r.verdict == "admit":
+            assert r.match_doc_id is None
+        else:
+            assert r.match_doc_id % _INCR_BATCH_MOD != _INCR_BATCH_MOD - 1
+
+
+def test_corpus_sampling_plan_rates_and_determinism(spark, sf_dir=SF_SMOKE):
+    from ml_feature_store_enterprise_grade_spark.operators.corpus_plan import (
+        corpus_sampling_plan,
+    )
+
+    rows = corpus_sampling_plan(spark, sf_dir).collect()
+    assert len(rows) == 500
+    by_lang: dict = {}
+    for r in rows:
+        assert 0.0 <= r.u < 1.0
+        assert r.keep == (r.u < r.keep_rate)
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rate = rs[0].keep_rate
+        assert all(r.keep_rate == rate for r in rs)
+        assert 0.0 < rate <= 1.0
+        kept = sum(r.keep for r in rs)
+        # binomial tolerance: 4 sigma around the planned rate
+        import math
+
+        sigma = math.sqrt(len(rs) * rate * (1 - rate))
+        assert abs(kept - len(rs) * rate) <= 4 * sigma + 1
+    # determinism: a second run keeps exactly the same docs
+    again = {r.doc_id: r.keep for r in corpus_sampling_plan(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.keep for r in rows)
