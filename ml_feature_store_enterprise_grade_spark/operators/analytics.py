@@ -1,0 +1,374 @@
+"""Behavioral-analytics operators over the event stream.
+
+The reference's domain is clickstream feature engineering (reference
+spark/apps/clickstream_aggregation.py computes per-user windowed
+counts and conversion ratios; scripts/stream_generator.py:206-215
+emits the view→click→purchase event vocabulary).  This module adds
+the classic *sequential* analytics a feature platform builds on the
+same events: ordered conversion funnels, weekly cohort retention,
+gap-based sessionization / recency features, and SCD2 compaction of
+a slowly-changing per-user attribute.
+
+Scale design: every operator here shuffles ONCE on ``user_id`` and
+then runs all of its logic inside that partitioning — chained window
+functions over the same partition key reuse a single Exchange, and
+the final per-user aggregates collapse map-side.  Nothing sorts
+globally; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Reusable API
+# ---------------------------------------------------------------------------
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel timestamps per entity.
+
+    For each ``key``, stage *i*'s timestamp is the earliest event of
+    ``stages[i]`` at-or-after stage *i-1*'s timestamp (stage 0: the
+    earliest occurrence overall).  Equal timestamps count — a
+    same-instant view+click progresses the funnel, matching the
+    ``>=`` convention of warehouse funnel queries.
+
+    Physical shape: one shuffle on ``key``, then one unbounded
+    window projection per stage over that same partitioning (no
+    per-stage join, no re-shuffle), then a per-key hash aggregate.
+    Each window needs only partition-key grouping (no ORDER BY), so
+    there is no sort buffer beyond the partition hash.
+    """
+    e = events.filter(F.col(key).isNotNull() & F.col(ts).isNotNull()).select(
+        key, ts, event_type
+    )
+    w = Window.partitionBy(key)
+    prev: F.Column | None = None
+    out = e
+    for i, stage in enumerate(stages):
+        cond = F.col(event_type) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts) >= prev)
+        out = out.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts))).over(w))
+        prev = F.col(f"_t{i}")
+    stage_cols = [F.min(f"_t{i}").alias(f"stage{i}_{s}_ts") for i, s in enumerate(stages)]
+    # deepest reached stage wins: build the when-chain deepest-first
+    reached = None
+    for i in reversed(range(len(stages))):
+        c = F.col(f"stage{i}_{stages[i]}_ts").isNotNull()
+        reached = F.when(c, F.lit(i + 1)) if reached is None else reached.when(c, F.lit(i + 1))
+    reached = reached.otherwise(F.lit(0)).cast("int")
+    return (
+        out.groupBy(key)
+        .agg(*stage_cols)
+        .withColumn("stage_reached", reached)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Tag each event with a per-entity session id (gap rule).
+
+    A new session starts when the time since the previous event of
+    the same ``key`` exceeds ``gap_minutes``.  Session id is the
+    running count of session starts — deterministic given a total
+    per-key event order (``ts`` plus the ``tiebreak`` column for
+    equal timestamps).
+
+    One shuffle on ``key``; the lag and the running sum share the
+    same window sort.  This is the batch twin of the streaming
+    ``session_window`` aggregation (streaming/clickstream.py).
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(F.col(ts)).over(w))
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > int(gap_minutes * 60 * 1_000_000)), 1
+    ).otherwise(0)
+    running = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("_gap_us", gap_us).withColumn(
+        "session_id", F.sum(is_start).over(running).cast("bigint")
+    )
+
+
+def scd2_compact(
+    snapshots: DataFrame,
+    key: str,
+    attr: str,
+    effective_from: str,
+) -> DataFrame:
+    """Compact per-key attribute snapshots into SCD2 validity ranges.
+
+    Keeps only rows where ``attr`` differs from the previous snapshot
+    (change points), then closes each range with the next change's
+    ``effective_from`` (NULL = current).  The feature-store use: turn
+    the append-only offline history into the type-2 dimension that
+    point-in-time training joins read (reference materializes only
+    the *latest* value per key — airflow/dags/
+    feature_store_materialization.py:214-239 — an SCD2 view is the
+    lossless generalization).
+
+    One shuffle on ``key``; lag / lead / row_number share one window
+    sort.
+    """
+    w = Window.partitionBy(key).orderBy(effective_from)
+    changed = snapshots.withColumn("_prev", F.lag(attr).over(w)).filter(
+        F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
+    )
+    return (
+        changed.withColumn("effective_to", F.lead(effective_from).over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop("_prev")
+        .withColumnRenamed(effective_from, "effective_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s0 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0
+        FROM e
+    ),
+    s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+        FROM s0
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    )
+    SELECT user_id,
+           MIN(t0) AS stage0_view_ts,
+           MIN(t1) AS stage1_click_ts,
+           MIN(t2) AS stage2_purchase_ts,
+           CAST(CASE WHEN MIN(t2) IS NOT NULL THEN 3
+                     WHEN MIN(t1) IS NOT NULL THEN 2
+                     WHEN MIN(t0) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage_reached
+    FROM s2
+    GROUP BY user_id
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase per user:
+    the ordered generalization of the reference's per-window
+    conversion-rate ratios (reference spark/apps/
+    clickstream_aggregation.py:193-195 divides stage counts without
+    enforcing event ORDER; a funnel requires click-after-view,
+    purchase-after-click)."""
+    return funnel(load_table(spark, sf_dir, "events"), _FUNNEL_STAGES)
+
+
+#: Session gap for batch sessionization (median inter-event gap in the
+#: corpus is ~7 h, so 6 h yields a realistic mix of multi-event and
+#: singleton sessions).
+SESSION_GAP_MINUTES = 360.0
+
+
+@register(
+    "user_recency_features",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, ts,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           CAST(SUM(CASE WHEN gap_us IS NULL
+                          OR gap_us > {int(SESSION_GAP_MINUTES * 60e6)}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           ROUND(MAX(gap_us) / 3600000000.0, 4) AS max_gap_hours,
+           ROUND(SUM(gap_us) / COUNT(gap_us) / 3600000000.0, 4) AS avg_gap_hours
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def user_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency / cadence features: lifetime bounds, active
+    days, 6-hour-gap session count, and inter-event-gap extremes —
+    the standard churn-model feature block.  The mean gap is computed
+    as exact integer-microsecond sum ÷ count (associative, shuffle-
+    order-proof) and only then converted to hours, so the value is
+    bit-identical across engines and cluster runs."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tagged = sessionize(e, SESSION_GAP_MINUTES, tiebreak="event_id")
+    gap = F.col("_gap_us")
+    return tagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.round(F.max(gap) / F.lit(3_600_000_000.0), 4).alias("max_gap_hours"),
+        F.round(F.sum(gap) / F.count(gap) / F.lit(3_600_000_000.0), 4).alias(
+            "avg_gap_hours"
+        ),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM e GROUP BY user_id
+    ),
+    weeks AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM e
+    ),
+    j AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, w.activity_week) / 7 AS INT)
+                   AS week_offset
+        FROM weeks w JOIN firsts f USING (user_id)
+    ),
+    c AS (
+        SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        FROM j GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           MAX(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week) AS cohort_size,
+           ROUND(CAST(n_active AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM c
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-event
+    week, counted once per active week, with retention relative to
+    the cohort's week-0 size.  The user→cohort attachment is an
+    aggregate-then-join on ``user_id`` (the firsts side is one row
+    per user — AQE broadcasts it when small); the final triangle is
+    tiny (weeks × offsets), so the closing window costs nothing."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    weeks = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("activity_week")
+    ).distinct()
+    j = weeks.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff("activity_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    )
+    c = j.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_active"))
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return c.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active").cast("double") / size, 6).alias("retention"),
+    )
+
+
+#: Daily-activity banding thresholds for the SCD2 demo attribute.
+_BAND_SQL = "CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END"
+
+
+@register(
+    "scd2_activity_history",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    banded AS (
+        SELECT user_id, d, {_BAND_SQL} AS band FROM daily
+    ),
+    changes AS (
+        SELECT * FROM (
+            SELECT user_id, d, band,
+                   lag(band) OVER (PARTITION BY user_id ORDER BY d) AS prev
+            FROM banded
+        ) WHERE prev IS NULL OR band <> prev
+    )
+    SELECT user_id, band,
+           d AS effective_from,
+           lead(d) OVER (PARTITION BY user_id ORDER BY d) AS effective_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS version,
+           lead(d) OVER (PARTITION BY user_id ORDER BY d) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_activity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over a per-user daily activity
+    band (low/mid/high events per day): consecutive same-band days
+    collapse into one validity range ``[effective_from,
+    effective_to)`` with a version counter and a current flag.  This
+    is the lossless history view behind the feature store's
+    latest-snapshot materialization (COVERAGE S8)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+    banded = daily.select(
+        "user_id",
+        "d",
+        F.when(F.col("n") >= 4, "high").when(F.col("n") >= 2, "mid").otherwise("low").alias(
+            "band"
+        ),
+    )
+    out = scd2_compact(banded, key="user_id", attr="band", effective_from="d")
+    return out.select(
+        "user_id", "band", "effective_from", "effective_to", "version", "is_current"
+    )

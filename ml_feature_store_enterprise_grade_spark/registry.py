@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.asof",
     "ml_feature_store_enterprise_grade_spark.operators.projection",
     "ml_feature_store_enterprise_grade_spark.operators.encoding",
+    "ml_feature_store_enterprise_grade_spark.operators.analytics",
     "ml_feature_store_enterprise_grade_spark.operators.quality",
     "ml_feature_store_enterprise_grade_spark.operators.drift",
     "ml_feature_store_enterprise_grade_spark.operators.dedup",
@@ -86,6 +87,10 @@ _FRONT: tuple[str, ...] = (
     "embedding_quantization_error",
     "dedup_incremental",
     "corpus_sampling_plan",
+    "session_funnel",
+    "user_recency_features",
+    "cohort_retention",
+    "scd2_activity_history",
 )
 
 
