@@ -11,7 +11,7 @@ one shuffle per aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
@@ -424,4 +424,71 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+#: Top terms kept per document in the TF-IDF projection.
+_TFIDF_TOP_K = 3
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ),
+    s AS (
+        SELECT doc_id, term, tf, df,
+               ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rk FROM s
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS term_rank
+    FROM r WHERE rk <= {_TFIDF_TOP_K}
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/topic signal a
+    training pipeline derives before clustering or mixture planning.
+
+    Shape at scale: one shuffle to (doc_id, term) counts, a second
+    map-side-partial aggregate to the document-frequency table
+    (vocabulary-sized — orders of magnitude smaller than the corpus),
+    one equi-join on term (AQE picks broadcast when the vocabulary
+    fits), and a bounded per-document window for the top-k (per-doc
+    group size ≤ distinct terms in that doc — never corpus-scale).
+    The corpus size joins in as a single-row broadcast.
+
+    Cross-engine determinism: ranking orders on the ROUNDED score
+    with the term text as tie-break, so equal-scored terms pick
+    identically in Spark and DuckDB."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    s = tf.join(df_t, "term").crossJoin(F.broadcast(n))
+    tfidf = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    scored = s.select("doc_id", "term", "tf", "df", tfidf.alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= _TFIDF_TOP_K)
     )

@@ -91,6 +91,8 @@ _FRONT: tuple[str, ...] = (
     "user_recency_features",
     "cohort_retention",
     "scd2_activity_history",
+    "doc_tfidf_top_terms",
+    "embedding_norm_stats",
 )
 
 
