@@ -526,3 +526,84 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_orig_dq"),
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    iv AS (
+        SELECT label,
+               unnest(list_transform(
+                   generate_series(1, len(v)),
+                   i -> struct_pack(i := i, val := v[i])
+               )) AS u
+        FROM e
+    ),
+    dm AS (
+        SELECT label, u.i AS i, AVG(u.val) AS m FROM iv GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM dm GROUP BY 1
+    ),
+    s AS (
+        SELECT e.label,
+               sqrt(list_dot_product(v, v)) AS nrm,
+               list_dot_product(v, centroid)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(centroid, centroid))) AS cos_c
+        FROM e JOIN c USING (label)
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(nrm), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           ROUND(AVG(cos_c), 6) AS avg_centroid_cosine,
+           ROUND(MIN(cos_c), 6) AS min_centroid_cosine
+    FROM s
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA block: vector counts, L2-norm spread,
+    and cluster cohesion (cosine of each vector to its label
+    centroid) — the health check a pipeline runs on an embedding
+    table before trusting it for retrieval or dedup.
+
+    Two-pass shape that scales: pass 1 computes per-dimension means
+    via ``posexplode`` → (label, dim) hash aggregate (map-side
+    partials; d·|labels| output rows — tiny), reassembled into
+    centroid arrays with an ``array_sort(collect_list(struct))`` over
+    the bounded per-label dim set; pass 2 broadcast-joins the
+    centroid table back and folds the cosine JVM-side (sequential
+    ``zip_with``/``aggregate`` — same deterministic order as DuckDB's
+    ``list_dot_product``).  No all-pairs anything: cost is O(N·d) both
+    passes."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "label", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    pe = e.select("label", F.posexplode("v").alias("pos", "val"))
+    dim_means = pe.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    centroids = dim_means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    j = e.join(F.broadcast(centroids), "label")
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    cos_c = _dot(F.col("v"), F.col("centroid")) / (
+        nrm * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    s = j.select("label", nrm.alias("nrm"), cos_c.alias("cos_c"))
+    return s.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("cos_c"), 6).alias("avg_centroid_cosine"),
+        F.round(F.min("cos_c"), 6).alias("min_centroid_cosine"),
+    )
