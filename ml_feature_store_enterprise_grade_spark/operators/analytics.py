@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import money
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -323,11 +324,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Daily-activity banding thresholds for the SCD2 demo attribute.
 _BAND_SQL = "CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END"
 
-
-@register(
-    "scd2_activity_history",
-    oracle=f"""
-    WITH daily AS (
+#: Shared oracle CTE chain building the SCD2 band history (used by
+#: both the history query and the interval-join query).
+_SCD2_SQL_CTES = f"""
+    daily AS (
         SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2
@@ -341,13 +341,25 @@ _BAND_SQL = "CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END"
                    lag(band) OVER (PARTITION BY user_id ORDER BY d) AS prev
             FROM banded
         ) WHERE prev IS NULL OR band <> prev
+    ),
+    scd AS (
+        SELECT user_id, band,
+               d AS effective_from,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS effective_to,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+                   AS version,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) IS NULL AS is_current
+        FROM changes
     )
-    SELECT user_id, band,
-           d AS effective_from,
-           lead(d) OVER (PARTITION BY user_id ORDER BY d) AS effective_to,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS version,
-           lead(d) OVER (PARTITION BY user_id ORDER BY d) IS NULL AS is_current
-    FROM changes
+"""
+
+
+@register(
+    "scd2_activity_history",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES}
+    SELECT user_id, band, effective_from, effective_to, version, is_current
+    FROM scd
     """,
 )
 def scd2_activity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,4 +383,56 @@ def scd2_activity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scd2_compact(banded, key="user_id", attr="band", effective_from="d")
     return out.select(
         "user_id", "band", "effective_from", "effective_to", "version", "is_current"
+    )
+
+
+@register(
+    "activity_band_interval_join",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES},
+    e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT s.band,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM e JOIN scd s
+      ON e.user_id = s.user_id
+     AND e.d >= s.effective_from
+     AND (s.effective_to IS NULL OR e.d < s.effective_to)
+    GROUP BY 1
+    """,
+)
+def activity_band_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval (range) join: attach to every event the SCD2
+    activity band in effect on its date, then roll up per band.  The
+    general J-family member the as-of join doesn't cover — validity
+    *ranges*, not nearest-timestamp.
+
+    Physical shape: equi-key on ``user_id`` carries the join (one
+    shuffle, sort-merge), the range predicate applies as a join
+    filter inside each key group — per-user interval counts are
+    small (≤ #band changes), so the filter never amplifies.  The
+    half-open ``[from, to)`` convention plus NULL-open current rows
+    means every event matches exactly one interval by construction.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"), "value")
+    )
+    bands = scd2_activity_history(spark, sf_dir)
+    cond = (
+        (e["user_id"] == bands["user_id"])
+        & (e["d"] >= bands["effective_from"])
+        & (bands["effective_to"].isNull() | (e["d"] < bands["effective_to"]))
+    )
+    j = e.join(bands, cond).select(e["user_id"], "d", "value", "band")
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(money(F.col("value"))), 2).cast("double").alias("total_value"),
     )

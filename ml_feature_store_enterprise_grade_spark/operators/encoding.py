@@ -174,3 +174,110 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: Leakage-aware temporal split boundaries over the events corpus
+#: (Jan 2024): a purge/embargo day after each cut absorbs label
+#: horizons that straddle the boundary (the time-series CV discipline
+#: — features computed before the cut must not see labels after it).
+_T_TRAIN_END = "2024-01-20"
+_T_VAL_START = "2024-01-21"
+_T_VAL_END = "2024-01-27"
+_T_TEST_START = "2024-01-28"
+
+
+@register(
+    "temporal_split_embargo",
+    oracle=f"""
+    SELECT event_id, ts,
+           CASE WHEN ts <  TIMESTAMP '{_T_TRAIN_END}' THEN 'train'
+                WHEN ts <  TIMESTAMP '{_T_VAL_START}' THEN 'purged'
+                WHEN ts <  TIMESTAMP '{_T_VAL_END}'   THEN 'val'
+                WHEN ts <  TIMESTAMP '{_T_TEST_START}' THEN 'purged'
+                ELSE 'test' END AS split
+    FROM events
+    WHERE ts IS NOT NULL
+    """,
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/val/test split with embargo (purge) windows
+    after each boundary.  The temporal complement to the hash split:
+    hash-of-key prevents *entity* leakage, a time cut with an embargo
+    gap prevents *label-horizon* leakage (a 24 h label computed at
+    23:59 before the cut peeks into val otherwise).  Pure map-side
+    projection — zero shuffles at any scale."""
+    ts = F.col("ts")
+    split = (
+        F.when(ts < F.lit(_T_TRAIN_END).cast("timestamp"), "train")
+        .when(ts < F.lit(_T_VAL_START).cast("timestamp"), "purged")
+        .when(ts < F.lit(_T_VAL_END).cast("timestamp"), "val")
+        .when(ts < F.lit(_T_TEST_START).cast("timestamp"), "purged")
+        .otherwise("test")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(ts.isNotNull())
+        .select("event_id", "ts", split.alias("split"))
+    )
+
+
+#: Winsorization percentiles for robust scaling.
+_WINSOR_LO, _WINSOR_HI = 0.01, 0.99
+
+
+@register(
+    "feature_scaling",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, {_WINSOR_LO}), 6) AS lo,
+               ROUND(quantile_cont(value, {_WINSOR_HI}), 6) AS hi,
+               ROUND(AVG(value), 6) AS mu,
+               ROUND(STDDEV_SAMP(value), 6) AS sigma,
+               ROUND(MIN(value), 6) AS mn,
+               ROUND(MAX(value), 6) AS mx
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(LEAST(GREATEST(e.value, s.lo), s.hi), 6) AS winsorized,
+           ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 4) AS zscore,
+           ROUND((e.value - s.mn) / NULLIF(s.mx - s.mn, 0), 6) AS minmax
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling block: winsorized (p01/p99-clamped)
+    value, z-score, and min-max normalization of ``value`` within
+    each ``event_type`` — the standard-scaler pass a training
+    pipeline applies before gradient-based models.
+
+    Shape: one aggregate produces a per-group stats table (|groups|
+    rows — broadcast), then one map-side projection applies all three
+    scalings; the fact table is scanned twice but never shuffled.
+    Cross-engine determinism: group statistics are ROUNDED to 6 dp
+    before use on both engines, so order-sensitive double sums (avg/
+    stddev) and percentile interpolation cannot leak sub-rounding
+    noise into the scaled outputs."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {_WINSOR_LO})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {_WINSOR_HI})"), 6).alias("hi"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+        F.round(F.min("value"), 6).alias("mn"),
+        F.round(F.max("value"), 6).alias("mx"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    v = F.col("value")
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.least(F.greatest(v, F.col("lo")), F.col("hi")), 6).alias("winsorized"),
+        F.round((v - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0)), 4).alias("zscore"),
+        F.round((v - F.col("mn")) / F.nullif(F.col("mx") - F.col("mn"), F.lit(0)), 6).alias(
+            "minmax"
+        ),
+    )

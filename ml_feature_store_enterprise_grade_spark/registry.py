@@ -93,6 +93,9 @@ _FRONT: tuple[str, ...] = (
     "scd2_activity_history",
     "doc_tfidf_top_terms",
     "embedding_norm_stats",
+    "activity_band_interval_join",
+    "temporal_split_embargo",
+    "feature_scaling",
 )
 
 

@@ -116,6 +116,25 @@ class TestScd2:
         assert row["is_current"] and row["version"] == 1
 
 
+class TestIntervalJoinQuery:
+    def test_bands_tile_all_events(self, spark):
+        from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+            activity_band_interval_join,
+        )
+        from ml_feature_store_enterprise_grade_spark.catalog import load_table
+
+        out = activity_band_interval_join(spark, SF_SMOKE)
+        total = sum(r["n_events"] for r in out.collect())
+        expected = (
+            load_table(spark, SF_SMOKE, "events")
+            .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+            .count()
+        )
+        # half-open [from, to) + NULL-open current row ⇒ every event
+        # matches exactly one interval: the rollup tiles the corpus
+        assert total == expected
+
+
 class TestCohortRetentionQuery:
     def test_offset_zero_full_retention(self, spark):
         out = cohort_retention(spark, SF_SMOKE).collect()
