@@ -621,10 +621,10 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLES_SQL_CTE},
+#: Full recursive-CTE chain labeling every doc with its duplicate
+#: cluster (min doc_id of its exact+MinHash component) — shared by
+#: ``dedup_clusters`` and the end-to-end ``corpus_dedup_pipeline``.
+_CLUSTER_LABEL_SQL_CTES = f"""{_SHINGLES_SQL_CTE},
     sig AS (
         SELECT doc_id,
            {_MINHASH_SIG_SQL}
@@ -660,7 +660,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
                LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
         FROM nd d LEFT JOIN reach r ON r.src = d.doc_id
         GROUP BY d.doc_id
-    )
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES}
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
            doc_id = cluster_id AS is_canonical
@@ -838,4 +844,88 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
             F.coalesce("exact_match", "near_match").alias("match_doc_id"),
         )
+    )
+
+
+def _quality_admitted_sql() -> str:
+    """Quality-admission CTEs mirroring ``corpus_quality_filter``'s
+    oracle (text.py) — inlined here so the pipeline oracle stays one
+    self-contained statement."""
+    from .text import (
+        _MAX_STOPWORD_RATIO,
+        _MAX_TOKENS,
+        _MIN_DISTINCT_RATIO,
+        _MIN_TOKENS,
+        _STOPWORDS,
+    )
+
+    return f"""qt AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               (len(toks) >= {_MIN_TOKENS} AND len(toks) <= {_MAX_TOKENS}
+                AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / NULLIF(len(toks), 0) >= {_MIN_DISTINCT_RATIO}
+                AND CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                    / NULLIF(len(toks), 0) <= {_MAX_STOPWORD_RATIO}) AS admitted
+        FROM qt
+    )"""
+
+
+@register(
+    "corpus_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    {_quality_admitted_sql()},
+    lq AS (
+        SELECT l.doc_id, l.cluster_id, q.admitted
+        FROM lbl l JOIN q ON l.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           admitted,
+           (admitted AND doc_id = MIN(CASE WHEN admitted THEN doc_id END)
+                OVER (PARTITION BY cluster_id)) AS kept,
+           CASE WHEN NOT admitted THEN 'quality'
+                WHEN doc_id <> MIN(CASE WHEN admitted THEN doc_id END)
+                     OVER (PARTITION BY cluster_id) THEN 'duplicate'
+           END AS reject_reason
+    FROM lq
+    """,
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus admission pipeline — the composition a
+    training-data run actually executes: C4-style quality filter
+    (``corpus_quality_filter``), duplicate clustering over the
+    exact+MinHash graph (``dedup_clusters``), then ONE kept document
+    per cluster — the smallest *admitted* doc_id, so a cluster whose
+    canonical member fails quality still keeps its best survivor
+    rather than losing the content.  Per doc: ``kept`` plus
+    ``reject_reason`` ('quality' | 'duplicate' | NULL).
+
+    Scale shape: the quality bitmap is a single scan (no shuffle);
+    clustering is the O(log n)-round hash-to-min of
+    :func:`connected_components`; the final keep decision is one
+    window over ``cluster_id`` — the same partitioning the cluster
+    join already produced.
+    """
+    from .text import corpus_quality_filter  # local import: avoid cycle
+
+    quality = corpus_quality_filter(spark, sf_dir).select("doc_id", "admitted")
+    vertices = _normalized_docs(spark, sf_dir).select("doc_id")
+    labels = connected_components(vertices, duplicate_edges(spark, sf_dir))
+    joined = labels.withColumnRenamed("label", "cluster_id").join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    keep_id = F.min(F.when(F.col("admitted"), F.col("doc_id"))).over(w)
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        "admitted",
+        (F.col("admitted") & (F.col("doc_id") == keep_id)).alias("kept"),
+        F.when(~F.col("admitted"), F.lit("quality"))
+        .when(F.col("doc_id") != keep_id, F.lit("duplicate"))
+        .alias("reject_reason"),
     )

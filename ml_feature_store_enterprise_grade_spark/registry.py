@@ -96,6 +96,7 @@ _FRONT: tuple[str, ...] = (
     "activity_band_interval_join",
     "temporal_split_embargo",
     "feature_scaling",
+    "corpus_dedup_pipeline",
 )
 
 
