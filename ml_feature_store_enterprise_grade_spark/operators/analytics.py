@@ -436,3 +436,82 @@ def activity_band_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum(money(F.col("value"))), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "session_path_markov",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) IS NULL
+                     OR date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > {int(SESSION_GAP_MINUTES * 60e6)}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM g
+    ),
+    t AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id, sess ORDER BY ts, event_id
+               ) AS dst_type
+        FROM s
+    ),
+    c AS (
+        SELECT src_type, dst_type, COUNT(*) AS n_transitions
+        FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY src_type), 6) AS p_transition
+    FROM c
+    """,
+)
+def session_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types *within
+    sessions*: for each (src → dst) pair of consecutive events in the
+    same gap-based session, the transition count and the row-
+    normalized probability — the behavioral-path features that feed
+    next-action models and funnel anomaly detection (transitions
+    across session boundaries carry no intent signal, so the chain
+    resets per session — exactly what the sessionize gap rule gives).
+
+    One shuffle on user_id (sessionize and the within-session LEAD
+    share the sort), then one aggregate to the |types|² matrix — tiny
+    at any corpus scale; the per-src normalization windows over that
+    tiny frame."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tagged = sessionize(e, SESSION_GAP_MINUTES, tiebreak="event_id")
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    t = tagged.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(ws).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    c = t.groupBy("src_type", "dst_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("src_type")
+    return c.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wsrc), 6
+        ).alias("p_transition"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import MONEY_SQL, PORTABLE_HASH64_SQL, money, portable_hash64
@@ -280,4 +281,55 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((v - F.col("mn")) / F.nullif(F.col("mx") - F.col("mn"), F.lit(0)), 6).alias(
             "minmax"
         ),
+    )
+
+
+#: Quantile-binning width: deciles.
+_N_BINS = 10
+
+
+@register(
+    "feature_binning_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+               NTILE({_N_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, CAST(bin AS INT) AS bin,
+           ROUND(MIN(o_totalprice) OVER (PARTITION BY bin), 2) AS bin_lo,
+           ROUND(MAX(o_totalprice) OVER (PARTITION BY bin), 2) AS bin_hi,
+           CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_n
+    FROM b
+    """,
+)
+def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of a continuous feature —
+    the discretization pass tree models and monotonic-feature encoders
+    rely on: each order is assigned its ``o_totalprice`` decile plus
+    the realized bin bounds and population.
+
+    Determinism: NTILE orders on ``(value, key)`` so ties split
+    identically across engines.  Scale note: a global NTILE is a
+    total sort — at 100 TB the same binning comes from
+    ``approx_percentile`` cut points (one aggregate, no sort) with
+    rank-vs-cutpoint assignment; this operator is the exact-semantics
+    form the oracle can check, and the histogram family
+    (``feature_value_histogram``) is the streaming-friendly variant.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(_N_BINS).over(w).cast("int").alias("bin"),
+    )
+    wb = Window.partitionBy("bin")
+    return binned.select(
+        "o_orderkey",
+        "o_totalprice",
+        "bin",
+        F.round(F.min("o_totalprice").over(wb), 2).alias("bin_lo"),
+        F.round(F.max("o_totalprice").over(wb), 2).alias("bin_hi"),
+        F.count("*").over(wb).cast("bigint").alias("bin_n"),
     )

@@ -427,6 +427,97 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Minimum bigram count for the PMI collocation table (rare pairs
+#: have unstable PMI and bloat the output).
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks FROM documents
+    ),
+    uc AS (
+        SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+    ),
+    tu AS (SELECT CAST(SUM(n) AS DOUBLE) AS total_u FROM uc),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+        FROM t
+    ),
+    bc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               COUNT(*) AS n_ab
+        FROM bg GROUP BY 1, 2
+    ),
+    tb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS total_b FROM bc)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln((CAST(n_ab AS DOUBLE) / total_b)
+                    / ((CAST(a.n AS DOUBLE) / total_u)
+                       * (CAST(b.n AS DOUBLE) / total_u))), 6) AS pmi
+    FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+    CROSS JOIN tb CROSS JOIN tu
+    WHERE n_ab >= {_PMI_MIN_COUNT}
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs — the
+    collocation-strength table a tokenizer/phrase-mining pass derives
+    from the corpus (PMI = ln p(ab) / (p(a)·p(b)); high-PMI pairs are
+    multiword units, near-zero pairs are chance co-occurrences).
+
+    Shape at scale: unigram and bigram counts are two shuffles with
+    map-side partial aggregation into vocabulary-sized tables; the
+    PMI join runs on those tables (AQE broadcasts the smaller), and
+    the two grand totals enter as single-row broadcasts.  The corpus
+    itself is scanned twice and never shuffled.  Both engines compute
+    the identical double-division/ln/round chain, so values hash-match."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        _tokens(F.col("text")).alias("toks")
+    )
+    uc = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tu = uc.agg(F.sum("n").cast("double").alias("total_u"))
+    head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    tail = F.slice(F.col("toks"), 2, F.size("toks"))
+    bigrams = F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
+    bc = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    tb = bc.agg(F.sum("n_ab").cast("double").alias("total_b"))
+    a = uc.select(F.col("w").alias("w1"), F.col("n").alias("na"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n").alias("nb"))
+    j = (
+        bc.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+    )
+    p_ab = F.col("n_ab").cast("double") / F.col("total_b")
+    p_ind = (F.col("na").cast("double") / F.col("total_u")) * (
+        F.col("nb").cast("double") / F.col("total_u")
+    )
+    return j.select(
+        "w1",
+        "w2",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(F.log(p_ab / p_ind), 6).alias("pmi"),
+    )
+
+
 #: Top terms kept per document in the TF-IDF projection.
 _TFIDF_TOP_K = 3
 
@@ -491,4 +582,107 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("term_rank") <= _TFIDF_TOP_K)
+    )
+
+
+#: PII redaction patterns (C4/Dolma-style scrub pass), applied in
+#: order, each replaced by its tag.  Lookahead-free and anchored to
+#: literal shapes so Java-regex (Spark) and RE2 (DuckDB) agree
+#: match-for-match.
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+\d{2} \d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(text: F.Column) -> tuple[F.Column, dict[str, F.Column]]:
+    """Reusable PII scrub kernel: returns ``(clean_text, counts)``
+    where counts maps category → occurrences found.  Pure codegen'd
+    regexp projections — embarrassingly parallel, no shuffle."""
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
+        for name, pat, _ in _PII_PATTERNS
+    }
+    clean = text
+    for _, pat, tag in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    return clean, counts
+
+
+#: The synthetic corpus carries no natural PII, so the registered
+#: query first *injects* deterministic doc_id-derived PII into a
+#: subset of documents (the harness half), then scrubs it back out
+#: (the operator half) — exercising every pattern with non-trivial
+#: counts on both engines.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +01 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[0][1]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_PATTERNS[0][1]}', '{_PII_PATTERNS[0][2]}', 'g'),
+               '{_PII_PATTERNS[1][1]}', '{_PII_PATTERNS[1][2]}', 'g'),
+               '{_PII_PATTERNS[2][1]}', '{_PII_PATTERNS[2][2]}', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, IPv4 addresses, phone numbers →
+    typed tags) with per-document counts — the privacy scrub every
+    training-data pipeline runs between quality filtering and dedup.
+    The corpus carries no natural PII, so deterministic doc_id-derived
+    PII is injected first (see ``_PII_AUG_SQL``) and the scrub is
+    verified to find and redact exactly those plants.
+
+    Scale shape: single scan, zero shuffles, whole-stage-codegen'd
+    regexps — at 100 TB this runs at IO speed."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +01 555-"), (1000 + F.col("doc_id") % 9000).cast("string")),
+        ).otherwise(""),
+    )
+    clean, counts = scrub_pii(aug)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        clean.alias("clean_text"),
     )

@@ -97,6 +97,11 @@ _FRONT: tuple[str, ...] = (
     "temporal_split_embargo",
     "feature_scaling",
     "corpus_dedup_pipeline",
+    "pii_scrub",
+    "feature_binning_quantile",
+    "stream_drift_monitor",
+    "session_path_markov",
+    "corpus_bigram_pmi",
 )
 
 

@@ -40,6 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -277,3 +278,129 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_available_now(deduped, "stream_dedup")
+
+
+#: Drift-monitor binning: same decile/epsilon conventions as the
+#: batch PSI operator (operators/drift.py).
+_DRIFT_BINS = 10
+_DRIFT_EPS = 1e-6
+
+_DRIFT_BIN_SQL = (
+    f"LEAST({_DRIFT_BINS - 1}, CAST(floor((value - lo) / NULLIF(hi - lo, 0)"
+    f" * {_DRIFT_BINS}) AS INTEGER))"
+)
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=f"""
+    WITH v AS (
+        SELECT ts, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+    ref AS (
+        SELECT {_DRIFT_BIN_SQL} AS bin, COUNT(*) AS n_ref
+        FROM v, rng GROUP BY 1
+    ),
+    tr AS (SELECT SUM(n_ref) AS t_ref FROM ref),
+    cur AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               {_DRIFT_BIN_SQL} AS bin,
+               COUNT(*) AS n_cur
+        FROM v, rng
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+        GROUP BY 1, 2
+    ),
+    tc AS (SELECT window_start, SUM(n_cur) AS t_cur FROM cur GROUP BY 1),
+    grid AS (
+        SELECT w.window_start, r.bin, r.n_ref
+        FROM (SELECT DISTINCT window_start FROM cur) w CROSS JOIN ref r
+    ),
+    p AS (
+        SELECT g.window_start,
+               GREATEST(CAST(g.n_ref AS DOUBLE) / tr.t_ref, {_DRIFT_EPS}) AS p_ref,
+               GREATEST(CAST(COALESCE(c.n_cur, 0) AS DOUBLE) / tc.t_cur,
+                        {_DRIFT_EPS}) AS p_cur
+        FROM grid g
+        LEFT JOIN cur c ON g.window_start = c.window_start AND g.bin = c.bin
+        JOIN tc ON g.window_start = tc.window_start
+        CROSS JOIN tr
+    )
+    SELECT window_start,
+           ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+           SUM((p_cur - p_ref) * ln(p_cur / p_ref)) >= 0.2 AS shifted
+    FROM p
+    GROUP BY 1
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per finalized hourly window, the PSI
+    of the window's ``value`` distribution against the static
+    full-corpus baseline — the production pattern where a streaming
+    job materializes per-window histogram counts and a monitor query
+    scores them (drift on the *live* feed, not a nightly batch).
+
+    Two halves, split exactly where production splits them: the
+    STREAMING half bins values (bounds from a one-row batch aggregate,
+    collected O(1) like the KS bounds in drift.py) and emits watermark-
+    finalized per-(window, bin) counts — one streaming aggregate,
+    append-legal; the BATCH half (over the sink) joins the tiny
+    (windows × {_DRIFT_BINS}) grid against the broadcast baseline and
+    folds the PSI sum.  State per open window is {_DRIFT_BINS} rows —
+    bounded regardless of event volume."""
+    ensure_engine_confs(spark)
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    lo, hi = v.agg(F.min("value"), F.max("value")).first()
+    span = F.nullif(F.lit(hi - lo), F.lit(0.0))
+
+    def _bin(col: F.Column) -> F.Column:
+        return F.least(
+            F.lit(_DRIFT_BINS - 1),
+            F.floor((col - F.lit(lo)) / span * _DRIFT_BINS).cast("int"),
+        )
+
+    ref = v.groupBy(_bin(F.col("value")).alias("bin")).agg(F.count("*").alias("n_ref"))
+    stream = streaming_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    cur_stream = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), _bin(F.col("value")).alias("bin"))
+        .agg(F.count("*").alias("n_cur"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
+    )
+    cur = run_available_now(cur_stream, "stream_drift_monitor")
+    # Rename the grid axes: both grid and the probe side derive from
+    # the same sink frame, and identical attribute ids in a self-join
+    # are unresolvable.
+    wins = cur.select(F.col("window_start").alias("ws")).distinct()
+    grid = wins.crossJoin(F.broadcast(ref.withColumnRenamed("bin", "gbin")))
+    t_ref = float(ref.agg(F.sum("n_ref")).first()[0])
+    wt = Window.partitionBy("window_start")
+    j = grid.join(
+        cur,
+        (F.col("ws") == F.col("window_start")) & (F.col("gbin") == F.col("bin")),
+        "left",
+    ).select(
+        F.col("ws").alias("window_start"),
+        "n_ref",
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    p = j.select(
+        "window_start",
+        F.greatest(F.col("n_ref").cast("double") / F.lit(t_ref), F.lit(_DRIFT_EPS)).alias(
+            "p_ref"
+        ),
+        F.greatest(
+            F.col("n_cur").cast("double") / F.sum("n_cur").over(wt), F.lit(_DRIFT_EPS)
+        ).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return p.groupBy("window_start").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) >= 0.2).alias("shifted"),
+    )
