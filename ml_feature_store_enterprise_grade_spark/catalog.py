@@ -33,30 +33,41 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: Columns stored as TIMESTAMP(NANOS) int64 in parquet → TimestampType.
-_NANOS_TS_COLS: dict[str, list[str]] = {
-    "events": ["ts"],
+#: Columns that must surface as session-TZ TimestampType regardless of
+#: physical parquet encoding (the testdata has shipped both int64
+#: TIMESTAMP(NANOS) and timestamp[us]/NTZ forms across generations).
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
 }
 
-#: Columns surfaced as timestamp_ntz → TimestampType (UTC session ⇒
-#: identical wall-clock; keeps one timestamp type engine-wide).
-_NTZ_TS_COLS: dict[str, list[str]] = {
-    "orders": ["o_orderdate"],
-    "lineitem": ["l_shipdate"],
-}
+
+def normalize_ts(df: DataFrame, cols) -> DataFrame:
+    """Normalize timestamp columns to TimestampType, dispatching on the
+    column's *actual* physical type:
+
+    * ``bigint`` — int64 nanoseconds: integer-div to micros (a float
+      div would lose precision above 2^53) then ``timestamp_micros``;
+    * ``timestamp_ntz`` — wall-clock micros: cast (UTC session ⇒
+      identical instant, keeps one timestamp type engine-wide);
+    * ``timestamp`` — already the engine type, no-op.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table with normalized engine types."""
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        # int64 nanos → micros via integer div (a float div would lose
-        # precision above 2^53), then TimestampType.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    for c in _NTZ_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    return normalize_ts(df, _TS_COLS.get(name, ()))
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

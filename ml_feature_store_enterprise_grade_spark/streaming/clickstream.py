@@ -42,22 +42,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, normalize_ts
 from ..registry import register
 from ..session import ensure_engine_confs
-
-#: Explicit stream schema (never infer on a stream source) — raw
-#: physical form: ts is int64 nanos in the parquet testdata.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 WATERMARK = "15 minutes"
 
@@ -74,16 +61,25 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+def events_raw_schema(spark: SparkSession, src_dir: str) -> T.StructType:
+    """Explicit stream schema (never infer on a stream source), taken
+    from the staged parquet's own footer so the replay matches the
+    physical encoding the driver generated (int64-nanos ``ts`` in
+    older testdata, timestamp[us] in newer)."""
+    return spark.read.parquet(src_dir).schema
+
+
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as a stream (the test
     stand-in for the Kafka source S1)."""
     ensure_engine_confs(spark)
+    src = _stream_source_dir(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, src))
         .format("parquet")
-        .load(_stream_source_dir(sf_dir))
+        .load(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, ["ts"])
 
 
 def windowed_features(events: DataFrame) -> DataFrame:

@@ -26,3 +26,36 @@ def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
     a = src.agg(F.round(F.sum("c_acctbal"), 2).alias("s")).first()["s"]
     b = back.agg(F.round(F.sum("c_acctbal"), 2).alias("s")).first()["s"]
     assert a == b
+
+
+def test_ts_normalization_is_type_aware(spark, tmp_path):
+    """The driver's testdata has shipped `events.ts` as both int64
+    nanoseconds and timestamp[us] across generations; `load_table`
+    must surface TimestampType with identical instants either way."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table as lt
+
+    native = lt(spark, SF_SMOKE, "events")
+    assert dict(native.dtypes)["ts"] == "timestamp"
+
+    # Rewrite the same rows with ts as int64 epoch-nanos into a twin dir.
+    twin = str(tmp_path / "twin_sf")
+    os.makedirs(twin)
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    ts_ns = tbl["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns),
+        f"{twin}/events.parquet",
+    )
+    nanos = lt(spark, twin, "events")
+    assert dict(nanos.dtypes)["ts"] == "timestamp"
+    j = (
+        native.select("event_id", F.col("ts").alias("a"))
+        .join(nanos.select("event_id", F.col("ts").alias("b")), "event_id")
+        .filter(F.col("a") != F.col("b"))
+    )
+    assert j.count() == 0
+    assert native.count() == nanos.count()

@@ -15,9 +15,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from ml_feature_store_enterprise_grade_spark.catalog import load_table, normalize_ts
 from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
-    EVENTS_RAW_SCHEMA,
+    events_raw_schema,
     windowed_features,
 )
 from tests.conftest import SF_SMOKE
@@ -29,7 +29,7 @@ def multi_file_source(spark, tmp_path_factory):
     6 micro-batches (file order ~ arbitrary ⇒ real out-of-order and
     late-data pressure on the watermark)."""
     d = str(tmp_path_factory.mktemp("stream_src"))
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_SMOKE}/events.parquet")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     # Six sequential append-writes of consecutive time ranges, each
     # with a strictly later modification time: FileStreamSource orders
     # files by mtime, so maxFilesPerTrigger=1 replays an in-order
@@ -53,11 +53,10 @@ def multi_file_source(spark, tmp_path_factory):
 
 
 def _stream(spark, src_dir, max_files=None):
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    reader = spark.readStream.schema(events_raw_schema(spark, src_dir)).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    raw = reader.load(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(reader.load(src_dir), ["ts"])
 
 
 def test_parquet_sink_roundtrip_partitioned(spark, multi_file_source, tmp_path):
@@ -175,7 +174,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_SMOKE}/events.parquet")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
     mid = lo + (hi - lo) // 2
 
