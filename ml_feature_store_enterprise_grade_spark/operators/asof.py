@@ -313,3 +313,126 @@ def online_feature_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(None).cast(t).alias(c) for c, t in zip(_FEATURE_COLS, ("bigint", "bigint", "double", "double"))],
     )
     return hits.unionByName(misses)
+
+
+#: Profile-style daily view TTL (long-lived, vs 24 h click features)
+#: — the reference runs exactly this two-TTL split: 365 d profile
+#: features (feast_repo/features.py:43) next to 24 h click features
+#: (README.md:299).
+DAILY_TTL_HOURS = 7 * 24
+
+
+def daily_activity_view(events: DataFrame) -> DataFrame:
+    """A second feature view over the same stream: per-user daily
+    aggregates, valid as of end-of-day (feature_timestamp = midnight
+    after the activity date — the window-end convention, reference
+    spark/apps/clickstream_aggregation.py:200)."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("activity_date"))
+        .agg(
+            F.count("*").alias("daily_events"),
+            F.round(F.sum("value"), 2).alias("daily_value"),
+        )
+        .select(
+            "user_id",
+            F.date_add("activity_date", 1).cast("timestamp").alias("feature_timestamp"),
+            "daily_events",
+            "daily_value",
+        )
+    )
+
+
+_DAILY_SQL_CTE = """
+    daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS feature_timestamp,
+               COUNT(*) AS daily_events,
+               ROUND(SUM(value), 2) AS daily_value
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "pit_multi_view_join",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    {_DAILY_SQL_CTE},
+    entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    ),
+    ja AS (
+        SELECT e.user_id, e.lookup_ts,
+               f.feature_timestamp AS click_feature_ts, {_FEATURE_COLS_SQL},
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY f.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN hourly f
+          ON e.user_id = f.user_id
+         AND f.feature_timestamp <= e.lookup_ts
+         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
+    ),
+    jb AS (
+        SELECT e.user_id, e.lookup_ts,
+               d.feature_timestamp AS daily_feature_ts, d.daily_events, d.daily_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY d.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN daily d
+          ON e.user_id = d.user_id
+         AND d.feature_timestamp <= e.lookup_ts
+         AND d.feature_timestamp > e.lookup_ts - INTERVAL {DAILY_TTL_HOURS} HOURS
+    )
+    SELECT a.user_id, a.lookup_ts,
+           a.click_feature_ts, {", ".join(f"a.{c}" for c in _FEATURE_COLS)},
+           b.daily_feature_ts, b.daily_events, b.daily_value
+    FROM (SELECT * FROM ja WHERE rn = 1) a
+    JOIN (SELECT * FROM jb WHERE rn = 1) b
+      ON a.user_id = b.user_id AND a.lookup_ts = b.lookup_ts
+    """,
+)
+def pit_multi_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feast's full ``get_historical_features`` shape: one entity
+    frame retrieved against MULTIPLE feature views, each with its own
+    TTL, stitched into a single training frame (the reference's
+    two-view registry: 365 d profile features + 24 h click features,
+    feast_repo/features.py:40-54, README.md:289-300).
+
+    Composition, not a new primitive: one ``asof_join`` per view off
+    the shared entity frame, then a 1:1 equi-join of the per-view
+    results on (entity, lookup_ts).  Scale shape: each as-of join
+    collapses to one row per (entity, lookup) via the two-phase
+    hash-agg plan, and because BOTH sides of the final join arrive
+    hash-partitioned on the same (user_id, lookup_ts) keys from their
+    aggregates, the stitch adds no extra shuffle of either side.  At
+    the 2024-02-05 lookup the 24 h click view has TTL-expired (NULL
+    features) while the 7 d daily view still serves — the per-view-TTL
+    semantics the composition exists to preserve."""
+    events = load_table(spark, sf_dir, "events")
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
+        )
+    )
+    clicks = asof_join(entities, hourly_features(events), key="user_id").withColumnRenamed(
+        "feature_timestamp", "click_feature_ts"
+    )
+    daily = asof_join(
+        entities,
+        daily_activity_view(events),
+        key="user_id",
+        ttl_hours=DAILY_TTL_HOURS,
+        feature_cols=("daily_events", "daily_value"),
+    ).withColumnRenamed("feature_timestamp", "daily_feature_ts")
+    return clicks.join(daily, ["user_id", "lookup_ts"])

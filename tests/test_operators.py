@@ -412,3 +412,30 @@ def test_corpus_sampling_plan_rates_and_determinism(spark, sf_dir=SF_SMOKE):
     # determinism: a second run keeps exactly the same docs
     again = {r.doc_id: r.keep for r in corpus_sampling_plan(spark, sf_dir).collect()}
     assert all(again[r.doc_id] == r.keep for r in rows)
+
+
+def test_multi_view_pit_per_view_ttl(spark):
+    """The multi-view retrieval must honor each view's own TTL: at the
+    2024-02-05 lookup (≥4 days after the last event) the 24 h click
+    view is fully expired while the 7 d daily view still serves users
+    active in the final week."""
+    from ml_feature_store_enterprise_grade_spark.operators.asof import pit_multi_view_join
+
+    rows = pit_multi_view_join(spark, SF_SMOKE).collect()
+    assert rows, "retrieval returned nothing"
+    late = [r for r in rows if str(r.lookup_ts).startswith("2024-02-05")]
+    assert late, "expected rows at the TTL-expired lookup time"
+    assert all(r.click_feature_ts is None for r in late)
+    served = [r for r in late if r.daily_feature_ts is not None]
+    assert served, "7 d daily view should still serve recent users"
+    # Entity frame is preserved 1:1 — every (entity, lookup) appears
+    # exactly once regardless of view hits/misses.
+    keys = [(r.user_id, r.lookup_ts) for r in rows]
+    assert len(keys) == len(set(keys))
+    # A mid-range lookup serves both views for active users.
+    mid = [
+        r for r in rows
+        if str(r.lookup_ts).startswith("2024-01-10")
+        and r.click_feature_ts is not None
+    ]
+    assert mid and all(r.daily_feature_ts is not None for r in mid)
