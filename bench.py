@@ -59,6 +59,9 @@ BENCH_QUERIES = (
     "dedup_incremental",
     "sequence_packing_plan",
     "embedding_quantization_error",
+    "pit_multi_view_join",
+    "stream_online_materialize",
+    "doc_unigram_logprob",
 )
 
 

@@ -281,3 +281,48 @@ def feature_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("click_coverage"),
     )
+
+
+@register(
+    "skew_diagnostics",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, COUNT(*) AS n
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(n) / (SUM(n) / COUNT(*)), 4) AS skew_ratio,
+           ROUND(CAST(quantile_cont(n, 0.99) AS DOUBLE), 4) AS p99_key_rows,
+           ROUND(-SUM((n / total) * log2(n / total)), 4) AS key_entropy_bits
+    FROM k CROSS JOIN tot
+    """,
+)
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile — the pre-flight check before any big
+    keyed join/agg (the reference's activity-weighted generators make
+    some user_ids hot BY DESIGN, scripts/batch_generator.py:79-108):
+    key cardinality, heaviest-key share, max/mean skew ratio, p99 key
+    size, and key-distribution entropy.  A skew_ratio ≫ 10 or entropy
+    far below log2(n_keys) says "salt this key or let AQE split it"
+    (functions/skew.py is the remediation toolkit).
+
+    One shuffle total: per-key counts (partial-agg collapses the hot
+    key map-side), then a single-row reduce over the tiny key-count
+    frame — grand totals fold in the same pass via a scalar
+    cross-join, never a second scan of raw data."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = k.agg(F.sum("n").cast("double").alias("total"))
+    p = F.col("n") / F.col("total")
+    return k.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("n") / (F.sum("n") / F.count("*")), 4).alias("skew_ratio"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_key_rows"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("key_entropy_bits"),
+    )

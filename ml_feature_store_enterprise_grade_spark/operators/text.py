@@ -686,3 +686,51 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cnt * log10(CAST(n AS DOUBLE) / total)) / SUM(cnt), 4)
+               AS avg_logprob
+    FROM dtc JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy: per-document mean unigram
+    log10-probability under the corpus's own unigram distribution —
+    the cheap stand-in for perplexity-based quality filtering (docs of
+    rare/garbage tokens score low, stopword soup scores high).
+
+    Scale shape: tokens collapse to per-doc term counts FIRST
+    (explode → groupBy(doc, tok)), so the vocab join moves one row per
+    distinct (doc, token), not one per token occurrence; the vocab
+    frame is one row per distinct token (heavy-hitter skew on common
+    tokens is collapsed by the partial aggregate before both
+    shuffles).  The corpus token total is a single O(1) scalar
+    aggregate (same discipline as the KS bounds in drift.py)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    dtc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = float(vocab.agg(F.sum("n")).first()[0])
+    logp = F.log10(F.col("n").cast("double") / F.lit(total))
+    return (
+        dtc.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 4).alias("avg_logprob"),
+        )
+    )

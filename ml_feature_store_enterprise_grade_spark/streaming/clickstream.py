@@ -400,3 +400,80 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("psi"),
         (F.sum(term) >= 0.2).alias("shifted"),
     )
+
+
+def online_upsert_sink(online_path: str):
+    """``foreachBatch`` sink: merge each finalized micro-batch into a
+    latest-per-key online snapshot with the same staged-write + atomic
+    swap discipline as ``FeatureStore.materialize`` (a mid-write crash
+    must never destroy the serving snapshot; on an object store the
+    swap is a versioned prefix + pointer flip).  Per batch it shuffles
+    the batch plus one row per known entity — never raw history."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.asof import latest_snapshot
+
+        merged = batch_df
+        if os.path.isdir(online_path):
+            prev = batch_df.sparkSession.read.parquet(online_path)
+            merged = prev.unionByName(batch_df, allowMissingColumns=True)
+        snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
+        staging = online_path + "__staging"
+        snap.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(online_path):
+            shutil.rmtree(online_path)
+        os.replace(staging, online_path)
+
+    return _upsert
+
+
+@register(
+    "stream_online_materialize",
+    oracle="""
+    WITH finalized AS (
+        SELECT user_id,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS feature_timestamp,
+               COUNT(*) AS total_events,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click_count,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view_count,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+                   AS total_revenue
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, feature_timestamp,
+           total_events, click_count, view_count, total_revenue
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY feature_timestamp DESC
+        ) AS rn FROM finalized
+    ) WHERE rn = 1
+    """,
+)
+def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 as a LIVE loop: stream → windowed features → per-micro-batch
+    upsert into the online snapshot via ``foreachBatch`` — the
+    reference's daily Airflow materialization
+    (airflow/dags/feature_store_materialization.py:214-239) collapsed
+    into the streaming job itself, serving features minutes (not a
+    day) stale.  Append mode hands ``foreachBatch`` only finalized
+    windows, so the snapshot never serves a partially-aggregated
+    window; the oracle is latest-per-user over the batch-finalized
+    hourly aggregate.  Multi-batch upsert convergence is exercised in
+    tests/test_streaming_sink.py."""
+    result = windowed_features(streaming_events(spark, sf_dir)).drop("window_start")
+    tag = uuid.uuid4().hex[:8]
+    online = os.path.join(tempfile.gettempdir(), f"online_snap_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_online_{tag}")
+    q = (
+        result.writeStream.foreachBatch(online_upsert_sink(online))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(online)

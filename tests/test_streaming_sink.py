@@ -232,3 +232,40 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
         )
     )
     assert final.select(*batch_all.columns).exceptAll(batch_all).count() == 0
+
+
+def test_streaming_online_materialize_multi_batch(spark, multi_file_source, tmp_path):
+    """foreachBatch upsert across 6 micro-batches must converge to the
+    same snapshot as one batch pass: latest-per-user over finalized
+    windows, with each batch merging (not replacing) prior state."""
+    from ml_feature_store_enterprise_grade_spark.operators.asof import latest_snapshot
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        online_upsert_sink,
+        windowed_features,
+    )
+
+    online = str(tmp_path / "online")
+    ckpt = str(tmp_path / "ckpt")
+    result = windowed_features(_stream(spark, multi_file_source, max_files=1)).drop(
+        "window_start"
+    )
+    q = (
+        result.writeStream.foreachBatch(online_upsert_sink(online))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(online)
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    max_ts = e.agg(F.max("ts")).first()[0]
+    batch = (
+        windowed_features(e)
+        .drop("window_start")
+        .filter(F.col("feature_timestamp") <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES"))
+    )
+    want = latest_snapshot(batch, key="user_id", feature_ts="feature_timestamp")
+    assert got.count() == want.count()
+    assert got.select(*sorted(got.columns)).exceptAll(want.select(*sorted(got.columns))).count() == 0
