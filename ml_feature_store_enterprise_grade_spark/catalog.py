@@ -52,6 +52,12 @@ def normalize_ts(df: DataFrame, cols) -> DataFrame:
     * ``timestamp_ntz`` — wall-clock micros: cast (UTC session ⇒
       identical instant, keeps one timestamp type engine-wide);
     * ``timestamp`` — already the engine type, no-op.
+
+    Any other physical type fails fast: testdata encodings have
+    changed between generations before, and a silent pass-through
+    (e.g. int64 *micro*seconds read as nanos, or a string column)
+    would corrupt every downstream time semantic instead of erroring
+    at the scan.
     """
     dtypes = dict(df.dtypes)
     for c in cols:
@@ -60,6 +66,12 @@ def normalize_ts(df: DataFrame, cols) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt != "timestamp":
+            raise TypeError(
+                f"normalize_ts: column {c!r} has unsupported physical type "
+                f"{dt!r} (expected bigint nanos, timestamp_ntz, or timestamp); "
+                "the testdata encoding changed — extend the dispatch here"
+            )
     return df
 
 

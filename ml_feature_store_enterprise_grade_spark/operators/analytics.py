@@ -515,3 +515,69 @@ def session_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wsrc), 6
         ).alias("p_transition"),
     )
+
+
+@register(
+    "user_wow_delta_features",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               COUNT(*) AS wk_events,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+                   AS wk_revenue
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id, week_start, wk_events, wk_revenue,
+           LAG(wk_events) OVER w AS prev_events,
+           CAST(wk_events - LAG(wk_events) OVER w AS BIGINT) AS events_delta,
+           ROUND((wk_events - LAG(wk_events) OVER w)
+                 / NULLIF(CAST(LAG(wk_events) OVER w AS DOUBLE), 0), 6)
+               AS events_wow_pct,
+           ROUND(wk_revenue - LAG(wk_revenue) OVER w, 2) AS revenue_delta
+    FROM wk
+    WINDOW w AS (PARTITION BY user_id ORDER BY week_start)
+    """,
+)
+def user_wow_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trend features per user: weekly event and
+    revenue totals plus their deltas and percentage change against the
+    previous week (``LAG`` over the per-user week series) — the
+    momentum/trend block of a behavioral feature vector, and the P8
+    ratio discipline (``NULLIF`` guard) applied to a windowed lag.
+
+    Scale: one shuffle to the weekly aggregate (map-side partials
+    collapse the raw events first), then the lag window runs inside
+    the same user partitioning — each user's series is a handful of
+    rows, so the sort inside each partition is trivial and nothing
+    sorts globally."""
+    wk = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("week", "ts").alias("week_start"))
+        .agg(
+            F.count("*").alias("wk_events"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("wk_revenue"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("week_start")
+    prev_e = F.lag("wk_events").over(w)
+    prev_r = F.lag("wk_revenue").over(w)
+    return wk.select(
+        "user_id",
+        "week_start",
+        "wk_events",
+        "wk_revenue",
+        prev_e.alias("prev_events"),
+        (F.col("wk_events") - prev_e).cast("bigint").alias("events_delta"),
+        F.round(
+            (F.col("wk_events") - prev_e) / F.nullif(prev_e.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("events_wow_pct"),
+        F.round(F.col("wk_revenue") - prev_r, 2).alias("revenue_delta"),
+    )

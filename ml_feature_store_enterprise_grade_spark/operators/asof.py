@@ -436,3 +436,88 @@ def pit_multi_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_cols=("daily_events", "daily_value"),
     ).withColumnRenamed("feature_timestamp", "daily_feature_ts")
     return clicks.join(daily, ["user_id", "lookup_ts"])
+
+
+@register(
+    "training_set_export",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    {_DAILY_SQL_CTE},
+    entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    ),
+    ja AS (
+        SELECT e.user_id, e.lookup_ts,
+               f.feature_timestamp AS click_feature_ts, {_FEATURE_COLS_SQL},
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY f.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN hourly f
+          ON e.user_id = f.user_id
+         AND f.feature_timestamp <= e.lookup_ts
+         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
+    ),
+    jb AS (
+        SELECT e.user_id, e.lookup_ts,
+               d.feature_timestamp AS daily_feature_ts, d.daily_events, d.daily_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY d.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN daily d
+          ON e.user_id = d.user_id
+         AND d.feature_timestamp <= e.lookup_ts
+         AND d.feature_timestamp > e.lookup_ts - INTERVAL {DAILY_TTL_HOURS} HOURS
+    ),
+    conv AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    jl AS (
+        SELECT e.user_id, e.lookup_ts, c.ts, c.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN conv c
+          ON e.user_id = c.user_id
+         AND c.ts > e.lookup_ts
+         AND c.ts <= e.lookup_ts + INTERVAL {LABEL_HORIZON_HOURS} HOURS
+    )
+    SELECT a.user_id, a.lookup_ts,
+           a.click_feature_ts, {", ".join(f"a.{c}" for c in _FEATURE_COLS)},
+           b.daily_feature_ts, b.daily_events, b.daily_value,
+           CASE WHEN l.ts IS NOT NULL THEN 1 ELSE 0 END AS label,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS conversion_epoch_s,
+           ROUND(l.value, 6) AS conversion_value
+    FROM (SELECT * FROM ja WHERE rn = 1) a
+    JOIN (SELECT * FROM jb WHERE rn = 1) b
+      ON a.user_id = b.user_id AND a.lookup_ts = b.lookup_ts
+    JOIN (SELECT * FROM jl WHERE rn = 1) l
+      ON a.user_id = l.user_id AND a.lookup_ts = l.lookup_ts
+    """,
+)
+def training_set_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-set materialization — what a user of the
+    reference actually exports before a training run: point-in-time
+    features from BOTH feature views (each under its own TTL,
+    :func:`pit_multi_view_join`) stitched to the forward-horizon
+    conversion label (:func:`pit_label_join`) on the shared
+    (entity, lookup_ts) frame.  Leakage-safe by construction: features
+    strictly from ``<= lookup_ts``, labels strictly from
+    ``> lookup_ts``.
+
+    Scale: every component collapses to one row per (entity, lookup)
+    through the two-phase hash-agg as-of plan, and all three arrive
+    hash-partitioned on the same (user_id, lookup_ts) key, so the two
+    stitch joins reuse that partitioning instead of introducing new
+    shuffles.  At 100 TB this is the export you'd write back
+    date-partitioned for the trainer's data loader."""
+    feats = pit_multi_view_join(spark, sf_dir)
+    labels = pit_label_join(spark, sf_dir)
+    return feats.join(labels, ["user_id", "lookup_ts"])

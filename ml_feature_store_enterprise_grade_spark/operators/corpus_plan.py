@@ -69,7 +69,7 @@ _SEQ_STRIDE = 1_000_000_000
     WITH slice AS (
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS slice_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS slice_chars,
                CAST(ROUND(SQRT(CAST(SUM(n_chars) AS DOUBLE)), 6)
                     AS DECIMAL(18,6)) AS temp_mass
         FROM documents GROUP BY lang
@@ -138,10 +138,10 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT doc_id, shard, est_tokens,
-               COALESCE(SUM(est_tokens) OVER (
+               CAST(COALESCE(SUM(est_tokens) OVER (
                    PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS cum_before
+               ), 0) AS BIGINT) AS cum_before
         FROM d
     )
     SELECT doc_id, shard, est_tokens,

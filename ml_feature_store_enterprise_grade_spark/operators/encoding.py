@@ -64,7 +64,7 @@ _SPLIT_VAL_END = 90
         FROM orders
     )
     SELECT o.o_orderkey, o.o_orderpriority,
-           {MONEY_SQL("o.o_totalprice")} AS target,
+           CAST({MONEY_SQL("o.o_totalprice")} AS DOUBLE) AS target,
            ROUND((CAST(c.s_c - {MONEY_SQL("o.o_totalprice")} AS DOUBLE)
                   + {_TE_SMOOTHING} * g.gmean)
                  / (c.n_c - 1 + {_TE_SMOOTHING}), 6) AS te_loo
@@ -107,7 +107,7 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            t.alias("target"),
+            t.cast("double").alias("target"),
             F.round(te, 6).alias("te_loo"),
         )
     )
@@ -311,10 +311,10 @@ def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: NTILE orders on ``(value, key)`` so ties split
     identically across engines.  Scale note: a global NTILE is a
-    total sort — at 100 TB the same binning comes from
-    ``approx_percentile`` cut points (one aggregate, no sort) with
-    rank-vs-cutpoint assignment; this operator is the exact-semantics
-    form the oracle can check, and the histogram family
+    total sort — every row through one task; this operator is the
+    exact-semantics form the oracle can check.  The scale path is
+    :func:`feature_binning_scalable` (sampled cut points + map-side
+    assignment, no global sort), and the histogram family
     (``feature_value_histogram``) is the streaming-friendly variant.
     """
     o = load_table(spark, sf_dir, "orders")
@@ -332,4 +332,69 @@ def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice").over(wb), 2).alias("bin_lo"),
         F.round(F.max("o_totalprice").over(wb), 2).alias("bin_hi"),
         F.count("*").over(wb).cast("bigint").alias("bin_n"),
+    )
+
+
+#: Scalable-binning cut-point sample: keep ~1/64 of rows by key hash.
+_BIN_SAMPLE_MOD = 64
+_BIN_SAMPLE_SEED = 11
+
+_BIN_QS = [i / _N_BINS for i in range(1, _N_BINS)]
+
+
+@register(
+    "feature_binning_scalable",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        WHERE {PORTABLE_HASH64_SQL("CAST(o_orderkey AS VARCHAR)", _BIN_SAMPLE_SEED)}
+              % {_BIN_SAMPLE_MOD} = 0
+    ),
+    cuts AS (
+        SELECT {", ".join(f"ROUND(quantile_cont(v, {q}), 2) AS c{i}" for i, q in enumerate(_BIN_QS, 1))}
+        FROM s
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(1 {" ".join(f"+ CASE WHEN o.o_totalprice > c.c{i} THEN 1 ELSE 0 END" for i in range(1, _N_BINS))}
+                AS INT) AS bin
+    FROM orders o CROSS JOIN cuts c
+    """,
+)
+def feature_binning_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of quantile binning: decile cut points from a
+    deterministic hash sample (exact ``percentile`` over ~1/{_BIN_SAMPLE_MOD}
+    of rows, rounded to 2 dp), broadcast as a one-row frame; bin
+    assignment is then a pure map-side comparison ladder — the fact
+    table is never sorted, never shuffled.
+
+    This replaces :func:`feature_binning_quantile`'s global NTILE
+    (a single-task total sort) with the sample-quantile discipline:
+    sampling error on cut points is O(1/sqrt(sample)) and only moves
+    rows adjacent to a boundary by one bin.  Production knobs: raise
+    the sample modulus so the sample stays ~1M rows, or swap the
+    sample+``percentile`` pair for ``approx_percentile`` over the full
+    column (one line) when a sketch is preferred over a sample.
+    Cross-engine determinism: hash-of-key sampling and 2 dp-rounded
+    cut points are computed identically by both engines (the
+    ``feature_scaling`` percentile-parity precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    sample = o.filter(
+        portable_hash64(F.col("o_orderkey").cast("string"), seed=_BIN_SAMPLE_SEED)
+        % _BIN_SAMPLE_MOD
+        == 0
+    )
+    cuts = sample.agg(
+        *[
+            F.round(F.expr(f"percentile(CAST(o_totalprice AS DOUBLE), {q})"), 2).alias(
+                f"c{i}"
+            )
+            for i, q in enumerate(_BIN_QS, 1)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(1, _N_BINS):
+        bin_col = bin_col + F.when(v > F.col(f"c{i}"), 1).otherwise(0)
+    return o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey", "o_totalprice", bin_col.cast("int").alias("bin")
     )

@@ -275,7 +275,7 @@ def user_primary_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(e, "user_id", "event_type", out_col="primary_event_type")
 
 
-@register("sketch_distinct_users_rollup")  # sketch estimates: rows-only check
+@register("sketch_distinct_users_rollup", rows_only="HLL sketch estimates: engine-specific; error bound tested in tests/test_sketches.py")
 def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: per-day HLL sketches of
     user_id, unioned into per-event-type totals WITHOUT re-reading raw

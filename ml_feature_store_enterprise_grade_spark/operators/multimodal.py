@@ -135,9 +135,22 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, _DECODE_SCHEMA)
 
 
-@register("multimodal_decode_features")  # pandas-UDF kernel: rows-only check
+@register("multimodal_decode_features", rows_only="pandas-UDF decode kernel: stubbed codec, not SQL-expressible; parity tested in tests/test_operators.py")
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_features(binary_documents(spark, sf_dir))
+    """Registered (rows-only) form of :func:`decode_features`.  The
+    raw ``feature array<double>`` column is projected to a
+    comma-joined string digest so the result frame is hashable by any
+    pandas-side canonicalizer (ndarray cells are not); API users call
+    :func:`decode_features` directly for the typed array."""
+    out = decode_features(binary_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_csv"),
+    )
 
 
 _FRAME_BYTES = 64
@@ -326,6 +339,6 @@ def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame
     return df.select("doc_id", "payload").mapInPandas(batches, _RESIZE_SCHEMA)
 
 
-@register("multimodal_resize")  # pandas-UDF kernel: rows-only check
+@register("multimodal_resize", rows_only="pandas-UDF resize kernel: stubbed codec, not SQL-expressible; shape tested in tests/test_operators.py")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(binary_documents(spark, sf_dir))

@@ -187,7 +187,7 @@ def user_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.25, "purchase": 1.0, "error": 1.0, "signup": 1.0}
 
 
-@register("stratified_event_sample")  # seeded Bernoulli sampling: rows-only check
+@register("stratified_event_sample", rows_only="seeded Bernoulli sampleBy: nondeterministic across engines; rates asserted in tests/test_sampling.py")
 def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling with a fixed seed
     (``df.sampleBy`` — the engine's J4/O3 surface).  Seeded so one

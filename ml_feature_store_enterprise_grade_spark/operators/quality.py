@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -325,4 +326,70 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / (F.sum("n") / F.count("*")), 4).alias("skew_ratio"),
         F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_key_rows"),
         F.round(-F.sum(p * F.log2(p)), 4).alias("key_entropy_bits"),
+    )
+
+
+#: Deterministic stand-in for a deletion-request table: users whose
+#: key hash falls in this residue class have requested erasure.
+_GDPR_MOD = 19
+_GDPR_SEED = 17
+
+
+@register(
+    "gdpr_deletion_audit",
+    oracle=f"""
+    WITH del AS (
+        SELECT c_custkey AS user_id FROM customer
+        WHERE {PORTABLE_HASH64_SQL("CAST(c_custkey AS VARCHAR)", _GDPR_SEED)}
+              % {_GDPR_MOD} = 0
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date,
+           COUNT(*) FILTER (WHERE d.user_id IS NOT NULL) AS rows_to_delete,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS users_affected,
+           COUNT(*) AS partition_rows,
+           ROUND(CAST(COUNT(*) FILTER (WHERE d.user_id IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS delete_fraction,
+           COUNT(*) FILTER (WHERE d.user_id IS NOT NULL) > 0 AS needs_rewrite
+    FROM events e
+    LEFT JOIN del d ON e.user_id = d.user_id
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def gdpr_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation plan: given a deletion-request
+    entity set, report — per date partition of the events table — how
+    many rows must be erased, how many requesting users they belong
+    to, and whether the partition needs a rewrite at all.  This is the
+    planning pass a 100 TB GDPR sweep runs FIRST: partitions with
+    ``needs_rewrite = false`` are never touched, so the rewrite cost
+    is proportional to affected partitions, not corpus size.
+
+    Scale shape: the deletion set is a broadcast hash probe against
+    the fact scan (no fact shuffle for the match), then one aggregate
+    keyed by the partition column.  The deletion set here is a
+    deterministic hash residue of the customer keys (a stand-in for a
+    real request table, which would arrive as a small side input)."""
+    deletions = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            portable_hash64(F.col("c_custkey").cast("string"), seed=_GDPR_SEED)
+            % _GDPR_MOD
+            == 0
+        )
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    j = e.join(
+        F.broadcast(deletions.withColumn("__del", F.lit(1))), "user_id", "left"
+    )
+    hit = F.col("__del").isNotNull()
+    return j.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.sum(F.when(hit, 1).otherwise(0)).alias("rows_to_delete"),
+        F.countDistinct(F.when(hit, F.col("user_id"))).alias("users_affected"),
+        F.count("*").alias("partition_rows"),
+        F.round(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("delete_fraction"),
+        (F.sum(F.when(hit, 1).otherwise(0)) > 0).alias("needs_rewrite"),
     )

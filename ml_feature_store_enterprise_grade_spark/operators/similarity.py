@@ -382,7 +382,7 @@ def ivf_codebook(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # approximate: rows-only check; recall tested in tests/
+@register("ann_ivf_topk", rows_only="MLlib k-means codebook: approximate; recall floor tested in tests/test_vector_index.py")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     k-means cells, probe the {p} nearest cells per query, exact-search

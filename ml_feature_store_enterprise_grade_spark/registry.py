@@ -48,60 +48,63 @@ _loaded = False
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
 _FRONT: tuple[str, ...] = (
-    # (a) never driver-checked (round-1 slots 51-62)
-    "stream_hourly_features",
-    "session_windows",
-    "stream_session_windows",
-    "stream_dedup",
-    "stream_static_enrichment",
-    "stream_stream_interval_join",
-    "stream_stateful_running_totals",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "ann_ivf_topk",
-    # (b) changed this round (oracle numeric-type fixes; LSH-blocked
-    # near-dup rewrite)
-    "user_sliding_features_rollup",
-    "user_rolling_7d_features",
-    "event_props_struct",
-    "embedding_neardup",
-    "quality_expectation_suite",
-    "drift_report_multi_feature",
-    # (c) new this round
-    "multimodal_frame_dedup",
-    "multimodal_sidecar_kv",
-    "user_primary_event_type",
-    "doc_repetition_stats",
-    "corpus_contamination",
-    "feature_value_histogram",
-    "corpus_top_bigrams",
-    "dedup_clusters",
-    "pit_label_join",
-    "target_encoding_loo",
-    "feature_hash_cross",
-    "dataset_split_assignment",
+    # (a) never driver-checked across rounds 1-2 (VERDICT r2 item 3)
+    "pit_multi_view_join",
+    "stream_online_materialize",
+    "doc_unigram_logprob",
+    "skew_diagnostics",
+    # (b) changed this round: dtype-skew oracle fixes (r2 items 1),
+    # decode-features hashable projection (item 2), watermark-base
+    # oracle alignment, bucketed upsert sink
     "corpus_mixture_weights",
     "sequence_packing_plan",
-    "embedding_quantization_error",
-    "dedup_incremental",
-    "corpus_sampling_plan",
-    "session_funnel",
-    "user_recency_features",
-    "cohort_retention",
-    "scd2_activity_history",
-    "doc_tfidf_top_terms",
-    "embedding_norm_stats",
-    "activity_band_interval_join",
-    "temporal_split_embargo",
-    "feature_scaling",
-    "corpus_dedup_pipeline",
-    "pii_scrub",
-    "feature_binning_quantile",
+    "target_encoding_loo",
+    "multimodal_decode_features",
+    "stream_hourly_features",
+    "stream_session_windows",
     "stream_drift_monitor",
-    "session_path_markov",
-    "corpus_bigram_pmi",
+    # (c) new this round
+    "feature_binning_scalable",
+    "training_set_export",
+    "gdpr_deletion_audit",
+    "user_wow_delta_features",
+    # (d) re-verify rotation: greens whose only driver row is from
+    # round 1 (two windows ago), oldest signal first
+    "pit_asof_join",
+    "online_feature_lookup",
+    "latest_feature_snapshot",
+    "feature_freshness",
+    "duplicate_key_check",
+    "feature_coverage",
+    "event_customer_enrichment",
+    "event_customer_overlap",
+    "event_code_projection",
+    "user_daily_activity",
+    "user_hourly_features",
+    "user_sliding_features",
+    "top_customers_per_nation",
+    "top_revenue_orders",
+    "region_revenue",
+    "revenue_rollup_cube",
+    "event_value_percentiles",
+    "feature_summary_stats",
+    "profile_distribution_stats",
+    "corpus_lang_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "doc_text_stats",
+    "corpus_quality_filter",
+    "lang_id_confusion",
+    "doc_fingerprint",
+    "drift_ks_click_vs_view",
+    "drift_psi_multi_feature",
+    "text_clean_projection",
+    "idle_rich_customers",
+    "quality_expectation_suite",
+    "pricing_summary",
 )
 
 
@@ -111,8 +114,27 @@ def _ordered(mapping: dict) -> dict:
     return {**front, **rest}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query (and optionally its DuckDB oracle)."""
+#: Names registered with an explicit ``rows_only=True`` justification
+#: (non-SQL-expressible: sketches, seeded sampling, pandas-UDF
+#: kernels, MLlib-backed approximations).  The driver runs a weaker
+#: rows-only check for these; everything else MUST carry an oracle.
+ROWS_ONLY: dict[str, str] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    rows_only: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query with its DuckDB oracle, or with an
+    explicit ``rows_only`` justification string.  Exactly one of the
+    two is required — a registration with neither (or both) is a bug
+    caught at import time, so no query can silently ship without a
+    correctness story."""
+    if (oracle is None) == (rows_only is None):
+        raise ValueError(
+            f"query {name!r}: provide exactly one of oracle= or rows_only="
+        )
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -120,6 +142,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        else:
+            ROWS_ONLY[name] = rows_only
         return fn
 
     return deco

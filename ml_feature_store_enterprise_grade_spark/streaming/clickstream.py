@@ -143,7 +143,8 @@ def run_available_now(result: DataFrame, name: str) -> DataFrame:
     FROM events
     WHERE user_id IS NOT NULL
       AND date_trunc('hour', ts) + INTERVAL 1 HOUR
-          <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+          <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+              WHERE user_id IS NOT NULL)
     GROUP BY 1, 2, 3
     """,
 )
@@ -226,7 +227,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, sess
     )
     SELECT * FROM agg
-    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+                          WHERE user_id IS NOT NULL)
     """,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +308,7 @@ _DRIFT_BIN_SQL = (
                COUNT(*) AS n_cur
         FROM v, rng
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
-              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM v)
         GROUP BY 1, 2
     ),
     tc AS (SELECT window_start, SUM(n_cur) AS t_cur FROM cur GROUP BY 1),
@@ -402,27 +404,69 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def online_upsert_sink(online_path: str):
+#: Key-space partitions of the online snapshot.  A micro-batch
+#: rewrites only the buckets containing its keys; production sizes
+#: this so one bucket ≈ one healthy write task (e.g. 4096 at 100 TB).
+_ONLINE_BUCKETS = 16
+
+
+def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
     """``foreachBatch`` sink: merge each finalized micro-batch into a
-    latest-per-key online snapshot with the same staged-write + atomic
-    swap discipline as ``FeatureStore.materialize`` (a mid-write crash
-    must never destroy the serving snapshot; on an object store the
-    swap is a versioned prefix + pointer flip).  Per batch it shuffles
-    the batch plus one row per known entity — never raw history."""
+    latest-per-key online snapshot, laid out as ``bucket=K`` hash
+    partitions of the key space.
+
+    Merge-on-write, not full rewrite: each batch touches only the
+    buckets its keys hash into — prior rows of those buckets are read
+    back, merged, reduced to latest-per-key, and ONLY those bucket
+    directories are swapped; untouched buckets' files are never
+    rewritten (asserted in tests/test_streaming_sink.py).  Cost per
+    batch is O(batch + touched-bucket rows), not O(all entities).
+
+    Crash safety: the merged buckets are staged next to the live tree
+    and swapped per-bucket only after the staging write commits
+    (``_SUCCESS``).  On entry, a leftover *completed* staging dir is
+    replayed first (finishing a swap that died mid-flight — the swap
+    is idempotent because staged bucket dirs are only deleted after
+    they land); an *incomplete* staging dir is discarded.  A crash at
+    any point therefore never loses previously-committed state, even
+    though earlier micro-batches are checkpoint-committed and will not
+    replay.  On an object store the same discipline is a versioned
+    prefix + pointer flip."""
+    staging = online_path + "__staging"
+
+    def _finish_swap() -> None:
+        os.makedirs(online_path, exist_ok=True)
+        for d in os.listdir(staging):
+            if not d.startswith("bucket="):
+                continue
+            dst = os.path.join(online_path, d)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(staging, d), dst)
+        shutil.rmtree(staging)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.asof import latest_snapshot
 
-        merged = batch_df
+        spark = batch_df.sparkSession
+        if os.path.isdir(staging):
+            if os.path.exists(os.path.join(staging, "_SUCCESS")):
+                _finish_swap()  # recover: a prior swap died mid-flight
+            else:
+                shutil.rmtree(staging)  # incomplete staging write: discard
+        batch = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets))
+        )
+        touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
+        if not touched:
+            return
+        merged = batch
         if os.path.isdir(online_path):
-            prev = batch_df.sparkSession.read.parquet(online_path)
-            merged = prev.unionByName(batch_df, allowMissingColumns=True)
+            prev = spark.read.parquet(online_path).filter(F.col("bucket").isin(touched))
+            merged = prev.unionByName(batch, allowMissingColumns=True)
         snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
-        staging = online_path + "__staging"
-        snap.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(online_path):
-            shutil.rmtree(online_path)
-        os.replace(staging, online_path)
+        snap.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        _finish_swap()
 
     return _upsert
 
@@ -441,7 +485,8 @@ def online_upsert_sink(online_path: str):
         FROM events
         WHERE user_id IS NOT NULL
           AND date_trunc('hour', ts) + INTERVAL 1 HOUR
-              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+                  WHERE user_id IS NOT NULL)
         GROUP BY 1, 2
     )
     SELECT user_id, feature_timestamp,
@@ -465,9 +510,14 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly aggregate.  Multi-batch upsert convergence is exercised in
     tests/test_streaming_sink.py."""
     result = windowed_features(streaming_events(spark, sf_dir)).drop("window_start")
-    tag = uuid.uuid4().hex[:8]
+    # Deterministic per-sf dirs, recreated fresh each invocation:
+    # repeated bench/driver runs reuse (not accumulate) temp space.
+    tag = sf_dir.strip("/").replace("/", "_")
     online = os.path.join(tempfile.gettempdir(), f"online_snap_{tag}")
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_online_{tag}")
+    for d in (online, online + "__staging", ckpt):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     q = (
         result.writeStream.foreachBatch(online_upsert_sink(online))
         .outputMode("append")
@@ -476,4 +526,4 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(online)
+    return spark.read.parquet(online).drop("bucket")

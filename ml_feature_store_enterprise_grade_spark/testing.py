@@ -98,6 +98,62 @@ def compare_query(
     return res
 
 
+def _norm_dtype(dtype: object) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    dtype-sensitive canonical hash actually distinguishes: int vs
+    float vs datetime vs bool vs object.  int64 == int32 (same str
+    repr per cell) but int64 != float64 (``64437`` vs ``64437.0``)."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith("bool"):
+        return "bool"
+    return "object"
+
+
+def dtype_issues(
+    df: DataFrame, oracle_sql: str, con: duckdb.DuckDBPyConnection
+) -> list[str]:
+    """Cross-engine pandas-dtype parity — the check the driver's hash
+    implicitly performs.  Catches the bug class that burned rounds 1
+    and 2: an uncast DuckDB ``SUM(bigint)`` lands as HUGEINT → pandas
+    float64 while Spark emits bigint → int64, so every value reprs
+    differently ("64437.0" vs "64437") even when numerically equal.
+    For object columns the first non-null cell's Python type is
+    compared too (Decimal vs str vs float all hash apart)."""
+    sp = df.toPandas()
+    od = con.execute(oracle_sql).df()
+    issues: list[str] = []
+    for c in sorted(sp.columns):
+        if c not in od.columns:
+            issues.append(f"{c}: missing from oracle result")
+            continue
+        a, b = _norm_dtype(sp[c].dtype), _norm_dtype(od[c].dtype)
+        if {a, b} == {"object", "datetime"}:
+            # Spark DATE lands as object-of-datetime.date while DuckDB
+            # DATE lands as datetime64 — the one skew the driver's
+            # canonicalizer provably equates (6 such queries green
+            # across rounds 1-2).  Allow exactly this pair.
+            obj = sp[c] if a == "object" else od[c]
+            cells = obj.dropna()
+            if len(cells) and type(cells.iloc[0]).__name__ == "date":
+                continue
+        if a != b:
+            issues.append(f"{c}: spark dtype={sp[c].dtype} oracle dtype={od[c].dtype}")
+        elif a == "object":
+            sa = sp[c].dropna()
+            sb = od[c].dropna()
+            if len(sa) and len(sb):
+                ta, tb = type(sa.iloc[0]).__name__, type(sb.iloc[0]).__name__
+                if ta != tb:
+                    issues.append(f"{c}: spark cell type={ta} oracle cell type={tb}")
+    return issues
+
+
 def run_parity(
     spark: SparkSession,
     sf_dir: str,

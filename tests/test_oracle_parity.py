@@ -13,12 +13,17 @@ import os
 import pytest
 
 from ml_feature_store_enterprise_grade_spark import registry
-from ml_feature_store_enterprise_grade_spark.testing import compare_query, duckdb_connection
+from ml_feature_store_enterprise_grade_spark.testing import (
+    compare_query,
+    dtype_issues,
+    duckdb_connection,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 registry.load_all()
 _NAMES = sorted(registry.queries())
+_ORACLE_NAMES = sorted(registry.oracles())
 
 
 @pytest.fixture(scope="module")
@@ -38,3 +43,16 @@ def test_query_matches_oracle(spark, con, name):
         return
     res = compare_query(name, df, oracle, con)
     assert res.ok, f"{res.detail}\n" + "\n".join(res.mismatches)
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_query_dtype_parity(spark, con, name):
+    """The driver hashes pandas frames, so cross-engine *dtype* skew
+    (DuckDB HUGEINT -> float64 vs Spark bigint -> int64; Spark decimal
+    -> Decimal objects vs DuckDB double) fails its value hash even
+    when every value is numerically equal.  The fetchall()-based value
+    compare above is blind to this; this check is not."""
+    fn = registry.queries()[name]
+    df = fn(spark, SF_DIR)
+    issues = dtype_issues(df, registry.oracles()[name], con)
+    assert not issues, "; ".join(issues)

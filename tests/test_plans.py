@@ -118,3 +118,13 @@ def test_hash_projections_have_zero_shuffles(spark, name):
     in the plan means a regression introduced a shuffle."""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, plan
+
+
+def test_scalable_binning_no_global_sort(spark):
+    """feature_binning_scalable must never regress to the NTILE shape:
+    no window operator (= no single-task total sort of the fact
+    table); cut points arrive via a broadcast of the one-row frame."""
+    plan = plan_of(spark, "feature_binning_scalable")
+    assert "Window" not in plan
+    assert "ntile(10)" not in plan  # ("percentile(" also contains "ntile(")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

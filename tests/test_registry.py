@@ -40,3 +40,18 @@ def test_front_window_has_room():
     ordered = list(registry.queries())
     for n in registry._FRONT:
         assert ordered.index(n) < 50
+
+
+def test_every_query_has_oracle_or_rows_only_justification():
+    """No query ships without a correctness story: each registered
+    name carries either a DuckDB oracle or an explicit rows_only=
+    justification string (enforced at registration; asserted here so
+    the invariant survives refactors of register())."""
+    from ml_feature_store_enterprise_grade_spark import registry
+
+    registry.load_all()
+    for name in registry.queries():
+        has_oracle = name in registry.oracles()
+        justified = bool(registry.ROWS_ONLY.get(name))
+        assert has_oracle or justified, f"{name}: no oracle and no rows_only justification"
+        assert not (has_oracle and justified), f"{name}: both oracle and rows_only"

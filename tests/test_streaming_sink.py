@@ -257,7 +257,7 @@ def test_streaming_online_materialize_multi_batch(spark, multi_file_source, tmp_
         .start()
     )
     q.awaitTermination()
-    got = spark.read.parquet(online)
+    got = spark.read.parquet(online).drop("bucket")
 
     e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
     max_ts = e.agg(F.max("ts")).first()[0]
@@ -269,3 +269,102 @@ def test_streaming_online_materialize_multi_batch(spark, multi_file_source, tmp_
     want = latest_snapshot(batch, key="user_id", feature_ts="feature_timestamp")
     assert got.count() == want.count()
     assert got.select(*sorted(got.columns)).exceptAll(want.select(*sorted(got.columns))).count() == 0
+
+
+def _snapshot_files(root):
+    """{relpath: mtime_ns} inventory of all data files under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Merge-on-write contract: a batch whose keys hash into a subset
+    of buckets must leave every other bucket's files byte-identical
+    and un-rewritten (same paths, same mtimes)."""
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        online_upsert_sink,
+    )
+
+    online = str(tmp_path / "online")
+    sink = online_upsert_sink(online, n_buckets=8)
+
+    def mkbatch(users):
+        return spark.createDataFrame(
+            [(u, ts, 1) for u, ts in users],
+            "user_id string, feature_timestamp timestamp, total_events int",
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # Seed: many users spread across all buckets.
+    sink(mkbatch([(f"u{i}", t0) for i in range(64)]), 0)
+    before = _snapshot_files(online)
+    assert len([d for d in before if d.startswith("bucket=")]) > 0
+
+    # Second batch: a single user -> exactly one bucket touched.
+    sink(mkbatch([("u3", t0 + dt.timedelta(hours=1))]), 1)
+    after = _snapshot_files(online)
+
+    changed_buckets = {
+        p.split("/")[0]
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+        if p.startswith("bucket=")
+    }
+    assert len(changed_buckets) == 1, f"rewrote {sorted(changed_buckets)}"
+
+    # And the merge is still correct: u3 advanced, others intact.
+    got = spark.read.parquet(online)
+    assert got.count() == 64
+    u3 = got.filter(F.col("user_id") == "u3").select("feature_timestamp").first()[0]
+    assert u3 == t0 + dt.timedelta(hours=1)
+
+
+def test_upsert_recovers_completed_staging_after_crash(spark, tmp_path):
+    """A crash between the staging commit and the bucket swap must not
+    lose the snapshot: on the next batch, a completed __staging dir
+    (with _SUCCESS) is replayed before merging — even in the worst
+    case where the live tree was already (partially) destroyed."""
+    import os
+    import shutil
+
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        online_upsert_sink,
+    )
+
+    online = str(tmp_path / "online")
+    staging = online + "__staging"
+    sink = online_upsert_sink(online, n_buckets=4)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mkbatch(users):
+        return spark.createDataFrame(
+            [(u, ts, 1) for u, ts in users],
+            "user_id string, feature_timestamp timestamp, total_events int",
+        )
+
+    sink(mkbatch([(f"u{i}", t0) for i in range(16)]), 0)
+
+    # Simulate the crash window: a fully-committed staging exists
+    # (as if written by batch 1) and the live tree was lost mid-swap.
+    shutil.copytree(online, staging)
+    open(os.path.join(staging, "_SUCCESS"), "a").close()
+    shutil.rmtree(online)
+
+    # Next batch must first recover staging, then merge on top of it.
+    sink(mkbatch([("u0", t0 + dt.timedelta(hours=1))]), 1)
+    got = spark.read.parquet(online)
+    assert got.count() == 16  # nothing lost
+    u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
+    assert u0 == t0 + dt.timedelta(hours=1)
+    assert not os.path.isdir(staging)
