@@ -62,6 +62,12 @@ BENCH_QUERIES = (
     "pit_multi_view_join",
     "stream_online_materialize",
     "doc_unigram_logprob",
+    # round 3 additions: full training-set export (the composed PIT
+    # flagship), bigram LM scoring, layout planning, streaming top-k.
+    "training_set_export",
+    "doc_bigram_logprob",
+    "zorder_layout_plan",
+    "stream_topk_heavy_hitters",
 )
 
 

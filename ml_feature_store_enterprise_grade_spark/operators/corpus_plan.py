@@ -299,3 +299,224 @@ def corpus_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u < F.col("keep_rate")).alias("keep"),
         )
     )
+
+
+#: RAG chunking geometry: chunk length, overlap, and the resulting
+#: stride between chunk starts (all in estimated tokens).
+_CHUNK_TOKENS = 256
+_CHUNK_OVERLAP = 64
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "doc_chunking_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               GREATEST(1, n_chars // {_CHARS_PER_TOKEN}) AS est_tokens
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, est_tokens,
+               GREATEST(1, (est_tokens - {_CHUNK_OVERLAP} + {_CHUNK_STRIDE} - 1)
+                           // {_CHUNK_STRIDE}) AS n_chunks
+        FROM d
+    )
+    SELECT doc_id, est_tokens,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS tok_start,
+           CAST(LEAST({_CHUNK_TOKENS}, est_tokens - k * {_CHUNK_STRIDE}) AS BIGINT)
+               AS tok_len
+    FROM n, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INTEGER))) u(k)
+    """,
+)
+def doc_chunking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking plan: overlapping {_CHUNK_TOKENS}-token
+    windows every {_CHUNK_STRIDE} tokens (overlap {_CHUNK_OVERLAP}), from
+    metadata only — the retrieval-corpus complement of
+    :func:`sequence_packing_plan` (packing fills fixed sequences
+    across documents; chunking splits each document into overlapping
+    retrieval units).
+
+    Pure map-side: token estimate and chunk count are per-row
+    arithmetic, chunk rows come from ``explode(sequence(...))`` — zero
+    shuffles at any corpus size, so the plan for a 100 TB corpus costs
+    exactly one scan of the metadata column."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / _CHARS_PER_TOKEN)).alias(
+            "est_tokens"
+        ),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.col("est_tokens") - _CHUNK_OVERLAP + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE
+        ),
+    )
+    k = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("k")
+    f = d.select("doc_id", "est_tokens", k)
+    return f.select(
+        "doc_id",
+        "est_tokens",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("k") * _CHUNK_STRIDE).cast("bigint").alias("tok_start"),
+        F.least(
+            F.lit(_CHUNK_TOKENS), F.col("est_tokens") - F.col("k") * _CHUNK_STRIDE
+        )
+        .cast("bigint")
+        .alias("tok_len"),
+    )
+
+
+#: Z-order grid: 4 bits per dimension -> a 16x16 grid, 256 files.
+_Z_BITS = 4
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two {_Z_BITS}-bit bucket expressions into a
+    Morton (Z-order) code, as pure integer arithmetic (``//``, ``%``,
+    ``*``) so the identical text runs on Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_plan",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(o_custkey) AS kmn, MAX(o_custkey) AS kmx,
+               MIN(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS tmn,
+               MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS tmx
+        FROM orders
+    ),
+    g AS (
+        SELECT o.o_orderkey,
+               CAST(((o.o_custkey - b.kmn) * {1 << _Z_BITS})
+                    // (b.kmx - b.kmn + 1) AS INTEGER) AS x_bucket,
+               CAST(((CAST(floor(epoch(o.o_orderdate)) AS BIGINT) - b.tmn) * {1 << _Z_BITS})
+                    // (b.tmx - b.tmn + 1) AS INTEGER) AS y_bucket
+        FROM orders o CROSS JOIN b
+    )
+    SELECT o_orderkey, x_bucket, y_bucket,
+           CAST({_morton_sql("x_bucket", "y_bucket")} AS INTEGER) AS zfile
+    FROM g
+    """,
+)
+def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file-layout assignment over the two hot filter
+    columns of the orders table — the data-clustering pass a 100 TB
+    lakehouse runs so that BOTH ``o_custkey`` range scans and
+    ``o_orderdate`` range scans prune most files (a single-column sort
+    clusters only one of them; bit interleaving gives each dimension
+    half the prefix bits).
+
+    Plan shape: global min/max arrive as a one-row broadcast; bucket
+    and Morton-code assignment are pure integer projections (exact and
+    engine-identical, no float rounding anywhere).  The actual rewrite
+    would be ``df.repartition(zfile).write...`` — this operator is the
+    assignment plan the rewrite and its cost estimate read."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("kmn"),
+        F.max("o_custkey").alias("kmx"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("tmn"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("tmx"),
+    )
+    g = o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.expr(f"CAST((o_custkey - kmn) * {1 << _Z_BITS} div (kmx - kmn + 1) AS INT)").alias(
+            "x_bucket"
+        ),
+        F.expr(
+            f"CAST((unix_timestamp(o_orderdate) - tmn) * {1 << _Z_BITS}"
+            f" div (tmx - tmn + 1) AS INT)"
+        ).alias("y_bucket"),
+    )
+    spark_morton = _morton_sql("x_bucket", "y_bucket").replace("//", "div")
+    return g.select(
+        "o_orderkey",
+        "x_bucket",
+        "y_bucket",
+        F.expr(f"CAST({spark_morton} AS INT)").alias("zfile"),
+    )
+
+
+#: Compaction targets: simulated file grid and output-file row target.
+_COMPACT_BUCKETS = 8
+_COMPACT_TARGET_ROWS = 4000
+_COMPACT_SEED = 5
+
+
+@register(
+    "partition_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST({PORTABLE_HASH64_SQL("CAST(event_id AS VARCHAR)", _COMPACT_SEED)}
+                    % {_COMPACT_BUCKETS} AS INTEGER) AS file_bucket,
+               COUNT(*) AS n_rows
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_date, file_bucket, n_rows,
+               CAST(COALESCE(SUM(n_rows) OVER (
+                   PARTITION BY event_date ORDER BY file_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM files
+    )
+    SELECT event_date, file_bucket, n_rows,
+           CAST(cum_before // {_COMPACT_TARGET_ROWS} AS INTEGER) AS merge_group,
+           n_rows < {_COMPACT_TARGET_ROWS} AS undersized
+    FROM c
+    """,
+)
+def partition_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: given the per-(partition, file)
+    row counts of a date-partitioned table (simulated here as a hash
+    grid over events), assign each file to a merge group of
+    ~{_COMPACT_TARGET_ROWS} rows via a per-partition prefix sum — the
+    maintenance pass that keeps a streaming-ingested 100 TB table from
+    drowning in kilobyte files.
+
+    Same sharded-prefix-sum shape as :func:`sequence_packing_plan`:
+    file stats are a tiny aggregate (one row per file, not per row),
+    the packing window is ``PARTITION BY event_date`` — fully parallel
+    across partitions, never a global sort.  The executor of this plan
+    coalesces each merge group with one read+write; files already at
+    target size form singleton groups and are left untouched."""
+    files = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            (
+                portable_hash64(F.col("event_id").cast("string"), seed=_COMPACT_SEED)
+                % _COMPACT_BUCKETS
+            )
+            .cast("int")
+            .alias("file_bucket"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("file_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = files.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    )
+    return c.select(
+        "event_date",
+        "file_bucket",
+        "n_rows",
+        F.floor(F.col("cum_before") / _COMPACT_TARGET_ROWS).cast("int").alias("merge_group"),
+        (F.col("n_rows") < _COMPACT_TARGET_ROWS).alias("undersized"),
+    )

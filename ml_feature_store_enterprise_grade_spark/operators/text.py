@@ -734,3 +734,162 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 4).alias("avg_logprob"),
         )
     )
+
+
+#: Interpolation weight for the bigram LM: p = λ·p(w2|w1) + (1−λ)·p(w2).
+_LM_LAMBDA = 0.75
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    uc AS (
+        SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+    ),
+    tu AS (SELECT CAST(SUM(n) AS DOUBLE) AS total_u FROM uc),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM t
+    ),
+    dbc AS (
+        SELECT doc_id,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               COUNT(*) AS cnt
+        FROM bg GROUP BY 1, 2, 3
+    ),
+    bc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               COUNT(*) AS n_ab
+        FROM bg GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(d.cnt * log10(
+                 {_LM_LAMBDA} * (CAST(b.n_ab AS DOUBLE) / a.n)
+                 + {1 - _LM_LAMBDA} * (CAST(c.n AS DOUBLE) / tu.total_u)
+           )) / SUM(d.cnt), 4) AS avg_logprob
+    FROM dbc d
+    JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN uc a ON d.w1 = a.w
+    JOIN uc c ON d.w2 = c.w
+    CROSS JOIN tu
+    GROUP BY d.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring of each document
+    against the corpus's own LM: mean log10 of
+    ``λ·p(w2|w1) + (1−λ)·p(w2)`` over adjacent token pairs — one rung
+    up from :func:`doc_unigram_logprob` on the perplexity-filtering
+    ladder (catches scrambled/unnatural word ORDER that unigram
+    scoring is blind to).
+
+    Scale shape: the per-doc bigram table collapses to distinct
+    (doc, w1, w2) counts before any join; the corpus bigram and
+    unigram tables are vocabulary-sized aggregates (heavy-hitter
+    pairs collapse map-side).  Joins run bigram-keyed — AQE broadcasts
+    the vocab sides when they fit; the corpus total is a one-row
+    broadcast."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    uc = d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("n"))
+    tu = uc.agg(F.sum("n").cast("double").alias("total_u"))
+    head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    tail = F.slice(F.col("toks"), 2, F.size("toks"))
+    bg = d.select(
+        "doc_id",
+        F.explode(F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))).alias(
+            "bigram"
+        ),
+    ).select(
+        "doc_id",
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    a = uc.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    c = uc.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    p = F.lit(_LM_LAMBDA) * (F.col("n_ab").cast("double") / F.col("n1")) + F.lit(
+        1 - _LM_LAMBDA
+    ) * (F.col("n2").cast("double") / F.col("total_u"))
+    return (
+        dbc.join(bc, ["w1", "w2"])
+        .join(a, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(tu))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * F.log10(p)) / F.sum("cnt"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+#: Document-frequency band kept in the demo index: terms below are
+#: too rare to matter, terms above are stop-listed (every real index
+#: drops or impact-orders its highest-df terms).
+_IDX_DF_LO, _IDX_DF_HI = 5, 50
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(cnt) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+    FROM tf
+    GROUP BY term
+    HAVING COUNT(*) BETWEEN {_IDX_DF_LO} AND {_IDX_DF_HI}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side complement of the
+    dedup/quality family): per term, document frequency, collection
+    frequency, and the sorted posting list of documents containing it,
+    restricted to the discriminative df band [{_IDX_DF_LO}, {_IDX_DF_HI}]
+    (rarer = noise, more frequent = stop-listed — the cap is also what
+    bounds the per-term aggregation buffer).
+
+    Scale shape: tokens collapse to (term, doc) pairs first (the tf
+    table), so posting construction shuffles one row per distinct
+    term-doc pair, never per occurrence; the index build is then one
+    hash aggregate keyed by term — the MapReduce index-build shape,
+    with the df band applied as a HAVING so stop-list terms' postings
+    are never materialized."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("term", "doc_id").agg(F.count("*").alias("cnt"))
+    g = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("cnt").cast("bigint").alias("cf"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return g.filter(F.col("df").between(_IDX_DF_LO, _IDX_DF_HI)).select(
+        "term",
+        "df",
+        "cf",
+        F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))).alias(
+            "postings_csv"
+        ),
+    )

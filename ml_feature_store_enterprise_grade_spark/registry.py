@@ -68,6 +68,12 @@ _FRONT: tuple[str, ...] = (
     "training_set_export",
     "gdpr_deletion_audit",
     "user_wow_delta_features",
+    "doc_bigram_logprob",
+    "inverted_index_postings",
+    "doc_chunking_plan",
+    "zorder_layout_plan",
+    "partition_compaction_plan",
+    "stream_topk_heavy_hitters",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -99,12 +105,6 @@ _FRONT: tuple[str, ...] = (
     "corpus_quality_filter",
     "lang_id_confusion",
     "doc_fingerprint",
-    "drift_ks_click_vs_view",
-    "drift_psi_multi_feature",
-    "text_clean_projection",
-    "idle_rich_customers",
-    "quality_expectation_suite",
-    "pricing_summary",
 )
 
 

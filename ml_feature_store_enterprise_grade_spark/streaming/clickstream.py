@@ -465,7 +465,12 @@ def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
             prev = spark.read.parquet(online_path).filter(F.col("bucket").isin(touched))
             merged = prev.unionByName(batch, allowMissingColumns=True)
         snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
-        snap.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        # One write task per bucket: without this, every shuffle
+        # partition opens a file in every touched bucket dir —
+        # tasks × buckets tiny files instead of one per bucket.
+        snap.repartition(len(touched), "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(staging)
         _finish_swap()
 
     return _upsert
@@ -527,3 +532,53 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(online).drop("bucket")
+
+
+#: Heavy-hitter rank depth per finalized window.
+_TOPK = 3
+
+
+@register(
+    "stream_topk_heavy_hitters",
+    oracle=f"""
+    WITH cur AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events)
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start ORDER BY n DESC, event_type
+        ) AS rnk FROM cur
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per finalized hourly window, the top-{_TOPK}
+    event types by count — the live "what is trending" monitor.  Split
+    where production splits it: the STREAMING half emits
+    watermark-finalized per-(window, type) counts (bounded state: one
+    row per open window × |event types|); the BATCH half ranks the
+    tiny finalized frame.  Ranking inside the stream would need
+    update-mode retraction; ranking over the append-mode sink is the
+    idiomatic top-k-over-stream shape.
+
+    Ties break on event_type so both engines pick identical rows."""
+    stream = streaming_events(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    cur = run_available_now(counts, "stream_topk_heavy_hitters")
+    wr = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cur.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

@@ -128,3 +128,29 @@ def test_scalable_binning_no_global_sort(spark):
     assert "Window" not in plan
     assert "ntile(10)" not in plan  # ("percentile(" also contains "ntile(")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunking_plan_zero_shuffles(spark):
+    """doc_chunking_plan is metadata-only map-side work: scan ->
+    arithmetic -> explode.  Any Exchange is a regression."""
+    plan = plan_of(spark, "doc_chunking_plan")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan
+
+
+def test_zorder_plan_broadcasts_stats(spark):
+    """zorder_layout_plan's min/max stats must reach the fact scan as
+    a one-row broadcast; the fact table itself is never shuffled or
+    sort-merge joined."""
+    plan = plan_of(spark, "zorder_layout_plan")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gdpr_audit_broadcasts_deletion_set(spark):
+    """The deletion set must probe the fact scan as a broadcast hash
+    join — shuffling 100 TB of events to meet a small request table
+    would be the wrong plan."""
+    plan = plan_of(spark, "gdpr_deletion_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
