@@ -929,3 +929,42 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") != keep_id, F.lit("duplicate"))
         .alias("reject_reason"),
     )
+
+
+@register(
+    "dedup_rate_by_lang",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang, md5({NORMALIZE_TEXT_SQL("text")}) AS h
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_redundant,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate
+    FROM h
+    GROUP BY lang
+    """,
+)
+def dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice duplication report: exact-duplicate rate within each
+    language slice — the dashboard number that tells a corpus owner
+    WHERE the duplication lives before any dedup pass runs (crawl
+    slices routinely differ by an order of magnitude).  Composes the
+    exact-dedup hash with the mixture-weights slicing; feeds budget
+    decisions in :func:`corpus_plan.corpus_mixture_weights`.
+
+    One scan, one shuffle on lang (exact distinct-per-group collapses
+    map-side on the (lang, hash) partial)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    h = d.select("lang", F.md5(normalize_text(F.col("text"))).alias("h"))
+    return h.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("n_redundant"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")).cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )

@@ -199,3 +199,42 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.sampleBy("event_type", _SAMPLE_FRACTIONS, seed=42).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "calendar_features",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(isodow(ts) AS INTEGER) AS dow_iso,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(month(ts) AS INTEGER) AS month_of_year,
+           isodow(ts) >= 6 AS is_weekend,
+           hour(ts) BETWEEN 9 AND 17 AS is_business_hours
+    FROM events
+    WHERE ts IS NOT NULL
+    """,
+)
+def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature block: ISO day-of-week, hour, month, weekend
+    and business-hours flags — the cyclical-time features every
+    behavioral model consumes.  ISO day-of-week is used deliberately:
+    Spark's ``dayofweek`` (Sunday=1) and DuckDB's ``dayofweek``
+    (Sunday=0) disagree, while ``weekday()+1`` / ``isodow()`` give the
+    identical Monday=1 convention.  Pure map-side projection under the
+    pinned UTC session — zero shuffles."""
+    ts = F.col("ts")
+    dow = (F.weekday(ts) + 1).cast("int")
+    hr = F.hour(ts).cast("int")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(ts.isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            dow.alias("dow_iso"),
+            hr.alias("hour_of_day"),
+            F.month(ts).cast("int").alias("month_of_year"),
+            (dow >= 6).alias("is_weekend"),
+            hr.between(9, 17).alias("is_business_hours"),
+        )
+    )

@@ -607,3 +607,51 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_c"), 6).alias("avg_centroid_cosine"),
         F.round(F.min("cos_c"), 6).alias("min_centroid_cosine"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    iv AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(v)),
+                   i -> struct_pack(i := i, val := v[i])
+               )) AS u
+        FROM e
+    )
+    SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           ROUND(AVG(u.val), 6) AS mean,
+           ROUND(STDDEV_SAMP(u.val), 6) AS std,
+           ROUND(MIN(u.val), 6) AS min_val,
+           ROUND(MAX(u.val), 6) AS max_val
+    FROM iv
+    GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution audit of the embedding space — the
+    whitening/PCA-prep pass (and the fastest detector of a broken
+    encoder export: a collapsed or saturated dimension shows up as
+    near-zero std or a pinned min/max).
+
+    Scale shape: ``posexplode`` fans each vector into (dim, value)
+    rows that collapse map-side into per-dimension partials — the
+    shuffle moves |dims| × partitions rows, not |vectors| × |dims|;
+    output is one row per dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        )
+    )
+    return iv.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_samp("val"), 6).alias("std"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )

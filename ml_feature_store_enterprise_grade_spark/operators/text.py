@@ -893,3 +893,63 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings_csv"
         ),
     )
+
+
+#: Induced tokenizer vocabulary size (top terms by corpus count).
+_VOCAB_SIZE = 500
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r FROM freq
+        ) WHERE r <= {_VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction + coverage audit: build the
+    top-{_VOCAB_SIZE} vocabulary from corpus term counts (ties broken
+    on the term so both engines induce the identical vocab), then
+    report each document's out-of-vocabulary token rate — the number
+    that decides whether a fixed-vocab tokenizer needs retraining
+    before a corpus is used.
+
+    Scale shape: term frequencies are one vocabulary-sized aggregate;
+    the vocabulary rank is a window over that tiny frame (NOT the
+    corpus); the coverage pass probes the broadcast vocab set per
+    token and re-aggregates per document — the corpus shuffles once,
+    on doc_id, after the probe."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    freq = t.groupBy("tok").agg(F.count("*").alias("n"))
+    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        freq.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= _VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    j = t.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("__in_vocab").isNull()
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov"),
+        F.round(F.sum(F.when(oov, 1).otherwise(0)).cast("double") / F.count("*"), 6).alias(
+            "oov_rate"
+        ),
+    )

@@ -74,6 +74,10 @@ _FRONT: tuple[str, ...] = (
     "zorder_layout_plan",
     "partition_compaction_plan",
     "stream_topk_heavy_hitters",
+    "vocab_oov_rate",
+    "embedding_dim_stats",
+    "calendar_features",
+    "dedup_rate_by_lang",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -101,10 +105,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "doc_text_stats",
-    "corpus_quality_filter",
-    "lang_id_confusion",
-    "doc_fingerprint",
 )
 
 
