@@ -398,3 +398,90 @@ def feature_binning_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey", "o_totalprice", bin_col.cast("int").alias("bin")
     )
+
+
+#: Contrastive negatives per user and the candidate-draw seed.
+_NEG_K = 4
+_NEG_SEED = 23
+
+
+@register(
+    "negative_sample_pairs",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    np AS (SELECT MAX(p_partkey) + 1 AS n_items FROM part),
+    cand AS (
+        SELECT u.user_id, k,
+               {PORTABLE_HASH64_SQL(
+                   "CAST(u.user_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)",
+                   _NEG_SEED,
+               )} % np.n_items AS item_id
+        FROM (SELECT DISTINCT user_id FROM pos) u
+        CROSS JOIN np
+        CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS k)
+    )
+    SELECT c.user_id, CAST(c.k AS INTEGER) AS draw, c.item_id
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.user_id = c.user_id AND p.item_id = c.item_id
+    )
+    """,
+)
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling for recommender/embedding
+    training: for each user with purchase history, draw {_NEG_K}
+    deterministic candidate items from the catalog (hash of
+    (user, draw) — reproducible across runs and clusters, like every
+    split/sample in this engine) and keep those the user did NOT
+    interact with (anti-join against the positives).  Output pairs
+    feed a sampled-softmax / BPR-style loss next to the positive
+    pairs.
+
+    Scale shape: positives collapse to distinct (user, item) once;
+    candidates are a map-side projection off the distinct-user frame
+    (catalog size is a one-row broadcast); the anti-join is
+    hash-partitioned on (user, item) — candidates are K rows per user,
+    so the anti-join's probe side is tiny relative to the fact table.
+    Collision-aware: a drawn candidate that happens to be a positive
+    is dropped, not resampled (deterministic, and at catalog >> K the
+    per-user loss is negligible)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    n_items = load_table(spark, sf_dir, "part").agg(
+        (F.max("p_partkey") + 1).alias("n_items")
+    )
+    cand = (
+        pos.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("draw"),
+            "n_items",
+        )
+        .select(
+            "user_id",
+            "draw",
+            (
+                portable_hash64(
+                    F.concat_ws(
+                        "|", F.col("user_id").cast("string"), F.col("draw").cast("string")
+                    ),
+                    seed=_NEG_SEED,
+                )
+                % F.col("n_items")
+            ).alias("item_id"),
+        )
+    )
+    return cand.join(pos, ["user_id", "item_id"], "left_anti").select(
+        "user_id", F.col("draw").cast("int").alias("draw"), "item_id"
+    )

@@ -953,3 +953,69 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               md5({NORMALIZE_TEXT_SQL("text")}) AS h
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(GREATEST(1, n_chars // 4)) AS BIGINT) AS est_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 1) AS p50_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*), 6)
+               AS en_share
+    FROM d
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus *data card*: document and language counts,
+    character/estimated-token volume, exact-duplicate rate, length
+    distribution, and English share — the governance summary attached
+    to a training-data release (what reviewers read before anyone
+    trains on the corpus).
+
+    One full scan collapsing to a single row; the duplicate count
+    rides the same pass as a distinct-count on the content hash.  At
+    100 TB this is the cheapest complete description of the corpus a
+    pipeline can produce — and the numbers every other planning
+    operator (mixture, sampling, packing) starts from."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    )
+    dup = F.count("*") - F.countDistinct("h")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)))
+        .cast("bigint")
+        .alias("est_tokens"),
+        dup.cast("bigint").alias("n_exact_dups"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)"), 1).alias(
+            "p50_chars"
+        ),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("en_share"),
+    )

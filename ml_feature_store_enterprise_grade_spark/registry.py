@@ -78,6 +78,8 @@ _FRONT: tuple[str, ...] = (
     "embedding_dim_stats",
     "calendar_features",
     "dedup_rate_by_lang",
+    "negative_sample_pairs",
+    "corpus_data_card",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
 )
 
 
