@@ -504,3 +504,103 @@ def feature_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("pct"),
     )
+
+
+_JS_ORACLE = f"""
+WITH s AS (
+    SELECT event_type AS feature, value AS x,
+           CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rng AS (
+    SELECT feature, MIN(x) AS lo, MAX(x) AS hi FROM s GROUP BY 1
+),
+b AS (
+    SELECT s.feature, s.is_ref,
+           LEAST({_PSI_BINS - 1}, CAST(floor((s.x - r.lo) / NULLIF(r.hi - r.lo, 0) * {_PSI_BINS}) AS INTEGER)) AS bin
+    FROM s JOIN rng r ON s.feature = r.feature
+),
+c AS (
+    SELECT feature, bin,
+           SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+    FROM b GROUP BY 1, 2
+),
+t AS (
+    SELECT feature, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c GROUP BY 1
+),
+p AS (
+    SELECT c.feature,
+           GREATEST(CAST(c.n_ref AS DOUBLE) / t.t_ref, {_PSI_EPS}) AS p_ref,
+           GREATEST(CAST(c.n_cur AS DOUBLE) / t.t_cur, {_PSI_EPS}) AS p_cur
+    FROM c JOIN t ON c.feature = t.feature
+)
+SELECT feature,
+       ROUND(SUM(0.5 * p_ref * log2(p_ref / ((p_ref + p_cur) / 2))
+               + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2))), 6) AS js_divergence,
+       SUM(0.5 * p_ref * log2(p_ref / ((p_ref + p_cur) / 2))
+         + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2))) >= 0.1 AS shifted
+FROM p
+GROUP BY feature
+"""
+
+
+@register("drift_js_divergence", oracle=_JS_ORACLE)
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per monitored feature — the third
+    member of the drift toolbox next to KS (rank-based, binless) and
+    PSI (unbounded, asymmetric-looking but symmetric in form).  JS is
+    symmetric AND bounded in [0, 1] with base-2 logs, which makes
+    thresholds transferable across features of wildly different
+    scales; 0.1 is the conventional "investigate" line.
+
+    Identical single-pass shape to the PSI operator: one shuffle for
+    the decile bin counts, per-feature ranges and totals broadcast,
+    the mixture distribution m = (p+q)/2 computed in-expression —
+    no collect, no UDF, no per-feature rescan."""
+    split = F.lit(_SPLIT).cast("timestamp")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            F.col("event_type").alias("feature"),
+            F.col("value").alias("x"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("is_ref"),
+        )
+    )
+    rng = s.groupBy("feature").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    b = s.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "is_ref",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                * _PSI_BINS
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    c = b.groupBy("feature", "bin").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
+    )
+    t = c.groupBy("feature").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = c.join(F.broadcast(t), "feature").select(
+        "feature",
+        F.greatest(F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(_PSI_EPS)).alias(
+            "p_ref"
+        ),
+        F.greatest(F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(_PSI_EPS)).alias(
+            "p_cur"
+        ),
+    )
+    m = (F.col("p_ref") + F.col("p_cur")) / 2
+    term = 0.5 * F.col("p_ref") * F.log2(F.col("p_ref") / m) + 0.5 * F.col(
+        "p_cur"
+    ) * F.log2(F.col("p_cur") / m)
+    return p.groupBy("feature").agg(
+        F.round(F.sum(term), 6).alias("js_divergence"),
+        (F.sum(term) >= 0.1).alias("shifted"),
+    )

@@ -80,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "dedup_rate_by_lang",
     "negative_sample_pairs",
     "corpus_data_card",
+    "drift_js_divergence",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -104,7 +105,6 @@ _FRONT: tuple[str, ...] = (
     "corpus_lang_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 )
 
 
