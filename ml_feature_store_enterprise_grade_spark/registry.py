@@ -81,6 +81,7 @@ _FRONT: tuple[str, ...] = (
     "negative_sample_pairs",
     "corpus_data_card",
     "drift_js_divergence",
+    "incremental_feature_update",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -104,7 +105,6 @@ _FRONT: tuple[str, ...] = (
     "profile_distribution_stats",
     "corpus_lang_stats",
     "dedup_exact",
-    "dedup_minhash_lsh",
 )
 
 

@@ -368,3 +368,40 @@ def test_upsert_recovers_completed_staging_after_crash(spark, tmp_path):
     u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
     assert u0 == t0 + dt.timedelta(hours=1)
     assert not os.path.isdir(staging)
+
+
+def test_upsert_discards_incomplete_staging(spark, tmp_path):
+    """A staging dir WITHOUT _SUCCESS is a half-written batch: it must
+    be discarded (never recovered) and the merge must proceed from the
+    live snapshot alone."""
+    import datetime as dt
+    import os
+
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        online_upsert_sink,
+    )
+
+    online = str(tmp_path / "online")
+    staging = online + "__staging"
+    sink = online_upsert_sink(online, n_buckets=4)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mkbatch(users):
+        return spark.createDataFrame(
+            [(u, ts, 1) for u, ts in users],
+            "user_id string, feature_timestamp timestamp, total_events int",
+        )
+
+    sink(mkbatch([(f"u{i}", t0) for i in range(8)]), 0)
+    # Fabricate a half-written staging: bucket dir with a garbage file,
+    # no _SUCCESS commit marker.
+    os.makedirs(os.path.join(staging, "bucket=0"))
+    with open(os.path.join(staging, "bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    sink(mkbatch([("u0", t0 + dt.timedelta(hours=1))]), 1)
+    assert not os.path.isdir(staging)
+    got = spark.read.parquet(online)
+    assert got.count() == 8  # junk never merged, nothing lost
+    u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
+    assert u0 == t0 + dt.timedelta(hours=1)
