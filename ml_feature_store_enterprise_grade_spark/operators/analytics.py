@@ -581,3 +581,160 @@ def user_wow_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("events_wow_pct"),
         F.round(F.col("wk_revenue") - prev_r, 2).alias("revenue_delta"),
     )
+
+
+#: Market-basket support floor: pairs must co-occur in at least this
+#: many orders to earn a lift estimate.
+_BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "item_cooccurrence_lift",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT order_id) AS DOUBLE) AS n_orders FROM basket),
+    item AS (SELECT item_id, COUNT(*) AS n_i FROM basket GROUP BY 1),
+    pair AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           ROUND((p.n_ab / n.n_orders)
+                 / ((ia.n_i / n.n_orders) * (ib.n_i / n.n_orders)), 4) AS lift
+    FROM pair p
+    JOIN item ia ON p.item_a = ia.item_id
+    JOIN item ib ON p.item_b = ib.item_id
+    CROSS JOIN n
+    """,
+)
+def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    table behind "bought together" recommenders: for every item pair
+    sharing an order, lift = P(a,b) / (P(a)·P(b)) over the order
+    universe, floored at {_BASKET_MIN_SUPPORT} co-occurrences.
+
+    Scale shape: the self-join runs WITHIN order boundaries (equi-join
+    on order_id + the ``<`` dedup), so candidate pairs are bounded by
+    Σ basket_size² — basket sizes are small constants in practice,
+    never a corpus-wide cross product; the pair table then aggregates
+    with map-side partials.  Item margins are a vocabulary-sized
+    broadcast; the order count is a scalar.  This is the same
+    bounded-blocking discipline as the LSH dedup family, applied to
+    co-occurrence."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    n_orders = float(basket.select("order_id").distinct().count())
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    item = basket.groupBy("item_id").agg(F.count("*").alias("n_i"))
+    ia = item.select(F.col("item_id").alias("item_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("item_id").alias("item_b"), F.col("n_i").alias("n_b"))
+    lift = (F.col("n_ab") / n_orders) / (
+        (F.col("n_a") / n_orders) * (F.col("n_b") / n_orders)
+    )
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select("item_a", "item_b", "n_ab", F.round(lift, 4).alias("lift"))
+    )
+
+
+@register(
+    "user_ltv_features",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS ltv,
+           ROUND(AVG(value), 4) AS aov,
+           MIN(ts) AS first_purchase_ts,
+           MAX(ts) AS last_purchase_ts,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS tenure_days,
+           ROUND(SUM(value) / GREATEST(CAST(date_diff('day', MIN(ts), MAX(ts)) AS DOUBLE), 1.0), 4)
+               AS revenue_per_day
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_ltv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value feature block per user: purchase count, total
+    and average order value, first/last purchase, tenure, and revenue
+    velocity — the monetization features a churn/LTV model consumes
+    next to the behavioral counts.  One filtered scan, one shuffle on
+    the user key, all aggregates map-side combinable."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+    )
+    tenure = F.datediff(F.max("ts"), F.min("ts")).cast("bigint")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("ltv"),
+        F.round(F.avg("value"), 4).alias("aov"),
+        F.min("ts").alias("first_purchase_ts"),
+        F.max("ts").alias("last_purchase_ts"),
+        tenure.alias("tenure_days"),
+        F.round(
+            F.sum("value") / F.greatest(tenure.cast("double"), F.lit(1.0)), 4
+        ).alias("revenue_per_day"),
+    )
+
+
+@register(
+    "percentile_rank_features",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+               AS pct_rank,
+           CAST(NTILE(100) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER)
+               AS centile
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    """,
+)
+def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group percentile-rank encoding of a continuous feature —
+    the rank-normalization trick that makes features comparable across
+    groups with different scales (a value's centile among its
+    event_type peers, not its raw magnitude).  Ties break on event_id
+    so both engines rank identically.
+
+    Scale note: the window partitions by event_type — a LOW-cardinality
+    key, so per-partition sorts are large but parallel across groups;
+    for a truly global percentile the scalable path is the sampled
+    cut-point assignment of :func:`encoding.feature_binning_scalable`.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.ntile(100).over(w).cast("int").alias("centile"),
+        )
+    )

@@ -82,6 +82,9 @@ _FRONT: tuple[str, ...] = (
     "corpus_data_card",
     "drift_js_divergence",
     "incremental_feature_update",
+    "item_cooccurrence_lift",
+    "user_ltv_features",
+    "percentile_rank_features",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -102,9 +105,6 @@ _FRONT: tuple[str, ...] = (
     "revenue_rollup_cube",
     "event_value_percentiles",
     "feature_summary_stats",
-    "profile_distribution_stats",
-    "corpus_lang_stats",
-    "dedup_exact",
 )
 
 
