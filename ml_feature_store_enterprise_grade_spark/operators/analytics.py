@@ -665,12 +665,15 @@ def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_purchases,
-           ROUND(SUM(value), 2) AS ltv,
-           ROUND(AVG(value), 4) AS aov,
+           floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS ltv,
+           floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+               / 10000 AS aov,
            MIN(ts) AS first_purchase_ts,
            MAX(ts) AS last_purchase_ts,
            CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS tenure_days,
-           ROUND(SUM(value) / GREATEST(CAST(date_diff('day', MIN(ts), MAX(ts)) AS DOUBLE), 1.0), 4)
+           floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / GREATEST(CAST(date_diff('day', MIN(ts), MAX(ts)) AS DOUBLE), 1.0)
+                 * 10000 + 0.5) / 10000
                AS revenue_per_day
     FROM events
     WHERE user_id IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL
@@ -689,16 +692,29 @@ def user_ltv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
     )
     tenure = F.datediff(F.max("ts"), F.min("ts")).cast("bigint")
+    # Exact-decimal sum (MONEY discipline): double summation is
+    # order-sensitive, and at a round-half boundary a last-ulp wobble
+    # flips the 4-dp average across engines.
+    # Identical-IEEE rounding (floor(x*10^k + 0.5)/10^k) instead of
+    # ROUND: Spark rounds the shortest decimal repr half-up while
+    # DuckDB rounds in floating point, and at an exact .5 boundary
+    # (decimal-sum / power-of-two count) the two disagree; the floor
+    # form is the same IEEE op sequence on both engines.
+    s = F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+
+    def _r(col, k):
+        return F.floor(col * (10**k) + F.lit(0.5)) / (10**k)
+
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("ltv"),
-        F.round(F.avg("value"), 4).alias("aov"),
+        _r(s, 2).alias("ltv"),
+        _r(s / F.count("*"), 4).alias("aov"),
         F.min("ts").alias("first_purchase_ts"),
         F.max("ts").alias("last_purchase_ts"),
         tenure.alias("tenure_days"),
-        F.round(
-            F.sum("value") / F.greatest(tenure.cast("double"), F.lit(1.0)), 4
-        ).alias("revenue_per_day"),
+        _r(s / F.greatest(tenure.cast("double"), F.lit(1.0)), 4).alias(
+            "revenue_per_day"
+        ),
     )
 
 
