@@ -68,6 +68,8 @@ BENCH_QUERIES = (
     "doc_bigram_logprob",
     "zorder_layout_plan",
     "stream_topk_heavy_hitters",
+    "incremental_feature_update",
+    "item_cooccurrence_lift",
 )
 
 
