@@ -1,4 +1,10 @@
-"""Fast local parity sweep: python tools/parity.py [sf_dir] [query ...]"""
+"""Fast local parity sweep: python tools/parity.py [sf_dir] [query ...]
+
+``--vanilla`` runs the sweep on a BARE SparkSession (none of the
+engine's session confs), replicating the verify driver's environment
+exactly — every query must self-configure through
+``catalog.ensure_engine_confs`` on its own load path.
+"""
 
 from __future__ import annotations
 
@@ -12,9 +18,16 @@ from ml_feature_store_enterprise_grade_spark.testing import run_parity
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     only = [a for a in args if "/" not in a] or None
-    spark = get_spark("parity", cpus=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("parity_vanilla").getOrCreate()
+    else:
+        spark = get_spark("parity", cpus=8)
     results = run_parity(spark, sf_dir, only=only)
     n_bad = 0
     for r in results:
