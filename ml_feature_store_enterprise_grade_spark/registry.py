@@ -85,6 +85,7 @@ _FRONT: tuple[str, ...] = (
     "item_cooccurrence_lift",
     "user_ltv_features",
     "percentile_rank_features",
+    "stream_sliding_features",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -104,7 +105,6 @@ _FRONT: tuple[str, ...] = (
     "region_revenue",
     "revenue_rollup_cube",
     "event_value_percentiles",
-    "feature_summary_stats",
 )
 
 

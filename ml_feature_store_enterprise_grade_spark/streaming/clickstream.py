@@ -582,3 +582,57 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+@register(
+    "stream_sliding_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               time_bucket(INTERVAL '10 minutes', ts) AS slide_bucket
+        FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    w AS (
+        SELECT
+            user_id,
+            slide_bucket - (k * INTERVAL '10 minutes') AS window_start,
+            slide_bucket - (k * INTERVAL '10 minutes') + INTERVAL '1 hour' AS window_end,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS sum_value
+        FROM e CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM w
+    WHERE window_end <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+                         WHERE user_id IS NOT NULL)
+    """,
+)
+def stream_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL streaming core — 1 h window with 10 min
+    slide under a 15 min watermark (reference
+    spark/apps/clickstream_aggregation.py:27-29,135-139) — run to
+    completion under availableNow.  Each event feeds 6 open windows;
+    state is bounded at 6 × |active users| rows and windows emit once
+    finalized.  The oracle is the batch ×6 window expansion filtered
+    to watermark-finalized windows — stream/batch equivalence for the
+    sliding case, completing the tumbling (`stream_hourly_features`)
+    and session (`stream_session_windows`) family."""
+    stream = streaming_events(spark, sf_dir)
+    agg = (
+        stream.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "stream_sliding_features")
