@@ -393,3 +393,62 @@ def gdpr_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delete_fraction"),
         (F.sum(F.when(hit, 1).otherwise(0)) > 0).alias("needs_rewrite"),
     )
+
+
+#: Backfill simulation: the offline feature table is "complete" only
+#: through this date; later event dates are candidates for backfill.
+_BACKFILL_MATERIALIZED_THROUGH = "2024-01-20"
+
+
+@register(
+    "feature_backfill_plan",
+    oracle=f"""
+    WITH available AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_date, n_events, n_users,
+           event_date > DATE '{_BACKFILL_MATERIALIZED_THROUGH}' AS needs_backfill,
+           CAST(CASE WHEN event_date > DATE '{_BACKFILL_MATERIALIZED_THROUGH}'
+                THEN date_diff('day', DATE '{_BACKFILL_MATERIALIZED_THROUGH}', event_date)
+                ELSE 0 END AS INTEGER) AS backfill_priority
+    FROM available
+    """,
+)
+def feature_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning — the batch half of the reference's partition
+    sensor (airflow/dags/feature_store_materialization.py:128-160
+    probes for missing date partitions before materializing): diff the
+    event dates present in the source against the feature table's
+    materialized-through watermark and emit the ordered backfill
+    worklist with per-partition volume estimates.
+
+    Metadata-shaped at any scale: one aggregate to |dates| rows (at
+    100 TB this reads the partition column only — column pruning
+    reaches the scan), and the executor of the plan runs one
+    partition-pruned materialization per flagged date."""
+    cutoff = F.lit(_BACKFILL_MATERIALIZED_THROUGH).cast("date")
+    avail = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    needs = F.col("event_date") > cutoff
+    return avail.select(
+        "event_date",
+        "n_events",
+        "n_users",
+        needs.alias("needs_backfill"),
+        F.when(needs, F.datediff(F.col("event_date"), cutoff))
+        .otherwise(0)
+        .cast("int")
+        .alias("backfill_priority"),
+    )

@@ -86,6 +86,8 @@ _FRONT: tuple[str, ...] = (
     "user_ltv_features",
     "percentile_rank_features",
     "stream_sliding_features",
+    "feature_backfill_plan",
+    "late_arrival_audit",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "top_customers_per_nation",
     "top_revenue_orders",
     "region_revenue",
-    "revenue_rollup_cube",
-    "event_value_percentiles",
 )
 
 

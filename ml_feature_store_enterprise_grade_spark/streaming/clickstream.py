@@ -636,3 +636,67 @@ def stream_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "stream_sliding_features")
+
+
+@register(
+    "late_arrival_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT user_id, ts, event_id,
+               MAX(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE seen_max - ts > INTERVAL 15 MINUTES) AS n_late,
+           ROUND(CAST(COUNT(*) FILTER (WHERE seen_max - ts > INTERVAL 15 MINUTES) AS DOUBLE)
+                 / COUNT(*), 6) AS late_rate,
+           CAST(COALESCE(MAX(CASE WHEN seen_max > ts
+               THEN date_diff('second', ts, seen_max) END), 0) AS BIGINT)
+               AS max_lateness_s
+    FROM arr
+    GROUP BY 1
+    """,
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit: per event hour, how many events arrived
+    later than the {WATERMARK} watermark would tolerate, and the worst
+    observed lateness — the number that justifies (or indicts) the
+    15-minute choice inherited from the reference (ST6,
+    spark/apps/clickstream_aggregation.py:29).  Arrival order is the
+    per-user ``event_id`` sequence; an event is late by the gap
+    between its event time and the latest event time already seen on
+    its key.
+
+    Scale shape: one shuffle on user_id; the running max shares that
+    partitioning (a per-user window, never a global sort), then a
+    small re-aggregation by hour.  Run this before changing any
+    watermark in production."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "ts", F.max("ts").over(w).alias("seen_max")
+    )
+    late = F.col("seen_max") - F.col("ts") > F.expr("INTERVAL 15 MINUTES")
+    lateness_s = F.when(
+        F.col("seen_max") > F.col("ts"),
+        F.unix_timestamp("seen_max") - F.unix_timestamp("ts"),
+    )
+    return arr.groupBy(F.date_trunc("hour", "ts").alias("event_hour")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.round(
+            F.sum(F.when(late, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("late_rate"),
+        F.coalesce(F.max(lateness_s), F.lit(0)).cast("bigint").alias("max_lateness_s"),
+    )
