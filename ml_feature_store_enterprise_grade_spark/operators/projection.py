@@ -238,3 +238,80 @@ def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             hr.between(9, 17).alias("is_business_hours"),
         )
     )
+
+
+#: Systematic weighted sample: draws per segment.
+_WSYS_K = 20
+
+
+@register(
+    "weighted_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               GREATEST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT), 0) + 1 AS wgt
+        FROM customer
+    ),
+    c AS (
+        SELECT segment, c_custkey, wgt,
+               CAST(SUM(wgt) OVER (
+                   PARTITION BY segment ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(SUM(wgt) OVER (PARTITION BY segment) AS BIGINT) AS total
+        FROM w
+    )
+    SELECT segment, c_custkey, wgt,
+           CAST((cum * {_WSYS_K}) // total
+                - ((cum - wgt) * {_WSYS_K}) // total AS BIGINT) AS n_hits
+    FROM c
+    WHERE (cum * {_WSYS_K}) // total > ((cum - wgt) * {_WSYS_K}) // total
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling made oracle-checkable (upgrading SURVEY J4
+    from the rows-only seeded ``sampleBy``): systematic sampling by
+    cumulative weight — lay each segment's rows on a weight line, cut
+    it into {_WSYS_K} equal strides, and take the row under each cut.
+    Inclusion probability is proportional to weight (heavy rows can
+    take multiple hits), selection is a pure function of the data —
+    no PRNG, so Spark and DuckDB agree bit-for-bit.
+
+    Everything is BIGINT: weights are cents-scaled balances, the
+    prefix sum is exact, and the stride test is integer floor-division
+    (``cum·k // total`` crossing a boundary), so no float enters the
+    selection.  Scale shape: one hash shuffle on the stratum, prefix
+    sums inside each partition (the packing-plan discipline).  At
+    extreme scale swap BIGINT for DECIMAL(38,0) to keep ``cum·k``
+    inside the type."""
+    w = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        # cents via exact DECIMAL, not double*100: Spark CAST(double
+        # AS BIGINT) truncates while DuckDB rounds, so .99999 cents
+        # diverge by one — the decimal path rounds identically.
+        (
+            F.greatest(
+                (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint"),
+                F.lit(0),
+            )
+            + 1
+        ).alias("wgt"),
+    )
+    win = (
+        Window.partitionBy("segment")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "segment",
+        "c_custkey",
+        "wgt",
+        F.sum("wgt").over(win).cast("bigint").alias("cum"),
+        F.sum("wgt").over(Window.partitionBy("segment")).cast("bigint").alias("total"),
+    )
+    hi = F.expr(f"(cum * {_WSYS_K}) div total")
+    lo = F.expr(f"((cum - wgt) * {_WSYS_K}) div total")
+    return c.filter(hi > lo).select(
+        "segment", "c_custkey", "wgt", (hi - lo).cast("bigint").alias("n_hits")
+    )

@@ -88,6 +88,7 @@ _FRONT: tuple[str, ...] = (
     "stream_sliding_features",
     "feature_backfill_plan",
     "late_arrival_audit",
+    "weighted_systematic_sample",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -102,7 +103,6 @@ _FRONT: tuple[str, ...] = (
     "user_daily_activity",
     "user_hourly_features",
     "user_sliding_features",
-    "top_customers_per_nation",
     "top_revenue_orders",
     "region_revenue",
 )

@@ -55,3 +55,24 @@ def test_every_query_has_oracle_or_rows_only_justification():
         justified = bool(registry.ROWS_ONLY.get(name))
         assert has_oracle or justified, f"{name}: no oracle and no rows_only justification"
         assert not (has_oracle and justified), f"{name}: both oracle and rows_only"
+
+
+def test_rows_only_outputs_are_canonicalizer_safe(spark):
+    """Rows-only queries get no oracle, but the driver still loads
+    their result into pandas and sorts/hashes it — a top-level array
+    or map column crashes that canonicalizer (ndarray cells are
+    unhashable; burned round 2 on multimodal_decode_features).  Every
+    rows-only query must project such columns to digests/strings."""
+    from pyspark.sql import types as T
+
+    from ml_feature_store_enterprise_grade_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    for name in registry.ROWS_ONLY:
+        df = registry.queries()[name](spark, SF_SMOKE)
+        for field in df.schema.fields:
+            assert not isinstance(field.dataType, (T.ArrayType, T.MapType)), (
+                f"{name}.{field.name}: {field.dataType.simpleString()} is not "
+                "hashable by the driver's pandas canonicalizer"
+            )
