@@ -655,3 +655,67 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+#: Truncated-prefix length audited against the full embedding.
+_TRUNC_DIMS = 16
+
+
+@register(
+    "embedding_truncation_audit",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    t AS (
+        SELECT vec_id, label, v, v[1:{_TRUNC_DIMS}] AS p FROM e
+    ),
+    s AS (
+        SELECT label,
+               list_dot_product(p, p) AS pp,
+               list_dot_product(v, v) AS vv,
+               sqrt(list_dot_product(p, p) / list_dot_product(v, v)) AS energy
+        FROM t
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(energy), 6) AS avg_energy_kept,
+           ROUND(MIN(energy), 6) AS min_energy_kept,
+           ROUND(AVG(pp / vv), 6) AS avg_energy_sq
+    FROM s
+    GROUP BY label
+    """,
+)
+def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of each vector's
+    L2 energy the first {_TRUNC_DIMS} dimensions retain, rolled up per
+    label — the measurement behind serving truncated embeddings for
+    cheap first-stage retrieval (prefix norm / full norm is exactly
+    the cosine between the full vector and its zero-padded prefix).
+    A low min flags labels whose information lives in the tail, where
+    truncation would break recall.
+
+    Zero-shuffle per-vector arithmetic (slice + JVM-side dot-product
+    folds), then one aggregate to |labels| rows — the same single-scan
+    audit shape as the quantization-error operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    p = F.slice(v, 1, _TRUNC_DIMS)
+    pp = F.aggregate(
+        F.zip_with(p, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vv = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    s = emb.select(
+        "label",
+        pp.alias("pp"),
+        vv.alias("vv"),
+        F.sqrt(pp / vv).alias("energy"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("energy"), 6).alias("avg_energy_kept"),
+        F.round(F.min("energy"), 6).alias("min_energy_kept"),
+        F.round(F.avg(F.col("pp") / F.col("vv")), 6).alias("avg_energy_sq"),
+    )

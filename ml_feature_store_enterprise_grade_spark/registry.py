@@ -89,6 +89,7 @@ _FRONT: tuple[str, ...] = (
     "feature_backfill_plan",
     "late_arrival_audit",
     "weighted_systematic_sample",
+    "embedding_truncation_audit",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -98,7 +99,6 @@ _FRONT: tuple[str, ...] = (
     "duplicate_key_check",
     "feature_coverage",
     "event_customer_enrichment",
-    "event_customer_overlap",
     "event_code_projection",
     "user_daily_activity",
     "user_hourly_features",
