@@ -521,3 +521,165 @@ def training_set_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = pit_multi_view_join(spark, sf_dir)
     labels = pit_label_join(spark, sf_dir)
     return feats.join(labels, ["user_id", "lookup_ts"])
+
+
+#: CDC simulation boundary: the standing snapshot is built from
+#: events before this instant; later events form the change feed.
+_CDC_CUTOFF = "2024-01-25"
+#: Deterministic deletion feed (stand-in for tombstone records).
+_CDC_DELETE_MOD = 31
+
+_CDC_SNAP_COLS = ("feature_timestamp", *_FEATURE_COLS)
+
+
+def _snapshot_sql(src_filter: str) -> str:
+    cols = ", ".join(_CDC_SNAP_COLS)
+    return f"""
+        SELECT user_id, {cols} FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY feature_timestamp DESC
+            ) AS rn
+            FROM hourly
+            WHERE {src_filter}
+        ) WHERE rn = 1
+    """
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    base AS ({_snapshot_sql(f"feature_timestamp <= TIMESTAMP '{_CDC_CUTOFF}'")}),
+    chg AS ({_snapshot_sql(f"feature_timestamp > TIMESTAMP '{_CDC_CUTOFF}'")}),
+    dels AS (
+        SELECT user_id FROM base
+        WHERE user_id % {_CDC_DELETE_MOD} = 0
+    )
+    SELECT b.user_id, {", ".join(f"b.{c}" for c in _CDC_SNAP_COLS)},
+           'carried' AS merge_action
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.user_id = b.user_id)
+      AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.user_id = b.user_id)
+    UNION ALL
+    SELECT c.user_id, {", ".join(f"c.{c}" for c in _CDC_SNAP_COLS)},
+           CASE WHEN EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id)
+                THEN 'updated' ELSE 'inserted' END AS merge_action
+    FROM chg c
+    WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.user_id = c.user_id)
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change
+    feed (fresh feature rows after the CDC cutoff) plus a tombstone
+    feed (deterministic deletion keys) to the standing snapshot —
+    carried / updated / inserted rows tagged, deleted keys dropped.
+    This is the upsert kernel behind ``feast materialize-incremental``
+    and every Delta/Iceberg MERGE, expressed as anti-join + union so
+    it runs on plain parquet.
+
+    Scale shape: both sides are latest-per-key aggregates; the merge
+    itself is two hash semi/anti probes and a union — all
+    hash-partitioned on the entity key with no sort.  In production
+    the change feed is a partition-pruned incremental read and the
+    tombstones a tiny broadcast, so cost scales with the delta."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    hourly = hourly_features(events)
+    snap_cols = ["user_id", *list(_CDC_SNAP_COLS)]
+    base = latest_snapshot(hourly.filter(F.col("feature_timestamp") <= cutoff)).select(
+        *snap_cols
+    )
+    chg = latest_snapshot(hourly.filter(F.col("feature_timestamp") > cutoff)).select(
+        *snap_cols
+    )
+    dels = base.select("user_id").filter(F.col("user_id") % _CDC_DELETE_MOD == 0)
+    carried = (
+        base.join(chg.select("user_id"), "user_id", "left_anti")
+        .join(dels, "user_id", "left_anti")
+        .withColumn("merge_action", F.lit("carried"))
+    )
+    updated_flag = F.when(F.col("__in_base").isNotNull(), "updated").otherwise(
+        "inserted"
+    )
+    applied = (
+        chg.join(dels, "user_id", "left_anti")
+        .join(
+            base.select("user_id", F.lit(1).alias("__in_base")), "user_id", "left"
+        )
+        .withColumn("merge_action", updated_flag)
+        .drop("__in_base")
+    )
+    return carried.unionByName(applied)
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    s1 AS ({_snapshot_sql(f"feature_timestamp <= TIMESTAMP '{_CDC_CUTOFF}'")}),
+    s2 AS ({_snapshot_sql("TRUE")})
+    SELECT
+        CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_current,
+        CAST((SELECT COUNT(*) FROM s2 a
+              WHERE NOT EXISTS (SELECT 1 FROM s1 b WHERE b.user_id = a.user_id))
+             AS BIGINT) AS n_added,
+        CAST((SELECT COUNT(*) FROM s1 a
+              WHERE NOT EXISTS (SELECT 1 FROM s2 b WHERE b.user_id = a.user_id))
+             AS BIGINT) AS n_removed,
+        CAST((SELECT COUNT(*) FROM s1 a JOIN s2 b USING (user_id)
+              WHERE a.feature_timestamp <> b.feature_timestamp)
+             AS BIGINT) AS n_changed,
+        CAST((SELECT COUNT(*) FROM s1 a JOIN s2 b USING (user_id)
+              WHERE a.feature_timestamp = b.feature_timestamp)
+             AS BIGINT) AS n_unchanged
+    """,
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff: how many entities the current online
+    snapshot added, removed, refreshed, or carried unchanged relative
+    to the previous materialization — the one-row audit a
+    materialization job logs so silent snapshot regressions (mass
+    removals, frozen freshness) page someone.
+
+    Change detection keys on ``feature_timestamp`` (a refreshed entity
+    necessarily has a newer window end).  Shape: two latest-per-key
+    aggregates, one full-outer-style comparison on the entity key —
+    all hash-partitioned, output is a single row."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    hourly = hourly_features(events)
+    s1 = latest_snapshot(hourly.filter(F.col("feature_timestamp") <= cutoff)).select(
+        "user_id", F.col("feature_timestamp").alias("ts1")
+    )
+    s2 = latest_snapshot(hourly).select(
+        "user_id", F.col("feature_timestamp").alias("ts2")
+    )
+    j = s1.join(s2, "user_id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("ts2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current"),
+        F.sum(F.when(F.col("ts1").isNull() & F.col("ts2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("ts2").isNull() & F.col("ts1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("ts1").isNotNull()
+                & F.col("ts2").isNotNull()
+                & (F.col("ts1") != F.col("ts2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("ts1").isNotNull() & (F.col("ts1") == F.col("ts2")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )

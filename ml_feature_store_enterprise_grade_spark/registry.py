@@ -90,6 +90,8 @@ _FRONT: tuple[str, ...] = (
     "late_arrival_audit",
     "weighted_systematic_sample",
     "embedding_truncation_audit",
+    "cdc_merge_upsert",
+    "snapshot_diff_audit",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -99,8 +101,6 @@ _FRONT: tuple[str, ...] = (
     "duplicate_key_check",
     "feature_coverage",
     "event_customer_enrichment",
-    "event_code_projection",
-    "user_daily_activity",
     "user_hourly_features",
     "user_sliding_features",
     "top_revenue_orders",
