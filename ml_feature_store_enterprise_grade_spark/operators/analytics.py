@@ -754,3 +754,89 @@ def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(100).over(w).cast("int").alias("centile"),
         )
     )
+
+
+#: RFM scoring date (end of the events window) and quintile count.
+_RFM_ASOF = "2024-02-01"
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(ts), TIMESTAMP '{_RFM_ASOF}') AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS monetary
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT *,
+               CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INTEGER) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INTEGER) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INTEGER) AS m_score
+        FROM m
+    )
+    SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation — the
+    classic behavioral customer-segmentation block, with deterministic
+    quintiles (ties broken on the key) and the conventional
+    champion/loyal/at-risk/hibernating labeling.  Monetary sums use
+    the exact-decimal discipline.
+
+    Scale note: the NTILE here runs over the per-USER aggregate (one
+    row per purchasing user), orders of magnitude smaller than the
+    fact table; for entity counts where even that sort is too big, the
+    sampled-cut-point assignment of ``feature_binning_scalable``
+    replaces each NTILE one-for-one."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+    )
+    asof = F.lit(_RFM_ASOF).cast("timestamp")
+    m = e.groupBy("user_id").agg(
+        F.datediff(asof, F.max("ts")).cast("bigint").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "monetary"
+        ),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    mo = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    s = m.select(
+        "*",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        mo.cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

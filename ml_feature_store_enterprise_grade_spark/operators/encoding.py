@@ -485,3 +485,67 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(pos, ["user_id", "item_id"], "left_anti").select(
         "user_id", F.col("draw").cast("int").alias("draw"), "item_id"
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE
+                   WHEN {PORTABLE_HASH64_SQL("CAST(e.user_id AS VARCHAR)", _SPLIT_SEED)} % 100
+                        < {_SPLIT_TRAIN_END} THEN 'train'
+                   WHEN {PORTABLE_HASH64_SQL("CAST(e.user_id AS VARCHAR)", _SPLIT_SEED)} % 100
+                        < {_SPLIT_VAL_END} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM events e
+        WHERE e.user_id IS NOT NULL
+    )
+    SELECT split,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM assigned), 6) AS row_share,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT user_id FROM assigned GROUP BY user_id
+               HAVING COUNT(DISTINCT split) > 1
+           )) AS BIGINT) AS entities_in_multiple_splits
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit: per split, row and entity counts, the
+    realized row share (does 80/10/10 hold on THIS data?), and the
+    hard invariant — the number of entities appearing in more than one
+    split, which hash-of-key assignment must drive to exactly zero.
+    Run after any split-logic change; a nonzero last column is
+    train/test leakage.
+
+    Shape: the assignment is the zero-shuffle hash projection; the
+    audit adds one aggregate by split and one entity-grouped
+    distinct-split check (both hash-partitioned)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket = portable_hash64(F.col("user_id").cast("string"), seed=_SPLIT_SEED) % 100
+    assigned = e.select(
+        "event_id",
+        "user_id",
+        F.when(bucket < _SPLIT_TRAIN_END, "train")
+        .when(bucket < _SPLIT_VAL_END, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    total = assigned.count()
+    multi = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_entities"),
+        F.round(F.count("*").cast("double") / F.lit(float(total)), 6).alias("row_share"),
+        F.lit(multi).cast("bigint").alias("entities_in_multiple_splits"),
+    )

@@ -92,6 +92,8 @@ _FRONT: tuple[str, ...] = (
     "embedding_truncation_audit",
     "cdc_merge_upsert",
     "snapshot_diff_audit",
+    "rfm_segmentation",
+    "split_leakage_audit",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "event_customer_enrichment",
     "user_hourly_features",
     "user_sliding_features",
-    "top_revenue_orders",
-    "region_revenue",
 )
 
 
