@@ -405,3 +405,56 @@ def test_upsert_discards_incomplete_staging(spark, tmp_path):
     assert got.count() == 8  # junk never merged, nothing lost
     u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
     assert u0 == t0 + dt.timedelta(hours=1)
+
+
+def test_sliding_multi_batch_replay_is_batch_equivalent(spark, multi_file_source):
+    """Sliding windows under 6 time-ordered micro-batches: each event
+    feeds 6 overlapping windows whose state lives across batches; the
+    union of append emissions must equal the batch x6 expansion on
+    finalized windows, emitted at most once each."""
+    import uuid
+
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import WATERMARK
+
+    qname = f"slide_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream(spark, multi_file_source, max_files=1)
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(qname)
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    max_ts = e.agg(F.max("ts")).first()[0]
+    batch = (
+        e.groupBy("user_id", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES"))
+    )
+    assert emitted.count() == emitted.select("user_id", "window_start").distinct().count()
+    assert emitted.exceptAll(batch).count() == 0
+    assert batch.exceptAll(emitted).count() == 0
