@@ -520,3 +520,70 @@ def partition_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / _COMPACT_TARGET_ROWS).cast("int").alias("merge_group"),
         (F.col("n_rows") < _COMPACT_TARGET_ROWS).alias("undersized"),
     )
+
+
+#: Data-skipping audit predicate: the hot filter whose file-pruning
+#: effectiveness is being measured.
+_SKIP_PRED_LO = 400.0
+
+
+@register(
+    "file_skipping_stats",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST({PORTABLE_HASH64_SQL("CAST(event_id AS VARCHAR)", _COMPACT_SEED)}
+                    % {_COMPACT_BUCKETS} AS INTEGER) AS file_bucket,
+               COUNT(*) AS n_rows,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_date, file_bucket, n_rows, min_value, max_value,
+           max_value < {_SKIP_PRED_LO} AS skippable,
+           CASE WHEN max_value < {_SKIP_PRED_LO} THEN n_rows ELSE 0 END AS rows_skipped
+    FROM files
+    """,
+)
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: per (partition, file) zone-map stats
+    (min/max of the hot filter column) and whether the file is
+    entirely skippable for the predicate ``value >= {_SKIP_PRED_LO}``
+    — the measurement behind parquet row-group pruning and lakehouse
+    file statistics.  Read next to :func:`zorder_layout_plan`: Z-order
+    clustering exists precisely to make these zone maps tight, and
+    this operator is how you prove the clustering paid off (sum
+    ``rows_skipped`` before/after a rewrite).
+
+    Metadata-shaped: one aggregate to |files| rows; the audit never
+    rereads data a second time."""
+    files = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            (
+                portable_hash64(F.col("event_id").cast("string"), seed=_COMPACT_SEED)
+                % _COMPACT_BUCKETS
+            )
+            .cast("int")
+            .alias("file_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    skippable = F.col("max_value") < _SKIP_PRED_LO
+    return files.select(
+        "event_date",
+        "file_bucket",
+        "n_rows",
+        "min_value",
+        "max_value",
+        skippable.alias("skippable"),
+        F.when(skippable, F.col("n_rows")).otherwise(0).alias("rows_skipped"),
+    )

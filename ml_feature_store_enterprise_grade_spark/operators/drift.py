@@ -604,3 +604,74 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("js_divergence"),
         (F.sum(term) >= 0.1).alias("shifted"),
     )
+
+
+#: Robust-z threshold for day-volume anomalies (the usual 3.5 cutoff
+#: from Iglewicz & Hoaglin's modified z-score).
+_MAD_Z_THRESH = 3.5
+_MAD_CONSISTENCY = 0.6745
+
+
+@register(
+    "volume_anomaly_days",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM d),
+    mad AS (
+        SELECT quantile_cont(ABS(d.n_events - m.med), 0.5) AS mad
+        FROM d CROSS JOIN med m
+    )
+    SELECT d.event_date, d.n_events,
+           ROUND(m.med, 1) AS median_volume,
+           ROUND(a.mad, 1) AS mad_volume,
+           ROUND({_MAD_CONSISTENCY} * (d.n_events - m.med) / NULLIF(a.mad, 0), 4)
+               AS robust_z,
+           ABS({_MAD_CONSISTENCY} * (d.n_events - m.med) / NULLIF(a.mad, 0))
+               > {_MAD_Z_THRESH} AS is_anomaly
+    FROM d CROSS JOIN med m CROSS JOIN mad a
+    """,
+)
+def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly detection on daily ingest volume: the
+    modified z-score (median/MAD, Iglewicz-Hoaglin 0.6745 scaling,
+    |z| > {_MAD_Z_THRESH}) flags days whose event count is
+    statistically abnormal — robust to the very outliers it hunts,
+    where a mean/stddev z-score gets dragged by them.  This is the
+    "did yesterday's ingest silently halve?" alarm that fires before
+    any model metric moves.
+
+    Shape: the day series is a tiny aggregate; median and MAD are two
+    exact percentiles over it (|days| rows — driver-scale at any
+    corpus size), broadcast back as one-row frames."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    med = d.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    mad = (
+        d.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(ABS(n_events - med), 0.5)").alias("mad"))
+    )
+    z = (
+        F.lit(_MAD_CONSISTENCY)
+        * (F.col("n_events") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        d.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "event_date",
+            "n_events",
+            F.round(F.col("med"), 1).alias("median_volume"),
+            F.round(F.col("mad"), 1).alias("mad_volume"),
+            F.round(z, 4).alias("robust_z"),
+            (F.abs(z) > _MAD_Z_THRESH).alias("is_anomaly"),
+        )
+    )

@@ -94,6 +94,8 @@ _FRONT: tuple[str, ...] = (
     "snapshot_diff_audit",
     "rfm_segmentation",
     "split_leakage_audit",
+    "file_skipping_stats",
+    "volume_anomaly_days",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "duplicate_key_check",
     "feature_coverage",
     "event_customer_enrichment",
-    "user_hourly_features",
-    "user_sliding_features",
 )
 
 
