@@ -111,3 +111,49 @@ def test_training_set_export_is_leakage_free(spark):
             n_labeled += 1
             assert r.conversion_epoch_s is not None
     assert 0 < n_labeled < len(rows)
+
+
+def test_systematic_sample_takes_exactly_k_hits_per_stratum(spark):
+    """Systematic sampling's defining guarantee: the stride cuts land
+    exactly k hits per stratum (Σ n_hits == 20), and every hit count
+    is positive."""
+    rows = registry.queries()["weighted_systematic_sample"](spark, SF_SMOKE).collect()
+    hits = defaultdict(int)
+    for r in rows:
+        assert r.n_hits >= 1
+        hits[r.segment] += r.n_hits
+    assert hits and all(v == 20 for v in hits.values()), dict(hits)
+
+
+def test_negative_samples_are_disjoint_from_positives(spark):
+    """Negative pairs must never collide with a real interaction and
+    never exceed the per-user draw budget."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+
+    negs = registry.queries()["negative_sample_pairs"](spark, SF_SMOKE)
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    assert negs.join(pos, ["user_id", "item_id"]).count() == 0
+    per_user = negs.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user <= 4
+
+
+def test_rfm_quintiles_are_balanced(spark):
+    """NTILE(5) over the per-user aggregate must split each score
+    dimension into near-equal quintiles (sizes differ by at most 1)."""
+    rows = registry.queries()["rfm_segmentation"](spark, SF_SMOKE).collect()
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = defaultdict(int)
+        for r in rows:
+            sizes[getattr(r, col)] += 1
+        assert sorted(sizes) == [1, 2, 3, 4, 5]
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, dict(sizes))
