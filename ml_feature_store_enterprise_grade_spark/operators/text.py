@@ -1019,3 +1019,121 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+@register(
+    "tokenizer_fertility_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+                   AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars_raw) AS DOUBLE) / NULLIF(SUM(n_bpe), 0), 4)
+               AS chars_per_token,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 2) AS avg_tokens_per_doc
+    FROM d
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language slice: characters consumed per
+    emitted (BPE-ish) token.  Fertility is THE cross-lingual tokenizer
+    health metric — a language whose fertility is far above the
+    corpus norm pays more compute per unit of text and trains worse at
+    a fixed context length; this audit is what justifies retraining
+    the tokenizer or re-weighting the mixture before a run.
+
+    One scan, vocabulary of |languages| output rows; the regex token
+    count stays inside whole-stage codegen (same `_BPE_PATTERN` as
+    ``doc_text_stats``, so the two audits agree on what a token is)."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars_raw").cast("double") / F.nullif(F.sum("n_bpe"), F.lit(0)), 4
+        ).alias("chars_per_token"),
+        F.round(F.sum("n_bpe").cast("double") / F.count("*"), 2).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+#: Context lengths audited by the corpus-fit histogram.
+_CTX_LENGTHS = (512, 1024, 2048, 4096)
+
+
+@register(
+    "context_length_fit",
+    oracle=f"""
+    WITH d AS (
+        SELECT GREATEST(1, n_chars // {{cpt}}) AS est_tokens FROM documents
+    ),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(est_tokens) AS DOUBLE) AS tok
+          FROM d)
+    SELECT c.ctx,
+           CAST((SELECT COUNT(*) FROM d WHERE est_tokens <= c.ctx) AS BIGINT)
+               AS docs_fitting,
+           ROUND((SELECT COUNT(*) FROM d WHERE est_tokens <= c.ctx) / t.n, 6)
+               AS doc_share,
+           ROUND((SELECT SUM(est_tokens) FROM d WHERE est_tokens <= c.ctx) / t.tok, 6)
+               AS token_share
+    FROM (SELECT unnest(ARRAY{list(_CTX_LENGTHS)}) AS ctx) c CROSS JOIN t
+    """.format(cpt=4),
+)
+def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length fit: for each candidate training context length,
+    the share of documents (and of total tokens) that fit without
+    truncation — the table a pretraining config review reads when
+    choosing sequence length and deciding between truncation, packing
+    (:func:`corpus_plan.sequence_packing_plan`) and chunking
+    (:func:`corpus_plan.doc_chunking_plan`).
+
+    Shape: the document length profile collapses to one tiny frame;
+    the per-context shares are conditional aggregates over it — the
+    whole audit is one scan of the metadata column."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).alias("est_tokens")
+    )
+    agg = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("est_tokens").cast("double").alias("tok"),
+        *[
+            F.sum(F.when(F.col("est_tokens") <= c, 1).otherwise(0)).alias(f"fit_{c}")
+            for c in _CTX_LENGTHS
+        ],
+        *[
+            F.sum(F.when(F.col("est_tokens") <= c, F.col("est_tokens")).otherwise(0))
+            .cast("double")
+            .alias(f"tokfit_{c}")
+            for c in _CTX_LENGTHS
+        ],
+    )
+    stack = ", ".join(
+        f"{c}, fit_{c}, tokfit_{c}" for c in _CTX_LENGTHS
+    )
+    long = agg.select(
+        "n",
+        "tok",
+        F.expr(
+            f"stack({len(_CTX_LENGTHS)}, {stack}) as (ctx, docs_fitting, tok_fitting)"
+        ),
+    )
+    return long.select(
+        F.col("ctx").cast("int").alias("ctx"),
+        F.col("docs_fitting").cast("bigint").alias("docs_fitting"),
+        F.round(F.col("docs_fitting") / F.col("n"), 6).alias("doc_share"),
+        F.round(F.col("tok_fitting") / F.col("tok"), 6).alias("token_share"),
+    )

@@ -96,6 +96,8 @@ _FRONT: tuple[str, ...] = (
     "split_leakage_audit",
     "file_skipping_stats",
     "volume_anomaly_days",
+    "tokenizer_fertility_audit",
+    "context_length_fit",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "latest_feature_snapshot",
     "feature_freshness",
     "duplicate_key_check",
-    "feature_coverage",
-    "event_customer_enrichment",
 )
 
 
