@@ -51,13 +51,25 @@ WATERMARK = "15 minutes"
 
 def _stream_source_dir(sf_dir: str) -> str:
     """The file stream source needs a *directory*; stage the events
-    parquet file into a per-sf temp dir (idempotent)."""
+    parquet file into a per-sf temp dir.
+
+    Staleness-proof: the staged copy is refreshed whenever the source
+    file's (size, mtime) differs — testdata is regenerated between
+    driver rounds, and replaying a stale copy would silently diverge
+    from the oracle's fresh read.  ``copy2`` preserves mtime so the
+    comparison is stable across calls."""
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
+    s = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != s.st_size
+        or os.stat(dst).st_mtime_ns != s.st_mtime_ns
+    ):
         os.makedirs(d, exist_ok=True)
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+        shutil.copy2(src, dst)
     return d
 
 

@@ -458,3 +458,38 @@ def test_sliding_multi_batch_replay_is_batch_equivalent(spark, multi_file_source
     assert emitted.count() == emitted.select("user_id", "window_start").distinct().count()
     assert emitted.exceptAll(batch).count() == 0
     assert batch.exceptAll(emitted).count() == 0
+
+
+def test_stream_staging_refreshes_on_source_change(spark, tmp_path):
+    """The staged stream-source copy must track the source file:
+    regenerated testdata (new size/mtime) invalidates the old copy —
+    replaying a stale copy would silently diverge from the oracle."""
+    import os
+    import shutil
+    import time
+
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        _stream_source_dir,
+    )
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    src = sf / "events.parquet"
+    shutil.copy2(f"{SF_SMOKE}/events.parquet", src)
+    d1 = _stream_source_dir(str(sf))
+    staged = os.path.join(d1, "events.parquet")
+    first_sig = (os.stat(staged).st_size, os.stat(staged).st_mtime_ns)
+
+    # Unchanged source: no recopy (mtime signature stable).
+    assert _stream_source_dir(str(sf)) == d1
+    assert (os.stat(staged).st_size, os.stat(staged).st_mtime_ns) == first_sig
+
+    # "Regenerate" the testdata: new bytes, new mtime.
+    time.sleep(0.01)
+    with open(src, "ab") as f:
+        f.write(b"x" * 128)
+    os.utime(src)
+    _stream_source_dir(str(sf))
+    second_sig = (os.stat(staged).st_size, os.stat(staged).st_mtime_ns)
+    assert second_sig != first_sig
+    assert second_sig[0] == first_sig[0] + 128
