@@ -138,6 +138,9 @@ def run_available_now(result: DataFrame, name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # The memory sink holds the results; the per-run checkpoint has no
+    # further use (query names are unique) — don't leak one dir per call.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
 
 
