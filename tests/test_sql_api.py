@@ -28,3 +28,30 @@ def test_sql_over_registered_views_matches_dataframe_query(spark):
     assert sorted(got.columns) == sorted(want.columns)
     assert got.exceptAll(want.select(*got.columns)).count() == 0
     assert want.select(*got.columns).exceptAll(got).count() == 0
+
+
+def test_sql_window_tvf_matches_hourly_features(spark):
+    """The windowed feature core must be reachable from raw Spark SQL
+    (window() in GROUP BY) with results identical to the DataFrame
+    operator — same Catalyst plan family, same numbers."""
+    register_views(spark, SF_SMOKE, "events")
+    got = spark.sql(
+        """
+        SELECT user_id,
+               window.start AS window_start,
+               window.end AS feature_timestamp,
+               COUNT(*) AS total_events,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click_count,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+                   AS total_revenue
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id, window(ts, '1 hour')
+        """
+    )
+    want = registry.queries()["user_hourly_features"](spark, SF_SMOKE).select(
+        *got.columns
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
