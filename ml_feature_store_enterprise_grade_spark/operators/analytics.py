@@ -840,3 +840,129 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+@register(
+    "conversion_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type, value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+        SELECT *,
+               MAX(CASE WHEN event_type IN ('click', 'view') THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch_ts
+        FROM e
+    )
+    SELECT w.user_id,
+           w.event_id AS purchase_event_id,
+           w.ts AS purchase_ts,
+           ROUND(w.value, 6) AS purchase_value,
+           w.last_touch_ts,
+           CASE WHEN w.last_touch_ts IS NULL THEN NULL
+                ELSE CAST(date_diff('second', w.last_touch_ts, w.ts) AS BIGINT)
+           END AS seconds_since_touch,
+           w.last_touch_ts IS NOT NULL
+               AND w.ts - w.last_touch_ts <= INTERVAL 30 MINUTES AS attributed
+    FROM w
+    WHERE w.event_type = 'purchase'
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is attributed
+    to the most recent preceding engagement (click/view) of the same
+    user, and counted as attributed when that touch falls inside a
+    30-minute attribution window — the marketing-analytics join every
+    clickstream platform ships next to its funnels.
+
+    One shuffle on user_id; the last-touch lookup is a running
+    conditional MAX over the per-user event order (no self-join of the
+    fact table), then a filter to purchases."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.max(
+        F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+    ).over(w)
+    enriched = e.withColumn("last_touch_ts", touch_ts)
+    attributed = F.col("last_touch_ts").isNotNull() & (
+        F.col("ts") - F.col("last_touch_ts") <= F.expr("INTERVAL 30 MINUTES")
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 6).alias("purchase_value"),
+        "last_touch_ts",
+        F.when(
+            F.col("last_touch_ts").isNotNull(),
+            F.unix_timestamp("ts") - F.unix_timestamp("last_touch_ts"),
+        )
+        .cast("bigint")
+        .alias("seconds_since_touch"),
+        attributed.alias("attributed"),
+    )
+
+
+@register(
+    "purchase_interarrival_stats",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+        FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           ROUND(AVG(gap_s), 2) AS avg_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 1) AS p50_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def purchase_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase inter-arrival features per user: count, min/avg/median
+    /max gaps between consecutive purchases — the cadence block behind
+    churn horizons and next-purchase-time models (a user whose gap
+    suddenly exceeds their own median is the classic churn precursor).
+
+    One shuffle on user_id; lag and the gap aggregate share the
+    partition; the exact median runs over each user's handful of gaps."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("event_type") == "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias(
+                "prev_ts"
+            ),
+        )
+    )
+    g = p.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).cast("bigint").alias("gap_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 1).alias("p50_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )

@@ -98,13 +98,13 @@ _FRONT: tuple[str, ...] = (
     "volume_anomaly_days",
     "tokenizer_fertility_audit",
     "context_length_fit",
+    "conversion_attribution",
+    "purchase_interarrival_stats",
     # (d) re-verify rotation: greens whose only driver row is from
     # round 1 (two windows ago), oldest signal first
     "pit_asof_join",
     "online_feature_lookup",
     "latest_feature_snapshot",
-    "feature_freshness",
-    "duplicate_key_check",
 )
 
 
