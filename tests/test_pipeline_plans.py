@@ -157,3 +157,41 @@ def test_rfm_quintiles_are_balanced(spark):
             sizes[getattr(r, col)] += 1
         assert sorted(sizes) == [1, 2, 3, 4, 5]
         assert max(sizes.values()) - min(sizes.values()) <= 1, (col, dict(sizes))
+
+
+def test_attribution_window_semantics(spark):
+    """Attributed purchases must have a touch within the 30-minute
+    window; unattributed ones either no prior touch or one outside it."""
+    rows = registry.queries()["conversion_attribution"](spark, SF_SMOKE).collect()
+    assert rows
+    n_attr = 0
+    for r in rows:
+        if r.attributed:
+            n_attr += 1
+            assert r.seconds_since_touch is not None
+            assert 0 <= r.seconds_since_touch <= 1800
+        elif r.seconds_since_touch is not None:
+            assert r.seconds_since_touch > 1800
+    assert 0 < n_attr <= len(rows)
+
+
+def test_interarrival_gaps_are_consistent(spark):
+    """Gap stats must be internally consistent: min <= median <= max,
+    all gaps nonnegative, and gap count = purchases - 1 per user."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+
+    stats = {r.user_id: r for r in registry.queries()["purchase_interarrival_stats"](spark, SF_SMOKE).collect()}
+    purchases = dict(
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .count()
+        .rdd.map(lambda r: (r["user_id"], r["count"]))
+        .collect()
+    )
+    assert stats
+    for uid, r in stats.items():
+        assert r.n_gaps == purchases[uid] - 1
+        assert 0 <= r.min_gap_s <= r.p50_gap_s <= r.max_gap_s

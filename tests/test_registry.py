@@ -76,3 +76,18 @@ def test_rows_only_outputs_are_canonicalizer_safe(spark):
                 f"{name}.{field.name}: {field.dataType.simpleString()} is not "
                 "hashable by the driver's pandas canonicalizer"
             )
+
+
+def test_front_rotation_is_well_formed():
+    """The driver checks the FIRST 50 queries; _FRONT controls that
+    window.  It must contain only registered names, no duplicates, and
+    at most 50 entries — a stale or overflowing rotation silently
+    wastes driver verification slots."""
+    from ml_feature_store_enterprise_grade_spark import registry
+
+    registry.load_all()
+    front = registry._FRONT
+    assert len(front) <= 50, f"{len(front)} > 50: tail entries get no driver row"
+    assert len(set(front)) == len(front), "duplicate names in _FRONT"
+    unknown = [n for n in front if n not in registry.QUERIES]
+    assert not unknown, f"stale names in _FRONT: {unknown}"
