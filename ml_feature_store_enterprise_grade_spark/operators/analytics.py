@@ -632,7 +632,9 @@ def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
     )
-    n_orders = float(basket.select("order_id").distinct().count())
+    # one-row broadcast, not a driver-side count: keeps the operator
+    # lazy (no hidden job at construction) and never stale on re-run
+    n = basket.agg(F.countDistinct("order_id").cast("double").alias("n_orders"))
     a = basket.alias("a")
     b = basket.alias("b")
     pair = (
@@ -650,12 +652,12 @@ def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = basket.groupBy("item_id").agg(F.count("*").alias("n_i"))
     ia = item.select(F.col("item_id").alias("item_a"), F.col("n_i").alias("n_a"))
     ib = item.select(F.col("item_id").alias("item_b"), F.col("n_i").alias("n_b"))
-    lift = (F.col("n_ab") / n_orders) / (
-        (F.col("n_a") / n_orders) * (F.col("n_b") / n_orders)
-    )
+    no = F.col("n_orders")
+    lift = (F.col("n_ab") / no) / ((F.col("n_a") / no) * (F.col("n_b") / no))
     return (
         pair.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
         .select("item_a", "item_b", "n_ab", F.round(lift, 4).alias("lift"))
     )
 
@@ -919,7 +921,7 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
-        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'purchase'
     ),
     g AS (
         SELECT user_id,
@@ -946,7 +948,11 @@ def purchase_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; the exact median runs over each user's handful of gaps."""
     p = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull() & (F.col("event_type") == "purchase"))
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
         .select(
             "user_id",
             "ts",

@@ -106,6 +106,67 @@ _PIT_VALUES_SQL = ", ".join(f"(TIMESTAMP '{t}')" for t in PIT_LOOKUP_TIMES)
 _FEATURE_COLS_SQL = ", ".join(f"f.{c}" for c in _FEATURE_COLS)
 
 
+#: Shared oracle building blocks — single source of truth for the
+#: entity frame, the two per-view as-of joins, and the label join,
+#: composed by pit_asof_join / pit_multi_view_join / pit_label_join /
+#: training_set_export so their oracles can never drift apart.
+_ENTITY_SQL_CTE = f"""entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    )"""
+
+
+def _asof_click_cte(name: str) -> str:
+    return f"""{name} AS (
+        SELECT e.user_id, e.lookup_ts,
+               f.feature_timestamp AS click_feature_ts, {_FEATURE_COLS_SQL},
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY f.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN hourly f
+          ON e.user_id = f.user_id
+         AND f.feature_timestamp <= e.lookup_ts
+         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
+    )"""
+
+
+def _asof_daily_cte(name: str) -> str:
+    return f"""{name} AS (
+        SELECT e.user_id, e.lookup_ts,
+               d.feature_timestamp AS daily_feature_ts, d.daily_events, d.daily_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY d.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN daily d
+          ON e.user_id = d.user_id
+         AND d.feature_timestamp <= e.lookup_ts
+         AND d.feature_timestamp > e.lookup_ts - INTERVAL {DAILY_TTL_HOURS} HOURS
+    )"""
+
+
+def _label_join_ctes(name: str) -> str:
+    return f"""conv AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    {name} AS (
+        SELECT e.user_id, e.lookup_ts, c.ts, c.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN conv c
+          ON e.user_id = c.user_id
+         AND c.ts > e.lookup_ts
+         AND c.ts <= e.lookup_ts + INTERVAL {LABEL_HORIZON_HOURS} HOURS
+    )"""
+
+
 @register(
     "pit_asof_join",
     oracle=f"""
@@ -156,26 +217,8 @@ LABEL_HORIZON_HOURS = 72
 @register(
     "pit_label_join",
     oracle=f"""
-    WITH entity AS (
-        SELECT c.c_custkey AS user_id, t.lookup_ts
-        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
-    ),
-    conv AS (
-        SELECT user_id, event_id, ts, value FROM events
-        WHERE event_type = 'purchase'
-    ),
-    j AS (
-        SELECT e.user_id, e.lookup_ts, c.ts, c.value,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN conv c
-          ON e.user_id = c.user_id
-         AND c.ts > e.lookup_ts
-         AND c.ts <= e.lookup_ts + INTERVAL {LABEL_HORIZON_HOURS} HOURS
-    )
+    WITH {_ENTITY_SQL_CTE},
+    {_label_join_ctes("j")}
     SELECT user_id, lookup_ts,
            CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END AS label,
            CAST(floor(epoch(ts)) AS BIGINT) AS conversion_epoch_s,
@@ -360,36 +403,9 @@ _DAILY_SQL_CTE = """
     oracle=f"""
     WITH {HOURLY_FEATURES_SQL_CTE},
     {_DAILY_SQL_CTE},
-    entity AS (
-        SELECT c.c_custkey AS user_id, t.lookup_ts
-        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
-    ),
-    ja AS (
-        SELECT e.user_id, e.lookup_ts,
-               f.feature_timestamp AS click_feature_ts, {_FEATURE_COLS_SQL},
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY f.feature_timestamp DESC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN hourly f
-          ON e.user_id = f.user_id
-         AND f.feature_timestamp <= e.lookup_ts
-         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
-    ),
-    jb AS (
-        SELECT e.user_id, e.lookup_ts,
-               d.feature_timestamp AS daily_feature_ts, d.daily_events, d.daily_value,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY d.feature_timestamp DESC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN daily d
-          ON e.user_id = d.user_id
-         AND d.feature_timestamp <= e.lookup_ts
-         AND d.feature_timestamp > e.lookup_ts - INTERVAL {DAILY_TTL_HOURS} HOURS
-    )
+    {_ENTITY_SQL_CTE},
+    {_asof_click_cte("ja")},
+    {_asof_daily_cte("jb")}
     SELECT a.user_id, a.lookup_ts,
            a.click_feature_ts, {", ".join(f"a.{c}" for c in _FEATURE_COLS)},
            b.daily_feature_ts, b.daily_events, b.daily_value
@@ -443,52 +459,10 @@ def pit_multi_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {HOURLY_FEATURES_SQL_CTE},
     {_DAILY_SQL_CTE},
-    entity AS (
-        SELECT c.c_custkey AS user_id, t.lookup_ts
-        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
-    ),
-    ja AS (
-        SELECT e.user_id, e.lookup_ts,
-               f.feature_timestamp AS click_feature_ts, {_FEATURE_COLS_SQL},
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY f.feature_timestamp DESC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN hourly f
-          ON e.user_id = f.user_id
-         AND f.feature_timestamp <= e.lookup_ts
-         AND f.feature_timestamp > e.lookup_ts - INTERVAL {TTL_HOURS} HOURS
-    ),
-    jb AS (
-        SELECT e.user_id, e.lookup_ts,
-               d.feature_timestamp AS daily_feature_ts, d.daily_events, d.daily_value,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY d.feature_timestamp DESC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN daily d
-          ON e.user_id = d.user_id
-         AND d.feature_timestamp <= e.lookup_ts
-         AND d.feature_timestamp > e.lookup_ts - INTERVAL {DAILY_TTL_HOURS} HOURS
-    ),
-    conv AS (
-        SELECT user_id, event_id, ts, value FROM events
-        WHERE event_type = 'purchase'
-    ),
-    jl AS (
-        SELECT e.user_id, e.lookup_ts, c.ts, c.value,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.user_id, e.lookup_ts
-                   ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST
-               ) AS rn
-        FROM entity e
-        LEFT JOIN conv c
-          ON e.user_id = c.user_id
-         AND c.ts > e.lookup_ts
-         AND c.ts <= e.lookup_ts + INTERVAL {LABEL_HORIZON_HOURS} HOURS
-    )
+    {_ENTITY_SQL_CTE},
+    {_asof_click_cte("ja")},
+    {_asof_daily_cte("jb")},
+    {_label_join_ctes("jl")}
     SELECT a.user_id, a.lookup_ts,
            a.click_feature_ts, {", ".join(f"a.{c}" for c in _FEATURE_COLS)},
            b.daily_feature_ts, b.daily_events, b.daily_value,

@@ -536,16 +536,31 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    total = assigned.count()
+    # Both global scalars stay in-plan as one-row broadcast frames
+    # (no driver-side actions at construction, never stale on re-run).
+    total = assigned.agg(F.count("*").cast("double").alias("total"))
     multi = (
         assigned.groupBy("user_id")
         .agg(F.countDistinct("split").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .count()
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("entities_in_multiple_splits")
+        )
     )
-    return assigned.groupBy("split").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_entities"),
-        F.round(F.count("*").cast("double") / F.lit(float(total)), 6).alias("row_share"),
-        F.lit(multi).cast("bigint").alias("entities_in_multiple_splits"),
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_entities"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(multi))
+        .select(
+            "split",
+            "n_events",
+            "n_entities",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("row_share"),
+            "entities_in_multiple_splits",
+        )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
 from ..registry import register
+from .corpus_plan import _CHARS_PER_TOKEN
 
 #: BPE-style pre-tokenizer: word pieces, single digits, punctuation.
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
@@ -966,7 +967,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(GREATEST(1, n_chars // 4)) AS BIGINT) AS est_tokens,
+           CAST(SUM(GREATEST(1, n_chars // {_CHARS_PER_TOKEN})) AS BIGINT) AS est_tokens,
            CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
            ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
                AS dup_rate,
@@ -1002,7 +1003,7 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum(F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)))
+        F.sum(F.greatest(F.lit(1), F.floor(F.col("n_chars") / _CHARS_PER_TOKEN)))
         .cast("bigint")
         .alias("est_tokens"),
         dup.cast("bigint").alias("n_exact_dups"),
@@ -1088,10 +1089,10 @@ _CTX_LENGTHS = (512, 1024, 2048, 4096)
                AS docs_fitting,
            ROUND((SELECT COUNT(*) FROM d WHERE est_tokens <= c.ctx) / t.n, 6)
                AS doc_share,
-           ROUND((SELECT SUM(est_tokens) FROM d WHERE est_tokens <= c.ctx) / t.tok, 6)
-               AS token_share
+           ROUND(COALESCE((SELECT SUM(est_tokens) FROM d WHERE est_tokens <= c.ctx), 0)
+                 / t.tok, 6) AS token_share
     FROM (SELECT unnest(ARRAY{list(_CTX_LENGTHS)}) AS ctx) c CROSS JOIN t
-    """.format(cpt=4),
+    """.format(cpt=_CHARS_PER_TOKEN),
 )
 def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length fit: for each candidate training context length,
@@ -1105,7 +1106,9 @@ def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-context shares are conditional aggregates over it — the
     whole audit is one scan of the metadata column."""
     d = load_table(spark, sf_dir, "documents").select(
-        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).alias("est_tokens")
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / _CHARS_PER_TOKEN)).alias(
+            "est_tokens"
+        )
     )
     agg = d.agg(
         F.count("*").cast("double").alias("n"),

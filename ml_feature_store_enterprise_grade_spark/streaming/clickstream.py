@@ -425,68 +425,109 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ONLINE_BUCKETS = 16
 
 
+def _read_generation(online_path: str) -> int | None:
+    """Current snapshot generation from the pointer file, or None."""
+    f = os.path.join(online_path, "_CURRENT")
+    if os.path.exists(f):
+        with open(f) as fh:
+            return int(fh.read().strip())
+    return None
+
+
+def resolve_online_snapshot(online_path: str) -> str | None:
+    """Path of the current immutable snapshot generation (readers call
+    this, then read a directory that is never mutated)."""
+    gen = _read_generation(online_path)
+    return None if gen is None else os.path.join(online_path, f"v={gen}")
+
+
 def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
     """``foreachBatch`` sink: merge each finalized micro-batch into a
-    latest-per-key online snapshot, laid out as ``bucket=K`` hash
-    partitions of the key space.
+    latest-per-key online snapshot, laid out as immutable ``v=N``
+    generations of ``bucket=K`` hash partitions behind a ``_CURRENT``
+    pointer file.
 
-    Merge-on-write, not full rewrite: each batch touches only the
-    buckets its keys hash into — prior rows of those buckets are read
-    back, merged, reduced to latest-per-key, and ONLY those bucket
-    directories are swapped; untouched buckets' files are never
-    rewritten (asserted in tests/test_streaming_sink.py).  Cost per
-    batch is O(batch + touched-bucket rows), not O(all entities).
+    Merge-on-write, not full rewrite: each batch Spark-writes only the
+    buckets its keys hash into; every untouched bucket's files are
+    carried into the new generation as hardlinks (same inode, zero
+    bytes copied — asserted in tests/test_streaming_sink.py), so cost
+    per batch is O(batch + touched-bucket rows + #files), never
+    O(all entities).
 
-    Crash safety: the merged buckets are staged next to the live tree
-    and swapped per-bucket only after the staging write commits
-    (``_SUCCESS``).  On entry, a leftover *completed* staging dir is
-    replayed first (finishing a swap that died mid-flight — the swap
-    is idempotent because staged bucket dirs are only deleted after
-    they land); an *incomplete* staging dir is discarded.  A crash at
-    any point therefore never loses previously-committed state, even
-    though earlier micro-batches are checkpoint-committed and will not
-    replay.  On an object store the same discipline is a versioned
-    prefix + pointer flip."""
-    staging = online_path + "__staging"
-
-    def _finish_swap() -> None:
-        os.makedirs(online_path, exist_ok=True)
-        for d in os.listdir(staging):
-            if not d.startswith("bucket="):
-                continue
-            dst = os.path.join(online_path, d)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.replace(os.path.join(staging, d), dst)
-        shutil.rmtree(staging)
+    Reader atomicity AND crash safety come from the same mechanism:
+    a generation directory is fully assembled before the pointer flips
+    to it (atomic ``os.replace`` of the pointer file), readers resolve
+    the pointer once via :func:`resolve_online_snapshot` and then read
+    an immutable tree, and a crash at ANY point before the flip leaves
+    the previous pointer — and its intact generation — in place.
+    Partially-built generations (no pointer) and generations older
+    than previous are garbage-collected at the next batch; the
+    previous generation is retained one cycle so in-flight readers
+    finish.  On an object store the pointer file becomes the manifest
+    and hardlinks become metadata-only manifest entries — the standard
+    table-format commit protocol, built from primitives."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.asof import latest_snapshot
 
         spark = batch_df.sparkSession
-        if os.path.isdir(staging):
-            if os.path.exists(os.path.join(staging, "_SUCCESS")):
-                _finish_swap()  # recover: a prior swap died mid-flight
-            else:
-                shutil.rmtree(staging)  # incomplete staging write: discard
+        os.makedirs(online_path, exist_ok=True)
+        cur = _read_generation(online_path)
+        new_gen = (cur or 0) + 1
+        # GC: anything newer than the pointer is a crashed partial
+        # build; anything older than previous has expired.
+        for d in os.listdir(online_path):
+            if d.startswith("v="):
+                g = int(d.split("=", 1)[1])
+                if cur is None or g > cur or g < cur - 1:
+                    shutil.rmtree(os.path.join(online_path, d), ignore_errors=True)
         batch = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets))
         )
         touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
         if not touched:
             return
+        cur_dir = os.path.join(online_path, f"v={cur}") if cur is not None else None
         merged = batch
-        if os.path.isdir(online_path):
-            prev = spark.read.parquet(online_path).filter(F.col("bucket").isin(touched))
+        if cur_dir is not None:
+            prev = spark.read.parquet(cur_dir).filter(F.col("bucket").isin(touched))
             merged = prev.unionByName(batch, allowMissingColumns=True)
         snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
+        new_dir = os.path.join(online_path, f"v={new_gen}")
         # One write task per bucket: without this, every shuffle
         # partition opens a file in every touched bucket dir —
         # tasks × buckets tiny files instead of one per bucket.
         snap.repartition(len(touched), "bucket").write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(staging)
-        _finish_swap()
+        ).parquet(new_dir)
+        # Carry untouched buckets forward as hardlinks.
+        if cur_dir is not None:
+            touched_set = set(touched)
+            for d in os.listdir(cur_dir):
+                if not d.startswith("bucket="):
+                    continue
+                if int(d.split("=", 1)[1]) in touched_set:
+                    continue
+                sdir, tdir = os.path.join(cur_dir, d), os.path.join(new_dir, d)
+                os.makedirs(tdir, exist_ok=True)
+                for fn in os.listdir(sdir):
+                    if fn.startswith((".", "_")):
+                        continue
+                    src, dst = os.path.join(sdir, fn), os.path.join(tdir, fn)
+                    try:
+                        os.link(src, dst)
+                    except OSError:  # cross-device fallback
+                        shutil.copy2(src, dst)
+        # Atomic commit: the generation becomes visible in one rename.
+        tmp = os.path.join(online_path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(new_gen))
+        os.replace(tmp, os.path.join(online_path, "_CURRENT"))
+        # Post-commit GC: keep current + previous (for in-flight
+        # readers), expire everything older.
+        for d in os.listdir(online_path):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < new_gen - 1:
+                shutil.rmtree(os.path.join(online_path, d), ignore_errors=True)
 
     return _upsert
 
@@ -546,7 +587,7 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(online).drop("bucket")
+    return spark.read.parquet(resolve_online_snapshot(online)).drop("bucket")
 
 
 #: Heavy-hitter rank depth per finalized window.

@@ -257,7 +257,11 @@ def test_streaming_online_materialize_multi_batch(spark, multi_file_source, tmp_
         .start()
     )
     q.awaitTermination()
-    got = spark.read.parquet(online).drop("bucket")
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        resolve_online_snapshot,
+    )
+
+    got = spark.read.parquet(resolve_online_snapshot(online)).drop("bucket")
 
     e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
     max_ts = e.agg(F.max("ts")).first()[0]
@@ -271,24 +275,29 @@ def test_streaming_online_materialize_multi_batch(spark, multi_file_source, tmp_
     assert got.select(*sorted(got.columns)).exceptAll(want.select(*sorted(got.columns))).count() == 0
 
 
-def _snapshot_files(root):
-    """{relpath: mtime_ns} inventory of all data files under root."""
+def _bucket_inodes(gen_dir):
+    """{bucket_dir: {filename: inode}} for all data files in a generation."""
     import os
 
     out = {}
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            p = os.path.join(dirpath, f)
-            out[os.path.relpath(p, root)] = os.stat(p).st_mtime_ns
+    for d in os.listdir(gen_dir):
+        if not d.startswith("bucket="):
+            continue
+        files = {}
+        for f in os.listdir(os.path.join(gen_dir, d)):
+            if not f.startswith((".", "_")):
+                files[f] = os.stat(os.path.join(gen_dir, d, f)).st_ino
+        out[d] = files
     return out
 
 
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """Merge-on-write contract: a batch whose keys hash into a subset
-    of buckets must leave every other bucket's files byte-identical
-    and un-rewritten (same paths, same mtimes)."""
+    of buckets must carry every other bucket into the new generation
+    as hardlinks (same inode — zero bytes rewritten)."""
     from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
         online_upsert_sink,
+        resolve_online_snapshot,
     )
 
     online = str(tmp_path / "online")
@@ -305,42 +314,42 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1)
     # Seed: many users spread across all buckets.
     sink(mkbatch([(f"u{i}", t0) for i in range(64)]), 0)
-    before = _snapshot_files(online)
-    assert len([d for d in before if d.startswith("bucket=")]) > 0
+    gen1 = resolve_online_snapshot(online)
+    before = _bucket_inodes(gen1)
+    assert len(before) > 1
 
     # Second batch: a single user -> exactly one bucket touched.
     sink(mkbatch([("u3", t0 + dt.timedelta(hours=1))]), 1)
-    after = _snapshot_files(online)
+    gen2 = resolve_online_snapshot(online)
+    assert gen2 != gen1
+    after = _bucket_inodes(gen2)
 
-    changed_buckets = {
-        p.split("/")[0]
-        for p in (set(before) ^ set(after))
-        | {p for p in before if p in after and before[p] != after[p]}
-        if p.startswith("bucket=")
-    }
-    assert len(changed_buckets) == 1, f"rewrote {sorted(changed_buckets)}"
+    fresh = {d for d in after if after[d] != before.get(d)}
+    assert len(fresh) == 1, f"rewrote {sorted(fresh)}"
+    for d in after:
+        if d not in fresh:
+            assert after[d] == before[d]  # hardlinked: same inodes
 
     # And the merge is still correct: u3 advanced, others intact.
-    got = spark.read.parquet(online)
+    got = spark.read.parquet(gen2)
     assert got.count() == 64
     u3 = got.filter(F.col("user_id") == "u3").select("feature_timestamp").first()[0]
     assert u3 == t0 + dt.timedelta(hours=1)
 
 
-def test_upsert_recovers_completed_staging_after_crash(spark, tmp_path):
-    """A crash between the staging commit and the bucket swap must not
-    lose the snapshot: on the next batch, a completed __staging dir
-    (with _SUCCESS) is replayed before merging — even in the worst
-    case where the live tree was already (partially) destroyed."""
+def test_upsert_survives_crashed_partial_generation(spark, tmp_path):
+    """A crash mid-build leaves a partial generation with the pointer
+    still on the previous one: readers keep seeing the intact snapshot,
+    and the next batch garbage-collects the partial build and commits
+    a correct new generation on top of the committed state."""
     import os
-    import shutil
 
     from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
         online_upsert_sink,
+        resolve_online_snapshot,
     )
 
     online = str(tmp_path / "online")
-    staging = online + "__staging"
     sink = online_upsert_sink(online, n_buckets=4)
 
     import datetime as dt
@@ -354,35 +363,40 @@ def test_upsert_recovers_completed_staging_after_crash(spark, tmp_path):
         )
 
     sink(mkbatch([(f"u{i}", t0) for i in range(16)]), 0)
+    committed = resolve_online_snapshot(online)
 
-    # Simulate the crash window: a fully-committed staging exists
-    # (as if written by batch 1) and the live tree was lost mid-swap.
-    shutil.copytree(online, staging)
-    open(os.path.join(staging, "_SUCCESS"), "a").close()
-    shutil.rmtree(online)
+    # Simulate a crash mid-build: a partial new generation exists but
+    # the pointer never flipped.
+    partial = os.path.join(online, "v=99")
+    os.makedirs(os.path.join(partial, "bucket=0"))
+    with open(os.path.join(partial, "bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # Readers still resolve the committed generation.
+    assert resolve_online_snapshot(online) == committed
+    assert spark.read.parquet(committed).count() == 16
 
-    # Next batch must first recover staging, then merge on top of it.
+    # Next batch GCs the partial build and merges from committed state.
     sink(mkbatch([("u0", t0 + dt.timedelta(hours=1))]), 1)
-    got = spark.read.parquet(online)
-    assert got.count() == 16  # nothing lost
+    assert not os.path.isdir(partial)
+    got = spark.read.parquet(resolve_online_snapshot(online))
+    assert got.count() == 16  # nothing lost, junk never merged
     u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
     assert u0 == t0 + dt.timedelta(hours=1)
-    assert not os.path.isdir(staging)
 
 
-def test_upsert_discards_incomplete_staging(spark, tmp_path):
-    """A staging dir WITHOUT _SUCCESS is a half-written batch: it must
-    be discarded (never recovered) and the merge must proceed from the
-    live snapshot alone."""
+def test_upsert_retains_previous_generation_only(spark, tmp_path):
+    """Generations are immutable: the previous one is retained one
+    cycle for in-flight readers, older ones are garbage-collected, and
+    the previous generation's contents stay readable after a commit."""
     import datetime as dt
     import os
 
     from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
         online_upsert_sink,
+        resolve_online_snapshot,
     )
 
     online = str(tmp_path / "online")
-    staging = online + "__staging"
     sink = online_upsert_sink(online, n_buckets=4)
     t0 = dt.datetime(2024, 1, 1)
 
@@ -392,19 +406,13 @@ def test_upsert_discards_incomplete_staging(spark, tmp_path):
             "user_id string, feature_timestamp timestamp, total_events int",
         )
 
-    sink(mkbatch([(f"u{i}", t0) for i in range(8)]), 0)
-    # Fabricate a half-written staging: bucket dir with a garbage file,
-    # no _SUCCESS commit marker.
-    os.makedirs(os.path.join(staging, "bucket=0"))
-    with open(os.path.join(staging, "bucket=0", "part-junk.parquet"), "wb") as f:
-        f.write(b"not parquet")
-
-    sink(mkbatch([("u0", t0 + dt.timedelta(hours=1))]), 1)
-    assert not os.path.isdir(staging)
-    got = spark.read.parquet(online)
-    assert got.count() == 8  # junk never merged, nothing lost
-    u0 = got.filter(F.col("user_id") == "u0").select("feature_timestamp").first()[0]
-    assert u0 == t0 + dt.timedelta(hours=1)
+    for k in range(3):
+        sink(mkbatch([("u0", t0 + dt.timedelta(hours=k))]), k)
+    gens = sorted(d for d in os.listdir(online) if d.startswith("v="))
+    assert gens == ["v=2", "v=3"]  # current + previous, older GC'd
+    # previous generation still a complete readable snapshot
+    assert spark.read.parquet(os.path.join(online, "v=2")).count() == 1
+    assert resolve_online_snapshot(online).endswith("v=3")
 
 
 def test_sliding_multi_batch_replay_is_batch_equivalent(spark, multi_file_source):
