@@ -46,13 +46,19 @@ is one row per entity (bounded by entity cardinality, not history);
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass
 from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .snapshots import (
+    commit_generation,
+    gc_generations,
+    generation_dir,
+    read_generation,
+    resolve_snapshot,
+)
 from .operators.asof import asof_join, latest_snapshot
 from .session import ensure_engine_confs
 from .sources.files import latest_partitions, read_partitioned, write_partitioned
@@ -159,10 +165,13 @@ class FeatureStore:
         v = self.views[view_name]
         key, ts = v.entity.join_key, v.timestamp_field
         online = self._online_path(view_name)
+        os.makedirs(online, exist_ok=True)
+        cur = read_generation(online)
+        gc_generations(online, cur)
         prev: DataFrame | None = None
         start = None
-        if incremental and os.path.isdir(online):
-            prev = self.spark.read.parquet(online)
+        if incremental and cur is not None:
+            prev = self.spark.read.parquet(generation_dir(online, cur))
             done = latest_partitions(self._offline_path(view_name), v.partition_col, n=10**6)
             if done:
                 hwm = prev.agg(F.max(F.to_date(ts))).first()[0]
@@ -177,27 +186,23 @@ class FeatureStore:
             else prev.unionByName(fresh, allowMissingColumns=True)
         )
         snap = latest_snapshot(merged, key=key, feature_ts=ts)
-        # Staged write + swap: the plan above still READS the current
-        # snapshot, so overwriting it in place would delete its own
-        # input mid-execution (and a mid-write failure would destroy
-        # the serving snapshot).  Write fully to a staging dir first;
-        # the live snapshot stays intact until the new one is durable.
-        # On an object store / HDFS the same pattern is a versioned
-        # prefix plus a pointer-file flip.
-        staging = online + "__staging"
-        snap.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(online):
-            shutil.rmtree(online)
-        os.replace(staging, online)
-        return self.spark.read.parquet(online)
+        # Generation-pointer commit (shared with the streaming upsert
+        # sink, see snapshots.py): the plan above still READS the
+        # current generation, which stays immutable while the new one
+        # is assembled; readers atomically switch at the pointer flip,
+        # and a crash at any point leaves a resolvable snapshot.
+        new_gen = (cur or 0) + 1
+        snap.write.mode("overwrite").parquet(generation_dir(online, new_gen))
+        commit_generation(online, new_gen)
+        return self.spark.read.parquet(generation_dir(online, new_gen))
 
     def _snapshot(self, view_name: str) -> DataFrame:
-        online = self._online_path(view_name)
-        if not os.path.isdir(online):
+        gen_dir = resolve_snapshot(self._online_path(view_name))
+        if gen_dir is None:
             raise FileNotFoundError(
                 f"view {view_name!r} not materialized; call materialize() first"
             )
-        return self.spark.read.parquet(online)
+        return self.spark.read.parquet(gen_dir)
 
     def export_online(self, view_name: str, writer, batch_size: int = 10_000) -> None:
         """Push the online snapshot to an external KV store (the

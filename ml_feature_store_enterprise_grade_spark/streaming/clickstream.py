@@ -43,6 +43,16 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, normalize_ts
+from ..snapshots import (
+    GEN_RETAIN as _GEN_RETAIN,
+)
+from ..snapshots import (
+    commit_generation,
+    gc_generations,
+    generation_dir,
+    read_generation,
+    resolve_snapshot,
+)
 from ..registry import register
 from ..session import ensure_engine_confs
 
@@ -425,20 +435,10 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ONLINE_BUCKETS = 16
 
 
-def _read_generation(online_path: str) -> int | None:
-    """Current snapshot generation from the pointer file, or None."""
-    f = os.path.join(online_path, "_CURRENT")
-    if os.path.exists(f):
-        with open(f) as fh:
-            return int(fh.read().strip())
-    return None
-
-
-def resolve_online_snapshot(online_path: str) -> str | None:
-    """Path of the current immutable snapshot generation (readers call
-    this, then read a directory that is never mutated)."""
-    gen = _read_generation(online_path)
-    return None if gen is None else os.path.join(online_path, f"v={gen}")
+#: Readers resolve the pointer through the shared commit protocol
+#: (ml_feature_store_enterprise_grade_spark.snapshots), which the batch
+#: materializer (store.FeatureStore.materialize) also uses.
+resolve_online_snapshot = resolve_snapshot
 
 
 def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
@@ -472,28 +472,22 @@ def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
 
         spark = batch_df.sparkSession
         os.makedirs(online_path, exist_ok=True)
-        cur = _read_generation(online_path)
+        cur = read_generation(online_path)
         new_gen = (cur or 0) + 1
-        # GC: anything newer than the pointer is a crashed partial
-        # build; anything older than previous has expired.
-        for d in os.listdir(online_path):
-            if d.startswith("v="):
-                g = int(d.split("=", 1)[1])
-                if cur is None or g > cur or g < cur - 1:
-                    shutil.rmtree(os.path.join(online_path, d), ignore_errors=True)
+        gc_generations(online_path, cur)
         batch = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets))
         )
         touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
         if not touched:
             return
-        cur_dir = os.path.join(online_path, f"v={cur}") if cur is not None else None
+        cur_dir = generation_dir(online_path, cur) if cur is not None else None
         merged = batch
         if cur_dir is not None:
             prev = spark.read.parquet(cur_dir).filter(F.col("bucket").isin(touched))
             merged = prev.unionByName(batch, allowMissingColumns=True)
         snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
-        new_dir = os.path.join(online_path, f"v={new_gen}")
+        new_dir = generation_dir(online_path, new_gen)
         # One write task per bucket: without this, every shuffle
         # partition opens a file in every touched bucket dir —
         # tasks × buckets tiny files instead of one per bucket.
@@ -518,16 +512,7 @@ def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
                         os.link(src, dst)
                     except OSError:  # cross-device fallback
                         shutil.copy2(src, dst)
-        # Atomic commit: the generation becomes visible in one rename.
-        tmp = os.path.join(online_path, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(new_gen))
-        os.replace(tmp, os.path.join(online_path, "_CURRENT"))
-        # Post-commit GC: keep current + previous (for in-flight
-        # readers), expire everything older.
-        for d in os.listdir(online_path):
-            if d.startswith("v=") and int(d.split("=", 1)[1]) < new_gen - 1:
-                shutil.rmtree(os.path.join(online_path, d), ignore_errors=True)
+        commit_generation(online_path, new_gen)
 
     return _upsert
 
@@ -576,7 +561,7 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     online = os.path.join(tempfile.gettempdir(), f"online_snap_{tag}")
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_online_{tag}")
-    for d in (online, online + "__staging", ckpt):
+    for d in (online, ckpt):
         if os.path.isdir(d):
             shutil.rmtree(d)
     q = (
@@ -587,7 +572,12 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(resolve_online_snapshot(online)).drop("bucket")
+    snap_dir = resolve_online_snapshot(online)
+    if snap_dir is None:
+        # Nothing finalized (all events inside the watermark): an
+        # empty frame with the output schema, not an opaque crash.
+        return spark.createDataFrame([], result.drop("bucket").schema)
+    return spark.read.parquet(snap_dir).drop("bucket")
 
 
 #: Heavy-hitter rank depth per finalized window.

@@ -384,10 +384,10 @@ def test_upsert_survives_crashed_partial_generation(spark, tmp_path):
     assert u0 == t0 + dt.timedelta(hours=1)
 
 
-def test_upsert_retains_previous_generation_only(spark, tmp_path):
-    """Generations are immutable: the previous one is retained one
-    cycle for in-flight readers, older ones are garbage-collected, and
-    the previous generation's contents stay readable after a commit."""
+def test_upsert_retains_generation_window(spark, tmp_path):
+    """Generations are immutable: a retention window of recent ones is
+    kept for in-flight readers, older ones are garbage-collected, and
+    retained generations stay readable after later commits."""
     import datetime as dt
     import os
 
@@ -406,13 +406,14 @@ def test_upsert_retains_previous_generation_only(spark, tmp_path):
             "user_id string, feature_timestamp timestamp, total_events int",
         )
 
-    for k in range(3):
+    for k in range(4):
         sink(mkbatch([("u0", t0 + dt.timedelta(hours=k))]), k)
     gens = sorted(d for d in os.listdir(online) if d.startswith("v="))
-    assert gens == ["v=2", "v=3"]  # current + previous, older GC'd
-    # previous generation still a complete readable snapshot
+    assert gens == ["v=2", "v=3", "v=4"]  # retention window, older GC'd
+    # retained generations are still complete readable snapshots
     assert spark.read.parquet(os.path.join(online, "v=2")).count() == 1
-    assert resolve_online_snapshot(online).endswith("v=3")
+    assert spark.read.parquet(os.path.join(online, "v=3")).count() == 1
+    assert resolve_online_snapshot(online).endswith("v=4")
 
 
 def test_sliding_multi_batch_replay_is_batch_equivalent(spark, multi_file_source):
