@@ -44,9 +44,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table, normalize_ts
 from ..snapshots import (
-    GEN_RETAIN as _GEN_RETAIN,
-)
-from ..snapshots import (
     commit_generation,
     gc_generations,
     generation_dir,

@@ -232,3 +232,26 @@ def test_export_online_executor_side(store, spark, tmp_path):
         exported += [_json.loads(line)["user_id"] for line in open(p)]
     snap_keys = [r.user_id for r in store._snapshot("user_click_features").select("user_id").collect()]
     assert sorted(exported) == sorted(snap_keys)
+
+
+def test_materialize_commits_immutable_generations(store, spark):
+    """FeatureStore.materialize uses the shared generation-pointer
+    protocol: each run commits a new immutable generation, readers
+    resolve the pointer, and the previous generation stays readable."""
+    import os
+
+    from ml_feature_store_enterprise_grade_spark.snapshots import resolve_snapshot
+
+    store.materialize("user_click_features")
+    online = store._online_path("user_click_features")
+    g1 = resolve_snapshot(online)
+    assert g1 is not None and os.path.basename(g1).startswith("v=")
+    n1 = spark.read.parquet(g1).count()
+
+    store.materialize("user_click_features")
+    g2 = resolve_snapshot(online)
+    assert g2 != g1
+    # previous generation retained and still fully readable
+    assert spark.read.parquet(g1).count() == n1
+    # the store's own read path serves the new generation
+    assert store._snapshot("user_click_features").count() >= n1
