@@ -91,3 +91,25 @@ def test_front_rotation_is_well_formed():
     assert len(set(front)) == len(front), "duplicate names in _FRONT"
     unknown = [n for n in front if n not in registry.QUERIES]
     assert not unknown, f"stale names in _FRONT: {unknown}"
+
+
+def test_driver_unchecked_queries_are_in_the_window():
+    """Every registered query that has no CORRECTNESS row from a prior
+    round must be inside the first-50 window NOW — otherwise it ships
+    'claimed, not proven' and the next verdict flags it (the r1/r2
+    gap class this rotation discipline exists to prevent)."""
+    import json
+    import os
+
+    from ml_feature_store_enterprise_grade_spark import registry
+
+    registry.load_all()
+    seen: set[str] = set()
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", art)
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    window = set(list(registry.queries())[:50])
+    missing = [n for n in registry.queries() if n not in seen and n not in window]
+    assert not missing, f"never driver-checked and outside the window: {missing}"
