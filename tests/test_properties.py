@@ -181,3 +181,45 @@ def test_mode_by_matches_python_reference(spark, rows):
     }
     want = {k: (v, c) for k, (v, c) in _python_mode(rows).items()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=7),
+)
+def test_portable_hash64_agrees_across_engines(spark, vals, seed):
+    """The portable 60-bit hash is the keystone under dedup, splits,
+    sampling, sharding, and every hash-derived oracle: Spark's
+    ``portable_hash64`` and the DuckDB SQL twin must agree bit-for-bit
+    on arbitrary unicode, including empty strings and astral chars."""
+    import duckdb
+
+    from ml_feature_store_enterprise_grade_spark.functions import (
+        PORTABLE_HASH64_SQL,
+        portable_hash64,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s"), seed=seed).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT s, {PORTABLE_HASH64_SQL('s', seed)} FROM (SELECT unnest(?) AS s)",
+            [vals],
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
