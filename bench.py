@@ -70,6 +70,11 @@ BENCH_QUERIES = (
     "stream_topk_heavy_hitters",
     "incremental_feature_update",
     "item_cooccurrence_lift",
+    # round 3 continuation: the mergeable-sketch / pre-join-pruning
+    # family (operators/sketches.py).
+    "kmv_audience_overlap",
+    "bloom_prejoin_prune",
+    "histogram_quantile_rollup",
 )
 
 

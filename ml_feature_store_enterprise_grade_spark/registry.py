@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.text",
     "ml_feature_store_enterprise_grade_spark.operators.corpus_plan",
     "ml_feature_store_enterprise_grade_spark.operators.similarity",
+    "ml_feature_store_enterprise_grade_spark.operators.sketches",
     "ml_feature_store_enterprise_grade_spark.operators.multimodal",
     "ml_feature_store_enterprise_grade_spark.streaming.clickstream",
     "ml_feature_store_enterprise_grade_spark.streaming.joins",
@@ -100,11 +101,14 @@ _FRONT: tuple[str, ...] = (
     "context_length_fit",
     "conversion_attribution",
     "purchase_interarrival_stats",
-    # (d) re-verify rotation: greens whose only driver row is from
-    # round 1 (two windows ago), oldest signal first
-    "pit_asof_join",
-    "online_feature_lookup",
-    "latest_feature_snapshot",
+    # (c') new in the round-3 continuation session: the mergeable
+    # sketch / pre-join-pruning family (operators/sketches.py) —
+    # never checked, so they take the window's last free slots (the
+    # (d) re-verify rotation of round-1 greens moves to round 4;
+    # those queries already hold green rows).
+    "kmv_audience_overlap",
+    "bloom_prejoin_prune",
+    "histogram_quantile_rollup",
 )
 
 

@@ -154,3 +154,53 @@ def test_gdpr_audit_broadcasts_deletion_set(spark):
     plan = plan_of(spark, "gdpr_deletion_audit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prune_broadcasts_bucket_table(spark):
+    """The bloom bucket table (<= m rows) must reach the fact side as
+    a broadcast — never a shuffle of the fact table — and the audit
+    query must not fall back to a cartesian stage."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import bloom_prune
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    pruned = bloom_prune(o, "o_custkey", dim, "c_custkey")
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    audit = plan_of(spark, "bloom_prejoin_prune")
+    assert "BroadcastHashJoin" in audit
+    assert "CartesianProduct" not in audit
+
+
+def test_histogram_rollup_windows_are_partitioned(spark):
+    """The cumulative-sum window runs per event_type — a plan with an
+    unpartitioned window (every row through one task) would be the
+    single-partition-sort scale killer this sketch exists to avoid."""
+    plan = plan_of(spark, "histogram_quantile_rollup")
+    assert "CartesianProduct" not in plan
+    # Spark renders an empty partitioning clause as an empty list in
+    # the Window operator; the event_type partitioning must be there.
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"unpartitioned window in plan:\n{plan}"
+
+
+def test_kmv_overlap_no_unpartitioned_window_or_cartesian(spark):
+    plan = plan_of(spark, "kmv_audience_overlap")
+    assert "CartesianProduct" not in plan
+    import re
+
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # every window spec carries at least one partition column before
+    # the ORDER BY spec (h ASC ...)
+    for spec in windows:
+        first = spec.split(",")[0].strip()
+        assert "ASC" not in first and first, f"unpartitioned window: {spec}"
