@@ -425,6 +425,106 @@ _HQ_BIN_W = 5.0
 _HQ_QS = (0.5, 0.95, 0.99)
 
 
+def hist_day_sketch(events: DataFrame, bin_w: float = _HQ_BIN_W) -> DataFrame:
+    """The persistable per-(type, day) histogram sketch: bounded
+    (event_type, day, bin, cnt) rows, built in one map-side-combined
+    pass over raw events."""
+    return events.filter(F.col("value").isNotNull() & ~F.isnan("value")).groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / bin_w).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def hist_quantiles(
+    merged: DataFrame, qs: tuple[float, ...] = _HQ_QS, bin_w: float = _HQ_BIN_W
+) -> DataFrame:
+    """Inverse-CDF walk over a merged (event_type, bin, cnt) histogram:
+    one estimate column per requested quantile, linear interpolation
+    inside the hit bin.  The cumulative window is partitioned per
+    type over <= ~100 bin rows — never a global sort."""
+    spark = merged.sparkSession
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    tgt = tot.crossJoin(F.broadcast(qdf)).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
+    )
+    est = (
+        F.col("bin").cast("double") * F.lit(bin_w)
+        + F.lit(bin_w)
+        * (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double")
+        / F.col("cnt").cast("double")
+    )
+    hit = (
+        tgt.join(cum, "event_type")
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+        .select("event_type", "n", "q", est.alias("est"))
+    )
+    return hit.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        *[
+            F.round(F.max(F.when(F.col("q") == F.lit(q), F.col("est"))), 6).alias(
+                f"est_p{int(q * 100)}"
+            )
+            for q in qs
+        ],
+    )
+
+
+class HistogramSketchStore:
+    """Persisted mergeable histogram sketches — the monitoring-store
+    half of :func:`histogram_quantile_rollup`.
+
+    ``build`` writes the per-(type, day) bin counts as parquet
+    partitioned BY DAY; ``quantiles(start, end)`` then answers any
+    day-range percentile question by merging only that range's
+    sketch partitions — the day filter lands in the scan's partition
+    pruning, so a 7-day question over a year of sketches reads 7
+    directories of a few KB each and never touches raw events.  This
+    is the persisted-partial-aggregate pattern: sketches are exact
+    count vectors, so merges are lossless (asserted in
+    tests/test_sketches.py) and late re-ingestion of one day only
+    rewrites that day's partition.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, bin_w: float = _HQ_BIN_W):
+        self.spark = spark
+        self.path = path
+        self.bin_w = bin_w
+
+    def build(self, events: DataFrame) -> None:
+        hist_day_sketch(events, self.bin_w).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(self.path)
+
+    def merged(self, start: str | None = None, end: str | None = None) -> DataFrame:
+        """(event_type, bin, cnt) summed over the day range
+        [start, end] (inclusive bounds, either side open)."""
+        sk = self.spark.read.parquet(self.path)
+        if start is not None:
+            sk = sk.filter(F.col("day") >= F.lit(start).cast("date"))
+        if end is not None:
+            sk = sk.filter(F.col("day") <= F.lit(end).cast("date"))
+        return sk.groupBy("event_type", "bin").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    def quantiles(
+        self,
+        qs: tuple[float, ...] = _HQ_QS,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> DataFrame:
+        return hist_quantiles(self.merged(start, end), qs, self.bin_w)
+
+
+
 @register(
     "histogram_quantile_rollup",
     oracle=f"""
@@ -489,48 +589,11 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact twins: ``event_value_percentiles`` (percentile_approx) and
     ``feature_summary_stats`` (exact median) — per-query scans this
-    sketch path replaces at scale.
+    sketch path replaces at scale.  :class:`HistogramSketchStore`
+    persists the stage-1 sketches and serves arbitrary day ranges.
     """
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
-    )
-    day_sk = e.groupBy(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.floor(F.col("value") / _HQ_BIN_W).cast("bigint").alias("bin"),
-    ).agg(F.count("*").alias("cnt"))
-
-    merged = day_sk.groupBy("event_type", "bin").agg(
+    e = load_table(spark, sf_dir, "events")
+    merged = hist_day_sketch(e).groupBy("event_type", "bin").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
-    wcum = Window.partitionBy("event_type").orderBy("bin")
-    cum = merged.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
-    tot = merged.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
-
-    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
-    tgt = tot.crossJoin(F.broadcast(qs)).withColumn(
-        "target", F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
-    )
-    est = (
-        F.col("bin").cast("double") * F.lit(_HQ_BIN_W)
-        + F.lit(_HQ_BIN_W)
-        * (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double")
-        / F.col("cnt").cast("double")
-    )
-    hit = (
-        tgt.join(cum, "event_type")
-        .filter(
-            (F.col("cum") >= F.col("target"))
-            & (F.col("cum") - F.col("cnt") < F.col("target"))
-        )
-        .select("event_type", "n", "q", est.alias("est"))
-    )
-    return hit.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        *[
-            F.round(F.max(F.when(F.col("q") == F.lit(q), F.col("est"))), 6).alias(
-                f"est_p{int(q * 100)}"
-            )
-            for q in _HQ_QS
-        ],
-    )
+    return hist_quantiles(merged)

@@ -190,3 +190,84 @@ def test_histogram_sketch_merges_across_days(spark):
     direct = e.groupBy("event_type", bin_col).agg(F.count("*").alias("cnt"))
     assert daily.exceptAll(direct).count() == 0
     assert direct.exceptAll(daily).count() == 0
+
+
+def test_histogram_store_range_queries_match_recompute(spark, tmp_path):
+    """HistogramSketchStore.quantiles over a day range must equal the
+    inverse-CDF walk recomputed directly from the range's raw events
+    (sketch merges are exact count sums — lossless)."""
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import (
+        HistogramSketchStore,
+        hist_day_sketch,
+        hist_quantiles,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    store = HistogramSketchStore(spark, str(tmp_path / "hist_sketches"))
+    store.build(e)
+
+    days = sorted(r.day for r in e.select(F.to_date("ts").alias("day")).distinct().collect())
+    start, end = str(days[1]), str(days[-2])
+    got = store.quantiles(start=start, end=end)
+
+    raw_range = e.filter(
+        (F.to_date("ts") >= F.lit(start)) & (F.to_date("ts") <= F.lit(end))
+    )
+    want = hist_quantiles(
+        hist_day_sketch(raw_range).groupBy("event_type", "bin").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_histogram_store_prunes_day_partitions(spark, tmp_path):
+    """The day-range filter must land in the scan's partition pruning
+    (PartitionFilters), so a bounded range reads only its partitions."""
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import (
+        HistogramSketchStore,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    store = HistogramSketchStore(spark, str(tmp_path / "hist_sketches"))
+    store.build(e)
+    df = store.merged(start="2026-01-02", end="2026-01-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+
+
+def test_kmv_sketch_merge_equals_whole_range_sketch(spark):
+    """Bottom-k of (sketch(first half) union sketch(second half)) must
+    equal sketch(all) — the mergeability that lets per-partition KMV
+    sketches roll up like partial aggregates."""
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import (
+        _KMV_K,
+        _bottom_k,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    member = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.to_date("ts").cast("string")
+    )
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    first = e.filter(F.unix_micros("ts") <= cut)
+    second = e.filter(F.unix_micros("ts") > cut)
+
+    merged = _bottom_k(
+        kmv_sketch(first, ["event_type"], member)
+        .unionAll(kmv_sketch(second, ["event_type"], member))
+        .distinct(),
+        ["event_type"],
+        _KMV_K,
+    )
+    whole = kmv_sketch(e, ["event_type"], member)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
