@@ -968,3 +968,108 @@ def dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("h")).cast("double") / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+#: Segment granularity for sub-document exact dedup: consecutive
+#: fixed-width word windows stand in for the newline-delimited lines
+#: real crawls carry (the synthetic corpus is single-line).
+_SEG_WORDS = 6
+_SEG_SEED = 7
+
+
+@register(
+    "segment_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, CAST(u.g AS INTEGER) AS g,
+               array_to_string(w[u.g*{_SEG_WORDS}+1 : u.g*{_SEG_WORDS}+{_SEG_WORDS}], ' ') AS seg
+        FROM w, LATERAL unnest(generate_series(
+                 0, CAST(CEIL(len(w) / {_SEG_WORDS}.0) - 1 AS INTEGER))) u(g)
+    ),
+    r AS (
+        SELECT doc_id, g, seg,
+               len(string_split(seg, ' ')) AS n_words,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {PORTABLE_HASH64_SQL('seg', seed=_SEG_SEED)}
+                   ORDER BY doc_id, g) AS rn
+        FROM occ
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(seg, ' ' ORDER BY g) FILTER (WHERE rn = 1), '')
+               AS clean_text,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS DOUBLE)
+                 / SUM(n_words), 6) AS retained_word_ratio
+    FROM r
+    GROUP BY doc_id
+    """,
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the line-level pass of C4 /
+    RefinedWeb-style pipelines): split every document into
+    fixed-width word segments, keep only the corpus-wide FIRST
+    occurrence of each distinct segment (ordered by doc_id, then
+    position), and reassemble each document's surviving text.  The
+    per-doc report carries the cleaned text, drop counts, and the
+    word-level retention ratio — the numbers that decide whether a
+    crawl slice survives boilerplate stripping.
+
+    Scale shape: occurrences explode map-side (``explode(sequence)``
+    + ``slice``/``array_join``, no UDF); first-occurrence election is
+    ONE window over the portable 60-bit segment hash — the shuffle
+    moves slim (hash, doc_id, g, seg) rows and each hash partition is
+    the tiny set of copies of one segment, so there is no skew beyond
+    genuine boilerplate (which is exactly what the operator removes).
+    Reassembly is one hash aggregate on doc_id.  Cross-engine
+    determinism: the election key is the portable hash (identical in
+    DuckDB), and hash collisions — astronomically rare at 60 bits —
+    would resolve identically in both engines by construction.
+    """
+    k = _SEG_WORDS
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    occ = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), (F.ceil(F.size("w") / F.lit(float(k))) - 1).cast("int"))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "g",
+        F.array_join(F.slice(F.col("w"), F.col("g") * k + 1, k), " ").alias("seg"),
+    )
+    win = Window.partitionBy(portable_hash64(F.col("seg"), seed=_SEG_SEED)).orderBy(
+        "doc_id", "g"
+    )
+    r = occ.select(
+        "doc_id",
+        "g",
+        "seg",
+        F.size(F.split("seg", " ")).alias("n_words"),
+        F.row_number().over(win).alias("rn"),
+    )
+    kept_struct = F.when(F.col("rn") == 1, F.struct("g", "seg"))
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0)).cast("double")
+            / F.sum("n_words"),
+            6,
+        ).alias("retained_word_ratio"),
+    )

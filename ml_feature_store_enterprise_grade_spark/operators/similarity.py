@@ -144,15 +144,19 @@ _LSH_B = 32
 _EMB_DIM = 64
 
 
-def _rademacher_planes(n_planes: int, d: int = _EMB_DIM) -> list[list[float]]:
+def _rademacher_planes(
+    n_planes: int, d: int = _EMB_DIM, prefix: str = "rh"
+) -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from MD5 — the same plane
     matrix on every machine/run, so the LSH signature (and therefore
-    the operator's output) is reproducible without a PRNG."""
+    the operator's output) is reproducible without a PRNG.  Distinct
+    ``prefix`` values yield independent plane families (the near-dup
+    bands and the semantic-dedup clustering must not share planes)."""
     import hashlib
 
     return [
         [
-            1.0 if (hashlib.md5(f"rh:{p}:{j}".encode()).digest()[0] & 1) else -1.0
+            1.0 if (hashlib.md5(f"{prefix}:{p}:{j}".encode()).digest()[0] & 1) else -1.0
             for j in range(d)
         ]
         for p in range(n_planes)
@@ -762,4 +766,181 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("energy"), 6).alias("avg_energy_kept"),
         F.round(F.min("energy"), 6).alias("min_energy_kept"),
         F.round(F.avg(F.col("pp") / F.col("vv")), 6).alias("avg_energy_sq"),
+    )
+
+
+#: Semantic-dedup clustering geometry: 6 sign bits -> <=64 coarse
+#: cells.  Like the near-dup threshold above, the drop threshold is
+#: tuned to the synthetic corpus (max pairwise cosine ~0.55) so the
+#: operator exercises every action branch; production SemDeDup runs
+#: at ~0.95+.
+_SD_PLANES_N = 6
+_SD_THRESHOLD = 0.3
+
+
+def sign_cluster_key(emb: Column, n_planes: int = _SD_PLANES_N, prefix: str = "sd") -> Column:
+    """Pack ``n_planes`` hyperplane sign bits into one integer coarse
+    cluster id — the deterministic, PRNG-free stand-in for a k-means
+    coarse quantizer.  Map-side only: a literal plane matrix and one
+    fold per row, no shuffle, no Python."""
+    planes = _rademacher_planes(n_planes, prefix=prefix)
+    w_lit = F.array(*[F.array(*[F.lit(w) for w in row]) for row in planes])
+    signs = F.transform(
+        w_lit,
+        lambda row: (
+            F.aggregate(
+                F.zip_with(row, emb, lambda w, x: w * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+    return F.aggregate(signs, F.lit(0), lambda acc, s: acc * 2 + s)
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH planes AS (
+        SELECT p.p, list(CASE WHEN substr(md5('sd:' || p.p || ':' || j.j), 2, 1)
+                              IN ('1','3','5','7','9','b','d','f')
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                         ORDER BY j.j) AS w
+        FROM range({_SD_PLANES_N}) p(p) CROSS JOIN range({_EMB_DIM}) j(j)
+        GROUP BY p.p
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(pl.w, e.v) >= 0
+                        THEN (1 << CAST({_SD_PLANES_N - 1} - pl.p AS INTEGER))
+                        ELSE 0 END) AS INTEGER) AS cluster
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id
+    ),
+    iv AS (
+        SELECT s.cluster,
+               unnest(list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> struct_pack(i := i, val := e.v[i])
+               )) AS u
+        FROM e JOIN sig s USING (vec_id)
+    ),
+    dm AS (
+        SELECT cluster, u.i AS i, AVG(u.val) AS m FROM iv GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT cluster, list(m ORDER BY i) AS centroid FROM dm GROUP BY 1
+    ),
+    cosf AS (
+        SELECT e.vec_id, s.cluster, e.v,
+               sqrt(list_dot_product(e.v, e.v)) AS nrm,
+               ROUND(list_dot_product(e.v, c.centroid)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+                   AS cos_c
+        FROM e JOIN sig s USING (vec_id) JOIN c ON c.cluster = s.cluster
+    ),
+    rep AS (
+        SELECT vec_id AS rep_id, cluster, v AS rep_v, nrm AS rep_nrm
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                           ORDER BY cos_c DESC, vec_id) AS rn FROM cosf)
+        WHERE rn = 1
+    ),
+    scored AS (
+        SELECT x.vec_id, x.cluster, r.rep_id,
+               ROUND(list_dot_product(x.v, r.rep_v) / (x.nrm * r.rep_nrm), 6)
+                   AS cos_to_rep
+        FROM cosf x JOIN rep r ON r.cluster = x.cluster
+    )
+    SELECT vec_id, cluster, rep_id, cos_to_rep,
+           CASE WHEN vec_id = rep_id THEN 'rep'
+                WHEN cos_to_rep >= {_SD_THRESHOLD} THEN 'drop'
+                ELSE 'keep' END AS action
+    FROM scored
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, elect one
+    representative per cluster (the vector most cosine-aligned with
+    the cluster centroid, vec_id tie-break), and mark every other
+    member ``drop`` when its cosine to the representative crosses the
+    dedup threshold, else ``keep``.  Unlike the pairwise near-dup
+    operators this is O(N) after clustering — the shape that removes
+    semantically redundant documents from web-scale corpora without
+    ever forming candidate pairs.
+
+    Plan shape, stage by stage: (1) cluster ids are a map-side sign
+    fold over a literal hyperplane matrix (deterministic stand-in for
+    the k-means codebook :func:`ann_ivf_topk` trains; no shuffle);
+    (2) centroids are one slim hash-aggregate of (cluster, dim)
+    partials — at most |clusters|*d rows; (3) representative election
+    is a window over cluster, bounded by cluster occupancy; (4) the
+    verdict join broadcasts the <=2^{_SD_PLANES_N}-row representative
+    table.  Nothing is quadratic in corpus size.  Cross-engine
+    determinism: planes, fold order, and the rounded-cosine election
+    key replicate exactly in the DuckDB oracle (same contract as
+    ``embedding_neardup``)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    s = e.select(
+        "vec_id", "v", sign_cluster_key(F.col("v")).cast("int").alias("cluster")
+    )
+    pe = s.select("cluster", F.posexplode("v").alias("pos", "val"))
+    dim_means = pe.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    centroids = dim_means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
+        ).alias("centroid")
+    )
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    cosf = (
+        s.join(F.broadcast(centroids), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "v",
+            nrm.alias("nrm"),
+            F.round(
+                _dot(F.col("v"), F.col("centroid"))
+                / (nrm * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))),
+                6,
+            ).alias("cos_c"),
+        )
+    )
+    repw = Window.partitionBy("cluster").orderBy(F.desc("cos_c"), "vec_id")
+    rep = (
+        cosf.withColumn("rn", F.row_number().over(repw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("vec_id").alias("rep_id"),
+            F.col("v").alias("rep_v"),
+            F.col("nrm").alias("rep_nrm"),
+        )
+    )
+    scored = cosf.join(F.broadcast(rep), "cluster").select(
+        "vec_id",
+        "cluster",
+        "rep_id",
+        F.round(
+            _dot(F.col("v"), F.col("rep_v")) / (F.col("nrm") * F.col("rep_nrm")), 6
+        ).alias("cos_to_rep"),
+    )
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "rep_id",
+        "cos_to_rep",
+        F.when(F.col("vec_id") == F.col("rep_id"), "rep")
+        .when(F.col("cos_to_rep") >= _SD_THRESHOLD, "drop")
+        .otherwise("keep")
+        .alias("action"),
     )

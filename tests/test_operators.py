@@ -439,3 +439,78 @@ def test_multi_view_pit_per_view_ttl(spark):
         and r.click_feature_ts is not None
     ]
     assert mid and all(r.daily_feature_ts is not None for r in mid)
+
+
+def test_segment_dedup_matches_python_reference(spark, sf_dir=SF_SMOKE):
+    """Full reference implementation in plain Python over the small
+    corpus: first-occurrence election ordered by (doc_id, position),
+    cleaned-text reassembly, and counts must match row for row."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SEG_WORDS,
+        segment_dedup,
+    )
+
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, text in docs:
+        words = text.split(" ")
+        segs = [
+            " ".join(words[g * _SEG_WORDS : (g + 1) * _SEG_WORDS])
+            for g in range((len(words) + _SEG_WORDS - 1) // _SEG_WORDS)
+        ]
+        kept = []
+        dropped = 0
+        for seg in segs:
+            if seg in seen:
+                dropped += 1
+            else:
+                seen.add(seg)
+                kept.append(seg)
+        expect[doc_id] = (len(segs), dropped, " ".join(kept))
+
+    out = {r["doc_id"]: r for r in segment_dedup(spark, sf_dir).collect()}
+    assert set(out) == set(expect)
+    for doc_id, (n_segs, n_dropped, clean) in expect.items():
+        r = out[doc_id]
+        assert r["n_segments"] == n_segs
+        assert r["n_dropped"] == n_dropped
+        assert r["clean_text"] == clean
+        assert 0.0 <= r["retained_word_ratio"] <= 1.0
+        if n_dropped == 0:
+            # nothing removed -> reassembly is the identity
+            assert r["clean_text"] == dict(docs)[doc_id]
+
+
+def test_semantic_dedup_invariants(spark, sf_dir=SF_SMOKE):
+    """One rep per cluster, rep at cosine 1.0 to itself, and the
+    action column exactly reflects the threshold rule."""
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        _SD_THRESHOLD,
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert len({r["vec_id"] for r in rows}) == n_vecs  # partition of the corpus
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        reps = [r for r in members if r["action"] == "rep"]
+        assert len(reps) == 1, f"cluster {cluster}: {len(reps)} reps"
+        rep = reps[0]
+        assert rep["rep_id"] == rep["vec_id"]
+        assert abs(rep["cos_to_rep"] - 1.0) < 1e-6
+        for r in members:
+            assert r["rep_id"] == rep["vec_id"]  # shared rep within cluster
+            if r["action"] == "drop":
+                assert r["cos_to_rep"] >= _SD_THRESHOLD
+            elif r["action"] == "keep":
+                assert r["cos_to_rep"] < _SD_THRESHOLD
