@@ -619,37 +619,54 @@ def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing an order, lift = P(a,b) / (P(a)·P(b)) over the order
     universe, floored at {_BASKET_MIN_SUPPORT} co-occurrences.
 
-    Scale shape: the self-join runs WITHIN order boundaries (equi-join
-    on order_id + the ``<`` dedup), so candidate pairs are bounded by
-    Σ basket_size² — basket sizes are small constants in practice,
-    never a corpus-wide cross product; the pair table then aggregates
-    with map-side partials.  Item margins are a vocabulary-sized
-    broadcast; the order count is a scalar.  This is the same
-    bounded-blocking discipline as the LSH dedup family, applied to
-    co-occurrence."""
-    basket = (
+    Scale shape: ONE shuffle gathers each order's distinct item set
+    (``collect_set`` dedups in the partial aggregate, so the separate
+    DISTINCT pass — and the self-join the naive plan needs — never
+    happens); pairs then expand map-side from the sorted basket array
+    (``transform``/``slice``/``flatten`` — candidate pairs are bounded
+    by Σ basket_size², with basket sizes small constants in practice,
+    never a corpus-wide cross product) and aggregate with map-side
+    partials.  Item margins are a vocabulary-sized broadcast; the
+    order count is a scalar.  This is the same bounded-blocking
+    discipline as the LSH dedup family, applied to co-occurrence."""
+    # cached: three consumers (order count, pair expansion, item
+    # margins) would otherwise re-run the scan + basket aggregate —
+    # same discipline as the minhash signature cache in dedup.py
+    orders = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id"))
-        .distinct()
+        .groupBy("order_id")
+        .agg(F.array_sort(F.collect_set("item_id")).alias("items"))
+        .cache()
     )
     # one-row broadcast, not a driver-side count: keeps the operator
     # lazy (no hidden job at construction) and never stale on re-run
-    n = basket.agg(F.countDistinct("order_id").cast("double").alias("n_orders"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    n = orders.agg(F.count("*").cast("double").alias("n_orders"))
+    sz = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 2, sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("items"), i + 1).alias("item_a"),
+                    j.alias("item_b"),
+                ),
+            ),
+        )
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.order_id") == F.col("b.order_id"))
-            & (F.col("a.item_id") < F.col("b.item_id")),
-        )
-        .groupBy(
-            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
-        )
+        # explode(NULL) emits nothing, so single-item baskets vanish
+        orders.select(F.explode(F.when(sz >= 2, pairs)).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
     )
-    item = basket.groupBy("item_id").agg(F.count("*").alias("n_i"))
+    item = (
+        orders.select(F.explode("items").alias("item_id"))
+        .groupBy("item_id")
+        .agg(F.count("*").alias("n_i"))
+    )
     ia = item.select(F.col("item_id").alias("item_a"), F.col("n_i").alias("n_a"))
     ib = item.select(F.col("item_id").alias("item_b"), F.col("n_i").alias("n_b"))
     no = F.col("n_orders")

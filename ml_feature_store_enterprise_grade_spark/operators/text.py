@@ -794,30 +794,32 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is blind to).
 
     Scale shape: the per-doc bigram table collapses to distinct
-    (doc, w1, w2) counts before any join; the corpus bigram and
-    unigram tables are vocabulary-sized aggregates (heavy-hitter
-    pairs collapse map-side).  Joins run bigram-keyed — AQE broadcasts
-    the vocab sides when they fit; the corpus total is a one-row
-    broadcast."""
+    (doc, w1, w2) counts before any join — ONCE, cached; the corpus
+    bigram table rolls up FROM it (never a second pass over the
+    exploded bigrams) and the unigram table is a vocabulary-sized
+    aggregate (heavy-hitter pairs collapse map-side).  Joins run
+    bigram-keyed — AQE broadcasts the vocab sides when they fit; the
+    corpus total is a one-row broadcast."""
     d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    uc = d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("n"))
+    uc = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
     tu = uc.agg(F.sum("n").cast("double").alias("total_u"))
     head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
     tail = F.slice(F.col("toks"), 2, F.size("toks"))
     bg = d.select(
         "doc_id",
-        F.explode(F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))).alias(
-            "bigram"
-        ),
-    ).select(
-        "doc_id",
-        F.split("bigram", " ").getItem(0).alias("w1"),
-        F.split("bigram", " ").getItem(1).alias("w2"),
-    )
-    dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+        F.explode(
+            F.zip_with(head, tail, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt")).cache()
+    bc = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("n_ab"))
     a = uc.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     c = uc.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
     p = F.lit(_LM_LAMBDA) * (F.col("n_ab").cast("double") / F.col("n1")) + F.lit(
