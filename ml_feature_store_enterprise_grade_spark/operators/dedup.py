@@ -765,10 +765,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch/corpus split is simulated here as ``doc_id % 5 == 4``.  The
     plan probes, never rebuilds: batch hashes and band keys join
     against the corpus's hash and band tables — at 100 TB those are
-    *persisted* artifacts of prior ingests (exactly the
-    ``VectorIndex`` pattern, similarity.py), so per-ingest cost is
-    O(batch) hashing plus bucket-local joins; a small batch side
-    broadcasts.  Corpus-side docs never pair with each other — unlike
+    *persisted* artifacts of prior ingests, and :class:`DedupIndex`
+    below IS that persisted form (build / probe / add over parquet
+    hash, band, signature, and shingle-df tables; probe-equivalence
+    with this query is asserted in tests/test_dedup_index.py) — so
+    per-ingest cost is O(batch) hashing plus bucket-local joins; a
+    small batch side broadcasts.  Corpus-side docs never pair with each other — unlike
     ``dedup_minhash_lsh`` there is no corpus self-join anywhere.
     """
     nd = _normalized_docs(spark, sf_dir)
@@ -1073,3 +1075,177 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retained_word_ratio"),
     )
+
+
+def minhash_band_frame(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into its LSH band rows
+    ``(doc_id, band, h1, h2)`` — the join key of every banded probe."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.h1", "bs.h2"
+    )
+
+
+class DedupIndex:
+    """Persisted dedup state for continuous ingestion — the standing
+    artifact :func:`dedup_incremental`'s plan assumes ("at 100 TB
+    those are persisted artifacts of prior ingests").  Mirrors the
+    ``VectorIndex`` pattern (similarity.py): build once from the
+    standing corpus, probe every arriving batch at O(batch) cost, and
+    fold admitted documents back in — the corpus itself is never
+    re-scanned, re-shingled, or self-joined.
+
+    Layout under ``path``:
+
+    * ``hashes/``      — ``(text_hash, doc_id)``: exact-dup probe table.
+    * ``bands/band=<b>/`` — ``(h1, h2, doc_id)``: LSH bucket tables,
+      one directory per band so a probe scans only its band partitions.
+    * ``signatures/``  — ``(doc_id, sig_0..sig_{k-1})``: verification
+      signatures for candidate pairs.
+    * ``shingle_df/``  — ``(shingle, df)`` increments: corpus document
+      frequencies, appended per ingest and aggregated on read, so the
+      frequent-shingle cap reflects the STANDING corpus (batch-local
+      frequencies would let boilerplate sneak past the cap one batch
+      at a time).  Periodic compaction of the increments is ordinary
+      parquet housekeeping, same as any append-only metric table.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # -- construction ------------------------------------------------
+
+    @staticmethod
+    def _normalize(docs: DataFrame) -> DataFrame:
+        return docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+
+    @classmethod
+    def build(cls, docs: DataFrame, path: str) -> "DedupIndex":
+        """Build the standing index from ``docs (doc_id, text)``."""
+        idx = cls(docs.sparkSession, path)
+        nd = cls._normalize(docs)
+        df_tbl = (
+            _shingles(nd).groupBy("shingle").agg(F.count("*").alias("df"))
+        )
+        df_tbl.write.mode("overwrite").parquet(f"{idx.path}/shingle_df")
+        idx._append_artifacts(nd, mode="overwrite")
+        return idx
+
+    def _shingle_df(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(f"{self.path}/shingle_df")
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+        )
+
+    def _signatures_of(self, nd: DataFrame) -> DataFrame:
+        """Signatures under the STANDING corpus's frequent-shingle cap
+        (plus the probe frame's own contribution, so a batch that is
+        itself wall-to-wall boilerplate cannot evade the cap)."""
+        sh = _shingles(nd)
+        own = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        frequent = (
+            self._shingle_df()
+            .unionByName(own)
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > _MAX_SHINGLE_DF)
+            .select("shingle")
+        )
+        return minhash_signatures(sh.join(frequent, "shingle", "left_anti"))
+
+    def _append_artifacts(self, nd: DataFrame, mode: str) -> None:
+        nd = nd.cache()
+        nd.select(F.md5("norm").alias("text_hash"), "doc_id").write.mode(
+            mode
+        ).parquet(f"{self.path}/hashes")
+        sig = self._signatures_of(nd).cache()
+        sig.write.mode(mode).parquet(f"{self.path}/signatures")
+        minhash_band_frame(sig).write.mode(mode).partitionBy("band").parquet(
+            f"{self.path}/bands"
+        )
+        sig.unpersist()
+        nd.unpersist()
+
+    # -- probe / ingest ----------------------------------------------
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """Verdict per batch doc — ``dup_exact`` / ``dup_near`` /
+        ``admit`` with the smallest matching corpus doc_id — against
+        the PERSISTED tables only.  Batch artifacts are computed
+        map-side; every join is batch-vs-standing (broadcast when the
+        batch is small), never corpus-vs-corpus."""
+        nd = self._normalize(batch).cache()
+        hashes = self.spark.read.parquet(f"{self.path}/hashes")
+        exact = (
+            nd.select("doc_id", F.md5("norm").alias("text_hash"))
+            .join(hashes.withColumnRenamed("doc_id", "c_id"), "text_hash")
+            .groupBy("doc_id")
+            .agg(F.min("c_id").alias("exact_match"))
+        )
+        bsig = self._signatures_of(nd).cache()
+        cband = self.spark.read.parquet(f"{self.path}/bands")
+        cand = (
+            minhash_band_frame(bsig)
+            .withColumnsRenamed({"doc_id": "bd"})
+            .join(
+                cband.withColumnsRenamed({"doc_id": "cd"}),
+                ["band", "h1", "h2"],
+            )
+            .select("bd", "cd")
+            .distinct()
+        )
+        csig = self.spark.read.parquet(f"{self.path}/signatures")
+        x = bsig.select(
+            [F.col("doc_id").alias("bd")]
+            + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
+        )
+        y = csig.select(
+            [F.col("doc_id").alias("cd")]
+            + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)]
+        )
+        agree = sum(
+            F.when(F.col(f"xa_{j}") == F.col(f"yb_{j}"), 1).otherwise(0)
+            for j in range(_MINHASH_K)
+        )
+        near = (
+            cand.join(x, "bd")
+            .join(y, "cd")
+            .filter(agree / F.lit(float(_MINHASH_K)) >= _EST_JACCARD_THRESHOLD)
+            .groupBy(F.col("bd").alias("doc_id"))
+            .agg(F.min("cd").alias("near_match"))
+        )
+        return (
+            nd.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("exact_match").isNotNull(), "dup_exact")
+                .when(F.col("near_match").isNotNull(), "dup_near")
+                .otherwise("admit")
+                .alias("verdict"),
+                F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            )
+        )
+
+    def add(self, docs: DataFrame) -> None:
+        """Fold admitted documents into the standing index: append
+        their hash / band / signature rows and their shingle-df
+        increment.  Per-ingest cost is O(batch); the standing tables
+        are never rewritten."""
+        nd = self._normalize(docs)
+        _shingles(nd).groupBy("shingle").agg(F.count("*").alias("df")).write.mode(
+            "append"
+        ).parquet(f"{self.path}/shingle_df")
+        self._append_artifacts(nd, mode="append")

@@ -1,0 +1,83 @@
+"""DedupIndex: the persisted continuous-ingestion dedup state.
+
+The probe path must agree EXACTLY with the in-session
+``dedup_incremental`` query (same split, same verdicts, same match
+ids) — the index is that operator's standing-artifact form, not a
+second algorithm.  ``add`` must fold admitted docs in so re-probing
+recognizes them without any corpus rebuild.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+    _INCR_BATCH_MOD,
+    DedupIndex,
+    dedup_incremental,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == _INCR_BATCH_MOD - 1
+    return docs.filter(~is_batch), docs.filter(is_batch)
+
+
+def test_probe_matches_dedup_incremental(spark, split, tmp_path):
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    got = {r["doc_id"]: (r["verdict"], r["match_doc_id"]) for r in idx.probe(batch).collect()}
+    want = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_add_folds_admitted_docs_in(spark, split, tmp_path):
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    first = idx.probe(batch).collect()
+    admitted_ids = {r["doc_id"] for r in first if r["verdict"] == "admit"}
+    assert admitted_ids, "smoke data should admit at least one batch doc"
+    admitted = batch.filter(F.col("doc_id").isin(list(admitted_ids)))
+    idx.add(admitted)
+
+    again = {r["doc_id"]: r for r in idx.probe(batch).collect()}
+    for doc_id in admitted_ids:
+        r = again[doc_id]
+        # the doc's own artifacts are now standing state: exact
+        # self-match (or a smaller admitted twin with identical text)
+        assert r["verdict"] == "dup_exact"
+        assert r["match_doc_id"] <= doc_id
+    # verdicts of docs that were duplicates before adding are unchanged
+    for r in first:
+        if r["doc_id"] not in admitted_ids:
+            a = again[r["doc_id"]]
+            assert (a["verdict"], a["match_doc_id"]) == (
+                r["verdict"],
+                r["match_doc_id"],
+            )
+
+
+def test_probe_joins_broadcast_the_small_batch(spark, split, tmp_path):
+    """Every probe join keeps the batch frame on one side (the class
+    contract: no corpus-vs-corpus join exists in the code path), so
+    with a small batch the whole plan resolves to broadcast joins —
+    no sort-merge shuffle of the standing tables."""
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the probes against the standing tables (hash / band / signature
+    # keys) must all be broadcast; the only shuffle joins allowed are
+    # the final batch-side verdict stitches on doc_id (which AQE
+    # converts at runtime once it sees the batch row count)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line, f"standing-table shuffle join: {line.strip()}"
