@@ -1104,20 +1104,33 @@ class DedupIndex:
     fold admitted documents back in — the corpus itself is never
     re-scanned, re-shingled, or self-joined.
 
-    Layout under ``path``:
+    Layout under ``path`` — every write lands in an
+    ``ingest=<id>`` subdirectory of its table:
 
-    * ``hashes/``      — ``(text_hash, doc_id)``: exact-dup probe table.
-    * ``bands/band=<b>/`` — ``(h1, h2, doc_id)``: LSH bucket tables,
-      one directory per band so a probe scans only its band partitions.
-    * ``signatures/``  — ``(doc_id, sig_0..sig_{k-1})``: verification
-      signatures for candidate pairs.
-    * ``shingle_df/``  — ``(shingle, df)`` increments: corpus document
-      frequencies, appended per ingest and aggregated on read, so the
-      frequent-shingle cap reflects the STANDING corpus (batch-local
-      frequencies would let boilerplate sneak past the cap one batch
-      at a time).  Periodic compaction of the increments is ordinary
-      parquet housekeeping, same as any append-only metric table.
+    * ``hashes/ingest=<id>/``      — ``(text_hash, doc_id)``: exact-dup probe.
+    * ``bands/ingest=<id>/band=<b>/`` — ``(h1, h2, doc_id)``: LSH buckets.
+    * ``signatures/ingest=<id>/``  — ``(doc_id, sig_0..sig_{k-1})``.
+    * ``shingle_df/ingest=<id>/``  — ``(shingle, df)`` increments,
+      aggregated on read, so the frequent-shingle cap reflects the
+      STANDING corpus (batch-local frequencies would let boilerplate
+      sneak past the cap one batch at a time).
+
+    The per-ingest layout is what makes the index safe under
+    re-delivery (the streaming admission pipeline's ``foreachBatch``
+    can re-run a micro-batch after a crash):
+
+    * :meth:`add` with the same ``ingest_id`` OVERWRITES that ingest's
+      subdirectories only — a re-run converges to the same state
+      instead of appending duplicates;
+    * :meth:`probe` can exclude one ingest id, so a re-run probes
+      against everything EXCEPT its own partial leftovers and
+      reproduces the original verdicts.
+
+    Periodic compaction of old ingest dirs is ordinary parquet
+    housekeeping, same as any append-only metric table.
     """
+
+    _TABLES = ("hashes", "bands", "signatures", "shingle_df")
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1133,29 +1146,33 @@ class DedupIndex:
     def build(cls, docs: DataFrame, path: str) -> "DedupIndex":
         """Build the standing index from ``docs (doc_id, text)``."""
         idx = cls(docs.sparkSession, path)
-        nd = cls._normalize(docs)
-        df_tbl = (
-            _shingles(nd).groupBy("shingle").agg(F.count("*").alias("df"))
-        )
-        df_tbl.write.mode("overwrite").parquet(f"{idx.path}/shingle_df")
-        idx._append_artifacts(nd, mode="overwrite")
+        idx._write_artifacts(cls._normalize(docs), ingest_id="base")
         return idx
 
-    def _shingle_df(self) -> DataFrame:
+    def _read(self, table: str, exclude_ingest: str | None = None) -> DataFrame:
+        """Read a standing table across all ingests (partition
+        discovery surfaces ``ingest``; excluding one id prunes that
+        partition directory from the scan entirely)."""
+        df = self.spark.read.parquet(f"{self.path}/{table}")
+        if exclude_ingest is not None:
+            df = df.filter(F.col("ingest") != exclude_ingest)
+        return df.drop("ingest")
+
+    def _shingle_df(self, exclude_ingest: str | None = None) -> DataFrame:
         return (
-            self.spark.read.parquet(f"{self.path}/shingle_df")
+            self._read("shingle_df", exclude_ingest)
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
         )
 
-    def _signatures_of(self, nd: DataFrame) -> DataFrame:
+    def _signatures_of(self, nd: DataFrame, exclude_ingest: str | None = None) -> DataFrame:
         """Signatures under the STANDING corpus's frequent-shingle cap
         (plus the probe frame's own contribution, so a batch that is
         itself wall-to-wall boilerplate cannot evade the cap)."""
         sh = _shingles(nd)
         own = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         frequent = (
-            self._shingle_df()
+            self._shingle_df(exclude_ingest)
             .unionByName(own)
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
@@ -1164,37 +1181,45 @@ class DedupIndex:
         )
         return minhash_signatures(sh.join(frequent, "shingle", "left_anti"))
 
-    def _append_artifacts(self, nd: DataFrame, mode: str) -> None:
+    def _write_artifacts(self, nd: DataFrame, ingest_id: str) -> None:
         nd = nd.cache()
         nd.select(F.md5("norm").alias("text_hash"), "doc_id").write.mode(
-            mode
-        ).parquet(f"{self.path}/hashes")
-        sig = self._signatures_of(nd).cache()
-        sig.write.mode(mode).parquet(f"{self.path}/signatures")
-        minhash_band_frame(sig).write.mode(mode).partitionBy("band").parquet(
-            f"{self.path}/bands"
+            "overwrite"
+        ).parquet(f"{self.path}/hashes/ingest={ingest_id}")
+        # df increment first: signatures of the SAME write exclude this
+        # ingest's standing rows, so a re-run sees a consistent view
+        _shingles(nd).groupBy("shingle").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/shingle_df/ingest={ingest_id}")
+        sig = self._signatures_of(nd, exclude_ingest=ingest_id).cache()
+        sig.write.mode("overwrite").parquet(f"{self.path}/signatures/ingest={ingest_id}")
+        minhash_band_frame(sig).write.mode("overwrite").partitionBy("band").parquet(
+            f"{self.path}/bands/ingest={ingest_id}"
         )
         sig.unpersist()
         nd.unpersist()
 
     # -- probe / ingest ----------------------------------------------
 
-    def probe(self, batch: DataFrame) -> DataFrame:
+    def probe(self, batch: DataFrame, exclude_ingest: str | None = None) -> DataFrame:
         """Verdict per batch doc — ``dup_exact`` / ``dup_near`` /
         ``admit`` with the smallest matching corpus doc_id — against
         the PERSISTED tables only.  Batch artifacts are computed
         map-side; every join is batch-vs-standing (broadcast when the
-        batch is small), never corpus-vs-corpus."""
+        batch is small), never corpus-vs-corpus.  ``exclude_ingest``
+        masks one ingest's rows — a crashed-and-redelivered batch
+        probes against everything except its own partial leftovers.
+        """
         nd = self._normalize(batch).cache()
-        hashes = self.spark.read.parquet(f"{self.path}/hashes")
+        hashes = self._read("hashes", exclude_ingest)
         exact = (
             nd.select("doc_id", F.md5("norm").alias("text_hash"))
             .join(hashes.withColumnRenamed("doc_id", "c_id"), "text_hash")
             .groupBy("doc_id")
             .agg(F.min("c_id").alias("exact_match"))
         )
-        bsig = self._signatures_of(nd).cache()
-        cband = self.spark.read.parquet(f"{self.path}/bands")
+        bsig = self._signatures_of(nd, exclude_ingest).cache()
+        cband = self._read("bands", exclude_ingest)
         cand = (
             minhash_band_frame(bsig)
             .withColumnsRenamed({"doc_id": "bd"})
@@ -1205,7 +1230,7 @@ class DedupIndex:
             .select("bd", "cd")
             .distinct()
         )
-        csig = self.spark.read.parquet(f"{self.path}/signatures")
+        csig = self._read("signatures", exclude_ingest)
         x = bsig.select(
             [F.col("doc_id").alias("bd")]
             + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
@@ -1239,13 +1264,14 @@ class DedupIndex:
             )
         )
 
-    def add(self, docs: DataFrame) -> None:
-        """Fold admitted documents into the standing index: append
-        their hash / band / signature rows and their shingle-df
-        increment.  Per-ingest cost is O(batch); the standing tables
-        are never rewritten."""
-        nd = self._normalize(docs)
-        _shingles(nd).groupBy("shingle").agg(F.count("*").alias("df")).write.mode(
-            "append"
-        ).parquet(f"{self.path}/shingle_df")
-        self._append_artifacts(nd, mode="append")
+    def add(self, docs: DataFrame, ingest_id: str | None = None) -> None:
+        """Fold admitted documents into the standing index under
+        ``ingest_id`` (a fresh uuid when omitted).  Per-ingest cost is
+        O(batch); other ingests' directories are never touched, and
+        re-running the same ingest_id overwrites in place instead of
+        duplicating."""
+        if ingest_id is None:
+            import uuid
+
+            ingest_id = uuid.uuid4().hex[:12]
+        self._write_artifacts(self._normalize(docs), ingest_id)
