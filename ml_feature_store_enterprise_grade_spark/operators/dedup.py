@@ -31,6 +31,9 @@ band-bucket join and run it per corpus partition.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1271,7 +1274,45 @@ class DedupIndex:
         re-running the same ingest_id overwrites in place instead of
         duplicating."""
         if ingest_id is None:
-            import uuid
-
             ingest_id = uuid.uuid4().hex[:12]
         self._write_artifacts(self._normalize(docs), ingest_id)
+
+    def compact(self) -> None:
+        """Fold every ingest into a fresh consolidated generation:
+        read each standing table across all ingests (pre-aggregating
+        the shingle-df increments), write it as a single
+        ``ingest=compact-<n>`` directory, then drop the old ingest
+        dirs.  Readers are unaffected mid-compaction — they see either
+        the old ingest set or old + compacted (doubled rows change no
+        probe verdict: hash/band matches are set-semantics and the df
+        cap only ever gets MORE conservative) — so compaction needs no
+        coordination with probes; only concurrent ``add``/``compact``
+        of the same index requires external serialization, same as any
+        parquet table maintenance."""
+        import shutil as _sh
+
+        root = self.path
+        gen = f"compact-{uuid.uuid4().hex[:8]}"
+        olds = {
+            t: [
+                d
+                for d in os.listdir(f"{root}/{t}")
+                if d.startswith("ingest=")
+            ]
+            for t in self._TABLES
+        }
+        self._shingle_df().write.mode("overwrite").parquet(
+            f"{root}/shingle_df/ingest={gen}"
+        )
+        self._read("hashes").write.mode("overwrite").parquet(
+            f"{root}/hashes/ingest={gen}"
+        )
+        self._read("signatures").write.mode("overwrite").parquet(
+            f"{root}/signatures/ingest={gen}"
+        )
+        self._read("bands").write.mode("overwrite").partitionBy("band").parquet(
+            f"{root}/bands/ingest={gen}"
+        )
+        for t, dirs in olds.items():
+            for d in dirs:
+                _sh.rmtree(f"{root}/{t}/{d}", ignore_errors=True)

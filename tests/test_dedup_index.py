@@ -81,3 +81,25 @@ def test_probe_joins_broadcast_the_small_batch(spark, split, tmp_path):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "doc_id" in line, f"standing-table shuffle join: {line.strip()}"
+
+
+def test_compact_preserves_probe_verdicts(spark, split, tmp_path):
+    """Compaction folds all ingest dirs into one generation without
+    changing any probe verdict."""
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    first = idx.probe(batch).collect()
+    admitted = batch.join(
+        idx.probe(batch).filter(F.col("verdict") == "admit"), "doc_id", "left_semi"
+    )
+    idx.add(admitted)
+    before = {r["doc_id"]: (r["verdict"], r["match_doc_id"]) for r in idx.probe(batch).collect()}
+    idx.compact()
+    import os
+
+    for tbl in ("hashes", "bands", "signatures", "shingle_df"):
+        dirs = [d for d in os.listdir(tmp_path / "idx" / tbl) if d.startswith("ingest=")]
+        assert len(dirs) == 1 and dirs[0].startswith("ingest=compact-")
+    after = {r["doc_id"]: (r["verdict"], r["match_doc_id"]) for r in idx.probe(batch).collect()}
+    assert after == before
+    assert len(first) == len(after)
