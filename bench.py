@@ -75,6 +75,9 @@ BENCH_QUERIES = (
     "kmv_audience_overlap",
     "bloom_prejoin_prune",
     "histogram_quantile_rollup",
+    # sub-document and semantic dedup passes.
+    "segment_dedup",
+    "semantic_dedup",
 )
 
 

@@ -301,12 +301,21 @@ class VectorIndex:
         spark = emb.sparkSession
         cent = ivf_codebook(emb, k)
         cent.write.mode("overwrite").parquet(f"{path}/centroids")
-        cent_n = with_norm(spark.read.parquet(f"{path}/centroids"), "centroid").select(
-            "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
+        idx = cls(spark, path)
+        idx._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
         )
+        return idx
+
+    def _assign(self, emb: DataFrame) -> DataFrame:
+        """Nearest-cell assignment under the standing codebook — one
+        broadcast pass, no shuffle of the vectors."""
+        cent_n = with_norm(
+            self.spark.read.parquet(f"{self.path}/centroids"), "centroid"
+        ).select("cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm"))
         vecs = with_norm(emb)
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
-        assigned = (
+        return (
             vecs.crossJoin(F.broadcast(cent_n))
             .withColumn(
                 "c_sim", _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
@@ -315,8 +324,19 @@ class VectorIndex:
             .filter(F.col("rk") == 1)
             .select("vec_id", "embedding", "nrm", "cell")
         )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-        return cls(spark, path)
+
+    def add(self, emb: DataFrame) -> None:
+        """Fold new vectors into the standing cells under the FROZEN
+        coarse codebook — the standard IVF ingest (FAISS ``add`` works
+        the same way: assignment is a codebook pass, the codebook
+        itself retrains only at the next full rebuild).  Appends
+        cell-partitioned files, so searches see the new vectors
+        immediately and untouched cells' files are never rewritten;
+        cell drift under a shifting distribution is a rebuild trigger,
+        not an ingest-path concern."""
+        self._assign(emb).write.mode("append").partitionBy("cell").parquet(
+            f"{self.path}/cells"
+        )
 
     def search(self, queries: DataFrame, topk: int = 5, nprobe: int = 3) -> DataFrame:
         """``queries``: (query_id, embedding).  Returns

@@ -104,3 +104,49 @@ def test_neardup_blocked_recall_vs_all_pairs(spark):
     blocked = {(r.vec_a, r.vec_b) for r in embedding_neardup(spark, SF_SMOKE).collect()}
     assert blocked <= truth  # verification step admits no false positives
     assert blocked == truth, f"recall {len(blocked)}/{len(truth)}"
+
+
+def test_add_folds_vectors_under_frozen_codebook(spark, tmp_path):
+    """VectorIndex.add assigns new vectors with the standing codebook
+    and appends to the cell tree; searches find them immediately, and
+    the result equals a one-shot assignment of the union under the
+    SAME codebook."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+
+    idx = VectorIndex.build(base, str(tmp_path / "idx"))
+    n_base = spark.read.parquet(f"{tmp_path}/idx/cells").count()
+    idx.add(extra)
+    cells = spark.read.parquet(f"{tmp_path}/idx/cells")
+    assert cells.count() == n_base + extra.count()
+
+    # reference: same centroids, one-shot assignment of everything
+    import shutil
+
+    shutil.copytree(tmp_path / "idx" / "centroids", tmp_path / "ref" / "centroids")
+    ref = VectorIndex(spark, str(tmp_path / "ref"))
+    ref._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{tmp_path}/ref/cells"
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    got = {tuple(r) for r in idx.search(queries).collect()}
+    want = {tuple(r) for r in ref.search(queries).collect()}
+    assert got == want
+
+    # an added vector is its own nearest neighbor at cosine 1.0
+    probe = extra.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"] - 1_000_000: (r["neighbor_id"], r["cosine_sim"])
+        for r in idx.search(probe).collect()
+        if r["rnk"] == 1
+    }
+    for vec_id, (neighbor, sim) in top1.items():
+        assert neighbor == vec_id
+        assert abs(sim - 1.0) < 1e-5
