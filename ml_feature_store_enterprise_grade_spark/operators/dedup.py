@@ -1034,10 +1034,17 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB), and hash collisions — astronomically rare at 60 bits —
     would resolve identically in both engines by construction.
     """
-    k = _SEG_WORDS
-    d = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.split("text", " ").alias("w")
+    return segment_dedup_frame(
+        spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     )
+
+
+def segment_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`segment_dedup` over any
+    ``(doc_id, text)`` input — property-tested against a plain-Python
+    reference over generated corpora in tests/test_properties.py."""
+    k = _SEG_WORDS
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
     occ = d.select(
         "doc_id",
         "w",

@@ -223,3 +223,52 @@ def test_portable_hash64_agrees_across_engines(spark, vals, seed):
     )
     con.close()
     assert got == want
+
+
+def _segment_dedup_reference(docs: list[tuple[int, str]], k: int) -> dict:
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        words = text.split(" ")
+        segs = [
+            " ".join(words[g * k : (g + 1) * k])
+            for g in range((len(words) + k - 1) // k)
+        ]
+        kept, dropped = [], 0
+        for seg in segs:
+            if seg in seen:
+                dropped += 1
+            else:
+                seen.add(seg)
+                kept.append(seg)
+        out[doc_id] = (len(segs), dropped, " ".join(kept))
+    return out
+
+
+_seg_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=20
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_seg_docs)
+def test_segment_dedup_matches_reference_on_generated_corpora(spark, texts):
+    """First-occurrence election + reassembly over tiny-alphabet
+    corpora (maximal segment collisions, ragged tail segments,
+    single-word docs)."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SEG_WORDS,
+        segment_dedup_frame,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["clean_text"])
+        for r in segment_dedup_frame(df).collect()
+    }
+    assert got == _segment_dedup_reference(docs, _SEG_WORDS)
