@@ -100,14 +100,25 @@ def main() -> None:
     else:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Per-query MIN over two passes: single-shot times on a shared
+    # box swing +-40% with co-tenant noise (observed on untouched
+    # queries run-to-run); the min is the reproducible cost of the
+    # plan, which is what the trend line should track.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Materialize every output row without driver-side transfer.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    t_start = time.perf_counter()
+    for p in range(n_passes):
+        # keep total wall bounded at bigger SFs: re-pass only while cheap
+        if p > 0 and time.perf_counter() - t_start > 120:
+            break
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Materialize every output row without driver-side transfer.
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(el, timings.get(name, el))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
