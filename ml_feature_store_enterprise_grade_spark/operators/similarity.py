@@ -286,7 +286,9 @@ class VectorIndex:
 
     * :meth:`build` — train the coarse codebook (spherical k-means),
       assign every vector to its nearest cell, write
-      ``{path}/centroids`` + ``{path}/cells/cell=<i>/``.
+      ``{path}/centroids`` + ``{path}/cells/ingest=base/cell=<i>/``.
+    * :meth:`add` — fold an arriving batch in under the frozen
+      codebook; per-ingest subtrees make re-delivery idempotent.
     * :meth:`search` — assign the query batch to its ``nprobe``
       nearest cells (broadcast codebook, no shuffle), scan only the
       union of probed cell partitions, exact-rank inside them.
@@ -303,7 +305,7 @@ class VectorIndex:
         cent.write.mode("overwrite").parquet(f"{path}/centroids")
         idx = cls(spark, path)
         idx._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
-            f"{path}/cells"
+            f"{path}/cells/ingest=base"
         )
         return idx
 
@@ -325,17 +327,24 @@ class VectorIndex:
             .select("vec_id", "embedding", "nrm", "cell")
         )
 
-    def add(self, emb: DataFrame) -> None:
+    def add(self, emb: DataFrame, ingest_id: str | None = None) -> None:
         """Fold new vectors into the standing cells under the FROZEN
         coarse codebook — the standard IVF ingest (FAISS ``add`` works
         the same way: assignment is a codebook pass, the codebook
-        itself retrains only at the next full rebuild).  Appends
-        cell-partitioned files, so searches see the new vectors
-        immediately and untouched cells' files are never rewritten;
-        cell drift under a shifting distribution is a rebuild trigger,
-        not an ingest-path concern."""
-        self._assign(emb).write.mode("append").partitionBy("cell").parquet(
-            f"{self.path}/cells"
+        itself retrains only at the next full rebuild).  Each ingest
+        writes its own ``ingest=<id>`` subtree (cell-partitioned
+        inside), so searches see the new vectors immediately, other
+        ingests' files are never touched, and RE-RUNNING an ingest_id
+        (streaming micro-batch re-delivery) overwrites in place
+        instead of duplicating — the same idempotence layout as
+        ``DedupIndex``.  Cell drift under a shifting distribution is a
+        rebuild trigger, not an ingest-path concern."""
+        import uuid as _uuid
+
+        if ingest_id is None:
+            ingest_id = _uuid.uuid4().hex[:12]
+        self._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.path}/cells/ingest={ingest_id}"
         )
 
     def search(self, queries: DataFrame, topk: int = 5, nprobe: int = 3) -> DataFrame:

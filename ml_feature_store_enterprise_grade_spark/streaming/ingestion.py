@@ -111,3 +111,46 @@ def stream_corpus_admission(
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(admitted_path).drop("ingest")
+
+
+def stream_vector_ingestion(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    schema: str = "vec_id bigint, embedding array<float>",
+) -> DataFrame:
+    """Continuously fold arriving embedding batches into a standing
+    :class:`~..operators.similarity.VectorIndex` (one micro-batch per
+    file, availableNow) and return the final cell table.  The frozen
+    coarse codebook makes each micro-batch a broadcast assignment pass
+    + cell-partitioned append — the embedding-side twin of
+    :func:`stream_corpus_admission`.
+
+    Idempotent under re-delivery: each micro-batch writes its own
+    ``ingest=batch<id>`` subtree of the cell layout, so a
+    crashed-and-redelivered batch overwrites itself instead of
+    appending duplicates — the same contract as
+    :func:`stream_corpus_admission`."""
+    from ..operators.similarity import VectorIndex
+
+    ensure_engine_confs(spark)
+    idx = VectorIndex(spark, index_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_vec_ingest_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: idx.add(b, ingest_id=f"batch{bid}")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(f"{index_path}/cells")

@@ -122,3 +122,41 @@ def test_redelivered_batch_converges(spark, staged, tmp_path):
         (r["doc_id"], r["verdict"]) for r in idx.probe(chunks[0]).collect()
     }
     assert probe_after == probe_before
+
+
+def test_stream_vector_ingestion_folds_into_index(spark, tmp_path):
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import VectorIndex
+    from ml_feature_store_enterprise_grade_spark.streaming.ingestion import (
+        stream_vector_ingestion,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    arriving = emb.filter(F.col("vec_id") % 4 == 0)
+    VectorIndex.build(base, str(tmp_path / "vidx"))
+
+    src = tmp_path / "vsrc"
+    for i in range(2):
+        chunk = arriving.filter(F.col("vec_id") % 8 == i * 4)
+        f = str(src / f"chunk_{i}.parquet")
+        chunk.coalesce(1).write.mode("overwrite").parquet(f + ".dir")
+        part = next(p for p in os.listdir(f + ".dir") if p.endswith(".parquet"))
+        os.replace(os.path.join(f + ".dir", part), f)
+        t = time.time() + i
+        os.utime(f, (t, t))
+
+    cells = stream_vector_ingestion(spark, str(src), str(tmp_path / "vidx"))
+    assert cells.count() == emb.count()
+
+    idx = VectorIndex(spark, str(tmp_path / "vidx"))
+    probe = arriving.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"] - 1_000_000: r["neighbor_id"]
+        for r in idx.search(probe).collect()
+        if r["rnk"] == 1
+    }
+    assert all(neighbor == vec_id for vec_id, neighbor in top1.items())

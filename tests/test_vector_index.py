@@ -24,7 +24,7 @@ def index(spark, tmp_path_factory):
 
 
 def test_layout_partitioned_by_cell(index):
-    cells_dir = f"{index.path}/cells"
+    cells_dir = f"{index.path}/cells/ingest=base"
     parts = [d for d in os.listdir(cells_dir) if d.startswith("cell=")]
     assert len(parts) >= 2  # codebook actually spread the corpus
 
@@ -119,9 +119,12 @@ def test_add_folds_vectors_under_frozen_codebook(spark, tmp_path):
 
     idx = VectorIndex.build(base, str(tmp_path / "idx"))
     n_base = spark.read.parquet(f"{tmp_path}/idx/cells").count()
-    idx.add(extra)
+    idx.add(extra, ingest_id="e1")
     cells = spark.read.parquet(f"{tmp_path}/idx/cells")
     assert cells.count() == n_base + extra.count()
+    # re-delivery of the same ingest overwrites, never duplicates
+    idx.add(extra, ingest_id="e1")
+    assert spark.read.parquet(f"{tmp_path}/idx/cells").count() == n_base + extra.count()
 
     # reference: same centroids, one-shot assignment of everything
     import shutil
@@ -129,7 +132,7 @@ def test_add_folds_vectors_under_frozen_codebook(spark, tmp_path):
     shutil.copytree(tmp_path / "idx" / "centroids", tmp_path / "ref" / "centroids")
     ref = VectorIndex(spark, str(tmp_path / "ref"))
     ref._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
-        f"{tmp_path}/ref/cells"
+        f"{tmp_path}/ref/cells/ingest=base"
     )
     queries = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
