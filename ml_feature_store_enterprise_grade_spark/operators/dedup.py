@@ -1087,6 +1087,149 @@ def segment_dedup_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Cross-document span width (words).  Production substring dedup
+#: uses ~50 BPE tokens / 13 words (Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better"); 8 fits this corpus's
+#: 10-99-word documents while leaving multi-span overlap to exercise
+#: the coverage union.
+_SPAN_WORDS = 8
+_SPAN_SEED = 11
+
+#: A document with more than this fraction of its tokens inside
+#: cross-document duplicated spans is flagged for removal/trimming.
+_SPAN_FLAG_COVERAGE = 0.2
+
+
+@register(
+    "dedup_crossdoc_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+               {PORTABLE_HASH64_SQL(
+                   f"array_to_string(toks[u.i:u.i+{_SPAN_WORDS - 1}], ' ')",
+                   seed=_SPAN_SEED,
+               )} AS h
+        FROM t, LATERAL unnest(
+                 range(1, greatest(len(toks) - {_SPAN_WORDS} + 1, 0) + 1)) u(i)
+    ),
+    dup AS (
+        SELECT doc_id, pos
+        FROM (SELECT doc_id, pos,
+                     COUNT(DISTINCT doc_id) OVER (PARTITION BY h) AS nd
+              FROM sp)
+        WHERE nd >= 2
+    ),
+    nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+    cov AS (
+        SELECT doc_id, COUNT(DISTINCT p) AS n_covered
+        FROM dup, LATERAL unnest(range(pos, pos + {_SPAN_WORDS})) v(p)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+           ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / len(t.toks), 6)
+               AS dup_token_coverage,
+           CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / len(t.toks)
+               > {_SPAN_FLAG_COVERAGE} AS flagged
+    FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-document dedup report — the distributed
+    hash approximation of Lee et al. 2022's suffix-array pass: find
+    every ``_SPAN_WORDS``-word span that occurs (at that exact width)
+    in two or more documents, and report per document how many of its
+    spans are shared and what fraction of its tokens the shared spans
+    cover (overlaps union-counted, not double-counted).  Documents
+    over the coverage threshold are the boilerplate/mirror pages an
+    admission pipeline trims or drops; unlike whole-doc or
+    segment-grid dedup this catches duplicated runs at ANY alignment.
+
+    Scale shape: span expansion is a narrow ``explode(sequence)`` +
+    ``slice`` projection that immediately reduces each span to the
+    portable 60-bit hash, so the ONE wide shuffle moves slim
+    ``(h, doc_id, pos)`` rows and each window partition is just the
+    copies of one span (no skew beyond genuine boilerplate — which is
+    the signal).  The coverage union explodes only the *duplicated*
+    occurrences (``_SPAN_WORDS ×`` those rows, not the corpus), and
+    the final per-doc rollups are map-side-combinable hash aggregates.
+    Cross-engine determinism: election runs on the portable hash in
+    both engines, so even a (astronomically rare) 60-bit collision
+    resolves identically.  Production note: at 100 TB you'd run this
+    per corpus shard with K≈13 and feed flagged spans to a trimming
+    rewrite; the per-shard plan is exactly this one.
+    """
+    return crossdoc_span_frame(
+        spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+
+
+def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`dedup_crossdoc_spans` over any
+    ``(doc_id, text)`` input — property-tested against a plain-Python
+    reference in tests/test_properties.py."""
+    k = _SPAN_WORDS
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    # Spark's sequence(1, 0) counts DOWN — guard short docs explicitly.
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
+        "doc_id",
+        "pos",
+        portable_hash64(
+            F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " "),
+            seed=_SPAN_SEED,
+        ).alias("h"),
+    )
+    dup = (
+        sp.withColumn(
+            "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+        )
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "pos")
+    )
+    # Each duplicated occurrence explodes exactly k covered positions,
+    # so ONE aggregate yields both the span count (count/k) and the
+    # overlap-unioned coverage — no second pass over the dup branch.
+    stats = (
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") / k).cast("bigint").alias("n_dup_spans"),
+            F.countDistinct("p").alias("n_covered"),
+        )
+    )
+    covered = F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint")
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            covered.alias("n_covered_tokens"),
+            F.round(covered.cast("double") / F.col("n_tokens"), 6).alias(
+                "dup_token_coverage"
+            ),
+            (covered.cast("double") / F.col("n_tokens") > _SPAN_FLAG_COVERAGE).alias(
+                "flagged"
+            ),
+        )
+    )
+
+
 def minhash_band_frame(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into its LSH band rows
     ``(doc_id, band, h1, h2)`` — the join key of every banded probe."""

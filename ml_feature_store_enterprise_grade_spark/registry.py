@@ -61,12 +61,11 @@ _FRONT: tuple[str, ...] = (
     "sequence_packing_plan",
     "target_encoding_loo",
     "multimodal_decode_features",
-    "stream_hourly_features",
-    # stream_session_windows / stream_drift_monitor also had the
-    # (value-neutral on this data) watermark-base oracle fix, but they
-    # hold green r02 rows and the identical convention is re-verified
-    # through stream_hourly_features — their slots go to the two new
-    # dedup operators below, which have no driver row at all yet.
+    # stream_hourly_features / stream_session_windows /
+    # stream_drift_monitor had the (value-neutral on this data)
+    # watermark-base oracle fix, but all hold green r02 rows — their
+    # re-check slots go to never-checked queries below, which have no
+    # driver row at all yet.
     # (c) new this round
     "feature_binning_scalable",
     "training_set_export",
@@ -112,10 +111,12 @@ _FRONT: tuple[str, ...] = (
     "kmv_audience_overlap",
     "bloom_prejoin_prune",
     "histogram_quantile_rollup",
-    # (c'') sub-document exact dedup and SemDeDup-style semantic
-    # dedup, added after the sketch family — never driver-checked.
+    # (c'') sub-document exact dedup, SemDeDup-style semantic dedup,
+    # and the any-alignment cross-document span pass — never
+    # driver-checked.
     "segment_dedup",
     "semantic_dedup",
+    "dedup_crossdoc_spans",
 )
 
 

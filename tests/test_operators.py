@@ -514,3 +514,43 @@ def test_semantic_dedup_invariants(spark, sf_dir=SF_SMOKE):
                 assert r["cos_to_rep"] >= _SD_THRESHOLD
             elif r["action"] == "keep":
                 assert r["cos_to_rep"] < _SD_THRESHOLD
+
+
+def test_crossdoc_spans_alignment_overlap_and_short_docs(spark):
+    """Constructed corpus exercising the three semantics whole-doc /
+    segment-grid dedup can't express: (a) a shared span detected at
+    DIFFERENT alignments in each document, (b) overlapping duplicated
+    spans union-counted in coverage (a shared 9-token run = 2 spans
+    but 9 covered tokens), (c) a document shorter than the span width
+    still present with zero counts."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SPAN_WORDS,
+        crossdoc_span_frame,
+    )
+
+    k = _SPAN_WORDS
+    shared = " ".join(f"w{i}" for i in range(k))          # one k-span
+    run9 = " ".join(f"r{i}" for i in range(k + 1))        # two k-spans
+    docs = [
+        (0, shared + " x0 x1 x2 x3"),                     # span at pos 1
+        (1, "z0 z1 " + shared),                           # span at pos 3
+        (2, "u0 u1 u2 u3 u4"),                            # < k tokens
+        (3, run9 + " y0"),
+        (4, "q0 " + run9),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["n_covered_tokens"],
+            r["flagged"],
+        )
+        for r in crossdoc_span_frame(df).collect()
+    }
+    assert got[0] == (k + 4, 1, k, True)
+    assert got[1] == (k + 2, 1, k, True)
+    assert got[2] == (5, 0, 0, False)
+    # 9-token run shared: 2 overlapping spans, coverage 9 not 16
+    assert got[3] == (k + 2, 2, k + 1, True)
+    assert got[4] == (k + 2, 2, k + 1, True)

@@ -204,3 +204,17 @@ def test_kmv_overlap_no_unpartitioned_window_or_cartesian(spark):
     for spec in windows:
         first = spec.split(",")[0].strip()
         assert "ASC" not in first and first, f"unpartitioned window: {spec}"
+
+
+def test_crossdoc_spans_slim_shuffle_no_joins_on_text(spark):
+    """The cross-document span pass must shuffle 60-bit hashes, never
+    span text, and must not fall back to any all-pairs stage: spans
+    reduce to (h, doc_id, pos) before the window exchange, and the
+    only joins are the per-doc left joins on doc_id."""
+    plan = plan_of(spark, "dedup_crossdoc_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # span expansion is a Generate (explode), not a self-join
+    assert "Generate explode" in plan
+    # the election window partitions by the portable hash column
+    assert "windowspecdefinition(h" in plan or "windowspecdefinition(h#" in plan.replace(" ", "")

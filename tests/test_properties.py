@@ -272,3 +272,60 @@ def test_segment_dedup_matches_reference_on_generated_corpora(spark, texts):
         for r in segment_dedup_frame(df).collect()
     }
     assert got == _segment_dedup_reference(docs, _SEG_WORDS)
+
+
+def _crossdoc_reference(docs: list[tuple[int, str]], k: int) -> dict:
+    import re as _re
+    from collections import defaultdict
+
+    toks = {
+        doc_id: _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        for doc_id, text in docs
+    }
+    span_docs: dict[str, set] = defaultdict(set)
+    positions: dict[int, list] = defaultdict(list)
+    for doc_id, t in toks.items():
+        for i in range(len(t) - k + 1):
+            span = " ".join(t[i : i + k])
+            span_docs[span].add(doc_id)
+            positions[doc_id].append((i + 1, span))
+    out = {}
+    for doc_id, t in toks.items():
+        dup_pos = [p for p, s in positions[doc_id] if len(span_docs[s]) >= 2]
+        covered: set[int] = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        out[doc_id] = (len(t), len(dup_pos), len(covered), len(covered) / len(t) > 0.2)
+    return out
+
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=24).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_span_docs)
+def test_crossdoc_spans_match_reference_on_generated_corpora(spark, texts):
+    """Any-alignment span election over a two-symbol alphabet (maximal
+    cross-doc span collisions, sub-span-width docs, full-duplicate
+    docs) must match the quadratic Python reference exactly."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SPAN_WORDS,
+        crossdoc_span_frame,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["n_covered_tokens"],
+            r["flagged"],
+        )
+        for r in crossdoc_span_frame(df).collect()
+    }
+    assert got == _crossdoc_reference(docs, _SPAN_WORDS)
