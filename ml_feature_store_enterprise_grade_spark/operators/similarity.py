@@ -347,6 +347,34 @@ class VectorIndex:
             f"{self.path}/cells/ingest={ingest_id}"
         )
 
+    def compact(self) -> None:
+        """Fold every ``ingest=<id>`` subtree into one consolidated
+        generation (the twin of ``DedupIndex.compact``): small
+        streaming micro-batches leave one file per (ingest, cell), so
+        long-running ingestion degrades listing/open cost — compaction
+        rewrites the union as a single cell-partitioned
+        ``ingest=compact-<n>`` tree and drops the old dirs.  Unlike
+        ``DedupIndex`` (set-semantics probes), a search racing the
+        brief old+new overlap window could see a neighbor twice and
+        spend two of its top-k ranks on it — serialize compaction with
+        searches, like any parquet table maintenance."""
+        import os
+        import shutil as _sh
+        import uuid as _uuid
+
+        root = f"{self.path}/cells"
+        olds = [d for d in os.listdir(root) if d.startswith("ingest=")]
+        gen = f"compact-{_uuid.uuid4().hex[:8]}"
+        (
+            self.spark.read.parquet(root)
+            .select("vec_id", "embedding", "nrm", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{root}/ingest={gen}")
+        )
+        for d in olds:
+            _sh.rmtree(f"{root}/{d}", ignore_errors=True)
+
     def search(self, queries: DataFrame, topk: int = 5, nprobe: int = 3) -> DataFrame:
         """``queries``: (query_id, embedding).  Returns
         (query_id, neighbor_id, cosine_sim, rnk ≤ topk)."""

@@ -153,3 +153,34 @@ def test_add_folds_vectors_under_frozen_codebook(spark, tmp_path):
     for vec_id, (neighbor, sim) in top1.items():
         assert neighbor == vec_id
         assert abs(sim - 1.0) < 1e-5
+
+
+def test_compact_folds_ingests_preserving_search(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    extra = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = VectorIndex.build(base, str(tmp_path / "idx"))
+    idx.add(extra, ingest_id="e1")
+
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    before = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in idx.search(queries).collect()
+    }
+    n_before = spark.read.parquet(f"{tmp_path}/idx/cells").count()
+
+    idx.compact()
+
+    cells_root = tmp_path / "idx" / "cells"
+    ingests = [d for d in os.listdir(cells_root) if d.startswith("ingest=")]
+    assert len(ingests) == 1 and ingests[0].startswith("ingest=compact-")
+    assert spark.read.parquet(f"{tmp_path}/idx/cells").count() == n_before
+    after = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in idx.search(queries).collect()
+    }
+    assert after == before
