@@ -1230,6 +1230,155 @@ def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "crossdoc_span_trim",
+    # Deferred: the round-3 driver window is full (every slot holds a
+    # never-checked or failed-last-round query); promotes to the
+    # round-4 window.  Local parity still sweeps it.
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+               {PORTABLE_HASH64_SQL(
+                   f"array_to_string(toks[u.i:u.i+{_SPAN_WORDS - 1}], ' ')",
+                   seed=_SPAN_SEED,
+               )} AS h
+        FROM t, LATERAL unnest(
+                 range(1, greatest(len(toks) - {_SPAN_WORDS} + 1, 0) + 1)) u(i)
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               COUNT(DISTINCT doc_id) OVER (PARTITION BY h) AS nd
+        FROM sp
+    ),
+    dup AS (SELECT doc_id, pos, rn FROM r WHERE nd >= 2),
+    winner AS (
+        SELECT DISTINCT doc_id, p
+        FROM dup, LATERAL unnest(range(pos, pos + {_SPAN_WORDS})) v(p)
+        WHERE rn = 1
+    ),
+    loser AS (
+        SELECT DISTINCT doc_id, p
+        FROM dup, LATERAL unnest(range(pos, pos + {_SPAN_WORDS})) v(p)
+        WHERE rn > 1
+    ),
+    removed AS (SELECT doc_id, p FROM loser EXCEPT SELECT doc_id, p FROM winner),
+    tok AS (
+        SELECT doc_id, CAST(u.p AS INTEGER) AS p, toks[u.p] AS tok
+        FROM t, LATERAL unnest(range(1, len(toks) + 1)) u(p)
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.p, tok.tok
+        FROM tok LEFT JOIN removed USING (doc_id, p)
+        WHERE removed.p IS NULL
+    ),
+    kc AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(kc.n_kept, 0) AS BIGINT)
+               AS n_removed_tokens,
+           COALESCE(kc.clean_text, '') AS clean_text,
+           ROUND(CAST(COALESCE(kc.n_kept, 0) AS DOUBLE) / len(t.toks), 6)
+               AS retained_ratio
+    FROM t LEFT JOIN kc USING (doc_id)
+    """,
+)
+def crossdoc_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of substring dedup (Lee et al. 2022 §4:
+    "remove all but one occurrence"): for every cross-document
+    duplicated span, the corpus-wide first occurrence — elected by
+    (doc_id, position) — keeps its text; every other occurrence's
+    tokens are removed, EXCEPT tokens also covered by a winning span
+    of the same document (winner protection makes removal
+    unambiguous when spans overlap).  Returns each document's cleaned
+    text with removal counts — mirror pages collapse to empty text,
+    partially-syndicated pages keep their original prose.
+
+    Scale shape: everything is the report pass (slim hash shuffle,
+    window election) plus one corpus-width ``posexplode`` for
+    reassembly — token rows are (doc_id, int, word) and the rebuild
+    is ONE hash aggregate on doc_id, the same reassembly cost
+    ``segment_dedup`` already pays.  The winner/loser position sets
+    explode only duplicated occurrences, and the removed-set
+    anti-join keys on (doc_id, p) ints.  Election and tie-break run
+    on the portable hash + (doc_id, pos) in both engines, so the
+    kept/removed partition is bit-identical."""
+    return crossdoc_span_trim_frame(
+        spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+
+
+def crossdoc_span_trim_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`crossdoc_span_trim` — property-tested
+    against a plain-Python reference in tests/test_properties.py."""
+    k = _SPAN_WORDS
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
+        "doc_id",
+        "pos",
+        portable_hash64(
+            F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " "),
+            seed=_SPAN_SEED,
+        ).alias("h"),
+    )
+    r = sp.select(
+        "doc_id",
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+        .alias("rn"),
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("h"))).alias("nd"),
+    )
+    pos_exp = (
+        r.filter(F.col("nd") >= 2)
+        .select(
+            "doc_id",
+            "rn",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"),
+        )
+    )
+    winner = pos_exp.filter(F.col("rn") == 1).select("doc_id", "p").distinct()
+    loser = pos_exp.filter(F.col("rn") > 1).select("doc_id", "p").distinct()
+    removed = loser.join(winner, ["doc_id", "p"], "left_anti")
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok.join(removed, ["doc_id", "p"], "left_anti")
+    kc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    return base.join(kc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - n_kept).cast("bigint").alias("n_removed_tokens"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.round(n_kept.cast("double") / F.col("n_tokens"), 6).alias("retained_ratio"),
+    )
+
+
 def minhash_band_frame(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into its LSH band rows
     ``(doc_id, band, h1, h2)`` — the join key of every banded probe."""

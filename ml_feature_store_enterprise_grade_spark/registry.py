@@ -20,6 +20,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Queries registered with ``defer=True``: full local parity coverage
+#: (tests/test_oracle_parity.py sweeps them like any other), but kept
+#: OFF the driver surface until a window slot frees up — the first-50
+#: window must hold every never-checked driver-visible query, so new
+#: operators landing after the window fills wait here one round.
+DEFERRED_QUERIES: dict[str, QueryFn] = {}
+DEFERRED_ORACLES: dict[str, str] = {}
+
 _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.feature_agg",
     "ml_feature_store_enterprise_grade_spark.operators.relational",
@@ -118,6 +126,10 @@ _FRONT: tuple[str, ...] = (
     "semantic_dedup",
     "dedup_crossdoc_spans",
 )
+# Window overflow queue: queries registered ``defer=True`` after the
+# 50 _FRONT slots filled this round; promote them (drop the flag, add
+# here) at the top of the round-4 window:
+#   - crossdoc_span_trim
 
 
 def _ordered(mapping: dict) -> dict:
@@ -137,20 +149,28 @@ def register(
     name: str,
     oracle: str | None = None,
     rows_only: str | None = None,
+    defer: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query with its DuckDB oracle, or with an
     explicit ``rows_only`` justification string.  Exactly one of the
     two is required — a registration with neither (or both) is a bug
     caught at import time, so no query can silently ship without a
-    correctness story."""
+    correctness story.  ``defer=True`` keeps the query off the driver
+    surface (but in the local parity sweep) until the next round's
+    window has a slot for it."""
     if (oracle is None) == (rows_only is None):
         raise ValueError(
             f"query {name!r}: provide exactly one of oracle= or rows_only="
         )
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in DEFERRED_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        if defer:
+            DEFERRED_QUERIES[name] = fn
+            if oracle is not None:
+                DEFERRED_ORACLES[name] = textwrap.dedent(oracle).strip()
+            return fn
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()

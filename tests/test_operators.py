@@ -554,3 +554,29 @@ def test_crossdoc_spans_alignment_overlap_and_short_docs(spark):
     # 9-token run shared: 2 overlapping spans, coverage 9 not 16
     assert got[3] == (k + 2, 2, k + 1, True)
     assert got[4] == (k + 2, 2, k + 1, True)
+
+
+def test_crossdoc_trim_winner_keeps_loser_trims(spark):
+    """First occurrence (by doc_id, pos) keeps the shared span; the
+    later doc loses exactly those tokens; a full mirror collapses to
+    empty text; winner-protected overlap is never removed."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SPAN_WORDS,
+        crossdoc_span_trim_frame,
+    )
+
+    k = _SPAN_WORDS
+    shared = " ".join(f"w{i}" for i in range(k))
+    docs = [
+        (0, shared + " a0 a1"),       # winner: keeps everything
+        (1, "b0 " + shared + " b1"),  # loser: span removed
+        (2, shared),                  # full mirror: emptied
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in crossdoc_span_trim_frame(df).collect()
+    }
+    assert got[0] == (0, shared + " a0 a1")
+    assert got[1] == (k, "b0 b1")
+    assert got[2] == (k, "")

@@ -22,8 +22,13 @@ from ml_feature_store_enterprise_grade_spark.testing import (
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 registry.load_all()
-_NAMES = sorted(registry.queries())
-_ORACLE_NAMES = sorted(registry.oracles())
+# Deferred queries (off the driver surface awaiting a window slot)
+# get the identical local sweep — deferral defers driver visibility,
+# never correctness coverage.
+_ALL_QUERIES = {**registry.queries(), **registry.DEFERRED_QUERIES}
+_ALL_ORACLES = {**registry.oracles(), **registry.DEFERRED_ORACLES}
+_NAMES = sorted(_ALL_QUERIES)
+_ORACLE_NAMES = sorted(_ALL_ORACLES)
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +40,9 @@ def con():
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_query_matches_oracle(spark, con, name):
-    fn = registry.queries()[name]
+    fn = _ALL_QUERIES[name]
     df = fn(spark, SF_DIR)
-    oracle = registry.oracles().get(name)
+    oracle = _ALL_ORACLES.get(name)
     if oracle is None:
         assert df.count() >= 0  # rows-only contract for non-SQL-expressible ops
         return
@@ -52,7 +57,7 @@ def test_query_dtype_parity(spark, con, name):
     -> Decimal objects vs DuckDB double) fails its value hash even
     when every value is numerically equal.  The fetchall()-based value
     compare above is blind to this; this check is not."""
-    fn = registry.queries()[name]
+    fn = _ALL_QUERIES[name]
     df = fn(spark, SF_DIR)
-    issues = dtype_issues(df, registry.oracles()[name], con)
+    issues = dtype_issues(df, _ALL_ORACLES[name], con)
     assert not issues, "; ".join(issues)

@@ -329,3 +329,54 @@ def test_crossdoc_spans_match_reference_on_generated_corpora(spark, texts):
         for r in crossdoc_span_frame(df).collect()
     }
     assert got == _crossdoc_reference(docs, _SPAN_WORDS)
+
+
+def _trim_reference(docs: list[tuple[int, str]], k: int) -> dict:
+    import re as _re
+    from collections import defaultdict
+
+    toks = {
+        doc_id: _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        for doc_id, text in docs
+    }
+    span_occs: dict[str, list] = defaultdict(list)
+    for doc_id in sorted(toks):
+        t = toks[doc_id]
+        for i in range(len(t) - k + 1):
+            span_occs[" ".join(t[i : i + k])].append((doc_id, i + 1))
+    winners: dict[int, set] = defaultdict(set)
+    losers: dict[int, set] = defaultdict(set)
+    for occ in span_occs.values():
+        if len({d for d, _ in occ}) < 2:
+            continue
+        occ = sorted(occ)
+        wd, wp = occ[0]
+        winners[wd].update(range(wp, wp + k))
+        for d, p in occ[1:]:
+            losers[d].update(range(p, p + k))
+    out = {}
+    for doc_id, t in toks.items():
+        removed = losers[doc_id] - winners[doc_id]
+        kept = [tok for i, tok in enumerate(t, start=1) if i not in removed]
+        out[doc_id] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_span_docs)
+def test_crossdoc_trim_matches_reference_on_generated_corpora(spark, texts):
+    """First-occurrence-wins span removal with winner protection must
+    match the quadratic Python reference: same removed counts and the
+    same reassembled clean text, including fully-emptied mirrors."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SPAN_WORDS,
+        crossdoc_span_trim_frame,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["clean_text"])
+        for r in crossdoc_span_trim_frame(df).collect()
+    }
+    assert got == _trim_reference(docs, _SPAN_WORDS)
