@@ -475,22 +475,36 @@ def online_upsert_sink(online_path: str, n_buckets: int = _ONLINE_BUCKETS):
         batch = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets))
         )
-        touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
-        if not touched:
-            return
         cur_dir = generation_dir(online_path, cur) if cur is not None else None
-        merged = batch
-        if cur_dir is not None:
+        # The emptiness/touched probe and the write both evaluate the
+        # batch — cache it so the upstream micro-batch aggregation
+        # runs once, not twice.
+        batch.persist()
+        if cur_dir is None:
+            # First generation: no buckets to carry, so skip the
+            # touched-bucket probe entirely — write whatever buckets
+            # the batch populates.
+            if batch.isEmpty():
+                batch.unpersist()
+                return
+            touched, merged, n_parts = None, batch, n_buckets
+        else:
+            touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
+            if not touched:
+                batch.unpersist()
+                return
             prev = spark.read.parquet(cur_dir).filter(F.col("bucket").isin(touched))
             merged = prev.unionByName(batch, allowMissingColumns=True)
+            n_parts = len(touched)
         snap = latest_snapshot(merged, key="user_id", feature_ts="feature_timestamp")
         new_dir = generation_dir(online_path, new_gen)
         # One write task per bucket: without this, every shuffle
         # partition opens a file in every touched bucket dir —
         # tasks × buckets tiny files instead of one per bucket.
-        snap.repartition(len(touched), "bucket").write.mode("overwrite").partitionBy(
+        snap.repartition(n_parts, "bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(new_dir)
+        batch.unpersist()
         # Carry untouched buckets forward as hardlinks.
         if cur_dir is not None:
             touched_set = set(touched)
