@@ -1379,6 +1379,150 @@ def crossdoc_span_trim_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Hash-of-key split seed for the document-level 80/10/10 split the
+#: leakage audit runs against (the documents twin of
+#: encoding.dataset_split_assignment's entity split).
+_LEAK_SPLIT_SEED = 17
+_LEAK_TRAIN_END = 80
+_LEAK_VAL_END = 90
+
+_LEAK_SPLIT_SQL = f"""
+        SELECT doc_id,
+               CASE
+                   WHEN {PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", _LEAK_SPLIT_SEED)}
+                        % 100 < {_LEAK_TRAIN_END} THEN 'train'
+                   WHEN {PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", _LEAK_SPLIT_SEED)}
+                        % 100 < {_LEAK_VAL_END} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+"""
+
+
+@register(
+    "split_neardup_leakage",
+    # Deferred: promotes to the round-4 driver window with
+    # crossdoc_span_trim; full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    splits AS ({_LEAK_SPLIT_SQL}),
+    tb AS (
+        SELECT b.* FROM bands b JOIN splits s USING (doc_id)
+        WHERE s.split = 'train'
+    ),
+    eb AS (
+        SELECT b.doc_id, b.band, b.h1, b.h2, s.split
+        FROM bands b JOIN splits s USING (doc_id)
+        WHERE s.split <> 'train'
+    ),
+    cand AS (
+        SELECT DISTINCT e.doc_id AS eval_doc, e.split, t.doc_id AS train_doc
+        FROM eb e JOIN tb t
+          ON e.band = t.band AND e.h1 = t.h1 AND e.h2 = t.h2
+    ),
+    ver AS (
+        SELECT c.eval_doc, c.split, c.train_doc,
+               ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)} AS est_raw
+        FROM cand c
+        JOIN sig x ON c.eval_doc = x.doc_id
+        JOIN sig y ON c.train_doc = y.doc_id
+        WHERE ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)}
+              >= {_EST_JACCARD_THRESHOLD}
+    )
+    SELECT eval_doc AS doc_id, split,
+           train_doc AS match_train_doc,
+           ROUND(est_raw, 6) AS est_jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY eval_doc ORDER BY est_raw DESC, train_doc
+        ) AS rn FROM ver
+    ) WHERE rn = 1
+    """,
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every val/test document that
+    near-duplicates a TRAIN document is contamination — its eval loss
+    is memorization, not generalization — so the audit surfaces each
+    leaked eval doc with its best-matching train doc (highest
+    signature-estimated Jaccard, smallest train doc on ties).  This is
+    the cross-SPLIT complement of ``split_leakage_audit`` (which
+    checks entity-level straddle): exact-key splits can still leak
+    through *near*-duplicate text, which only the LSH layer catches.
+
+    Scale shape: split assignment is a map-side hash projection; the
+    probe is the banded LSH join RESTRICTED to train×eval — candidate
+    cost is band-bucket bounded and falls further because only ~20%
+    of the corpus sits on the probe side.  Signature verification and
+    the best-match window run on the (tiny) verified-candidate set.
+    Same shape as ``dedup_incremental`` with the standing side =
+    train split, probe side = eval splits."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    sig = minhash_signatures(sh).cache()
+    sig.count()
+    bands = minhash_band_frame(sig)
+    bucket = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=_LEAK_SPLIT_SEED) % 100
+    )
+    splits = bands.withColumn(
+        "split",
+        F.when(bucket < _LEAK_TRAIN_END, "train")
+        .when(bucket < _LEAK_VAL_END, "val")
+        .otherwise("test"),
+    )
+    tb = splits.filter(F.col("split") == "train").drop("split").alias("t")
+    eb = splits.filter(F.col("split") != "train").alias("e")
+    cand = (
+        eb.join(
+            tb,
+            (F.col("e.band") == F.col("t.band"))
+            & (F.col("e.h1") == F.col("t.h1"))
+            & (F.col("e.h2") == F.col("t.h2")),
+        )
+        .select(
+            F.col("e.doc_id").alias("eval_doc"),
+            F.col("e.split").alias("split"),
+            F.col("t.doc_id").alias("train_doc"),
+        )
+        .distinct()
+    )
+    x = sig.select(
+        [F.col("doc_id").alias("eval_doc")]
+        + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
+    )
+    y = sig.select(
+        [F.col("doc_id").alias("train_doc")]
+        + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)]
+    )
+    agree = sum(
+        F.when(F.col(f"xa_{j}") == F.col(f"yb_{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    ver = (
+        cand.join(x, "eval_doc")
+        .join(y, "train_doc")
+        .withColumn("est_raw", agree / F.lit(float(_MINHASH_K)))
+        .filter(F.col("est_raw") >= _EST_JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("eval_doc").orderBy(F.desc("est_raw"), F.asc("train_doc"))
+    return (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("eval_doc").alias("doc_id"),
+            "split",
+            F.col("train_doc").alias("match_train_doc"),
+            F.round(F.col("est_raw"), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_band_frame(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into its LSH band rows
     ``(doc_id, band, h1, h2)`` — the join key of every banded probe."""

@@ -130,6 +130,7 @@ _FRONT: tuple[str, ...] = (
 # 50 _FRONT slots filled this round; promote them (drop the flag, add
 # here) at the top of the round-4 window:
 #   - crossdoc_span_trim
+#   - split_neardup_leakage
 
 
 def _ordered(mapping: dict) -> dict:

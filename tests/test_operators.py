@@ -580,3 +580,45 @@ def test_crossdoc_trim_winner_keeps_loser_trims(spark):
     assert got[0] == (0, shared + " a0 a1")
     assert got[1] == (k, "b0 b1")
     assert got[2] == (k, "")
+
+
+def test_split_neardup_leakage_invariants(spark, sf_dir=SF_SMOKE):
+    """Every reported leak is an eval-split doc whose match is a
+    train-split doc at/above the estimate threshold, one row per eval
+    doc; and each leaked (eval, train) pair must also exist in the
+    unrestricted near-dup pair list with the same estimate."""
+    from ml_feature_store_enterprise_grade_spark.functions import portable_hash64
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _EST_JACCARD_THRESHOLD,
+        _LEAK_SPLIT_SEED,
+        _LEAK_TRAIN_END,
+        dedup_minhash_lsh,
+        split_neardup_leakage,
+    )
+
+    rows = split_neardup_leakage(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    split_of = {
+        r["doc_id"]: r["bucket"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (portable_hash64(F.col("doc_id").cast("string"), seed=_LEAK_SPLIT_SEED) % 100).alias(
+                "bucket"
+            ),
+        )
+        .collect()
+    }
+    pairs = {
+        frozenset((r["doc_a"], r["doc_b"])): r["est_jaccard"]
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert rows, "smoke corpus contains known near-dups; expected leaks"
+    for r in rows:
+        assert r["split"] in ("val", "test")
+        assert split_of[r["doc_id"]] >= _LEAK_TRAIN_END
+        assert split_of[r["match_train_doc"]] < _LEAK_TRAIN_END
+        assert r["est_jaccard"] >= _EST_JACCARD_THRESHOLD
+        key = frozenset((r["doc_id"], r["match_train_doc"]))
+        assert pairs.get(key) == r["est_jaccard"]
