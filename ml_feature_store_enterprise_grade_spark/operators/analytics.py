@@ -253,6 +253,90 @@ def user_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Half-life (days) for exponential time-decay feature weighting, and
+#: the fixed as-of instant (decay, like recency, is always measured
+#: at a point in time; a fixed one keeps the query deterministic —
+#: the current_timestamp policy, SURVEY Appendix).
+_DECAY_HALF_LIFE_DAYS = 7.0
+_DECAY_ASOF = "2024-02-01"
+
+
+@register(
+    "user_decay_weighted_features",
+    # Deferred: promotes to the round-4 driver window (see
+    # registry._FRONT overflow queue); full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    SELECT user_id,
+           ROUND(SUM(w), 6) AS decayed_events,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN w ELSE 0 END), 6)
+               AS decayed_clicks,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value * w
+                          ELSE 0 END), 6) AS decayed_revenue,
+           ROUND(MAX(w), 6) AS last_event_weight
+    FROM (
+        SELECT user_id, event_type, value,
+               POWER(0.5, (epoch(TIMESTAMP '{_DECAY_ASOF}') - epoch(ts))
+                          / 86400.0 / {_DECAY_HALF_LIFE_DAYS}) AS w
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND ts <= TIMESTAMP '{_DECAY_ASOF}'
+    )
+    GROUP BY user_id
+    """,
+)
+def user_decay_weighted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted engagement features: each event
+    contributes ``0.5^(age/half_life)`` at the as-of instant, so the
+    decayed event/click/revenue sums emphasize recent behavior without
+    the cliff edges of fixed lookback windows — the standard
+    recommender/churn feature block a sliding-window family can't
+    express (every event always contributes, just geometrically
+    less).  ``last_event_weight`` is the decayed weight of the most
+    recent event — a smooth recency signal in (0, 1].
+
+    Scale shape: the weight is a map-side projection (epoch cast +
+    ``pow`` inside codegen), and the rollup is ONE hash aggregate on
+    user_id with map-side partial sums — word-count shape, no window,
+    no sort.  Cross-engine: both engines compute the identical
+    ``0.5^x`` IEEE expression and round at 6 decimals, absorbing
+    partial-aggregation order differences (same determinism argument
+    as the log-prob operators)."""
+    asof = F.lit(_DECAY_ASOF).cast("timestamp")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("ts") <= asof)
+        )
+        .withColumn(
+            "w",
+            F.pow(
+                F.lit(0.5),
+                (asof.cast("double") - F.col("ts").cast("double"))
+                / F.lit(86400.0)
+                / F.lit(_DECAY_HALF_LIFE_DAYS),
+            ),
+        )
+    )
+    return e.groupBy("user_id").agg(
+        F.round(F.sum("w"), 6).alias("decayed_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", F.col("w")).otherwise(0.0)), 6
+        ).alias("decayed_clicks"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value") * F.col("w")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("decayed_revenue"),
+        F.round(F.max("w"), 6).alias("last_event_weight"),
+    )
+
+
 @register(
     "cohort_retention",
     oracle="""

@@ -131,6 +131,7 @@ _FRONT: tuple[str, ...] = (
 # here) at the top of the round-4 window:
 #   - crossdoc_span_trim
 #   - split_neardup_leakage
+#   - user_decay_weighted_features
 
 
 def _ordered(mapping: dict) -> dict:

@@ -144,3 +144,42 @@ class TestCohortRetentionQuery:
                 assert r["retention"] == 1.0
             assert 0.0 < r["retention"] <= 1.0
             assert r["cohort_size"] >= r["n_active"]
+
+
+def test_decay_weighted_features_semantics(spark):
+    """Decayed sums are bounded by their undecayed counterparts, every
+    weight lives in (0, 1], and a user's decayed_events matches the
+    exact Python sum of 0.5^(age/half_life) over their events."""
+    import math
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _DECAY_ASOF,
+        _DECAY_HALF_LIFE_DAYS,
+        user_decay_weighted_features,
+    )
+
+    out = {r["user_id"]: r for r in user_decay_weighted_features(spark, SF_SMOKE).collect()}
+    assert out
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .filter(F.col("ts") <= F.lit(_DECAY_ASOF).cast("timestamp"))
+        .select("user_id", "ts")
+        .collect()
+    )
+    asof = dt.datetime.fromisoformat(_DECAY_ASOF)
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    for uid, row in out.items():
+        ts_list = by_user[uid]
+        assert 0.0 < row["last_event_weight"] <= 1.0
+        assert row["decayed_events"] <= len(ts_list)
+        assert row["decayed_clicks"] <= row["decayed_events"] + 1e-9
+        expect = sum(
+            0.5 ** ((asof - t).total_seconds() / 86400.0 / _DECAY_HALF_LIFE_DAYS)
+            for t in ts_list
+        )
+        assert abs(row["decayed_events"] - expect) < 1e-5
+    assert set(out) == set(by_user)
