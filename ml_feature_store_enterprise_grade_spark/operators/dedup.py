@@ -1170,20 +1170,16 @@ def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level core of :func:`dedup_crossdoc_spans` over any
-    ``(doc_id, text)`` input — property-tested against a plain-Python
-    reference in tests/test_properties.py."""
+def _span_rows(d: DataFrame) -> DataFrame:
+    """``(doc_id, pos, h)`` span-hash occurrences of a
+    ``(doc_id, toks)`` frame — the shared expansion under the report,
+    trim, and index-probe forms of substring dedup."""
     k = _SPAN_WORDS
-    d = docs.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
-    )
-    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
     # Spark's sequence(1, 0) counts DOWN — guard short docs explicitly.
     idx = F.when(
         F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
     ).otherwise(F.array().cast("array<int>"))
-    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
+    return d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
         "doc_id",
         "pos",
         portable_hash64(
@@ -1191,13 +1187,13 @@ def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
             seed=_SPAN_SEED,
         ).alias("h"),
     )
-    dup = (
-        sp.withColumn(
-            "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
-        )
-        .filter(F.col("nd") >= 2)
-        .select("doc_id", "pos")
-    )
+
+
+def _span_report(base: DataFrame, dup: DataFrame) -> DataFrame:
+    """Final per-doc rollup shared by :func:`crossdoc_span_frame` and
+    ``DedupIndex.probe_spans``: ``dup`` carries the duplicated
+    ``(doc_id, pos)`` occurrences, ``base`` every doc's token count."""
+    k = _SPAN_WORDS
     # Each duplicated occurrence explodes exactly k covered positions,
     # so ONE aggregate yields both the span count (count/k) and the
     # overlap-unioned coverage — no second pass over the dup branch.
@@ -1228,6 +1224,25 @@ def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`dedup_crossdoc_spans` over any
+    ``(doc_id, text)`` input — property-tested against a plain-Python
+    reference in tests/test_properties.py."""
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    sp = _span_rows(d)
+    dup = (
+        sp.withColumn(
+            "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+        )
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _span_report(base, dup)
 
 
 @register(
@@ -1325,17 +1340,7 @@ def crossdoc_span_trim_frame(docs: DataFrame) -> DataFrame:
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
     )
     base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
-    idx = F.when(
-        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
-        "doc_id",
-        "pos",
-        portable_hash64(
-            F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " "),
-            seed=_SPAN_SEED,
-        ).alias("h"),
-    )
+    sp = _span_rows(d)
     r = sp.select(
         "doc_id",
         "pos",
@@ -1560,6 +1565,8 @@ class DedupIndex:
       aggregated on read, so the frequent-shingle cap reflects the
       STANDING corpus (batch-local frequencies would let boilerplate
       sneak past the cap one batch at a time).
+    * ``spans/ingest=<id>/``       — distinct ``(h, doc_id)`` k-word
+      span hashes: the substring-level probe (:meth:`probe_spans`).
 
     The per-ingest layout is what makes the index safe under
     re-delivery (the streaming admission pipeline's ``foreachBatch``
@@ -1576,7 +1583,7 @@ class DedupIndex:
     housekeeping, same as any append-only metric table.
     """
 
-    _TABLES = ("hashes", "bands", "signatures", "shingle_df")
+    _TABLES = ("hashes", "bands", "signatures", "shingle_df", "spans")
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1643,6 +1650,16 @@ class DedupIndex:
             f"{self.path}/bands/ingest={ingest_id}"
         )
         sig.unpersist()
+        # Substring-level state: the distinct (span-hash, doc) pairs of
+        # this ingest — membership feeds probe_spans, the doc_id keeps
+        # provenance.  The largest standing table (≈ one row per
+        # token), which is inherent to substring dedup: Lee et al.'s
+        # suffix arrays carry the same order of state.
+        _span_rows(nd.select("doc_id", F.split("norm", " ").alias("toks"))).select(
+            "h", "doc_id"
+        ).distinct().write.mode("overwrite").parquet(
+            f"{self.path}/spans/ingest={ingest_id}"
+        )
         nd.unpersist()
 
     # -- probe / ingest ----------------------------------------------
@@ -1710,6 +1727,31 @@ class DedupIndex:
             )
         )
 
+    def probe_spans(
+        self, batch: DataFrame, exclude_ingest: str | None = None
+    ) -> DataFrame:
+        """Substring-level probe: per batch doc, how many of its
+        k-word spans already exist in the STANDING corpus and what
+        fraction of its tokens those shared spans cover — the
+        batch-vs-corpus form of :func:`dedup_crossdoc_spans` (same
+        output schema), for trimming syndicated boilerplate at
+        admission time without ever re-scanning the corpus.
+
+        Scale shape: batch spans are a map-side expansion; the ONE
+        join is a semi-join of batch span hashes against the standing
+        distinct-hash set (hash-partitioned longs), and the rollup is
+        the shared one-aggregate coverage pass.  Batch-internal
+        duplicates are intentionally NOT counted — that is
+        :func:`dedup_crossdoc_spans`'s intra-batch job; the probe
+        answers only "seen in the corpus before?", exactly like
+        :meth:`probe`."""
+        nd = self._normalize(batch)
+        d = nd.select("doc_id", F.split("norm", " ").alias("toks"))
+        base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        standing = self._read("spans", exclude_ingest).select("h").distinct()
+        dup = _span_rows(d).join(standing, "h", "left_semi").select("doc_id", "pos")
+        return _span_report(base, dup)
+
     def add(self, docs: DataFrame, ingest_id: str | None = None) -> None:
         """Fold admitted documents into the standing index under
         ``ingest_id`` (a fresh uuid when omitted).  Per-ingest cost is
@@ -1743,6 +1785,7 @@ class DedupIndex:
                 if d.startswith("ingest=")
             ]
             for t in self._TABLES
+            if os.path.isdir(f"{root}/{t}")
         }
         self._shingle_df().write.mode("overwrite").parquet(
             f"{root}/shingle_df/ingest={gen}"
@@ -1755,6 +1798,11 @@ class DedupIndex:
         )
         self._read("bands").write.mode("overwrite").partitionBy("band").parquet(
             f"{root}/bands/ingest={gen}"
+        )
+        # distinct() collapses (h, doc_id) pairs a redelivered ingest
+        # may have duplicated across generations.
+        self._read("spans").distinct().write.mode("overwrite").parquet(
+            f"{root}/spans/ingest={gen}"
         )
         for t, dirs in olds.items():
             for d in dirs:

@@ -103,3 +103,74 @@ def test_compact_preserves_probe_verdicts(spark, split, tmp_path):
     after = {r["doc_id"]: (r["verdict"], r["match_doc_id"]) for r in idx.probe(batch).collect()}
     assert after == before
     assert len(first) == len(after)
+
+
+def test_probe_spans_matches_python_reference(spark, split, tmp_path):
+    """probe_spans must equal the quadratic batch-vs-corpus reference:
+    a batch span counts as duplicated iff its exact k-word window
+    exists anywhere in the standing corpus, coverage union-counted."""
+    import re
+
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import _SPAN_WORDS
+
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_covered_tokens"], r["flagged"])
+        for r in idx.probe_spans(batch).collect()
+    }
+
+    def toks_of(rows):
+        return {
+            r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+            for r in rows.collect()
+        }
+
+    k = _SPAN_WORDS
+    corpus_spans = set()
+    for t in toks_of(corpus).values():
+        for i in range(len(t) - k + 1):
+            corpus_spans.add(" ".join(t[i : i + k]))
+    expect = {}
+    for doc_id, t in toks_of(batch).items():
+        dup_pos = [
+            i + 1
+            for i in range(len(t) - k + 1)
+            if " ".join(t[i : i + k]) in corpus_spans
+        ]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        expect[doc_id] = (
+            len(t),
+            len(dup_pos),
+            len(covered),
+            len(covered) / len(t) > 0.2,
+        )
+    assert got == expect
+
+
+def test_probe_spans_add_redelivery_and_compact(spark, split, tmp_path):
+    """After add, a re-probe sees the batch's own spans (self dup);
+    excluding the ingest reproduces the original report; compaction
+    changes nothing."""
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    before = {r["doc_id"]: r["n_dup_spans"] for r in idx.probe_spans(batch).collect()}
+
+    idx.add(batch, ingest_id="b1")
+    self_probe = idx.probe_spans(batch).collect()
+    # every doc's spans are now standing state -> full coverage
+    for r in self_probe:
+        if r["n_tokens"] >= 8:
+            assert r["n_covered_tokens"] == r["n_tokens"]
+    masked = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in idx.probe_spans(batch, exclude_ingest="b1").collect()
+    }
+    assert masked == before
+
+    idx.compact()
+    after = {r["doc_id"]: r["n_dup_spans"] for r in idx.probe_spans(batch).collect()}
+    full = {r["doc_id"]: r["n_dup_spans"] for r in self_probe}
+    assert after == full
