@@ -934,17 +934,19 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a corpus is used.
 
     Scale shape: term frequencies are one vocabulary-sized aggregate;
-    the vocabulary rank is a window over that tiny frame (NOT the
-    corpus); the coverage pass probes the broadcast vocab set per
-    token and re-aggregates per document — the corpus shuffles once,
-    on doc_id, after the probe."""
+    the top-K selection is ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject keeps a K-row heap per partition and merges
+    heaps, so even a 10^8-term crawl vocabulary never sorts in one
+    task (the deterministic (count, term) order makes it the exact
+    ROW_NUMBER ≤ K set); the coverage pass probes the broadcast vocab
+    set per token and re-aggregates per document — the corpus
+    shuffles once, on doc_id, after the probe."""
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     freq = t.groupBy("tok").agg(F.count("*").alias("n"))
-    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
     vocab = (
-        freq.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= _VOCAB_SIZE)
+        freq.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_SIZE)
         .select("tok", F.lit(1).alias("__in_vocab"))
     )
     j = t.join(F.broadcast(vocab), "tok", "left")
