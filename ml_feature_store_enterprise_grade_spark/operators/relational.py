@@ -81,6 +81,103 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_reconciliation_audit",
+    # Deferred: promotes to the round-4 driver window (see
+    # registry._FRONT overflow queue); full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               ROUND(SUM({_EXT} * (1 - {_DISC}) * (1 + {_TAX})), 2) AS computed
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderstatus,
+               {_TOTALPRICE} AS header,
+               li.computed,
+               li.l_orderkey IS NULL AS no_items,
+               li.l_orderkey IS NOT NULL
+                 AND ABS({_TOTALPRICE} - li.computed) > 0.01 AS mismatched
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN no_items THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_lineitems,
+           CAST(SUM(CASE WHEN mismatched THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatched,
+           ROUND(CAST(SUM(CASE WHEN mismatched THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS mismatch_rate,
+           CAST(ROUND(MAX(ABS(header - computed)), 2) AS DOUBLE) AS max_abs_diff,
+           CAST(ROUND(SUM(header), 2) AS DOUBLE) AS sum_header,
+           CAST(ROUND(SUM(COALESCE(computed, 0)), 2) AS DOUBLE) AS sum_computed,
+           CAST(ROUND(SUM(COALESCE(computed, 0) - header), 2) AS DOUBLE)
+               AS net_drift
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation — the standing integrity audit
+    every warehouse runs between a header table and its detail table:
+    recompute each order's total from its line items (exact decimal
+    arithmetic, the ``pricing_summary`` discipline) and report, per
+    order status, how many orders have NO line items, how many
+    disagree with their header total beyond a cent, and the aggregate
+    drift between the two books.  On this synthetic data the headers
+    deliberately do not reconcile — the audit is what quantifies that.
+
+    Scale shape: one hash aggregate per order on the detail side
+    (map-side partials), one equi-join against headers on the order
+    key (both sides hash-partitioned on it), and a 3-group rollup.
+    No windows, no sorts; decimal sums keep every figure bit-identical
+    across engines and shuffle orders."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    money(F.col("l_extendedprice"))
+                    * (1 - _rate("l_discount"))
+                    * (1 + _rate("l_tax"))
+                ),
+                2,
+            ).alias("computed")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(16,4)").alias("header")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        "header",
+        "computed",
+        F.col("l_orderkey").isNull().alias("no_items"),
+        (
+            F.col("l_orderkey").isNotNull()
+            & (F.abs(F.col("header") - F.col("computed")) > 0.01)
+        ).alias("mismatched"),
+    )
+    n_mis = F.sum(F.when(F.col("mismatched"), 1).otherwise(0))
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("no_items"), 1).otherwise(0)).cast("bigint").alias("n_no_lineitems"),
+        n_mis.cast("bigint").alias("n_mismatched"),
+        F.round(n_mis.cast("double") / F.count("*"), 6).alias("mismatch_rate"),
+        F.round(F.max(F.abs(F.col("header") - F.col("computed"))), 2)
+        .cast("double")
+        .alias("max_abs_diff"),
+        F.round(F.sum("header"), 2).cast("double").alias("sum_header"),
+        F.round(F.sum(F.coalesce(F.col("computed"), F.lit(0))), 2)
+        .cast("double")
+        .alias("sum_computed"),
+        F.round(F.sum(F.coalesce(F.col("computed"), F.lit(0)) - F.col("header")), 2)
+        .cast("double")
+        .alias("net_drift"),
+    )
+
+
+@register(
     "top_revenue_orders",
     oracle=f"""
     SELECT l.l_orderkey AS o_orderkey,

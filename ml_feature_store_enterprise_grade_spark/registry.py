@@ -132,6 +132,7 @@ _FRONT: tuple[str, ...] = (
 #   - crossdoc_span_trim
 #   - split_neardup_leakage
 #   - user_decay_weighted_features
+#   - order_reconciliation_audit
 
 
 def _ordered(mapping: dict) -> dict:

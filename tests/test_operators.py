@@ -622,3 +622,35 @@ def test_split_neardup_leakage_invariants(spark, sf_dir=SF_SMOKE):
         assert r["est_jaccard"] >= _EST_JACCARD_THRESHOLD
         key = frozenset((r["doc_id"], r["match_train_doc"]))
         assert pairs.get(key) == r["est_jaccard"]
+
+
+def test_order_reconciliation_consistency(spark, sf_dir=SF_SMOKE):
+    """The audit's per-status counts must reconcile with direct
+    queries: group sizes partition the orders table, no-lineitem
+    counts equal the anti-join count, and a mismatched order really
+    is >1 cent off its recomputed total."""
+    from decimal import Decimal
+
+    from ml_feature_store_enterprise_grade_spark.operators.relational import (
+        order_reconciliation_audit,
+    )
+
+    out = {r["o_orderstatus"]: r for r in order_reconciliation_audit(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    sizes = {r["o_orderstatus"]: r["n"] for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert {s: r["n_orders"] for s, r in out.items()} == sizes
+
+    empty = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    empty_counts = {r["o_orderstatus"]: r["n"] for r in empty.collect()}
+    for s, r in out.items():
+        assert r["n_no_lineitems"] == empty_counts.get(s, 0)
+        assert 0 <= r["n_mismatched"] <= r["n_orders"] - r["n_no_lineitems"]
+        assert abs(r["mismatch_rate"] - r["n_mismatched"] / r["n_orders"]) < 1e-6
+        # drift direction: computed books sum to header books + drift
+        assert abs((r["sum_header"] + r["net_drift"]) - r["sum_computed"]) < 0.05
