@@ -125,6 +125,89 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    # Deferred: promotes to the round-4 driver window (see
+    # registry._FRONT overflow queue); full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    s AS (
+        SELECT q.vec_id AS query_id, q.label,
+               b.vec_id AS neighbor_id,
+               ROUND({_cosine_sql("q.embedding", "b.embedding")}, 6) AS cosine_sim
+        FROM q JOIN embeddings b ON q.label = b.label
+        WHERE q.vec_id <> b.vec_id
+    )
+    SELECT query_id, CAST(label AS INTEGER) AS label, neighbor_id, cosine_sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM s
+    )
+    WHERE rnk <= {_TOPK}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) vector search: exact cosine top-k where each
+    query ranks ONLY corpus vectors satisfying its metadata predicate
+    — here same-label retrieval, the matched-class form every
+    recommendation / retrieval stack needs (filtered ANN is the
+    classically hard case: post-filtering an unfiltered top-k
+    under-returns, so the predicate must constrain the SEARCH, not
+    the result).
+
+    Scale shape: the predicate becomes an equi-join key on the
+    broadcast query block — the corpus-side scan evaluates
+    (label match → dot product) per row and never materializes the
+    unfiltered candidate set; ranking windows partition per query.
+    With a :class:`VectorIndex`, the same predicate would prune to
+    label-and-cell partitions — this operator is the exact
+    baseline that variant is measured against."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sims = (
+        b.join(F.broadcast(q), F.col("label") == F.col("b_label"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("b_emb")) / (F.col("q_nrm") * F.col("b_nrm")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("label").cast("int").alias("label"),
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 #: Sign-LSH (random-hyperplane / SimHash-for-vectors, Charikar 2002)
 #: banding parameters for the blocked near-dup pass: ``_LSH_R`` sign
 #: bits per band, ``_LSH_B`` bands; a pair is a candidate iff it

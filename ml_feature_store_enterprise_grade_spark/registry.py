@@ -133,6 +133,7 @@ _FRONT: tuple[str, ...] = (
 #   - split_neardup_leakage
 #   - user_decay_weighted_features
 #   - order_reconciliation_audit
+#   - ann_filtered_topk
 
 
 def _ordered(mapping: dict) -> dict:

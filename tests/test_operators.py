@@ -654,3 +654,44 @@ def test_order_reconciliation_consistency(spark, sf_dir=SF_SMOKE):
         assert abs(r["mismatch_rate"] - r["n_mismatched"] / r["n_orders"]) < 1e-6
         # drift direction: computed books sum to header books + drift
         assert abs((r["sum_header"] + r["net_drift"]) - r["sum_computed"]) < 0.05
+
+
+def test_ann_filtered_topk_respects_predicate(spark, sf_dir=SF_SMOKE):
+    """Every neighbor shares its query's label, and for one query the
+    result equals the brute-force rank over ONLY same-label vectors —
+    post-filtering the unfiltered top-k would under-return."""
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        ann_filtered_topk,
+    )
+
+    rows = ann_filtered_topk(spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: (r["label"], r["embedding"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert emb[r["neighbor_id"]][0] == r["label"] == emb[r["query_id"]][0]
+
+    import math
+
+    qid = rows[0]["query_id"]
+    qlab, qv = emb[qid]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    want = sorted(
+        (
+            (round(cos(qv, v), 6), vid)
+            for vid, (lab, v) in emb.items()
+            if lab == qlab and vid != qid
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = sorted(
+        ((r["cosine_sim"], r["neighbor_id"]) for r in rows if r["query_id"] == qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [(round(c, 6), v) for c, v in got] == [(c, v) for c, v in want]
