@@ -394,7 +394,9 @@ class VectorIndex:
 
     def _assign(self, emb: DataFrame) -> DataFrame:
         """Nearest-cell assignment under the standing codebook — one
-        broadcast pass, no shuffle of the vectors."""
+        broadcast pass, no shuffle of the vectors.  Metadata columns
+        beyond (vec_id, embedding) ride along into the cell layout, so
+        searches can filter on them (:meth:`search` ``where=``)."""
         cent_n = with_norm(
             self.spark.read.parquet(f"{self.path}/centroids"), "centroid"
         ).select("cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm"))
@@ -407,7 +409,7 @@ class VectorIndex:
             )
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "nrm", "cell")
+            .select(*emb.columns, "nrm", "cell")
         )
 
     def add(self, emb: DataFrame, ingest_id: str | None = None) -> None:
@@ -458,9 +460,23 @@ class VectorIndex:
         for d in olds:
             _sh.rmtree(f"{root}/{d}", ignore_errors=True)
 
-    def search(self, queries: DataFrame, topk: int = 5, nprobe: int = 3) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        topk: int = 5,
+        nprobe: int = 3,
+        where: "Column | str | None" = None,
+    ) -> DataFrame:
         """``queries``: (query_id, embedding).  Returns
-        (query_id, neighbor_id, cosine_sim, rnk ≤ topk)."""
+        (query_id, neighbor_id, cosine_sim, rnk ≤ topk).
+
+        ``where`` (Column or SQL string over the cell rows' metadata
+        columns, e.g. ``"label = 3"``) makes this a FILTERED search:
+        the predicate constrains the scan inside the probed cells —
+        pushed to the parquet row groups, never post-filtering the
+        top-k, so a filtered query still returns k neighbors whenever
+        k matches exist in the probed cells (the ``ann_filtered_topk``
+        semantics, index-accelerated)."""
         cent_n = with_norm(self.spark.read.parquet(f"{self.path}/centroids"), "centroid").select(
             "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
         )
@@ -479,6 +495,8 @@ class VectorIndex:
         # collect it and filter, so the scan lists only those dirs.
         cells = [r.cell for r in probed.select("cell").distinct().collect()]
         corpus = self.spark.read.parquet(f"{self.path}/cells").filter(F.col("cell").isin(cells))
+        if where is not None:
+            corpus = corpus.filter(F.expr(where) if isinstance(where, str) else where)
         sims = (
             corpus.join(F.broadcast(probed), "cell")
             .filter(F.col("query_id") != F.col("vec_id"))

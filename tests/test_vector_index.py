@@ -184,3 +184,47 @@ def test_compact_folds_ingests_preserving_search(spark, tmp_path):
         for r in idx.search(queries).collect()
     }
     assert after == before
+
+
+def test_filtered_search_matches_exact_filtered_baseline(spark, tmp_path):
+    """Metadata columns ride into the cell layout; with every cell
+    probed, a label-filtered search must EQUAL the brute-force top-k
+    over only that label's vectors — proving the predicate constrains
+    the search rather than post-filtering."""
+    import math
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = VectorIndex.build(emb, str(tmp_path / "fidx"))
+
+    rows = emb.collect()
+    by_id = {r["vec_id"]: (r["label"], r["embedding"]) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    lab = 3
+    got = idx.search(queries, topk=5, nprobe=64, where=f"label = {lab}")
+    out: dict[int, list] = {}
+    for r in got.collect():
+        assert by_id[r["neighbor_id"]][0] == lab
+        out.setdefault(r["query_id"] - 1_000_000, []).append(
+            (r["rnk"], r["neighbor_id"], r["cosine_sim"])
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for qid, ranked in out.items():
+        qv = by_id[qid][1]
+        want = sorted(
+            (
+                (round(cos(qv, v), 6), vid)
+                for vid, (l, v) in by_id.items()
+                if l == lab and vid != qid + 1_000_000
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got_ranked = [(c, v) for _, v, c in sorted(ranked)]
+        assert got_ranked == [(c, v) for c, v in want]
