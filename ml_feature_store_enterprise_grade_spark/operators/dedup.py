@@ -1384,6 +1384,81 @@ def crossdoc_span_trim_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Heavy-hitter span report depth.
+_SPAN_TOPK = 20
+
+
+@register(
+    "crossdoc_span_heavy_hitters",
+    # Deferred: promotes to the round-4 driver window (see
+    # registry._FRONT overflow queue); full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(toks[u.i:u.i+{_SPAN_WORDS - 1}], ' ') AS span
+        FROM t, LATERAL unnest(
+                 range(1, greatest(len(toks) - {_SPAN_WORDS} + 1, 0) + 1)) u(i)
+    ),
+    agg AS (
+        SELECT span,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM sp GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT span, n_docs, n_occurrences
+    FROM agg
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT {_SPAN_TOPK}
+    """,
+)
+def crossdoc_span_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate stoplist: the top-``_SPAN_TOPK`` k-word spans
+    shared across the most documents, with document and occurrence
+    counts — what an operator reads to decide which templates to
+    strip at the SOURCE (crawler/extractor) instead of paying
+    ``crossdoc_span_trim`` for them forever.  Completes the span
+    family: report (where is duplication) → heavy hitters (what text
+    is it) → trim (remove it) → ``DedupIndex.probe_spans`` (keep it
+    out at admission).
+
+    Scale shape: one hash aggregate on the span string (map-side
+    partials collapse each doc's repeats early) and a
+    TakeOrderedAndProject top-k — no global sort, no window.  The
+    span *text* shuffles here (unlike the hash-only report/trim
+    passes) because the text IS the output; the ≥2-docs filter
+    happens in the aggregate, so the top-k heap only sees genuinely
+    shared spans."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    k = _SPAN_WORDS
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
+        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("span")
+    )
+    agg = (
+        sp.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        agg.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(_SPAN_TOPK)
+        .select("span", "n_docs", "n_occurrences")
+    )
+
+
 #: Hash-of-key split seed for the document-level 80/10/10 split the
 #: leakage audit runs against (the documents twin of
 #: encoding.dataset_split_assignment's entity split).

@@ -134,6 +134,7 @@ _FRONT: tuple[str, ...] = (
 #   - user_decay_weighted_features
 #   - order_reconciliation_audit
 #   - ann_filtered_topk
+#   - crossdoc_span_heavy_hitters
 
 
 def _ordered(mapping: dict) -> dict:

@@ -695,3 +695,32 @@ def test_ann_filtered_topk_respects_predicate(spark, sf_dir=SF_SMOKE):
         key=lambda t: (-t[0], t[1]),
     )
     assert [(round(c, 6), v) for c, v in got] == [(c, v) for c, v in want]
+
+
+def test_span_heavy_hitters_counts_exact(spark, sf_dir=SF_SMOKE):
+    """Each reported span's doc/occurrence counts must equal a direct
+    Python count over the corpus, descending with deterministic ties."""
+    import re
+    from collections import defaultdict
+
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _SPAN_WORDS,
+        crossdoc_span_heavy_hitters,
+    )
+
+    rows = crossdoc_span_heavy_hitters(spark, sf_dir).collect()
+    assert rows and all(r["n_docs"] >= 2 for r in rows)
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["span"]) for r in rows]
+    assert keys == sorted(keys)
+
+    docs_of = defaultdict(set)
+    occ_of = defaultdict(int)
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        t = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for i in range(len(t) - _SPAN_WORDS + 1):
+            s = " ".join(t[i : i + _SPAN_WORDS])
+            docs_of[s].add(r["doc_id"])
+            occ_of[s] += 1
+    for r in rows:
+        assert len(docs_of[r["span"]]) == r["n_docs"]
+        assert occ_of[r["span"]] == r["n_occurrences"]
