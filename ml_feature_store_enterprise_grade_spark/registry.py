@@ -172,9 +172,14 @@ def register(
         if name in QUERIES or name in DEFERRED_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         if defer:
+            if oracle is None:
+                raise ValueError(
+                    f"query {name!r}: defer=True requires an oracle — a "
+                    "rows-only query gains nothing from waiting (the driver "
+                    "check it defers IS the oracle compare)"
+                )
             DEFERRED_QUERIES[name] = fn
-            if oracle is not None:
-                DEFERRED_ORACLES[name] = textwrap.dedent(oracle).strip()
+            DEFERRED_ORACLES[name] = textwrap.dedent(oracle).strip()
             return fn
         QUERIES[name] = fn
         if oracle is not None:

@@ -113,3 +113,21 @@ def test_driver_unchecked_queries_are_in_the_window():
     window = set(list(registry.queries())[:50])
     missing = [n for n in registry.queries() if n not in seen and n not in window]
     assert not missing, f"never driver-checked and outside the window: {missing}"
+
+
+def test_deferred_queries_all_carry_oracles_and_are_queued():
+    """Every deferred query must (a) carry an oracle (enforced at
+    registration too), and (b) be listed in the overflow-queue comment
+    in registry.py so the round-4 promotion cannot silently forget one."""
+    import inspect
+    import os
+
+    from ml_feature_store_enterprise_grade_spark import registry
+
+    registry.load_all()
+    assert set(registry.DEFERRED_QUERIES) == set(registry.DEFERRED_ORACLES)
+    src = inspect.getsource(registry)
+    for name in registry.DEFERRED_QUERIES:
+        assert f"#   - {name}" in src, f"{name} missing from the overflow queue comment"
+    # deferred names never leak onto the driver surface
+    assert not set(registry.DEFERRED_QUERIES) & set(registry.queries())
