@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     # sub-document and semantic dedup passes.
     "segment_dedup",
     "semantic_dedup",
+    "dedup_crossdoc_spans",
 )
 
 
