@@ -1170,10 +1170,11 @@ def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_rows(d: DataFrame) -> DataFrame:
-    """``(doc_id, pos, h)`` span-hash occurrences of a
-    ``(doc_id, toks)`` frame — the shared expansion under the report,
-    trim, and index-probe forms of substring dedup."""
+def _span_texts(d: DataFrame) -> DataFrame:
+    """``(doc_id, pos, span)`` span-text occurrences of a
+    ``(doc_id, toks)`` frame — the single expansion every substring
+    pass (report, trim, heavy hitters, index probe) builds on, so the
+    window arithmetic and short-doc guard can never diverge."""
     k = _SPAN_WORDS
     # Spark's sequence(1, 0) counts DOWN — guard short docs explicitly.
     idx = F.when(
@@ -1182,10 +1183,15 @@ def _span_rows(d: DataFrame) -> DataFrame:
     return d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
         "doc_id",
         "pos",
-        portable_hash64(
-            F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " "),
-            seed=_SPAN_SEED,
-        ).alias("h"),
+        F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("span"),
+    )
+
+
+def _span_rows(d: DataFrame) -> DataFrame:
+    """``(doc_id, pos, h)`` span-hash occurrences — :func:`_span_texts`
+    reduced to the portable 60-bit hash before any shuffle."""
+    return _span_texts(d).select(
+        "doc_id", "pos", portable_hash64(F.col("span"), seed=_SPAN_SEED).alias("h")
     )
 
 
@@ -1437,13 +1443,7 @@ def crossdoc_span_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
     )
-    k = _SPAN_WORDS
-    idx = F.when(
-        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    sp = d.select("doc_id", "toks", F.explode(idx).alias("pos")).select(
-        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("span")
-    )
+    sp = _span_texts(d).select("doc_id", "span")
     agg = (
         sp.groupBy("span")
         .agg(
@@ -1875,10 +1875,13 @@ class DedupIndex:
             f"{root}/bands/ingest={gen}"
         )
         # distinct() collapses (h, doc_id) pairs a redelivered ingest
-        # may have duplicated across generations.
-        self._read("spans").distinct().write.mode("overwrite").parquet(
-            f"{root}/spans/ingest={gen}"
-        )
+        # may have duplicated across generations.  The isdir guard
+        # matches the olds listing above: an index persisted before
+        # the spans table existed compacts its other tables cleanly.
+        if os.path.isdir(f"{root}/spans"):
+            self._read("spans").distinct().write.mode("overwrite").parquet(
+                f"{root}/spans/ingest={gen}"
+            )
         for t, dirs in olds.items():
             for d in dirs:
                 _sh.rmtree(f"{root}/{t}/{d}", ignore_errors=True)

@@ -426,6 +426,7 @@ class VectorIndex:
         rebuild trigger, not an ingest-path concern."""
         import uuid as _uuid
 
+        self._check_layout()
         if ingest_id is None:
             ingest_id = _uuid.uuid4().hex[:12]
         self._assign(emb).write.mode("overwrite").partitionBy("cell").parquet(
@@ -448,17 +449,37 @@ class VectorIndex:
         import uuid as _uuid
 
         root = f"{self.path}/cells"
+        self._check_layout()
         olds = [d for d in os.listdir(root) if d.startswith("ingest=")]
         gen = f"compact-{_uuid.uuid4().hex[:8]}"
+        # drop() only the ingest partition column: metadata columns
+        # (e.g. a label used by filtered search) must survive
+        # compaction exactly as _assign stored them.
         (
             self.spark.read.parquet(root)
-            .select("vec_id", "embedding", "nrm", "cell")
+            .drop("ingest")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{root}/ingest={gen}")
         )
         for d in olds:
             _sh.rmtree(f"{root}/{d}", ignore_errors=True)
+
+    def _check_layout(self) -> None:
+        """Reject the pre-ingest flat layout (``cells/cell=i`` with no
+        ``ingest=`` level) with a clear error: mixing depths breaks
+        partition discovery, and compacting a flat tree would
+        double-count vectors.  Rebuild (``VectorIndex.build``) is the
+        migration."""
+        import os
+
+        root = f"{self.path}/cells"
+        if any(d.startswith("cell=") for d in os.listdir(root)):
+            raise ValueError(
+                f"{root} uses the legacy flat cell= layout; rebuild the "
+                "index (VectorIndex.build) to migrate to ingest-generation "
+                "subtrees before add/compact"
+            )
 
     def search(
         self,

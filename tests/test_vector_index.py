@@ -228,3 +228,44 @@ def test_filtered_search_matches_exact_filtered_baseline(spark, tmp_path):
         )[:5]
         got_ranked = [(c, v) for _, v, c in sorted(ranked)]
         assert got_ranked == [(c, v) for c, v in want]
+
+
+def test_compact_preserves_metadata_and_filtered_search(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = VectorIndex.build(emb.filter(F.col("vec_id") % 2 == 0), str(tmp_path / "m"))
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1), ingest_id="odd")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    before = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in idx.search(queries, nprobe=64, where="label = 3").collect()
+    }
+    idx.compact()
+    after = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in idx.search(queries, nprobe=64, where="label = 3").collect()
+    }
+    assert after == before and before
+
+
+def test_legacy_flat_layout_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = VectorIndex.build(emb, str(tmp_path / "leg"))
+    # simulate the pre-ingest flat tree: hoist one cell dir up
+    import os, shutil
+
+    cells = f"{tmp_path}/leg/cells"
+    ing = next(d for d in os.listdir(cells) if d.startswith("ingest="))
+    cell = next(d for d in os.listdir(f"{cells}/{ing}") if d.startswith("cell="))
+    shutil.move(f"{cells}/{ing}/{cell}", f"{cells}/{cell}")
+    with _pytest.raises(ValueError, match="legacy flat"):
+        idx.add(emb.limit(1), ingest_id="x")
+    with _pytest.raises(ValueError, match="legacy flat"):
+        idx.compact()
