@@ -208,6 +208,97 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_confusion",
+    # Deferred: promotes to the round-4 driver window (see
+    # registry._FRONT overflow queue); full local parity meanwhile.
+    defer=True,
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS v
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) u(i)
+        GROUP BY label, u.i
+    ),
+    cent AS (
+        SELECT label AS c_label, list(v ORDER BY i) AS c_emb FROM dims GROUP BY label
+    ),
+    a AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    best AS (
+        SELECT vec_id, label, c_label AS pred,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+        FROM a
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(pred AS INTEGER) AS pred_label,
+           COUNT(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: assign every vector to its
+    nearest LABEL CENTROID by cosine and report the confusion matrix
+    — the nearest-class-mean probe (a deterministic 1-NN-to-centroid
+    classifier) that tells you whether an embedding column actually
+    separates its labels before anyone trains on it.  Low diagonal
+    mass = the embeddings don't encode the label; off-diagonal
+    hot-spots = systematically confused class pairs.
+
+    Scale shape: centroids are one ``posexplode`` aggregate (corpus ×
+    dims rows, map-side partial AVG) reassembled per label; scoring
+    broadcasts the tiny centroid table against the corpus scan —
+    O(N·L·d) flops, no shuffle of the vectors; the rollup is a
+    ≤L² hash aggregate.  Ranking uses the 6-dp-rounded similarity
+    with label tiebreak (the ``ann_cosine_topk`` discipline) so both
+    engines elect identical nearest centroids even on near-ties."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+    )
+    cent = (
+        dims.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+            ).alias("c_emb")
+        )
+    )
+    cent_n = cent.withColumn("c_nrm", _norm(F.col("c_emb")))
+    scored = (
+        with_norm(emb)
+        .crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(
+                _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("c_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 #: Sign-LSH (random-hyperplane / SimHash-for-vectors, Charikar 2002)
 #: banding parameters for the blocked near-dup pass: ``_LSH_R`` sign
 #: bits per band, ``_LSH_B`` bands; a pair is a candidate iff it

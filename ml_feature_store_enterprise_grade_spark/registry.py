@@ -135,6 +135,7 @@ _FRONT: tuple[str, ...] = (
 #   - order_reconciliation_audit
 #   - ann_filtered_topk
 #   - crossdoc_span_heavy_hitters
+#   - embedding_label_confusion
 
 
 def _ordered(mapping: dict) -> dict:

@@ -724,3 +724,20 @@ def test_span_heavy_hitters_counts_exact(spark, sf_dir=SF_SMOKE):
     for r in rows:
         assert len(docs_of[r["span"]]) == r["n_docs"]
         assert occ_of[r["span"]] == r["n_occurrences"]
+
+
+def test_label_confusion_partitions_corpus(spark, sf_dir=SF_SMOKE):
+    """The confusion matrix partitions the corpus (sum n = N), rows
+    stay within label bounds, and the diagonal is non-trivial (the
+    synthetic embeddings carry some label structure)."""
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        embedding_label_confusion,
+    )
+
+    rows = embedding_label_confusion(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    labels = {r["label"] for r in rows} | {r["pred_label"] for r in rows}
+    assert labels <= set(range(10))
+    diag = sum(r["n"] for r in rows if r["label"] == r["pred_label"])
+    assert diag / n_vecs > 2 / len(labels)  # far better than chance
