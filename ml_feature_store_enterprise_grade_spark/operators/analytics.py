@@ -263,9 +263,6 @@ _DECAY_ASOF = "2024-02-01"
 
 @register(
     "user_decay_weighted_features",
-    # Deferred: promotes to the round-4 driver window (see
-    # registry._FRONT overflow queue); full local parity meanwhile.
-    defer=True,
     oracle=f"""
     SELECT user_id,
            ROUND(SUM(w), 6) AS decayed_events,

@@ -1253,10 +1253,6 @@ def crossdoc_span_frame(docs: DataFrame) -> DataFrame:
 
 @register(
     "crossdoc_span_trim",
-    # Deferred: the round-3 driver window is full (every slot holds a
-    # never-checked or failed-last-round query); promotes to the
-    # round-4 window.  Local parity still sweeps it.
-    defer=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
@@ -1396,9 +1392,6 @@ _SPAN_TOPK = 20
 
 @register(
     "crossdoc_span_heavy_hitters",
-    # Deferred: promotes to the round-4 driver window (see
-    # registry._FRONT overflow queue); full local parity meanwhile.
-    defer=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
@@ -1481,9 +1474,6 @@ _LEAK_SPLIT_SQL = f"""
 
 @register(
     "split_neardup_leakage",
-    # Deferred: promotes to the round-4 driver window with
-    # crossdoc_span_trim; full local parity meanwhile.
-    defer=True,
     oracle=f"""
     WITH {_SHINGLES_SQL_CTE},
     sig AS (

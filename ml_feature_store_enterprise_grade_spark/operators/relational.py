@@ -82,9 +82,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_reconciliation_audit",
-    # Deferred: promotes to the round-4 driver window (see
-    # registry._FRONT overflow queue); full local parity meanwhile.
-    defer=True,
     oracle=f"""
     WITH li AS (
         SELECT l_orderkey,

@@ -127,9 +127,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_filtered_topk",
-    # Deferred: promotes to the round-4 driver window (see
-    # registry._FRONT overflow queue); full local parity meanwhile.
-    defer=True,
     oracle=f"""
     WITH q AS (
         SELECT vec_id, embedding, label FROM embeddings
@@ -210,9 +207,6 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_confusion",
-    # Deferred: promotes to the round-4 driver window (see
-    # registry._FRONT overflow queue); full local parity meanwhile.
-    defer=True,
     oracle=f"""
     WITH dims AS (
         SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS v

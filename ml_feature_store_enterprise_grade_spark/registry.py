@@ -57,86 +57,67 @@ _loaded = False
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
 _FRONT: tuple[str, ...] = (
-    # (a) never driver-checked across rounds 1-2 (VERDICT r2 item 3)
-    "pit_multi_view_join",
-    "stream_online_materialize",
-    "doc_unigram_logprob",
-    "skew_diagnostics",
-    # (b) changed this round: dtype-skew oracle fixes (r2 items 1),
-    # decode-features hashable projection (item 2), watermark-base
-    # oracle alignment, bucketed upsert sink
-    "corpus_mixture_weights",
-    "sequence_packing_plan",
-    "target_encoding_loo",
-    "multimodal_decode_features",
-    # stream_hourly_features / stream_session_windows /
-    # stream_drift_monitor had the (value-neutral on this data)
-    # watermark-base oracle fix, but all hold green r02 rows — their
-    # re-check slots go to never-checked queries below, which have no
-    # driver row at all yet.
-    # (c) new this round
-    "feature_binning_scalable",
-    "training_set_export",
-    "gdpr_deletion_audit",
-    "user_wow_delta_features",
-    "doc_bigram_logprob",
-    "inverted_index_postings",
-    "doc_chunking_plan",
-    "zorder_layout_plan",
-    "partition_compaction_plan",
-    "stream_topk_heavy_hitters",
-    "vocab_oov_rate",
-    "embedding_dim_stats",
-    "calendar_features",
-    "dedup_rate_by_lang",
-    "negative_sample_pairs",
-    "corpus_data_card",
-    "drift_js_divergence",
-    "incremental_feature_update",
-    "item_cooccurrence_lift",
-    "user_ltv_features",
-    "percentile_rank_features",
-    "stream_sliding_features",
-    "feature_backfill_plan",
-    "late_arrival_audit",
-    "weighted_systematic_sample",
-    "embedding_truncation_audit",
-    "cdc_merge_upsert",
-    "snapshot_diff_audit",
-    "rfm_segmentation",
-    "split_leakage_audit",
-    "file_skipping_stats",
-    "volume_anomaly_days",
-    "tokenizer_fertility_audit",
-    "context_length_fit",
-    "conversion_attribution",
-    "purchase_interarrival_stats",
-    # (c') new in the round-3 continuation session: the mergeable
-    # sketch / pre-join-pruning family (operators/sketches.py) —
-    # never checked, so they take the window's last free slots (the
-    # (d) re-verify rotation of round-1 greens moves to round 4;
-    # those queries already hold green rows).
-    "kmv_audience_overlap",
-    "bloom_prejoin_prune",
-    "histogram_quantile_rollup",
-    # (c'') sub-document exact dedup, SemDeDup-style semantic dedup,
-    # and the any-alignment cross-document span pass — never
-    # driver-checked.
-    "segment_dedup",
-    "semantic_dedup",
-    "dedup_crossdoc_spans",
+    # --- Round 4 window ---
+    # (a) the 7 queries deferred behind the full round-3 window
+    # (VERDICT r3 item 1) — promoted, never driver-checked.
+    "crossdoc_span_trim",
+    "split_neardup_leakage",
+    "user_decay_weighted_features",
+    "order_reconciliation_audit",
+    "ann_filtered_topk",
+    "crossdoc_span_heavy_hitters",
+    "embedding_label_confusion",
+    # (b) re-verify: modules changed in round 3 after these queries'
+    # last green row (VERDICT r3 item 2).
+    "stream_hourly_features",
+    "stream_session_windows",
+    "stream_drift_monitor",
+    "dedup_minhash_lsh",
+    "embedding_neardup",
+    # (b') semantics changed THIS round: the expectation suite grows
+    # the reference's 7th expectation (VERDICT r3 item 5), and
+    # dedup_clusters gains the persist-rounds scale flag (item 6).
+    "quality_expectation_suite",
+    "dedup_clusters",
+    # (c) new this round — inserted here as they land.
+    # (d) rotation: oldest green rows (round-1) whose modules saw the
+    # most churn since — dedup/similarity/text first, then the
+    # feature-store core.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "corpus_lang_stats",
+    "corpus_quality_filter",
+    "doc_text_stats",
+    "lang_id_confusion",
+    "text_clean_projection",
+    "pit_asof_join",
+    "latest_feature_snapshot",
+    "online_feature_lookup",
+    "feature_freshness",
+    "duplicate_key_check",
+    "feature_coverage",
+    "user_hourly_features",
+    "user_sliding_features",
+    "user_daily_activity",
+    "drift_ks_click_vs_view",
+    "drift_psi_multi_feature",
+    "event_value_percentiles",
+    "feature_summary_stats",
+    "sketch_distinct_users_rollup",
+    "stratified_event_sample",
+    "event_customer_enrichment",
+    "event_customer_overlap",
+    "revenue_rollup_cube",
+    "top_customers_per_nation",
+    "pricing_summary",
+    "region_revenue",
+    "top_revenue_orders",
+    "event_code_projection",
 )
-# Window overflow queue: queries registered ``defer=True`` after the
-# 50 _FRONT slots filled this round; promote them (drop the flag, add
-# here) at the top of the round-4 window:
-#   - crossdoc_span_trim
-#   - split_neardup_leakage
-#   - user_decay_weighted_features
-#   - order_reconciliation_audit
-#   - ann_filtered_topk
-#   - crossdoc_span_heavy_hitters
-#   - embedding_label_confusion
-
 
 def _ordered(mapping: dict) -> dict:
     front = {n: mapping[n] for n in _FRONT if n in mapping}

@@ -98,6 +98,7 @@ def test_driver_unchecked_queries_are_in_the_window():
     round must be inside the first-50 window NOW — otherwise it ships
     'claimed, not proven' and the next verdict flags it (the r1/r2
     gap class this rotation discipline exists to prevent)."""
+    import glob
     import json
     import os
 
@@ -105,11 +106,10 @@ def test_driver_unchecked_queries_are_in_the_window():
 
     registry.load_all()
     seen: set[str] = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(os.path.dirname(__file__), "..", art)
-        if os.path.exists(path):
-            with open(path) as f:
-                seen |= set(json.load(f))
+    pattern = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
+        with open(path) as f:
+            seen |= set(json.load(f))
     window = set(list(registry.queries())[:50])
     missing = [n for n in registry.queries() if n not in seen and n not in window]
     assert not missing, f"never driver-checked and outside the window: {missing}"
