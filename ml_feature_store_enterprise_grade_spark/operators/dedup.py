@@ -1670,11 +1670,51 @@ class DedupIndex:
     def _read(self, table: str, exclude_ingest: str | None = None) -> DataFrame:
         """Read a standing table across all ingests (partition
         discovery surfaces ``ingest``; excluding one id prunes that
-        partition directory from the scan entirely)."""
-        df = self.spark.read.parquet(f"{self.path}/{table}")
+        partition directory from the scan entirely).
+
+        Cold-start guard: a zero-row ``partitionBy`` write (the
+        ``bands`` table under an empty build, which the streaming
+        admission pipeline explicitly supports) leaves a directory
+        with a ``_SUCCESS`` marker but NO schema-bearing parquet file
+        — Spark only writes metadata-only files for non-partitioned
+        empty writes — so schema inference fails.  Fall back to a
+        typed empty frame, taking ``doc_id``'s type from the
+        ``signatures`` table (non-partitioned, always schema-bearing
+        after any build, even an empty one)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(f"{self.path}/{table}")
+        except AnalysisException:
+            df = self._empty_bands()
         if exclude_ingest is not None:
             df = df.filter(F.col("ingest") != exclude_ingest)
         return df.drop("ingest")
+
+    def _empty_bands(self) -> DataFrame:
+        """Typed empty stand-in for a schema-less ``bands`` directory
+        (the only partitioned standing table)."""
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        doc_id_type = self.spark.read.parquet(f"{self.path}/signatures").schema[
+            "doc_id"
+        ].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", doc_id_type),
+                StructField("band", IntegerType()),
+                StructField("h1", LongType()),
+                StructField("h2", LongType()),
+                StructField("ingest", StringType()),
+            ]
+        )
+        return self.spark.createDataFrame([], schema)
 
     def _shingle_df(self, exclude_ingest: str | None = None) -> DataFrame:
         return (
@@ -1729,7 +1769,13 @@ class DedupIndex:
 
     # -- probe / ingest ----------------------------------------------
 
-    def probe(self, batch: DataFrame, exclude_ingest: str | None = None) -> DataFrame:
+    def probe(
+        self,
+        batch: DataFrame,
+        exclude_ingest: str | None = None,
+        *,
+        eager: bool = True,
+    ) -> DataFrame:
         """Verdict per batch doc — ``dup_exact`` / ``dup_near`` /
         ``admit`` with the smallest matching corpus doc_id — against
         the PERSISTED tables only.  Batch artifacts are computed
@@ -1737,6 +1783,18 @@ class DedupIndex:
         batch is small), never corpus-vs-corpus.  ``exclude_ingest``
         masks one ingest's rows — a crashed-and-redelivered batch
         probes against everything except its own partial leftovers.
+
+        ``eager`` (default) materializes the verdict frame via
+        ``localCheckpoint`` and releases the probe-internal caches
+        before returning: every micro-batch is a DISTINCT logical
+        plan, so in a long-running admission loop lazily-returned
+        caches would pile up in the CacheManager (one entry per
+        batch, never evicted) until executor-memory LRU pressure.
+        The checkpointed blocks themselves are reference-counted by
+        the ContextCleaner and vanish when the returned frame is
+        garbage-collected.  Pass ``eager=False`` for a lazy plan
+        (plan inspection / tests); the caller then owns the two
+        cache entries this probe registers.
         """
         nd = self._normalize(batch).cache()
         hashes = self._read("hashes", exclude_ingest)
@@ -1778,7 +1836,7 @@ class DedupIndex:
             .groupBy(F.col("bd").alias("doc_id"))
             .agg(F.min("cd").alias("near_match"))
         )
-        return (
+        out = (
             nd.select("doc_id")
             .join(exact, "doc_id", "left")
             .join(near, "doc_id", "left")
@@ -1791,6 +1849,11 @@ class DedupIndex:
                 F.coalesce("exact_match", "near_match").alias("match_doc_id"),
             )
         )
+        if eager:
+            out = out.localCheckpoint(eager=True)
+            nd.unpersist()
+            bsig.unpersist()
+        return out
 
     def probe_spans(
         self, batch: DataFrame, exclude_ingest: str | None = None
@@ -1832,13 +1895,19 @@ class DedupIndex:
         read each standing table across all ingests (pre-aggregating
         the shingle-df increments), write it as a single
         ``ingest=compact-<n>`` directory, then drop the old ingest
-        dirs.  Readers are unaffected mid-compaction — they see either
-        the old ingest set or old + compacted (doubled rows change no
-        probe verdict: hash/band matches are set-semantics and the df
-        cap only ever gets MORE conservative) — so compaction needs no
-        coordination with probes; only concurrent ``add``/``compact``
-        of the same index requires external serialization, same as any
-        parquet table maintenance."""
+        dirs.  Concurrency contract: ``compact()`` must be externally
+        serialized against ``add()`` AND against ``probe()`` of the
+        same index.  For the hash/band/signature tables a mid-compact
+        reader is harmless (old + compacted doubles rows, but those
+        matches are set-semantics); the ``shingle_df`` table is NOT —
+        a reader that aggregates old + compacted increments sees
+        doubled df counts, which can push shingles over
+        ``_MAX_SHINGLE_DF`` for the BATCH's signatures while the
+        standing signatures were built under the original cap, and
+        such asymmetric signatures can LOWER the estimated Jaccard
+        and flip a ``dup_near`` verdict to ``admit``.  The streaming
+        admission loop satisfies this for free: ``foreachBatch``
+        serializes everything on one driver thread."""
         import shutil as _sh
 
         root = self.path

@@ -50,9 +50,14 @@ def admission_batch_processor(index_path: str, admitted_path: str):
         ingest = _ingest_id(batch_id)
         # intra-batch exact self-dedup: the index only knows STANDING
         # docs, so two copies of one new text inside a single batch
-        # must be collapsed here (keep min doc_id; near-dup pairs
-        # inside one batch are caught on the next ingest, the standard
-        # trade of per-batch cost vs a batch self-join)
+        # must be collapsed here (keep min doc_id).  Near-dup pairs
+        # inside one batch are a deliberate gap: BOTH members are
+        # admitted and folded into the standing index in this same
+        # batch — the pair itself is never removed; only FUTURE
+        # copies of either text get rejected.  Closing it would cost
+        # a batch self-join (the LSH pass of dedup_minhash_lsh) per
+        # micro-batch; run corpus_dedup_pipeline over the admitted
+        # log periodically if intra-batch near-dups matter.
         w = Window.partitionBy(normalize_text(F.col("text"))).orderBy("doc_id")
         firsts = (
             batch.withColumn("__rn", F.row_number().over(w))

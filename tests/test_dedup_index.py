@@ -72,7 +72,12 @@ def test_probe_joins_broadcast_the_small_batch(spark, split, tmp_path):
     no sort-merge shuffle of the standing tables."""
     corpus, batch = split
     idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
-    plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        idx.probe(batch, eager=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
     # the probes against the standing tables (hash / band / signature
     # keys) must all be broadcast; the only shuffle joins allowed are
@@ -174,3 +179,27 @@ def test_probe_spans_add_redelivery_and_compact(spark, split, tmp_path):
     after = {r["doc_id"]: r["n_dup_spans"] for r in idx.probe_spans(batch).collect()}
     full = {r["doc_id"]: r["n_dup_spans"] for r in self_probe}
     assert after == full
+
+
+def test_empty_build_cold_start(spark, split, tmp_path):
+    """A build over an EMPTY corpus (the cold-start shape
+    streaming/ingestion.py advertises) must yield a probeable index:
+    every verdict is admit, probe_spans reports zero coverage, and a
+    subsequent add() warms it up to normal behavior.  Regression for
+    the zero-row partitionBy write leaving bands/ with no
+    schema-bearing parquet file (UNABLE_TO_INFER_SCHEMA)."""
+    corpus, batch = split
+    idx = DedupIndex.build(corpus.filter("1=0"), str(tmp_path / "cold"))
+    verdicts = idx.probe(batch).collect()
+    assert verdicts and all(r["verdict"] == "admit" for r in verdicts)
+    assert all(r["match_doc_id"] is None for r in verdicts)
+    spans = idx.probe_spans(batch).collect()
+    assert spans and all(r["n_dup_spans"] == 0 for r in spans)
+    # warm it up: folding the corpus in flips exact copies to dup_exact
+    idx.add(corpus, ingest_id="warm")
+    warmed = idx.probe(batch).collect()
+    ref = {
+        r["doc_id"]: r["verdict"]
+        for r in DedupIndex.build(corpus, str(tmp_path / "ref")).probe(batch).collect()
+    }
+    assert {r["doc_id"]: r["verdict"] for r in warmed} == ref
