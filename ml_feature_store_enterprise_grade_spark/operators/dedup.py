@@ -547,7 +547,11 @@ def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.union(near).distinct()
 
 
-def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    persist_rounds_to: str | None = None,
+) -> DataFrame:
     """Distributed connected components: ``(doc_id, label)`` with
     label = min vertex id of the component.  ``vertices`` has column
     ``doc_id``; ``edges`` columns ``(a, b)`` (undirected, any
@@ -577,14 +581,34 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     race, see MEMORY).  Convergence is detected from ``sum(label)``:
     labels only ever decrease, so an unchanged sum is exactly "no
     label moved" — one cheap scalar agg per round instead of an
-    old-vs-new join.  At 100 TB you'd persist labels to a table
-    between rounds; the per-round plan is already the right shape.
+    old-vs-new join.
+
+    ``persist_rounds_to`` is the 100 TB switch: when set, each
+    round's label frame is written to
+    ``{persist_rounds_to}/round=<n>/`` parquet and read back instead
+    of ``localCheckpoint`` — executor block-manager memory stops
+    bounding the vertex count, a lost executor recomputes from the
+    parquet scan instead of a replicated block, and the newest
+    surviving round directory is a manual resume point after a
+    driver crash.  Local mode defaults to ``localCheckpoint`` (no
+    write amplification); the per-round plan is identical either
+    way.
     """
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # Slim two-long frame read every round: cache once, eagerly.
     sym = sym.cache()
     sym.count()
-    labels = vertices.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+
+    def _materialize(df: DataFrame, round_no: int) -> DataFrame:
+        if persist_rounds_to is None:
+            return df.localCheckpoint()
+        path = f"{persist_rounds_to}/round={round_no}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    labels = _materialize(
+        vertices.select("doc_id", F.col("doc_id").alias("label")), 0
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for it in range(_CC_MAX_ITERS):
         nbr = (
@@ -611,7 +635,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
                     F.coalesce(F.col("y.label"), F.col("x.label")),
                 ).alias("label"),
             )
-        labels = stepped.localCheckpoint()
+        labels = _materialize(stepped, it + 1)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

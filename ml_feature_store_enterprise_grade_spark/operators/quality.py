@@ -51,6 +51,7 @@ _SAMPLE_SQL = (
             COUNT(*) FILTER (WHERE c_custkey IS NULL) AS null_key,
             COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_key,
             COUNT(*) FILTER (WHERE c_name IS NULL) AS null_name,
+            COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS null_nation,
             COUNT(*) FILTER (WHERE c_acctbal IS NULL
                              OR c_acctbal < {_BAL_LO} OR c_acctbal > {_BAL_HI}) AS bal_range,
             {_SAMPLE_SQL.format(
@@ -80,6 +81,7 @@ _SAMPLE_SQL = (
         ('key_not_null', a.null_key, ''),
         ('key_unique', a.dup_key, ''),
         ('name_not_null', a.null_name, ''),
+        ('nationkey_not_null', a.null_nation, ''),
         ('acctbal_between', a.bal_range, a.bal_range_s),
         ('mktsegment_in_set', a.seg_enum, a.seg_enum_s),
         ('nationkey_between', a.nation_range, a.nation_range_s)
@@ -102,7 +104,12 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered side query.  Null-violation families (``key_not_null``,
     ``name_not_null``) and the grouped ``key_unique`` check sample
     empty by construction (the offending "value" is NULL / a group,
-    not a row value)."""
+    not a row value).
+
+    Seven expectations, matching the reference suite one-for-one
+    (scripts/data_quality_checks.py:50-76): 3 not-nulls (key, name,
+    nationkey — the reference's user_id/age/country), uniqueness,
+    2 ranges, 1 enum."""
     c = load_table(spark, sf_dir, "customer")
 
     def viol(cond: F.Column) -> F.Column:
@@ -121,6 +128,7 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         viol(F.col("c_custkey").isNull()).alias("key_not_null"),
         (F.count("*") - F.countDistinct("c_custkey")).alias("key_unique"),
         viol(F.col("c_name").isNull()).alias("name_not_null"),
+        viol(F.col("c_nationkey").isNull()).alias("nationkey_not_null"),
         viol(F.col("c_acctbal").isNull() | bal_bad).alias("acctbal_between"),
         sample(bal_bad, F.col("c_acctbal").cast("decimal(12,2)").cast("string")).alias(
             "acctbal_between_s"
@@ -134,6 +142,7 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_not_null",
         "key_unique",
         "name_not_null",
+        "nationkey_not_null",
         "acctbal_between",
         "mktsegment_in_set",
         "nationkey_between",
