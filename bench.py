@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -106,7 +107,7 @@ def main() -> None:
     # queries run-to-run); the min is the reproducible cost of the
     # plan, which is what the trend line should track.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     t_start = time.perf_counter()
     for p in range(n_passes):
         # keep total wall bounded at bigger SFs: re-pass only while cheap
@@ -118,9 +119,14 @@ def main() -> None:
             df = fn(spark, sf_dir)
             # Materialize every output row without driver-side transfer.
             df.write.format("noop").mode("overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(el, timings.get(name, el))
+            samples.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
 
+    timings = {n: min(s) for n, s in samples.items()}
+    # Median alongside min: warm-cache flattery can mask a regression
+    # in the min; the median keeps the trend line honest.
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -129,6 +135,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -82,12 +82,30 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+try:  # guarded import: the container ships no PIL/libjpeg
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - exercised via monkeypatch
+    _PILImage = None
+
+
+def has_codec() -> bool:
+    """True when a real image codec (PIL) is importable — the decode
+    kernels select it at runtime, falling back to the deterministic
+    fake featurizer so the Spark plumbing stays testable either way."""
+    return _PILImage is not None
+
+
 def decode_image(payload: bytes) -> object:
-    """Real image decode — NOT IMPLEMENTED in this container (no
-    PIL/libjpeg).  Wire a codec here in a deployment that has one;
-    the pipeline below falls back to a deterministic fake featurizer
-    so the Spark plumbing stays testable."""
-    raise NotImplementedError("no image codec in this environment; use fake_features")
+    """Real image decode via PIL when available; raises
+    ``NotImplementedError`` otherwise (honest codec slot — the
+    pipeline falls back to :func:`_fake_featurize`)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "no image codec in this environment; use fake_features"
+        )
+    import io
+
+    return _PILImage.open(io.BytesIO(payload))
 
 
 _DECODE_SCHEMA = T.StructType(
@@ -112,11 +130,28 @@ def _fake_featurize(payload: bytes) -> list[float]:
     return [round(h / n, 6) for h in hist]
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def _codec_featurize(payload: bytes) -> list[float]:
+    """Real featurizer: decode, grayscale, resize to 8x8, and emit
+    the 8 per-row mean luminances normalized to [0, 1] — same 8-dim
+    output contract as the fake, so downstream schemas are identical
+    in both modes."""
+    img = decode_image(payload).convert("L").resize((8, 8))
+    px = list(img.getdata())
+    return [round(sum(px[r * 8 : (r + 1) * 8]) / (8 * 255.0), 6) for r in range(8)]
+
+
+def decode_features(df: DataFrame, use_codec: bool | None = None) -> DataFrame:
     """The multimodal feature-extraction operator: Arrow-batched
     ``mapInPandas`` over (doc_id, payload) producing typed features.
-    Batch shape, schema and partitioning are production-real; only
-    the per-payload kernel is the deterministic fake."""
+    Batch shape, schema and partitioning are production-real; the
+    per-payload kernel selects the REAL codec featurizer at runtime
+    when PIL is importable (``use_codec=None`` → :func:`has_codec`),
+    else the deterministic fake.  Pass ``use_codec=False`` when the
+    payload column is known not to hold decodable images (e.g. the
+    registered oracle query, whose payloads are text bytes)."""
+    if use_codec is None:
+        use_codec = has_codec()
+    featurize = _codec_featurize if use_codec else _fake_featurize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -128,7 +163,7 @@ def decode_features(df: DataFrame) -> DataFrame:
                     "mean_byte": payloads.map(
                         lambda p: round(sum(p) / len(p), 6) if len(p) else 0.0
                     ),
-                    "feature": payloads.map(_fake_featurize),
+                    "feature": payloads.map(featurize),
                 }
             )
 
@@ -142,7 +177,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined string digest so the result frame is hashable by any
     pandas-side canonicalizer (ndarray cells are not); API users call
     :func:`decode_features` directly for the typed array."""
-    out = decode_features(binary_documents(spark, sf_dir))
+    # use_codec=False always: these payloads are text bytes, not
+    # decodable images — deterministic in containers with or without
+    # a codec installed.
+    out = decode_features(binary_documents(spark, sf_dir), use_codec=False)
     return out.select(
         "doc_id",
         "n_bytes",
@@ -313,20 +351,35 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    use_codec: bool | None = None,
+) -> DataFrame:
     """Image-resize operator shell: Arrow-batched ``mapInPandas`` with
     the production schema (doc_id, width, height, thumbnail binary).
-    The kernel is a deterministic fake (truncate/zero-pad the payload
-    to width×height bytes); a real deployment swaps in a codec resize
-    at the marked line."""
+    The kernel selects the real codec at runtime when PIL is
+    importable (``use_codec=None`` → :func:`has_codec`): decode →
+    grayscale → resize → raw luminance bytes.  Without a codec it is
+    a deterministic fake (truncate/zero-pad the payload to
+    width×height bytes)."""
+    if use_codec is None:
+        use_codec = has_codec()
     n = width * height
+
+    def _codec_thumb(p: bytes) -> bytes:
+        img = decode_image(p).convert("L").resize((width, height))
+        return bytes(img.getdata())
+
+    def _fake_thumb(p: bytes) -> bytes:
+        return bytes(p[:n]) + b"\x00" * max(0, n - len(p))
+
+    thumb = _codec_thumb if use_codec else _fake_thumb
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # REAL KERNEL GOES HERE: decode_image(payload).resize(...)
-            thumbs = pdf["payload"].map(
-                lambda p: bytes(p[:n]) + b"\x00" * max(0, n - len(p))
-            )
+            thumbs = pdf["payload"].map(thumb)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -341,4 +394,5 @@ def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame
 
 @register("multimodal_resize", rows_only="pandas-UDF resize kernel: stubbed codec, not SQL-expressible; shape tested in tests/test_operators.py")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_images(binary_documents(spark, sf_dir))
+    # use_codec=False: text-byte payloads are not decodable images.
+    return resize_images(binary_documents(spark, sf_dir), use_codec=False)

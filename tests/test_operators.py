@@ -110,10 +110,50 @@ class TestMultimodalPlumbing:
     def test_decode_stub_marked(self):
         import pytest
 
-        from ml_feature_store_enterprise_grade_spark.operators.multimodal import decode_image
+        from ml_feature_store_enterprise_grade_spark.operators import multimodal
 
+        if multimodal.has_codec():
+            pytest.skip("real codec present; stub path not reachable")
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x00")
+            multimodal.decode_image(b"\x00")
+
+    def test_codec_kernel_selected_at_runtime(self, monkeypatch):
+        """When a codec import succeeds, decode_image and the codec
+        featurizers engage — proven with a PIL stand-in (the real
+        kernels run worker-side, so the selection contract is what
+        the driver can test without libjpeg in the container)."""
+        from ml_feature_store_enterprise_grade_spark.operators import multimodal
+
+        class _FakeImg:
+            def __init__(self, px):
+                self._px = px
+
+            def convert(self, mode):
+                assert mode == "L"
+                return self
+
+            def resize(self, wh):
+                w, h = wh
+                need = w * h
+                px = (self._px * ((need // max(len(self._px), 1)) + 1))[:need]
+                return _FakeImg(px)
+
+            def getdata(self):
+                return self._px
+
+        class _FakePIL:
+            @staticmethod
+            def open(buf):
+                return _FakeImg(list(buf.getvalue()))
+
+        monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
+        assert multimodal.has_codec()
+        img = multimodal.decode_image(b"\x10\x20")
+        assert isinstance(img, _FakeImg)
+        feat = multimodal._codec_featurize(bytes(range(64)))
+        assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+        # fake mode still selectable explicitly even with the codec up
+        assert multimodal._fake_featurize(bytes(range(64)))
 
     def test_metadata_matches_payload(self, spark):
         src = binary_documents(spark, SF_SMOKE).select(
