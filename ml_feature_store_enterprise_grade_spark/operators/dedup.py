@@ -1968,3 +1968,67 @@ class DedupIndex:
         for t, dirs in olds.items():
             for d in dirs:
                 _sh.rmtree(f"{root}/{t}/{d}", ignore_errors=True)
+
+
+_CONTAINMENT_MIN = 0.8
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shf GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, s.n_shingles AS n_a,
+           CAST(ROUND(p.n_common * 1.0 / s.n_shingles, 6) AS DOUBLE)
+               AS containment
+    FROM pairs p JOIN sizes s ON p.doc_a = s.doc_id
+    WHERE p.n_common * 1.0 / s.n_shingles >= {_CONTAINMENT_MIN}
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-SUPERSET detection: pairs where ≥80% of doc_a's
+    shingles also appear in doc_b — the quote/excerpt/expanded-copy
+    relation that symmetric Jaccard misses (a short excerpt of a long
+    page has low Jaccard but containment ≈ 1).  Broder's containment
+    measure, the shape CCNet/Dolma-style pipelines use to drop pages
+    that are substrings of syndicated masters.
+
+    Scale: identical blocking to :func:`dedup_ngram_jaccard` — pair
+    expansion happens ONLY through the inverted shingle lists, and the
+    ``_MAX_SHINGLE_DF`` cap bounds every list, so the self-join output
+    is O(corpus × cap), never all-pairs.  One extra broadcast-size
+    join stitches per-doc shingle counts back on."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(
+            F.col("n_common") / F.col("n_shingles") >= F.lit(_CONTAINMENT_MIN)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("n_shingles").alias("n_a"),
+            F.round(F.col("n_common") / F.col("n_shingles"), 6)
+            .cast("double")
+            .alias("containment"),
+        )
+    )

@@ -461,3 +461,59 @@ def feature_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("backfill_priority"),
     )
+
+
+_K_ANON = 10
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer
+        GROUP BY 1, 2
+    ), tot AS (SELECT COUNT(*) AS n FROM customer)
+    SELECT
+        {_K_ANON} AS k,
+        COUNT(*) AS n_groups,
+        COUNT(*) FILTER (WHERE group_size < {_K_ANON}) AS n_small_groups,
+        COALESCE(SUM(group_size) FILTER (WHERE group_size < {_K_ANON}), 0)
+            AS n_rows_at_risk,
+        CAST(ROUND(COALESCE(SUM(group_size) FILTER (WHERE group_size < {_K_ANON}), 0)
+             * 100.0 / (SELECT n FROM tot), 6) AS DOUBLE) AS pct_rows_at_risk,
+        MIN(group_size) AS min_group_size
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: k-anonymity over the quasi-identifier
+    set (nationkey, mktsegment) — a record is re-identifiable when
+    its QI combination is shared by fewer than k rows.  One groupBy
+    over the QI columns then one scalar rollup; at 100 TB the first
+    aggregate is the only shuffle and partial (map-side) combine does
+    most of the work since QI cardinality is tiny.  The training-data
+    analog gates dataset release the way quality_expectation_suite
+    gates ingestion."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size")
+    )
+    small = F.col("group_size") < _K_ANON
+    return g.agg(
+        F.lit(_K_ANON).alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum(small.cast("int")).alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("group_size"))), F.lit(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(small, F.col("group_size"))), F.lit(0))
+            * 100.0
+            / F.sum("group_size"),
+            6,
+        )
+        .cast("double")
+        .alias("pct_rows_at_risk"),
+        F.min("group_size").alias("min_group_size"),
+    )

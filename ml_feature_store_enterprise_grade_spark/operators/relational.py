@@ -699,3 +699,201 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_balance"),
         )
     )
+
+
+@register(
+    "returned_items_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_returned_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: which customers returned
+    the most revenue last half-year.  Fact side filters (returnflag,
+    date window) reach the parquet scans as pushed predicates BEFORE
+    the joins; nation broadcasts; the top-20 runs as
+    TakeOrderedAndProject on the rounded revenue with a custkey
+    tiebreak so Spark and the oracle rank identically."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) q
+    JOIN orders o ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: the GROUP BY +
+    HAVING pre-aggregate runs FIRST, shrinking the fact side to the
+    handful of qualifying orderkeys before any dimension join — the
+    aggregate-then-join ordering that matters at 100 TB (joining
+    first would shuffle every lineitem against orders for rows HAVING
+    then throws away)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT YEAR(o.o_orderdate) AS order_year,
+               n.n_name AS supp_nation,
+               SUM({_EXT} * (1 - {_DISC})) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1, 2
+    )
+    SELECT order_year, supp_nation,
+           CAST(ROUND(volume, 2) AS DOUBLE) AS volume,
+           CAST(ROUND(volume / SUM(volume) OVER (PARTITION BY order_year), 6)
+                AS DOUBLE) AS market_share
+    FROM rev
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: each supplier nation's slice of
+    its region's yearly revenue.  The share is a window over the
+    ALREADY-AGGREGATED (year, nation) frame — dozens of rows — so the
+    second pass is free; the heavy lifting stays in the one
+    fact-table aggregate.  Dimensions broadcast down the
+    supplier→nation→region chain."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+        )
+        .agg(
+            F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))).alias(
+                "vol"
+            )
+        )
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "order_year",
+        "supp_nation",
+        F.round("vol", 2).cast("double").alias("volume"),
+        F.round(F.col("vol") / F.sum("vol").over(w), 6)
+        .cast("double")
+        .alias("market_share"),
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS supp_nation,
+           YEAR(o.o_orderdate) AS order_year,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS profit,
+           COUNT(DISTINCT l.l_partkey) AS n_parts
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type LIKE '%ECONO%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit by supplier nation and year for one
+    product family.  The LIKE filter on part prunes the fact side via
+    a broadcast semi-ish inner join BEFORE the orders shuffle — join
+    order is smallest-effective-side first, and every dimension
+    (part-filtered, supplier, nation) broadcasts; orders⋈lineitem is
+    the only large shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("%ECONO%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2)
+            .cast("double")
+            .alias("profit"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )

@@ -1144,3 +1144,50 @@ def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("docs_fitting") / F.col("n"), 6).alias("doc_share"),
         F.round(F.col("tok_fitting") / F.col("tok"), 6).alias("token_share"),
     )
+
+
+_PREFIX_TOKENS = 5
+
+
+@register(
+    "doc_prefix_cluster_stats",
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ), pfx AS (
+        SELECT doc_id,
+               array_to_string(string_split(norm, ' ')[1:{_PREFIX_TOKENS}], ' ')
+                   AS prefix
+        FROM nd
+    )
+    SELECT md5(prefix) AS prefix_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM pfx
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def doc_prefix_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-intro detection: cluster documents by their first
+    {N} normalized tokens and report every prefix shared by ≥2 docs —
+    the cheap precursor to :func:`segment_dedup` for corpora where
+    syndicated content always opens with the same masthead.  ONE
+    map-side prefix projection + one groupBy; the prefix is hashed
+    (md5) before the shuffle so the shuffled key is 32 bytes
+    regardless of document length."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    prefix = F.array_join(
+        F.slice(F.split(normalize_text(F.col("text")), " "), 1, _PREFIX_TOKENS), " "
+    )
+    return (
+        d.select("doc_id", F.md5(prefix).alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -80,6 +80,13 @@ _FRONT: tuple[str, ...] = (
     "quality_expectation_suite",
     "dedup_clusters",
     # (c) new this round — inserted here as they land.
+    "returned_items_revenue",
+    "large_volume_customers",
+    "nation_market_share",
+    "product_type_profit",
+    "k_anonymity_audit",
+    "doc_prefix_cluster_stats",
+    "shingle_containment_pairs",
     # (d) rotation: oldest green rows (round-1) whose modules saw the
     # most churn since — dedup/similarity/text first, then the
     # feature-store core.
@@ -112,11 +119,9 @@ _FRONT: tuple[str, ...] = (
     "event_customer_enrichment",
     "event_customer_overlap",
     "revenue_rollup_cube",
-    "top_customers_per_nation",
-    "pricing_summary",
-    "region_revenue",
-    "top_revenue_orders",
-    "event_code_projection",
+    # tail rotation continues round 5: top_customers_per_nation,
+    # pricing_summary, region_revenue, top_revenue_orders,
+    # event_code_projection (all hold r1 greens; modules unchanged).
 )
 
 def _ordered(mapping: dict) -> dict:

@@ -218,3 +218,42 @@ def test_crossdoc_spans_slim_shuffle_no_joins_on_text(spark):
     assert "Generate explode" in plan
     # the election window partitions by the portable hash column
     assert "windowspecdefinition(h" in plan or "windowspecdefinition(h#" in plan.replace(" ", "")
+
+
+def test_returned_items_revenue_pushdown_and_topk(spark):
+    plan = plan_of(spark, "returned_items_revenue")
+    # returnflag + date-window predicates must reach the fact scans
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # global top-20 as a heap, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_customers_aggregates_before_join(spark):
+    """The HAVING pre-aggregate must run before any join: in the plan
+    tree the lineitem-side HashAggregate appears BELOW the first join
+    operator (aggregate-then-join, not join-then-aggregate)."""
+    plan = plan_of(spark, "large_volume_customers")
+    lines = plan.splitlines()
+    first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    agg_after_join = [
+        l for l in lines[first_join:] if "HashAggregate" in l and "sum" in l
+    ]
+    assert agg_after_join, "lineitem pre-aggregate must sit under the join"
+    assert "CartesianProduct" not in plan
+
+
+def test_product_type_profit_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "StringContains(p_type,ECONO)" in plan
+
+
+def test_shingle_containment_blocks_via_inverted_lists(spark):
+    """Pair expansion must come only from the shingle equi-join —
+    never a cartesian — mirroring the dedup_minhash_lsh no-cartesian
+    guarantee."""
+    plan = plan_of(spark, "shingle_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
