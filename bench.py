@@ -80,6 +80,12 @@ BENCH_QUERIES = (
     "segment_dedup",
     "semantic_dedup",
     "dedup_crossdoc_spans",
+    # round 4 additions: the optimizer-stressing TPC-H shapes and the
+    # capped inverted-list containment pass.
+    "returned_items_revenue",
+    "large_volume_customers",
+    "product_type_profit",
+    "shingle_containment_pairs",
 )
 
 

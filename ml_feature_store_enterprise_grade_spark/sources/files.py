@@ -97,3 +97,26 @@ def latest_partitions(path: str, partition_col: str, n: int = 7) -> list[str]:
         reverse=True,
     )
     return vals[:n]
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """JSON-lines source with a declared schema (same no-inference
+    policy as :func:`read_csv`: schema inference over JSON costs a
+    full extra pass at 100 TB and silently widens types between
+    runs).  FAILFAST surfaces corrupt lines instead of nulling them;
+    relax per-call with ``.option("mode", "PERMISSIVE")`` plus a
+    ``_corrupt_record`` column when quarantining is wanted."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format LLM-corpus tooling
+    expects (one document object per line, gzip-splittable per
+    file).  Column types survive via JSON natives; timestamps write
+    ISO-8601."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -59,3 +59,30 @@ def test_ts_normalization_is_type_aware(spark, tmp_path):
     )
     assert j.count() == 0
     assert native.count() == nanos.count()
+
+
+def test_jsonl_roundtrip_declared_schema(spark, tmp_path):
+    """JSONL sink → source roundtrip under a declared schema: values,
+    types, and row count survive; a corrupt line FAILFASTs."""
+    from ml_feature_store_enterprise_grade_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta", -0.75), (3, None, 0.0)],
+        "doc_id bigint, text string, score double",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "doc_id bigint, text string, score double")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"doc_id": 1, "text": "x", "score": 1.0}\n{not json\n')
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(bad), "doc_id bigint, text string, score double").collect()
