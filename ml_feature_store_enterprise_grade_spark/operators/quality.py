@@ -478,8 +478,8 @@ _K_ANON = 10
         {_K_ANON} AS k,
         COUNT(*) AS n_groups,
         COUNT(*) FILTER (WHERE group_size < {_K_ANON}) AS n_small_groups,
-        COALESCE(SUM(group_size) FILTER (WHERE group_size < {_K_ANON}), 0)
-            AS n_rows_at_risk,
+        CAST(COALESCE(SUM(group_size) FILTER (WHERE group_size < {_K_ANON}), 0)
+             AS BIGINT) AS n_rows_at_risk,
         CAST(ROUND(COALESCE(SUM(group_size) FILTER (WHERE group_size < {_K_ANON}), 0)
              * 100.0 / (SELECT n FROM tot), 6) AS DOUBLE) AS pct_rows_at_risk,
         MIN(group_size) AS min_group_size

@@ -339,6 +339,14 @@ def test_connected_components_long_chain_and_random_graph(spark):
     edf = spark.createDataFrame(edges, "a long, b long")
     got = {r.doc_id: r.label for r in connected_components(vdf, edf).collect()}
     assert got == expected
+    # the active-only scale path (isolated vertices split out of the
+    # iteration) must be verdict-identical on the same graph — this
+    # random graph has isolated vertices, exercising both branches
+    got_active = {
+        r.doc_id: r.label
+        for r in connected_components(vdf, edf, active_only=True).collect()
+    }
+    assert got_active == expected
 
 
 def test_connected_components_deep_chain_persisted_rounds(spark, tmp_path):
@@ -358,7 +366,10 @@ def test_connected_components_deep_chain_persisted_rounds(spark, tmp_path):
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
     labels = connected_components(
-        verts, chain, persist_rounds_to=str(tmp_path / "cc_rounds")
+        verts,
+        chain,
+        persist_rounds_to=str(tmp_path / "cc_rounds"),
+        active_only=True,
     )
     rows = labels.collect()
     assert len(rows) == n and all(r.label == 0 for r in rows)
