@@ -2073,3 +2073,42 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment"),
         )
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY 1
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(cluster_size * COUNT(*) - COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY 1
+    """,
+    # Deferred: the round-4 driver window is full; promotes to the
+    # round-5 window.  Local parity still sweeps it.
+    defer=True,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance summary of the duplicate-cluster structure: how many
+    clusters of each size, the documents they hold, and how many a
+    keep-one-per-cluster pass would remove — the number a corpus data
+    card reports next to the dedup rate (cf. Lee et al. 2022 §4's
+    cluster-size analysis).  Cost on top of the component labels: two
+    tiny aggregates over |docs| and |clusters| rows."""
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+        (F.col("cluster_size") * F.count("*") - F.count("*"))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

@@ -1208,3 +1208,89 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH iv AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT a.dim AS di, b.dim AS dj,
+           CAST(ROUND(COVAR_POP(a.val, b.val), 6) AS DOUBLE) AS cov
+    FROM iv a JOIN iv b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+    """,
+    # Deferred: the round-4 driver window is full; promotes to the
+    # round-5 window.  Local parity still sweeps it.
+    defer=True,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding
+    dimensions — the input to PCA/whitening (:func:`pca_whitening`)
+    and the direct detector of redundant/correlated dimensions.
+
+    Scale shape: the d(d+1)/2 cross-products are expanded MAP-SIDE
+    inside one array expression (never a self-join of the exploded
+    frame, which would shuffle |vectors|×d rows twice); partial
+    aggregation collapses each partition to d(d+1)/2 running sums, so
+    the shuffle is O(partitions × d²) regardless of corpus size.
+    Driver never sees vectors — only the d×d result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        """
+        flatten(transform(embedding, (xi, i) ->
+            transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->
+                struct(i AS di, i + j AS dj,
+                       CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS prod))))
+        """
+    )
+    prods = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.di", "p.dj", "p.prod")
+        .groupBy("di", "dj")
+        .agg(F.avg("prod").alias("exy"))
+    )
+    means = (
+        emb.select(
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "dim", "val"
+            )
+        )
+        .groupBy("dim")
+        .agg(F.avg("val").alias("mu"))
+    )
+    mi = means.select(F.col("dim").alias("di"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("dim").alias("dj"), F.col("mu").alias("mu_j"))
+    return (
+        prods.join(F.broadcast(mi), "di")
+        .join(F.broadcast(mj), "dj")
+        .select(
+            "di",
+            "dj",
+            F.round(F.col("exy") - F.col("mu_i") * F.col("mu_j"), 6).alias("cov"),
+        )
+    )
+
+
+def pca_whitening(spark: SparkSession, sf_dir: str, energy: float = 0.95):
+    """PCA basis from the distributed covariance: eigendecompose the
+    d×d matrix DRIVER-side (d is tiny; the corpus never leaves the
+    executors) and return ``(components, eigenvalues, n_components)``
+    — the numpy projection basis keeping ``energy`` of the variance.
+    The covariance aggregate is the only distributed work, so this
+    scales exactly as :func:`embedding_covariance` does."""
+    import numpy as np
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.dj for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.di, r.dj] = cov[r.dj, r.di] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    total = float(vals.sum())
+    keep = int(np.searchsorted(np.cumsum(vals) / total, energy) + 1) if total > 0 else d
+    return vecs[:, :keep], vals[:keep], keep

@@ -123,6 +123,12 @@ _FRONT: tuple[str, ...] = (
     # pricing_summary, region_revenue, top_revenue_orders,
     # event_code_projection (all hold r1 greens; modules unchanged).
 )
+# Window overflow queue: queries registered ``defer=True`` after the
+# 50 round-4 slots filled; promote them (drop the flag, add to
+# _FRONT's head) at the top of the round-5 window:
+#   - dup_cluster_size_histogram
+#   - embedding_covariance
+#   - stream_quality_monitor
 
 def _ordered(mapping: dict) -> dict:
     front = {n: mapping[n] for n in _FRONT if n in mapping}

@@ -757,3 +757,84 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("late_rate"),
         F.coalesce(F.max(lateness_s), F.lit(0)).cast("bigint").alias("max_lateness_s"),
     )
+
+
+#: Expected event-type enum and value SLA for the streaming quality
+#: monitor — 'error' events and values past the SLA ceiling count as
+#: violations, so the report exercises the non-zero path (same policy
+#: as quality_expectation_suite's in-range balance SLA).
+_SQM_TYPES = ("click", "view", "purchase", "signup")
+_SQM_VALUE_HI = 300.0
+
+
+@register(
+    "stream_quality_monitor",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE user_id IS NULL) AS n_null_user,
+           COUNT(*) FILTER (WHERE event_type IS NULL
+                            OR event_type NOT IN {_SQM_TYPES!r}) AS n_bad_type,
+           COUNT(*) FILTER (WHERE value IS NULL OR isnan(value)
+                            OR value < 0 OR value > {_SQM_VALUE_HI}) AS n_bad_value,
+           (COUNT(*) FILTER (WHERE user_id IS NULL) = 0
+            AND COUNT(*) FILTER (WHERE event_type IS NULL
+                                 OR event_type NOT IN {_SQM_TYPES!r}) = 0
+            AND COUNT(*) FILTER (WHERE value IS NULL OR isnan(value)
+                                 OR value < 0 OR value > {_SQM_VALUE_HI}) = 0)
+               AS success
+    FROM events
+    WHERE ts IS NOT NULL
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+              WHERE ts IS NOT NULL)
+    GROUP BY 1
+    """,
+    # Deferred: the round-4 driver window is full; promotes to the
+    # round-5 window.  Local parity still sweeps it.
+    defer=True,
+)
+def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``quality_expectation_suite``: per finalized
+    hourly window, violation counts for the live expectation set
+    (user not-null, event-type enum, value SLA) — the
+    quality-gate-on-the-feed pattern, catching a broken producer
+    within one window instead of at the nightly batch.
+
+    ONE streaming aggregate (conditional sums are append-legal under
+    the watermark); state per open window is one row of counters, so
+    memory is bounded by open windows, not event volume.  Oracle =
+    the batch aggregate restricted to watermark-finalized windows —
+    stream/batch equivalence, same claim as stream_hourly_features."""
+    ensure_engine_confs(spark)
+    ev = streaming_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    bad_type = F.col("event_type").isNull() | ~F.col("event_type").isin(*_SQM_TYPES)
+    bad_value = (
+        F.col("value").isNull()
+        | F.isnan("value")
+        | (F.col("value") < 0)
+        | (F.col("value") > _SQM_VALUE_HI)
+    )
+    result = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_user"),
+            F.sum(bad_type.cast("long")).alias("n_bad_type"),
+            F.sum(bad_value.cast("long")).alias("n_bad_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_null_user",
+            "n_bad_type",
+            "n_bad_value",
+            (
+                (F.col("n_null_user") == 0)
+                & (F.col("n_bad_type") == 0)
+                & (F.col("n_bad_value") == 0)
+            ).alias("success"),
+        )
+    )
+    return run_available_now(result, "stream_quality_monitor")

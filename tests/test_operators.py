@@ -821,3 +821,37 @@ def test_label_confusion_partitions_corpus(spark, sf_dir=SF_SMOKE):
     assert labels <= set(range(10))
     diag = sum(r["n"] for r in rows if r["label"] == r["pred_label"])
     assert diag / n_vecs > 2 / len(labels)  # far better than chance
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark):
+    """The distributed covariance must equal numpy's population
+    covariance of the same vectors (to the shared 6-dp rounding), and
+    pca_whitening's basis must reconstruct it: components are
+    orthonormal, eigenvalues descending, energy threshold honored."""
+    import numpy as np
+
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        embedding_covariance,
+        pca_whitening,
+    )
+
+    X = np.array(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    ref = np.cov(X, rowvar=False, bias=True)
+    got = {(r.di, r.dj): r.cov for r in embedding_covariance(spark, SF_SMOKE).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - round(ref[i, j], 6)) <= 1e-6, (i, j, v, ref[i, j])
+
+    comps, vals, k = pca_whitening(spark, SF_SMOKE, energy=0.95)
+    assert comps.shape == (d, k) and len(vals) == k
+    assert np.all(np.diff(vals) <= 1e-12)  # descending
+    assert np.allclose(comps.T @ comps, np.eye(k), atol=1e-8)  # orthonormal
+    ref_vals = np.linalg.eigvalsh(ref)[::-1]
+    assert np.allclose(vals, ref_vals[:k], atol=1e-4)
