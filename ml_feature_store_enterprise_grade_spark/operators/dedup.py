@@ -2047,7 +2047,18 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_MAX_SHINGLE_DF`` cap bounds every list, so the self-join output
     is O(corpus × cap), never all-pairs.  One extra broadcast-size
     join stitches per-doc shingle counts back on."""
-    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    return containment_pairs_frame(
+        _normalized_docs(spark, sf_dir).withColumnRenamed("norm", "text")
+    )
+
+
+def containment_pairs_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form of :func:`shingle_containment_pairs` over
+    ``docs (doc_id, text)`` — text is shingled as-is (callers
+    normalize first if wanted)."""
+    sh = _frequent_shingle_filter(
+        _shingles(docs.select("doc_id", F.col("text").alias("norm")))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -380,3 +380,48 @@ def test_crossdoc_trim_matches_reference_on_generated_corpora(spark, texts):
         for r in crossdoc_span_trim_frame(df).collect()
     }
     assert got == _trim_reference(docs, _SPAN_WORDS)
+
+
+def _containment_reference(docs, k=3, max_df=100, thresh=0.8):
+    """Brute-force Broder containment over word-k-gram shingle sets
+    with the frequent-shingle cap applied corpus-wide."""
+    from collections import Counter
+
+    sets = {}
+    for doc_id, t in docs:
+        toks = t.split(" ")
+        sets[doc_id] = {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+    df = Counter(s for ss in sets.values() for s in ss)
+    capped = {d: {s for s in ss if df[s] <= max_df} for d, ss in sets.items()}
+    out = {}
+    for a, sa in capped.items():
+        if not sa:
+            continue
+        for b, sb in capped.items():
+            if a == b:
+                continue
+            common = len(sa & sb)
+            if common / len(sa) >= thresh:
+                out[(a, b)] = (common, len(sa), round(common / len(sa), 6))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_seg_docs)
+def test_containment_pairs_match_reference_on_generated_corpora(spark, texts):
+    """Inverted-list blocked containment vs the all-pairs reference on
+    tiny-alphabet corpora (max shingle collisions, sub-shingle-length
+    docs, exact copies): identical surviving pairs and values."""
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        containment_pairs_frame,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["containment"])
+        for r in containment_pairs_frame(df).collect()
+    }
+    assert got == _containment_reference(docs)
