@@ -601,3 +601,101 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("cnt")
     )
     return hist_quantiles(merged)
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+_CM_TOPK = 20
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    x AS (
+        SELECT user_id, d.seed,
+               {PORTABLE_HASH64_SQL("CAST(user_id AS VARCHAR)", seed="' || d.seed || '")}
+                   % {_CM_WIDTH} AS bucket
+        FROM ev, (VALUES (0), (1), (2), (3)) d(seed)
+    ),
+    sk AS (SELECT seed, bucket, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1),
+    top AS (
+        SELECT user_id, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, user_id LIMIT {_CM_TOPK}
+    )
+    SELECT t.user_id, t.exact_cnt,
+           MIN(s.cnt) AS est_cnt,
+           MIN(s.cnt) - t.exact_cnt AS overestimate
+    FROM top t
+    CROSS JOIN (VALUES (0), (1), (2), (3)) d(seed)
+    JOIN sk s
+      ON s.seed = d.seed
+     AND s.bucket = {PORTABLE_HASH64_SQL("CAST(t.user_id AS VARCHAR)", seed="' || d.seed || '")}
+                    % {_CM_WIDTH}
+    GROUP BY 1, 2
+    """,
+    # Deferred: the round-4 driver window is full; promotes to the
+    # round-5 window.  Local parity still sweeps it.
+    defer=True,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (Cormode & Muthukrishnan 2005): a
+    {_CM_DEPTH}×{_CM_WIDTH} counter grid estimates any key's
+    frequency as min over its {_CM_DEPTH} bucket counters — always an
+    OVERestimate, so the report's ``overestimate`` column is ≥ 0 by
+    construction and shows the collision error the width buys at this
+    cardinality.  Probed here for the exact top-{_CM_TOPK} users so
+    the driver can hash-verify estimates against ground truth.
+
+    Scale shape: the grid build explodes each event into {_CM_DEPTH}
+    (seed, bucket) rows MAP-SIDE and one aggregate collapses them —
+    partial combine bounds the shuffle at partitions × {_CM_DEPTH}
+    × {_CM_WIDTH} rows regardless of event volume, and the finished
+    grid is {_CM_DEPTH}×{_CM_WIDTH} rows: broadcastable state that
+    merges across days/streams by cell-wise addition (the same
+    mergeability contract as the KMV and histogram sketches above).
+    Deterministic portable hashing makes the estimates themselves
+    oracle-checkable."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+
+    def buckets(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (
+                        portable_hash64(col.cast("string"), seed=s) % _CM_WIDTH
+                    ).alias("bucket"),
+                )
+                for s in range(_CM_DEPTH)
+            ]
+        )
+
+    sk = (
+        ev.select(F.explode(buckets(F.col("user_id"))).alias("sb"))
+        .groupBy("sb.seed", "sb.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(_CM_TOPK)
+    probe = top.select(
+        "user_id", "exact_cnt", F.explode(buckets(F.col("user_id"))).alias("sb")
+    ).select("user_id", "exact_cnt", "sb.seed", "sb.bucket")
+    return (
+        probe.join(F.broadcast(sk), ["seed", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

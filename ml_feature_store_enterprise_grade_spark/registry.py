@@ -129,6 +129,7 @@ _FRONT: tuple[str, ...] = (
 #   - dup_cluster_size_histogram
 #   - embedding_covariance
 #   - stream_quality_monitor
+#   - countmin_heavy_hitters
 
 def _ordered(mapping: dict) -> dict:
     front = {n: mapping[n] for n in _FRONT if n in mapping}
