@@ -86,6 +86,15 @@ BENCH_QUERIES = (
     "large_volume_customers",
     "product_type_profit",
     "shingle_containment_pairs",
+    # round 5 additions: the promoted governance/sketch/streaming
+    # queries plus the window-over-aggregate TPC-H shape, so every new
+    # operator class carries a tracked number.
+    "dup_cluster_size_histogram",
+    "embedding_covariance",
+    "countmin_heavy_hitters",
+    "stream_quality_monitor",
+    "k_anonymity_audit",
+    "nation_market_share",
 )
 
 
@@ -131,9 +140,27 @@ def main() -> None:
 
     timings = {n: min(s) for n, s in samples.items()}
     # Median alongside min: warm-cache flattery can mask a regression
-    # in the min; the median keeps the trend line honest.
+    # in the min; the median keeps the trend line honest.  The median
+    # detail goes on its OWN stdout line (with per-query sample counts
+    # so a one-sample "median" is distinguishable from a real one);
+    # the final line stays compact and contract-shaped — in round 4 a
+    # single combined line outgrew the driver's stdout tail and broke
+    # its parse, so the parseable summary must come LAST and stay small.
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    counts = {n: len(s) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "detail": "per-query medians and sample counts",
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "samples": counts,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -141,9 +168,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "value_median": round(sum(medians.values()), 3),
-                "queries_median": medians,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes_completed": min(counts.values()),
+                "sf": sf_val,
             }
         )
     )

@@ -547,20 +547,11 @@ def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.union(near).distinct()
 
 
-#: Vertex count above which connected_components iterates only over
-#: edge-touching vertices.  Below it, the ~5 extra fixed-cost jobs
-#: (endpoints distinct/checkpoint, semi/anti splits, final union)
-#: outweigh the per-round shuffle savings — measured +1.3 s at sf0.1
-#: (5k docs) vs the savings only mattering when rounds shuffle real
-#: data volumes.
-_CC_ACTIVE_ONLY_MIN = 1_000_000
-
-
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     persist_rounds_to: str | None = None,
-    active_only: bool | None = None,
+    active_only: bool = True,
 ) -> DataFrame:
     """Distributed connected components: ``(doc_id, label)`` with
     label = min vertex id of the component.  ``vertices`` has column
@@ -624,16 +615,16 @@ def connected_components(
     # vertex keeps label = doc_id and never changes, so it is emitted
     # directly at the end.  On a real corpus the dup graph is a small
     # fraction of the table — every per-round shuffle shrinks from
-    # |corpus| to |dup-graph members|.  Adaptive: below
-    # _CC_ACTIVE_ONLY_MIN vertices the split's ~5 fixed-cost jobs
-    # exceed the savings, so small graphs iterate everything.
-    if active_only is None:
-        active_only = vertices.count() >= _CC_ACTIVE_ONLY_MIN
+    # |corpus| to |dup-graph members|.  Always on by default: the
+    # active set IS the endpoint set (edges reference only vertices
+    # of the frame — precondition), so the split costs one distinct
+    # over the cached edge list plus one deferred anti-join, never a
+    # vertex-frame count (deciding adaptively would itself scan the
+    # 100 TB-scale vertex frame the flag exists to protect).
     if active_only:
-        # localCheckpoint: the isolated/active branches are
-        # materialized by the CALLER, after sym is unpersisted — a
-        # lazy endpoints frame would re-derive the full edge lineage
-        # at that point.
+        # localCheckpoint: the isolated branch is materialized by the
+        # CALLER, after sym is unpersisted — a lazy endpoints frame
+        # would re-derive the full edge lineage at that point.
         endpoints = (
             sym.select("a")
             .distinct()
@@ -643,7 +634,7 @@ def connected_components(
         isolated = vertices.join(endpoints, "doc_id", "left_anti").select(
             "doc_id", F.col("doc_id").alias("label")
         )
-        active = vertices.join(endpoints, "doc_id", "left_semi")
+        active = endpoints
     else:
         isolated = None
         active = vertices
@@ -687,6 +678,53 @@ def connected_components(
         )
     sym.unpersist()
     return labels if isolated is None else labels.unionByName(isolated)
+
+
+def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, label)`` over the exact+MinHash duplicate graph,
+    with exact-duplicate groups PRE-CONTRACTED to a single vertex
+    before component iteration.
+
+    Exact groups are known closed-form from one hash pass (every
+    member shares ``md5(norm)``), so they carry no information the
+    iteration needs: each group collapses to its min doc_id
+    ("representative"), LSH near-dup edges are remapped through the
+    contraction (self-loops drop), and :func:`connected_components`
+    runs on the contracted graph only.  The label of a contracted
+    component is the min representative = the global min doc_id of
+    all members (every doc_id ≥ its group's representative), so
+    expanding labels back through the rep mapping reproduces exactly
+    the labels of the uncontracted graph.
+
+    Scale shape: on a crawl corpus exact duplicates dominate (URL
+    mirrors, re-crawls), so contraction shrinks BOTH frames the
+    O(log n) rounds iterate over — vertices from |corpus| to
+    |distinct texts| and edges by dropping the exact star edges
+    entirely — for the one-off cost of the rep window (same
+    hash-partition pass the exact-dedup step already does) and one
+    expansion join at the end."""
+    nd = _normalized_docs(spark, sf_dir)
+    rep = nd.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("norm"))).alias("rep"),
+    )
+    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ra = rep.select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("ra"))
+    rb = rep.select(F.col("doc_id").alias("doc_b"), F.col("rep").alias("rb"))
+    edges = (
+        near.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .select(
+            F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    vertices = rep.select(F.col("rep").alias("doc_id")).distinct()
+    rep_labels = connected_components(vertices, edges).withColumnRenamed(
+        "doc_id", "rep"
+    )
+    return rep.join(rep_labels, "rep").select("doc_id", "label")
 
 
 #: Full recursive-CTE chain labeling every doc with its duplicate
@@ -751,15 +789,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cluster_size``, and ``is_canonical`` (the one row per cluster a
     filtering pass keeps).
 
-    Algorithm: see :func:`connected_components` (hash-to-min with
-    pointer jumping, O(log n) rounds).
+    Algorithm: exact-group pre-contraction then hash-to-min with
+    pointer jumping, O(log n) rounds — see :func:`_doc_cluster_labels`
+    and :func:`connected_components`.
 
     The DuckDB oracle computes the same components by recursive-CTE
     transitive closure (viable at oracle scale only — closure is
     O(sum cluster_size²); the Spark side never materializes it).
     """
-    vertices = _normalized_docs(spark, sf_dir).select("doc_id")
-    labels = connected_components(vertices, duplicate_edges(spark, sf_dir))
+    labels = _doc_cluster_labels(spark, sf_dir)
     clusters = labels.withColumnRenamed("label", "cluster_id")
     w = Window.partitionBy("cluster_id")
     return clusters.select(
@@ -984,8 +1022,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import corpus_quality_filter  # local import: avoid cycle
 
     quality = corpus_quality_filter(spark, sf_dir).select("doc_id", "admitted")
-    vertices = _normalized_docs(spark, sf_dir).select("doc_id")
-    labels = connected_components(vertices, duplicate_edges(spark, sf_dir))
+    labels = _doc_cluster_labels(spark, sf_dir)
     joined = labels.withColumnRenamed("label", "cluster_id").join(quality, "doc_id")
     w = Window.partitionBy("cluster_id")
     keep_id = F.min(F.when(F.col("admitted"), F.col("doc_id"))).over(w)
@@ -1745,16 +1782,33 @@ class DedupIndex:
         empty writes — so schema inference fails.  Fall back to a
         typed empty frame, taking ``doc_id``'s type from the
         ``signatures`` table (non-partitioned, always schema-bearing
-        after any build, even an empty one)."""
+        after any build, even an empty one).
+
+        The fallback is gated on ``table == 'bands'`` AND the table
+        directory actually existing: ``bands`` is the only partitioned
+        standing table (the only one that can legitimately be
+        schema-less), and a genuinely missing/deleted directory must
+        stay a loud error — silently substituting an empty frame
+        there would turn near-dup detection off instead of failing."""
         from pyspark.errors import AnalysisException
 
         try:
             df = self.spark.read.parquet(f"{self.path}/{table}")
         except AnalysisException:
+            if table != "bands" or not self._table_dir_exists(table):
+                raise
             df = self._empty_bands()
         if exclude_ingest is not None:
             df = df.filter(F.col("ingest") != exclude_ingest)
         return df.drop("ingest")
+
+    def _table_dir_exists(self, table: str) -> bool:
+        """Filesystem-portable existence probe (Hadoop FS API, so it
+        holds for HDFS/S3 paths, not just local disk)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{table}")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def _empty_bands(self) -> DataFrame:
         """Typed empty stand-in for a schema-less ``bands`` directory
@@ -2100,9 +2154,6 @@ def containment_pairs_frame(docs: DataFrame) -> DataFrame:
     FROM sizes
     GROUP BY 1
     """,
-    # Deferred: the round-4 driver window is full; promotes to the
-    # round-5 window.  Local parity still sweeps it.
-    defer=True,
 )
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Governance summary of the duplicate-cluster structure: how many

@@ -1222,9 +1222,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM iv a JOIN iv b ON a.vec_id = b.vec_id AND a.dim <= b.dim
     GROUP BY 1, 2
     """,
-    # Deferred: the round-4 driver window is full; promotes to the
-    # round-5 window.  Local parity still sweeps it.
-    defer=True,
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle population covariance of the embedding

@@ -637,24 +637,21 @@ _CM_TOPK = 20
                     % {_CM_WIDTH}
     GROUP BY 1, 2
     """,
-    # Deferred: the round-4 driver window is full; promotes to the
-    # round-5 window.  Local parity still sweeps it.
-    defer=True,
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch audit (Cormode & Muthukrishnan 2005): a
-    {_CM_DEPTH}×{_CM_WIDTH} counter grid estimates any key's
-    frequency as min over its {_CM_DEPTH} bucket counters — always an
+    4×256 counter grid estimates any key's
+    frequency as min over its 4 bucket counters — always an
     OVERestimate, so the report's ``overestimate`` column is ≥ 0 by
     construction and shows the collision error the width buys at this
-    cardinality.  Probed here for the exact top-{_CM_TOPK} users so
+    cardinality.  Probed here for the exact top-20 users so
     the driver can hash-verify estimates against ground truth.
 
-    Scale shape: the grid build explodes each event into {_CM_DEPTH}
+    Scale shape: the grid build explodes each event into 4
     (seed, bucket) rows MAP-SIDE and one aggregate collapses them —
-    partial combine bounds the shuffle at partitions × {_CM_DEPTH}
-    × {_CM_WIDTH} rows regardless of event volume, and the finished
-    grid is {_CM_DEPTH}×{_CM_WIDTH} rows: broadcastable state that
+    partial combine bounds the shuffle at partitions × 4
+    × 256 rows regardless of event volume, and the finished
+    grid is 4×256 rows: broadcastable state that
     merges across days/streams by cell-wise addition (the same
     mergeability contract as the KMV and histogram sketches above).
     Deterministic portable hashing makes the estimates themselves

@@ -1171,7 +1171,7 @@ _PREFIX_TOKENS = 5
 )
 def doc_prefix_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-intro detection: cluster documents by their first
-    {N} normalized tokens and report every prefix shared by ≥2 docs —
+    5 normalized tokens and report every prefix shared by ≥2 docs —
     the cheap precursor to :func:`segment_dedup` for corpora where
     syndicated content always opens with the same masthead.  ONE
     map-side prefix projection + one groupBy; the prefix is hashed

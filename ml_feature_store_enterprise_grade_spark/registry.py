@@ -57,79 +57,70 @@ _loaded = False
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
 _FRONT: tuple[str, ...] = (
-    # --- Round 4 window ---
-    # (a) the 7 queries deferred behind the full round-3 window
-    # (VERDICT r3 item 1) — promoted, never driver-checked.
-    "crossdoc_span_trim",
-    "split_neardup_leakage",
-    "user_decay_weighted_features",
-    "order_reconciliation_audit",
-    "ann_filtered_topk",
-    "crossdoc_span_heavy_hitters",
-    "embedding_label_confusion",
-    # (b) re-verify: modules changed in round 3 after these queries'
-    # last green row (VERDICT r3 item 2).
-    "stream_hourly_features",
-    "stream_session_windows",
-    "stream_drift_monitor",
-    "dedup_minhash_lsh",
-    "embedding_neardup",
-    # (b') semantics changed THIS round: the expectation suite grows
-    # the reference's 7th expectation (VERDICT r3 item 5), and
-    # dedup_clusters gains the persist-rounds scale flag (item 6).
-    "quality_expectation_suite",
-    "dedup_clusters",
+    # --- Round 5 window ---
+    # (a) the 4 queries deferred behind the full round-4 window
+    # (VERDICT r4 item 1) — promoted, never driver-checked.
+    "dup_cluster_size_histogram",
+    "embedding_covariance",
+    "countmin_heavy_hitters",
+    "stream_quality_monitor",
     # (c) new this round — inserted here as they land.
-    "returned_items_revenue",
-    "large_volume_customers",
-    "nation_market_share",
-    "product_type_profit",
-    "k_anonymity_audit",
-    "doc_prefix_cluster_stats",
-    "shingle_containment_pairs",
-    # (d) rotation: oldest green rows (round-1) whose modules saw the
-    # most churn since — dedup/similarity/text first, then the
-    # feature-store core.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "ann_cosine_topk",
-    "corpus_lang_stats",
-    "corpus_quality_filter",
-    "doc_text_stats",
-    "lang_id_confusion",
-    "text_clean_projection",
-    "pit_asof_join",
-    "latest_feature_snapshot",
-    "online_feature_lookup",
-    "feature_freshness",
-    "duplicate_key_check",
-    "feature_coverage",
-    "user_hourly_features",
-    "user_sliding_features",
-    "user_daily_activity",
-    "drift_ks_click_vs_view",
-    "drift_psi_multi_feature",
-    "event_value_percentiles",
-    "feature_summary_stats",
-    "sketch_distinct_users_rollup",
-    "stratified_event_sample",
-    "event_customer_enrichment",
-    "event_customer_overlap",
-    "revenue_rollup_cube",
-    # tail rotation continues round 5: top_customers_per_nation,
-    # pricing_summary, region_revenue, top_revenue_orders,
-    # event_code_projection (all hold r1 greens; modules unchanged).
+    # (b) semantics changed THIS round: dedup_clusters gains the
+    # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
+    # decode path becomes a real in-container PPM decoder (item 4).
+    "dedup_clusters",
+    "multimodal_decode_features",
+    # (d) rotation (VERDICT r4 item 3): round-1 greens —
+    # relational.py/projection.py churned materially since.
+    "pricing_summary",
+    "region_revenue",
+    "top_revenue_orders",
+    "top_customers_per_nation",
+    "event_code_projection",
+    "customers_without_orders",
+    "discounted_bracket_revenue",
+    "idle_rich_customers",
+    "nation_pair_trade",
+    "priority_order_counts",
+    "profile_distribution_stats",
+    "promo_revenue_share",
+    "small_quantity_parts",
+    "top_supplier_revenue",
+    # then the oldest round-3 greens whose modules changed in round 4
+    # (dedup.py, sketches.py).
+    "dedup_crossdoc_spans",
+    "kmv_audience_overlap",
+    "histogram_quantile_rollup",
+    # then round-2 greens in modules that churned in rounds 3-4
+    # (similarity, dedup, text, streaming, multimodal).
+    "ann_ivf_topk",
+    "dedup_incremental",
+    "corpus_dedup_pipeline",
+    "doc_repetition_stats",
+    "doc_tfidf_top_terms",
+    "corpus_bigram_pmi",
+    "corpus_top_bigrams",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_frame_dedup",
+    "multimodal_sidecar_kv",
+    "multimodal_resize",
+    "stream_dedup",
+    "stream_static_enrichment",
+    "stream_stream_interval_join",
+    "stream_stateful_running_totals",
+    "stream_sliding_features",
+    "session_windows",
+    "session_funnel",
+    "user_primary_event_type",
+    "user_rolling_7d_features",
+    "user_sliding_features_rollup",
+    "user_recency_features",
+    "pit_label_join",
+    "target_encoding_loo",
+    "embedding_norm_stats",
+    "embedding_quantization_error",
 )
-# Window overflow queue: queries registered ``defer=True`` after the
-# 50 round-4 slots filled; promote them (drop the flag, add to
-# _FRONT's head) at the top of the round-5 window:
-#   - dup_cluster_size_histogram
-#   - embedding_covariance
-#   - stream_quality_monitor
-#   - countmin_heavy_hitters
 
 def _ordered(mapping: dict) -> dict:
     front = {n: mapping[n] for n in _FRONT if n in mapping}

@@ -790,9 +790,6 @@ _SQM_VALUE_HI = 300.0
               WHERE ts IS NOT NULL)
     GROUP BY 1
     """,
-    # Deferred: the round-4 driver window is full; promotes to the
-    # round-5 window.  Local parity still sweeps it.
-    defer=True,
 )
 def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``quality_expectation_suite``: per finalized

@@ -7,6 +7,8 @@ min-sample guard n<10 at :40-46)."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -58,8 +60,18 @@ def test_degenerate_disjoint_singletons(spark):
     assert r.ks_stat == 1.0 and r.drift_detected
 
 
+@pytest.mark.skipif(
+    importlib.util.find_spec("scipy") is None,
+    reason=(
+        "scipy is not installed in this container — this test cross-checks "
+        "the distributed KS statistic against scipy.stats.ks_2samp when a "
+        "scipy IS present; the exact-path coverage lives in the golden "
+        "scenarios above, which always run"
+    ),
+)
 def test_matches_scipy_if_available(spark):
-    scipy_stats = pytest.importorskip("scipy.stats")
+    import scipy.stats as scipy_stats
+
     a = RNG.normal(0, 1, 500)
     b = RNG.normal(0.3, 1, 500)
     r = _ks(spark, a, b)
