@@ -1,18 +1,24 @@
 """Multimodal column plumbing (SURVEY §7 M5 / BASELINE north star).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata.  The container ships no decode libraries (PIL/ffmpeg), so
-the *decode kernel* is stubbed — but everything Spark-side is real
-and tested: schema, binary encoding, Arrow batch shape through
-``mapInPandas``, partitioning, and metadata extraction.
+metadata.  The decode path is REAL in-container: payload fixtures are
+emitted as binary P6 PPM images (the netpbm format — a one-line
+header plus raw RGB bytes) and decoded by a pure-Python parser in the
+Arrow-batched kernel, no PIL/libjpeg required.  A guarded PIL import
+remains the runtime slot for formats the pure parser cannot handle
+(JPEG/PNG in a production deployment).
 
 * ``multimodal_metadata`` — oracle-checked: byte length + content
-  hash + deterministic pseudo-dimensions derived from the hash
-  (stands in for width/height a real decoder would emit).
-* ``multimodal_decode_features`` — rows-only: the full
-  binary-payload → ``mapInPandas`` feature-extraction pipeline with
-  a deterministic fake decoder (``decode_image`` raises
-  ``NotImplementedError`` until a real codec is wired in).
+  hash + deterministic pseudo-dimensions derived from the hash.
+* ``multimodal_decode_features`` — oracle-checked END TO END: encode
+  documents as 16×16 PPMs, decode them worker-side (header parse →
+  RGB → grayscale → 8×8 block-mean resize → per-row luminance
+  features), and hash-match against a DuckDB oracle that recomputes
+  the expected features from the generative definition — a green row
+  proves the encode→decode→featurize round trip byte-exactly.
+* ``multimodal_resize`` — oracle-checked the same way: the 8×8
+  grayscale thumbnail bytes the resize kernel emits are md5-matched
+  against the oracle's closed-form reconstruction.
 
 Scale: payload tables at 100 TB are read with
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads
@@ -47,6 +53,51 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("tag"),
         ).alias("meta"),
     )
+
+
+#: Fixture-image geometry: 16×16 RGB = 768 pixel bytes.  Pixel bytes
+#: are the ASCII codes of 24 chained md5 hex digests of the document
+#: text — deterministic, text-derived, and reconstructable in ANSI
+#: SQL (each hex char is one byte), which is what lets the decode
+#: queries carry full value-hash oracles.
+_PPM_W = 16
+_PPM_H = 16
+_PPM_REPS = (_PPM_W * _PPM_H * 3) // 32  # 24 digests × 32 hex chars
+_PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
+_PPM_HEADER_SUM = sum(_PPM_HEADER.encode())
+_PPM_N_BYTES = len(_PPM_HEADER) + _PPM_W * _PPM_H * 3
+
+
+def ppm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rendered as real binary P6 PPM images: header +
+    16×16 raw RGB, pixel bytes = ASCII codes of chained md5 digests
+    of the text.  Pure Catalyst (md5/concat/encode — whole-stage
+    codegen, no Python), so fixture generation scales like any
+    projection."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hexes = F.concat(
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(f"#{i}")))
+            for i in range(_PPM_REPS)
+        ]
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit(_PPM_HEADER), "UTF-8"), F.encode(hexes, "UTF-8")
+        ).alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(_PPM_N_BYTES).alias("n_bytes"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+#: DuckDB fragment: the same 768 hex chars the PPM pixels carry.
+_PPM_HEX_SQL = " || ".join(
+    f"md5(text || '#{i}')" for i in range(_PPM_REPS)
+)
 
 
 @register(
@@ -96,9 +147,10 @@ def has_codec() -> bool:
 
 
 def decode_image(payload: bytes) -> object:
-    """Real image decode via PIL when available; raises
-    ``NotImplementedError`` otherwise (honest codec slot — the
-    pipeline falls back to :func:`_fake_featurize`)."""
+    """Image decode via PIL when available; raises
+    ``NotImplementedError`` otherwise (the deployment slot for
+    formats the pure parser cannot handle — JPEG/PNG).  PPM payloads
+    do NOT need this path: :func:`decode_ppm` is always available."""
     if _PILImage is None:
         raise NotImplementedError(
             "no image codec in this environment; use fake_features"
@@ -106,6 +158,65 @@ def decode_image(payload: bytes) -> object:
     import io
 
     return _PILImage.open(io.BytesIO(payload))
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python P6 (binary netpbm) parser: header tokens (width,
+    height, maxval; ``#`` comments skipped per spec) then the raw RGB
+    raster.  Returns ``(width, height, raster)``.  This is a REAL
+    decoder — malformed magic, maxval ≠ 255, or a truncated raster
+    raise — it just targets a format simple enough to need no native
+    codec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    idx = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while idx < len(payload) and payload[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        fields.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    raster = payload[idx : idx + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, raster
+
+
+def decode_image_graysums(payload: bytes) -> list[list[int]]:
+    """Decode to an h×w grid of per-pixel R+G+B sums — 3× the mean
+    luminance, kept INTEGRAL so downstream block means are exact and
+    oracle-reproducible (no float accumulation order to match).
+    PPM decodes via the pure parser in any environment; other formats
+    go through the PIL slot when present."""
+    if payload[:2] == b"P6":
+        w, h, raster = decode_ppm(payload)
+        it = iter(raster)
+        return [
+            [next(it) + next(it) + next(it) for _ in range(w)]
+            for _ in range(h)
+        ]
+    if _PILImage is not None:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        w, h = img.size
+        data = list(img.getdata())
+        return [
+            [sum(data[r * w + c]) for c in range(w)] for r in range(h)
+        ]
+    raise NotImplementedError(
+        "no codec for this payload format in this environment"
+    )
 
 
 _DECODE_SCHEMA = T.StructType(
@@ -130,38 +241,53 @@ def _fake_featurize(payload: bytes) -> list[float]:
     return [round(h / n, 6) for h in hist]
 
 
-def _codec_featurize(payload: bytes) -> list[float]:
-    """Real featurizer: decode, grayscale, resize to 8x8, and emit
-    the 8 per-row mean luminances normalized to [0, 1] — same 8-dim
-    output contract as the fake, so downstream schemas are identical
-    in both modes."""
-    img = decode_image(payload).convert("L").resize((8, 8))
-    px = list(img.getdata())
-    return [round(sum(px[r * 8 : (r + 1) * 8]) / (8 * 255.0), 6) for r in range(8)]
+def _image_featurize(payload: bytes) -> list[float]:
+    """Real featurizer: decode, grayscale, block-mean resize to 8
+    row-bands, and emit the 8 per-band mean luminances normalized to
+    [0, 1] — same 8-dim output contract as the fake, so downstream
+    schemas are identical in both modes.  Band sums are integers
+    (R+G+B grid) with ONE final division, so the emitted double is
+    bit-reproducible by the SQL oracle."""
+    import numpy as np
+
+    g = np.array(decode_image_graysums(payload), dtype=np.int64)
+    bands = np.array_split(g, 8, axis=0)
+    return [
+        float(b.sum() / (b.size * 3 * 255.0)) if b.size else 0.0
+        for b in bands
+    ]
 
 
 def decode_features(df: DataFrame, use_codec: bool | None = None) -> DataFrame:
     """The multimodal feature-extraction operator: Arrow-batched
     ``mapInPandas`` over (doc_id, payload) producing typed features.
-    Batch shape, schema and partitioning are production-real; the
-    per-payload kernel selects the REAL codec featurizer at runtime
-    when PIL is importable (``use_codec=None`` → :func:`has_codec`),
-    else the deterministic fake.  Pass ``use_codec=False`` when the
-    payload column is known not to hold decodable images (e.g. the
-    registered oracle query, whose payloads are text bytes)."""
-    if use_codec is None:
-        use_codec = has_codec()
-    featurize = _codec_featurize if use_codec else _fake_featurize
+    The per-payload kernel runs the REAL decoder when
+    ``use_codec=True`` (PPM parses in any environment; PIL is the
+    runtime slot for other formats); ``use_codec=None`` auto-selects:
+    real for PPM-magic payloads or when PIL is importable, else the
+    deterministic fake.  Pass ``use_codec=False`` when the payload
+    column is known not to hold decodable images (text-byte fixtures).
+
+    ``mean_byte`` and ``feature`` are emitted UNROUNDED — callers
+    round Spark-side (``F.round``) so rounding semantics match their
+    oracle's, not Python's banker's rounding."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            if use_codec is None:
+                real = has_codec() or bool(len(payloads)) and bytes(
+                    payloads.iloc[0][:2]
+                ) == b"P6"
+            else:
+                real = use_codec
+            featurize = _image_featurize if real else _fake_featurize
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
                     "mean_byte": payloads.map(
-                        lambda p: round(sum(p) / len(p), 6) if len(p) else 0.0
+                        lambda p: sum(p) / len(p) if len(p) else 0.0
                     ),
                     "feature": payloads.map(featurize),
                 }
@@ -170,24 +296,54 @@ def decode_features(df: DataFrame, use_codec: bool | None = None) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, _DECODE_SCHEMA)
 
 
-@register("multimodal_decode_features", rows_only="pandas-UDF decode kernel: stubbed codec, not SQL-expressible; parity tested in tests/test_operators.py")
+def _ppm_band_sum_sql(r: int) -> str:
+    """DuckDB: sum of the 96 pixel-byte ASCII codes in band ``r``
+    (2 pixel rows × 16 px × 3 bytes) of the reconstructed hex raster."""
+    lo, hi = r * 96 + 1, (r + 1) * 96
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"j -> ascii(substring(hex, j, 1))))"
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    )
+    SELECT doc_id,
+           CAST({_PPM_N_BYTES} AS BIGINT) AS n_bytes,
+           ROUND(({_PPM_HEADER_SUM} + list_sum(list_transform(
+                    generate_series(1, {_PPM_W * _PPM_H * 3}),
+                    j -> ascii(substring(hex, j, 1))))) / {_PPM_N_BYTES}.0,
+                 6) AS mean_byte,
+           {", ".join(
+               f"ROUND({_ppm_band_sum_sql(r)} / {2 * _PPM_W * 3 * 255}.0, 6) AS f{r}"
+               for r in range(8)
+           )}
+    FROM px
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered (rows-only) form of :func:`decode_features`.  The
-    raw ``feature array<double>`` column is projected to a
-    comma-joined string digest so the result frame is hashable by any
-    pandas-side canonicalizer (ndarray cells are not); API users call
-    :func:`decode_features` directly for the typed array."""
-    # use_codec=False always: these payloads are text bytes, not
-    # decodable images — deterministic in containers with or without
-    # a codec installed.
-    out = decode_features(binary_documents(spark, sf_dir), use_codec=False)
+    """REAL end-to-end decode: documents render as binary 16×16 P6
+    PPMs (:func:`ppm_documents`), the Arrow-batched kernel parses the
+    header and raster with the pure-Python decoder, grayscales,
+    block-mean resizes to 8 row bands, and emits per-band luminance
+    features.  The oracle reconstructs the expected features from the
+    generative definition (pixel bytes = ASCII codes of chained md5
+    digests), so a green hash row certifies the decoder byte-exactly.
+    API users call :func:`decode_features` directly for the typed
+    ``array<double>`` form."""
+    out = decode_features(ppm_documents(spark, sf_dir), use_codec=True)
     return out.select(
         "doc_id",
         "n_bytes",
-        "mean_byte",
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_number(x, 6))
-        ).alias("feature_csv"),
+        F.round("mean_byte", 6).alias("mean_byte"),
+        *[
+            F.round(F.element_at("feature", r + 1), 6).alias(f"f{r}")
+            for r in range(8)
+        ],
     )
 
 
@@ -351,6 +507,21 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _image_thumb(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: decode, grayscale, block-mean downsample to
+    ``height×width``, one byte per output pixel.  Block means use
+    integer floor division of the integral R+G+B grid, so every
+    thumbnail byte is exactly reproducible in SQL."""
+    import numpy as np
+
+    g = np.array(decode_image_graysums(payload), dtype=np.int64)
+    out = bytearray()
+    for rband in np.array_split(g, height, axis=0):
+        for blk in np.array_split(rband, width, axis=1):
+            out.append(int(blk.sum()) // (blk.size * 3) if blk.size else 0)
+    return bytes(out)
+
+
 def resize_images(
     df: DataFrame,
     width: int = 16,
@@ -359,23 +530,22 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize operator shell: Arrow-batched ``mapInPandas`` with
     the production schema (doc_id, width, height, thumbnail binary).
-    The kernel selects the real codec at runtime when PIL is
-    importable (``use_codec=None`` → :func:`has_codec`): decode →
-    grayscale → resize → raw luminance bytes.  Without a codec it is
-    a deterministic fake (truncate/zero-pad the payload to
-    width×height bytes)."""
+    With ``use_codec=True`` the kernel REALLY decodes (PPM pure
+    parser, PIL slot otherwise) → grayscale → block-mean resize → raw
+    luminance bytes; ``use_codec=None`` → :func:`has_codec`.  Without
+    a decoder it is a deterministic fake (truncate/zero-pad the
+    payload to width×height bytes)."""
     if use_codec is None:
         use_codec = has_codec()
     n = width * height
 
-    def _codec_thumb(p: bytes) -> bytes:
-        img = decode_image(p).convert("L").resize((width, height))
-        return bytes(img.getdata())
+    def _real_thumb(p: bytes) -> bytes:
+        return _image_thumb(p, width, height)
 
     def _fake_thumb(p: bytes) -> bytes:
         return bytes(p[:n]) + b"\x00" * max(0, n - len(p))
 
-    thumb = _codec_thumb if use_codec else _fake_thumb
+    thumb = _real_thumb if use_codec else _fake_thumb
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -392,7 +562,36 @@ def resize_images(
     return df.select("doc_id", "payload").mapInPandas(batches, _RESIZE_SCHEMA)
 
 
-@register("multimodal_resize", rows_only="pandas-UDF resize kernel: stubbed codec, not SQL-expressible; shape tested in tests/test_operators.py")
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           md5(array_to_string(list_transform(generate_series(0, 63), b ->
+               chr(CAST(floor(list_sum(list_transform(generate_series(0, 11),
+                   t -> ascii(substring(hex,
+                       ((2 * (b // 8) + (t // 6)) * {_PPM_W}
+                        + (2 * (b % 8) + ((t % 6) // 3))) * 3 + (t % 3) + 1,
+                       1))
+               )) / 12.0) AS INTEGER))
+           ), '')) AS thumb_md5
+    FROM px
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # use_codec=False: text-byte payloads are not decodable images.
-    return resize_images(binary_documents(spark, sf_dir), use_codec=False)
+    """REAL resize over the PPM fixtures: 16×16 RGB → 8×8 grayscale
+    thumbnail via the decode → block-mean kernel.  The oracle rebuilds
+    every thumbnail byte closed-form (floor of each 2×2 block's 12
+    ASCII codes / 12 — all bytes land in [48, 102], so the chr()
+    string's UTF-8 bytes equal the raw thumbnail and the md5s match
+    byte-exactly)."""
+    out = resize_images(
+        ppm_documents(spark, sf_dir), width=8, height=8, use_codec=True
+    )
+    return out.select(
+        "doc_id", "width", "height", F.md5("thumbnail").alias("thumb_md5")
+    )

@@ -118,8 +118,8 @@ class TestMultimodalPlumbing:
             multimodal.decode_image(b"\x00")
 
     def test_codec_kernel_selected_at_runtime(self, monkeypatch):
-        """When a codec import succeeds, decode_image and the codec
-        featurizers engage — proven with a PIL stand-in (the real
+        """PIL slot: for NON-PPM payloads, a successful codec import
+        routes decode through PIL — proven with a stand-in (the real
         kernels run worker-side, so the selection contract is what
         the driver can test without libjpeg in the container)."""
         from ml_feature_store_enterprise_grade_spark.operators import multimodal
@@ -129,17 +129,16 @@ class TestMultimodalPlumbing:
                 self._px = px
 
             def convert(self, mode):
-                assert mode == "L"
+                assert mode == "RGB"
                 return self
 
-            def resize(self, wh):
-                w, h = wh
-                need = w * h
-                px = (self._px * ((need // max(len(self._px), 1)) + 1))[:need]
-                return _FakeImg(px)
+            @property
+            def size(self):
+                return (4, 4)
 
             def getdata(self):
-                return self._px
+                px = (self._px * 16)[:16]
+                return [(p, p, p) for p in px]
 
         class _FakePIL:
             @staticmethod
@@ -150,10 +149,67 @@ class TestMultimodalPlumbing:
         assert multimodal.has_codec()
         img = multimodal.decode_image(b"\x10\x20")
         assert isinstance(img, _FakeImg)
-        feat = multimodal._codec_featurize(bytes(range(64)))
+        g = multimodal.decode_image_graysums(b"\x10\x20")  # no P6 magic
+        assert len(g) == 4 and len(g[0]) == 4
+        feat = multimodal._image_featurize(b"\x10\x20")
         assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
         # fake mode still selectable explicitly even with the codec up
         assert multimodal._fake_featurize(bytes(range(64)))
+
+    def test_ppm_decoder_pure_python(self):
+        """The P6 parser is a real decoder: header (with comments),
+        raster, grayscale grid; malformed inputs raise."""
+        import pytest
+
+        from ml_feature_store_enterprise_grade_spark.operators import multimodal
+
+        raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+        payload = b"P6\n# a comment\n2 2\n255\n" + raster
+        w, h, r = multimodal.decode_ppm(payload)
+        assert (w, h) == (2, 2) and r == raster
+        assert multimodal.decode_image_graysums(payload) == [
+            [255, 255],
+            [255, 60],
+        ]
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(b"P5\n2 2\n255\n" + raster)
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(b"P6\n2 2\n65535\n" + raster * 2)
+
+    def test_ppm_fixtures_decode_without_pil(self, spark):
+        """The registered decode/resize queries are REAL in-container:
+        payloads are P6 PPMs the pure parser decodes — no PIL needed."""
+        from ml_feature_store_enterprise_grade_spark.operators import multimodal
+
+        row = multimodal.ppm_documents(spark, SF_SMOKE).first()
+        payload = bytes(row.payload)
+        assert payload[:2] == b"P6"
+        w, h, raster = multimodal.decode_ppm(payload)
+        assert (w, h) == (16, 16) and len(raster) == 768
+        # raster bytes are ASCII hex codes by construction
+        assert all(48 <= b <= 57 or 97 <= b <= 102 for b in raster)
+        thumb = multimodal._image_thumb(payload, 8, 8)
+        assert len(thumb) == 64 and all(48 <= b <= 102 for b in thumb)
+        # hand-check one thumbnail byte: block (0,0) = pixels (0,0),
+        # (0,1), (1,0), (1,1) → bytes 0-5 and 48-53 of the raster
+        blk = list(raster[0:6]) + list(raster[48:54])
+        assert thumb[0] == sum(blk) // 12
+        feat = multimodal._image_featurize(payload)
+        assert len(feat) == 8
+        assert feat[0] == sum(raster[0:96]) / (96 * 255.0)
+
+    def test_image_kernels_non_divisible_dims(self):
+        """Block-mean resize handles dims that do not divide 8."""
+        from ml_feature_store_enterprise_grade_spark.operators import multimodal
+
+        raster = bytes(range(3 * 5 * 3))  # 3 wide, 5 tall
+        payload = b"P6\n3 5\n255\n" + raster
+        feat = multimodal._image_featurize(payload)
+        assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+        thumb = multimodal._image_thumb(payload, 2, 2)
+        assert len(thumb) == 4
 
     def test_metadata_matches_payload(self, spark):
         src = binary_documents(spark, SF_SMOKE).select(
@@ -350,17 +406,27 @@ def test_connected_components_long_chain_and_random_graph(spark):
 
 
 def test_connected_components_deep_chain_persisted_rounds(spark, tmp_path):
-    """The 100 TB shape: a 2^12-vertex path (diameter 4095 — the
+    """The 100 TB shape: a 2^14-vertex path (diameter 16383 — the
     adversarial templated-chain case) must converge inside the
     20-round pointer-jump cap, with per-round labels persisted to
     parquet via persist_rounds_to instead of localCheckpoint.  Proves
     both the O(log n) jump bound at depth far beyond any real dup
-    chain and that the persisted-rounds path is verdict-identical."""
+    chain and that the persisted-rounds path is verdict-identical.
+
+    Round-count bound: after ``_CC_JUMP_AFTER``(=4) plain rounds the
+    per-round reach roughly doubles (r → 2r+1 per hash-to-min +
+    pointer-jump round), so convergence takes ≤ 4 + log2(n) rounds
+    plus one confirm round — 19 for n=2^14.  The assertion pins that
+    logarithmic bound, not just the cap."""
+    import math
+    import os
+
     from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        _CC_JUMP_AFTER,
         connected_components,
     )
 
-    n = 1 << 12
+    n = 1 << 14
     verts = spark.range(n).select(F.col("id").alias("doc_id"))
     chain = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
@@ -374,11 +440,14 @@ def test_connected_components_deep_chain_persisted_rounds(spark, tmp_path):
     rows = labels.collect()
     assert len(rows) == n and all(r.label == 0 for r in rows)
     # the persisted round log exists and ends with the converged frame
-    import os
-
     rounds = sorted(os.listdir(tmp_path / "cc_rounds"))
     assert rounds and all(d.startswith("round=") for d in rounds)
-    assert len(rounds) <= 21  # init + <=20 iterations
+    n_iters = len(rounds) - 1  # minus the round=0 init frame
+    log_bound = _CC_JUMP_AFTER + math.ceil(math.log2(n)) + 1
+    assert n_iters <= log_bound, (
+        f"{n_iters} rounds for a 2^14 path exceeds the logarithmic "
+        f"bound {log_bound} — pointer jumping is not engaging"
+    )
 
 
 def test_corpus_mixture_weights_invariants(spark, sf_dir=SF_SMOKE):
