@@ -897,3 +897,214 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join
+    with an extra join-side predicate (the reference query's comment
+    filter, stood in by priority), preserving zero-order customers,
+    then a two-level aggregate.  Scale shape: one shuffle on custkey
+    for the join+first aggregate; the second groupBy runs over at
+    most |distinct counts| ≪ |customers| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "waiting_supplier_audit",
+    oracle="""
+    WITH f AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+        FROM f GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM f
+    JOIN agg USING (l_orderkey)
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.is_late = 1 AND agg.n_supp > 1 AND agg.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def waiting_supplier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting": in
+    finalized multi-supplier orders, find the supplier who was the
+    ONLY late one (lateness stood in by shipdate > orderdate + 60
+    days — the testdata carries no commit/receipt dates).  The
+    classic EXISTS / NOT-EXISTS pair is decorrelated by hand into
+    per-(order, supplier) flags plus a per-order aggregate — the
+    rewrite Catalyst would have to discover, expressed directly so
+    the plan is two hash aggregates sharing the l_orderkey shuffle
+    and one broadcast of the supplier dimension; no correlated
+    re-scans of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    f = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    agg = f.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        f.join(agg, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "important_parts_share",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey, SUM({_EXT} * (1 - {_DISC})) AS part_value
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(part_value) AS total_value FROM pv)
+    SELECT pv.l_partkey AS p_partkey,
+           CAST(ROUND(pv.part_value, 2) AS DOUBLE) AS part_value,
+           ROUND(CAST(pv.part_value AS DOUBLE) / CAST(t.total_value AS DOUBLE), 6)
+               AS value_share
+    FROM pv, tot t
+    WHERE CAST(pv.part_value AS DOUBLE) / CAST(t.total_value AS DOUBLE) > 0.001
+    """,
+)
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important stock": parts whose revenue share
+    exceeds a global threshold — the scalar-subquery-against-a-total
+    shape.  The total is a one-row aggregate CROSS-JOINED as a
+    broadcast scalar against the per-part aggregate (never a shuffle
+    of the fact side against itself); exact-decimal sums keep both
+    the parts and the total deterministic, with the share computed in
+    double on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))).alias(
+            "part_value"
+        )
+    )
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    share = F.col("part_value").cast("double") / F.col("total_value").cast("double")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(share > 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 2).cast("double").alias("part_value"),
+            F.round(share, 6).alias("value_share"),
+        )
+    )
+
+
+@register(
+    "min_price_supplier_region",
+    oracle="""
+    WITH eu AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    up AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+        FROM lineitem l
+        JOIN eu ON l.l_suppkey = eu.s_suppkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_price, l_suppkey) AS rn
+        FROM up
+    )
+    SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name,
+           ROUND(rk.unit_price, 4) AS best_unit_price
+    FROM rk
+    JOIN part p ON rk.l_partkey = p.p_partkey
+    JOIN eu ON rk.l_suppkey = eu.s_suppkey
+    WHERE rk.rn = 1 AND p.p_size < 15
+    """,
+)
+def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each small part,
+    the EUROPE supplier offering the best observed unit price (the
+    testdata has no partsupp, so unit prices derive from lineitem).
+    The correlated MIN-subquery of the reference query is expressed
+    as a row_number window over the per-(part, supplier) aggregate —
+    one shuffle on (partkey, suppkey), a window repartition on
+    partkey, and two broadcast dimension joins; the region filter
+    prunes suppliers BEFORE the fact-side join via a broadcast
+    semi-shaped equi-join."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    up = (
+        l.join(F.broadcast(eu.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    rk = up.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return (
+        rk.join(F.broadcast(p), rk.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), rk.l_suppkey == eu.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("unit_price", 4).alias("best_unit_price"),
+        )
+    )

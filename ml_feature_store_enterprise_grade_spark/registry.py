@@ -65,6 +65,10 @@ _FRONT: tuple[str, ...] = (
     "countmin_heavy_hitters",
     "stream_quality_monitor",
     # (c) new this round — inserted here as they land.
+    "customer_order_distribution",
+    "waiting_supplier_audit",
+    "important_parts_share",
+    "min_price_supplier_region",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -116,10 +120,6 @@ _FRONT: tuple[str, ...] = (
     "user_rolling_7d_features",
     "user_sliding_features_rollup",
     "user_recency_features",
-    "pit_label_join",
-    "target_encoding_loo",
-    "embedding_norm_stats",
-    "embedding_quantization_error",
 )
 
 def _ordered(mapping: dict) -> dict:

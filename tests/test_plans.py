@@ -257,3 +257,39 @@ def test_shingle_containment_blocks_via_inverted_lists(spark):
     plan = plan_of(spark, "shingle_containment_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_supplier_audit_shares_orderkey_shuffle(spark):
+    """Q21 shape: the hand-decorrelated EXISTS/NOT-EXISTS pair must
+    run as hash aggregates with the supplier dim broadcast — no
+    correlated re-scan (no more than the two planned joins of
+    lineitem×orders and flags×per-order-agg) and no cartesian."""
+    plan = plan_of(spark, "waiting_supplier_audit")
+    assert "BroadcastHashJoin" in plan  # supplier side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # orders' status filter is pushed into its scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_important_parts_share_total_is_broadcast_scalar(spark):
+    """Q11 shape: the global total joins as a broadcast one-row frame
+    (BroadcastNestedLoopJoin over a single row is the intended shape
+    for a scalar), never a shuffle of the per-part aggregate."""
+    plan = plan_of(spark, "important_parts_share")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_price_supplier_region_prunes_before_fact_join(spark):
+    """Q2 shape: region→nation→supplier reduction broadcasts into the
+    lineitem join (no fact-side shuffle for the dimension filter) and
+    the best-price pick is a single partitioned window."""
+    plan = plan_of(spark, "min_price_supplier_region")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+    # rn=1 pick must run with the rank-limit pushdown engaged: each
+    # partition keeps only its best row BEFORE the window shuffle
+    # (partial WindowGroupLimit), so the exchange carries |parts|
+    # rows, not |part×supplier| — the property that matters at 100 TB.
+    assert "WindowGroupLimit" in plan and "Partial" in plan
