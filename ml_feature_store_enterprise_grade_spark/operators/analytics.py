@@ -1070,3 +1070,68 @@ def purchase_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.5)"), 1).alias("p50_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+#: Per-user behavioral feature pairs whose Pearson correlation the
+#: matrix reports (6 pairs over 4 features).
+_CORR_FEATURES = ("n_events", "total_value", "n_purchases", "n_days")
+
+
+@register(
+    "feature_correlation_matrix",
+    oracle=f"""
+    WITH feats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n_events,
+               COALESCE(SUM(value), 0.0) AS total_value,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                   AS n_purchases,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS n_days
+        FROM events
+        GROUP BY user_id
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS feature_a, '{b}' AS feature_b, "
+        f"ROUND(corr({a}, {b}), 6) AS pearson_r FROM feats"
+        for i, a in enumerate(_CORR_FEATURES)
+        for b in _CORR_FEATURES[i + 1:]
+    )}
+    """,
+)
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the per-user behavioral
+    features — the redundancy screen a feature platform runs before
+    admitting correlated features into a training view (|r| ≈ 1 pairs
+    carry no marginal signal and bloat serving payloads).
+
+    Scale shape: ONE shuffle builds the per-user feature frame; all
+    six correlations then compute in a single global aggregate pass
+    (each ``corr`` is a streaming moment accumulator — partial
+    map-side, merged associatively), and the driver-side result is
+    six rows.  Pearson r is scale-invariant, so sample-vs-population
+    variants agree between engines by construction."""
+    e = load_table(spark, sf_dir, "events")
+    feats = e.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("n_purchases"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("n_days"),
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_FEATURES)
+        for b in _CORR_FEATURES[i + 1 :]
+    ]
+    wide = feats.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (feature_a, feature_b, pearson_r)"
+        )
+    )

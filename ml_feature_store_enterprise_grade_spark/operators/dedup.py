@@ -2174,3 +2174,196 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+@register(
+    "lsh_tuning_report",
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    ),
+    ag AS (
+        SELECT c.doc_a, c.doc_b, ({_MINHASH_AGREE_SQL}) AS agree
+        FROM cand c
+        JOIN sig x ON c.doc_a = x.doc_id
+        JOIN sig y ON c.doc_b = y.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    com AS (
+        SELECT c.doc_a, c.doc_b, COUNT(s2.shingle) AS n_common
+        FROM cand c
+        JOIN shf s1 ON s1.doc_id = c.doc_a
+        LEFT JOIN shf s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT ag.agree,
+               CAST(com.n_common AS DOUBLE)
+                   / (x.n + y.n - com.n_common) AS exact_j
+        FROM ag
+        JOIN com ON ag.doc_a = com.doc_a AND ag.doc_b = com.doc_b
+        JOIN sz x ON ag.doc_a = x.doc_id
+        JOIN sz y ON ag.doc_b = y.doc_id
+    )
+    SELECT ROUND(agree / {float(_MINHASH_K)}, 6) AS est_jaccard,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(exact_j), 6) AS mean_exact_jaccard,
+           ROUND(AVG(ABS(agree / {float(_MINHASH_K)} - exact_j)), 6)
+               AS mean_abs_err,
+           agree / {float(_MINHASH_K)} >= {_EST_JACCARD_THRESHOLD} AS detected
+    FROM scored
+    GROUP BY agree
+    """,
+)
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point calibration — the S-curve report a corpus
+    owner reads before fixing the (bands, rows, threshold) config:
+    for EVERY band-colliding candidate pair (no admission filter),
+    bucket by the signature-agreement estimate and compare against
+    exact shingle Jaccard.  Per estimate level: pair count, mean
+    exact similarity, mean absolute estimation error, and whether the
+    current threshold admits the level — making both false-positive
+    mass (high-estimate/low-exact) and threshold placement visible.
+
+    Scale shape: candidates come only from band buckets (never
+    all-pairs); the exact-Jaccard verification joins shingles against
+    the CANDIDATE pair list (cost ∝ |candidates| × shingles/doc, the
+    same bound as the admission pipeline's verify step); the report
+    aggregate collapses to ≤ k+1 rows."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
+    sh.count()
+    sig = minhash_signatures(sh).cache()
+    sig.count()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.h1", "bs.h2"
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(
+        [F.col("doc_id").alias("doc_a")]
+        + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
+    )
+    y = sig.select(
+        [F.col("doc_id").alias("doc_b")]
+        + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)]
+    )
+    agree = sum(
+        F.when(F.col(f"xa_{j}") == F.col(f"yb_{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    ag = cand.join(x, "doc_a").join(y, "doc_b").select(
+        "doc_a", "doc_b", agree.alias("agree")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    com = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"], "left")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(shb["doc_b"]).alias("n_common"))
+    )
+    scored = (
+        ag.join(com, ["doc_a", "doc_b"])
+        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "exact_j",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    est = F.col("agree") / float(_MINHASH_K)
+    return scored.groupBy("agree").agg(
+        F.round(F.first(est), 6).alias("est_jaccard"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("exact_j"), 6).alias("mean_exact_jaccard"),
+        F.round(F.avg(F.abs(est - F.col("exact_j"))), 6).alias("mean_abs_err"),
+        F.first(est >= _EST_JACCARD_THRESHOLD).alias("detected"),
+    ).drop("agree")
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(norm, ' ')) - 2, 0)),
+                   i -> string_split(norm, ' ')[i] || ' ' ||
+                        string_split(norm, ' ')[i + 1] || ' ' ||
+                        string_split(norm, ' ')[i + 2]
+               ))) AS shingle
+        FROM nd
+    ),
+    fs AS (
+        SELECT doc_id, shingle,
+               MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+        FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+    FROM fs
+    GROUP BY doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the curation signal behind
+    "emit-order dedup": how much of each document is text the corpus
+    has not seen in any earlier document, by doc_id order).  A doc's
+    novelty_rate near 0 marks templated/syndicated content even when
+    no single pair crosses a dedup threshold — the complement of the
+    pairwise passes above.
+
+    Scale shape: ONE shuffle on the shingle (the window's partition
+    key) computes every shingle's first-seen doc; the per-doc
+    aggregate is the only other exchange.  No joins, no pair
+    expansion — cost is linear in corpus shingles, the same bound as
+    the contamination scan."""
+    sh = _shingles(_normalized_docs(spark, sf_dir))
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    fs = sh.select("doc_id", first_doc.alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return fs.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) / F.count("*").cast("double"), 6).alias(
+            "novelty_rate"
+        ),
+    )

@@ -517,3 +517,52 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_rows_at_risk"),
         F.min("group_size").alias("min_group_size"),
     )
+
+
+#: l-diversity requirement: every quasi-identifier group must contain
+#: at least this many distinct sensitive-attribute values.
+_L_DIVERSITY = 3
+#: Fixed-width sensitive bucketing of account balance (the sensitive
+#: attribute stand-in): deterministic, so the audit is oracle-exact.
+_SENSITIVE_BUCKET_WIDTH = 2500
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_SENSITIVE_BUCKET_WIDTH}) AS INTEGER)
+                   AS sensitive_bucket
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           CAST(COUNT(DISTINCT sensitive_bucket) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT sensitive_bucket) >= {_L_DIVERSITY} AS is_diverse
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity_audit`
+    (Machanavajjhala et al. 2007): k-anonymity alone leaves a
+    quasi-identifier group attackable when everyone in it shares the
+    same sensitive value, so this audit reports, per QI group
+    (nation × market segment), how many DISTINCT sensitive-attribute
+    buckets it contains and whether it meets l ≥ 3.  One shuffle on
+    the QI key; exact distinct over the small per-group bucket domain
+    collapses map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / _SENSITIVE_BUCKET_WIDTH).cast("int")
+    return (
+        c.select("c_nationkey", "c_mktsegment", bucket.alias("sensitive_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("sensitive_bucket").alias("n_sensitive"),
+            (F.countDistinct("sensitive_bucket") >= _L_DIVERSITY).alias(
+                "is_diverse"
+            ),
+        )
+    )

@@ -69,6 +69,10 @@ _FRONT: tuple[str, ...] = (
     "waiting_supplier_audit",
     "important_parts_share",
     "min_price_supplier_region",
+    "lsh_tuning_report",
+    "corpus_ngram_novelty",
+    "feature_correlation_matrix",
+    "l_diversity_audit",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -116,10 +120,6 @@ _FRONT: tuple[str, ...] = (
     "stream_sliding_features",
     "session_windows",
     "session_funnel",
-    "user_primary_event_type",
-    "user_rolling_7d_features",
-    "user_sliding_features_rollup",
-    "user_recency_features",
 )
 
 def _ordered(mapping: dict) -> dict:
