@@ -95,6 +95,12 @@ BENCH_QUERIES = (
     "stream_quality_monitor",
     "k_anonymity_audit",
     "nation_market_share",
+    "waiting_supplier_audit",
+    "customer_order_distribution",
+    "min_price_supplier_region",
+    "lsh_tuning_report",
+    "corpus_ngram_novelty",
+    "multimodal_decode_features",
 )
 
 

@@ -1108,3 +1108,45 @@ def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_price", 4).alias("best_unit_price"),
         )
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle=f"""
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(ROUND(SUM({_TOTALPRICE}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping construct next to
+    the cube/rollup already covered by ``revenue_rollup_cube``):
+    per-nation totals, per-segment totals, and the grand total in ONE
+    pass — Spark expands the sets into a single Expand+HashAggregate,
+    so the fact side is scanned and shuffled once instead of three
+    times, with ``grouping_id`` disambiguating the all-NULL rows.
+    Exact-decimal revenue keeps the three aggregation depths
+    deterministic under any shuffle order."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.groupingSets(
+            [["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment"
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(16,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )

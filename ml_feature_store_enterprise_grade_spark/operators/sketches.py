@@ -696,3 +696,124 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+#: Portable-HLL geometry: m = 64 registers (6 index bits), rho scans
+#: the next 54 bits of the 60-bit portable hash.  alpha_64 = 0.709
+#: (Flajolet et al. 2007, Fig. 3).
+_HLL_M = 64
+_HLL_RHO_BITS = 54
+_HLL_ALPHA = 0.709
+_HLL_SEED = 21
+
+
+@register(
+    "hll_portable_distinct_rollup",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               {PORTABLE_HASH64_SQL("user_id", _HLL_SEED)} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, d, h % {_HLL_M} AS register,
+               COALESCE(list_min(list_filter(
+                   generate_series(1, {_HLL_RHO_BITS}),
+                   j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1}) AS rho
+        FROM h
+    ),
+    daily AS (
+        SELECT event_type, d, register, MAX(rho) AS max_rho
+        FROM r GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, register, MAX(max_rho) AS m_rho
+        FROM daily GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT event_type,
+               COUNT(*) AS n_present,
+               SUM(POWER(2.0, -m_rho)) + ({_HLL_M} - COUNT(*)) AS sum_pow
+        FROM merged GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    sc AS (
+        SELECT e.event_type, e.n_present,
+               {_HLL_ALPHA} * {_HLL_M * _HLL_M} / e.sum_pow AS raw,
+               {_HLL_M} - e.n_present AS zeros,
+               x.exact_users
+        FROM est e JOIN ex x ON e.event_type = x.event_type
+    )
+    SELECT event_type,
+           CAST(n_present AS BIGINT) AS n_registers_hit,
+           ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / zeros)
+                      ELSE raw END, 6) AS approx_distinct_users,
+           exact_users,
+           ROUND(ABS(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                          THEN {_HLL_M} * ln({_HLL_M}.0 / zeros)
+                          ELSE raw END - exact_users) / exact_users, 6)
+               AS rel_err
+    FROM sc
+    """,
+)
+def hll_portable_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user rollup — the
+    oracle-CHECKABLE twin of ``sketch_distinct_users_rollup``: the
+    same mergeable shape (daily register sketches → per-event-type
+    union by register-wise MAX, never re-reading raw data), built on
+    the portable 60-bit hash so both engines derive identical
+    registers and the driver hash-verifies the ESTIMATES themselves,
+    not just row counts.  Register index = low 6 hash bits; rho =
+    position of the first set bit above them (classic HLL with the
+    m=64 small-range linear-counting correction).
+
+    Scale shape: the daily sketch build is one map-side-combined
+    aggregate bounded at groups × 64 rows; merges are register-wise
+    MAX — associative, so sketches persist per day/partition and any
+    date-range rollup touches only sketch rows.  Exact countDistinct
+    rides along purely as the audit column."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = portable_hash64(F.col("user_id"), seed=_HLL_SEED)
+    rho = F.expr(
+        f"coalesce(array_min(filter(sequence(1, {_HLL_RHO_BITS}), "
+        f"j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1})"
+    )
+    r = e.select(
+        "event_type", F.to_date("ts").alias("d"), h.alias("h")
+    ).select(
+        "event_type", "d", (F.col("h") % _HLL_M).alias("register"), rho.alias("rho")
+    )
+    daily = r.groupBy("event_type", "d", "register").agg(
+        F.max("rho").alias("max_rho")
+    )
+    merged = daily.groupBy("event_type", "register").agg(
+        F.max("max_rho").alias("m_rho")
+    )
+    est = merged.groupBy("event_type").agg(
+        F.count("*").alias("n_present"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_rho")))
+            + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("sum_pow"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    raw = F.lit(_HLL_ALPHA) * (_HLL_M * _HLL_M) / F.col("sum_pow")
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    estimate = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_present").alias("n_registers_hit"),
+        F.round(estimate, 6).alias("approx_distinct_users"),
+        "exact_users",
+        F.round(F.abs(estimate - F.col("exact_users")) / F.col("exact_users"), 6)
+        .alias("rel_err"),
+    )

@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, normalize_ts
+from ..functions import PORTABLE_HASH64_SQL
 from ..snapshots import (
     commit_generation,
     gc_generations,
@@ -835,3 +836,134 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(result, "stream_quality_monitor")
+
+
+@register(
+    "stream_distinct_sketch",
+    oracle=f"""
+    WITH fin AS (
+        SELECT MAX(ts) - INTERVAL 15 MINUTES AS wm
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               {PORTABLE_HASH64_SQL("user_id", 21)} AS h,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm FROM fin)
+    ),
+    r AS (
+        SELECT window_start, h % 64 AS register,
+               COALESCE(list_min(list_filter(generate_series(1, 54),
+                   j -> ((h >> (5 + j)) & 1) = 1)), 55) AS rho
+        FROM h
+    ),
+    m AS (
+        SELECT window_start, register, MAX(rho) AS m_rho
+        FROM r GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT window_start,
+               COUNT(*) AS n_present,
+               SUM(POWER(2.0, -m_rho)) + (64 - COUNT(*)) AS sum_pow
+        FROM m GROUP BY 1
+    ),
+    ex AS (
+        SELECT window_start, COUNT(DISTINCT user_id) AS exact_users
+        FROM h GROUP BY 1
+    ),
+    sc AS (
+        SELECT e.window_start, e.n_present,
+               0.709 * 4096 / e.sum_pow AS raw,
+               64 - e.n_present AS zeros,
+               x.exact_users
+        FROM est e JOIN ex x ON e.window_start = x.window_start
+    )
+    SELECT window_start,
+           CAST(n_present AS BIGINT) AS n_registers_hit,
+           ROUND(CASE WHEN raw <= 160 AND zeros > 0
+                      THEN 64 * ln(64.0 / zeros) ELSE raw END, 6)
+               AS approx_distinct_users,
+           exact_users,
+           ROUND(ABS(CASE WHEN raw <= 160 AND zeros > 0
+                          THEN 64 * ln(64.0 / zeros) ELSE raw END
+                     - exact_users) / exact_users, 6) AS rel_err
+    FROM sc
+    """,
+)
+def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketching — the supported form of the
+    reference's (streaming-illegal) ``countDistinct`` intent (SURVEY
+    A4), made ORACLE-CHECKABLE: the stream emits per-(finalized
+    window, register) HLL max-rho rows — bounded state, ≤ 64 rows per
+    window regardless of traffic — and a batch post-pass scores the
+    sink into per-window estimates with the same portable-hash HLL as
+    :func:`~..operators.sketches.hll_portable_distinct_rollup`, so
+    both engines derive identical registers and the driver
+    hash-verifies the streaming estimates exactly.  Exact distinct
+    rides along as the audit column (computed on the batch side; the
+    stream never holds per-user state).
+
+    Same pattern as ``stream_drift_monitor``: streaming half emits
+    bounded sketch rows under watermark finalization; batch half
+    scores the sink."""
+    from ..functions import portable_hash64
+
+    e = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
+    )
+    r = e.select(
+        F.window("ts", "1 hour").alias("w"),
+        portable_hash64(F.col("user_id"), seed=21).alias("h"),
+    ).select(
+        "w",
+        (F.col("h") % 64).alias("register"),
+        F.expr(
+            "coalesce(array_min(filter(sequence(1, 54), "
+            "j -> ((h >> (5 + j)) & 1) = 1)), 55)"
+        ).alias("rho"),
+    )
+    sketch = r.groupBy("w", "register").agg(F.max("rho").alias("m_rho"))
+    sink = run_available_now(
+        sketch.select(F.col("w.start").alias("window_start"), "register", "m_rho"),
+        "stream_distinct_sketch",
+    )
+    est = sink.groupBy("window_start").agg(
+        F.count("*").alias("n_present"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))) + (F.lit(64) - F.count("*"))
+        ).alias("sum_pow"),
+    )
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .agg((F.max("ts") - F.expr("INTERVAL 15 MINUTES")).alias("wm"))
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+            <= F.col("wm")
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    raw = F.lit(0.709) * 4096 / F.col("sum_pow")
+    zeros = F.lit(64) - F.col("n_present")
+    estimate = F.when(
+        (raw <= 160) & (zeros > 0),
+        F.lit(64) * F.log(F.lit(64.0) / zeros),
+    ).otherwise(raw)
+    return est.join(ex, "window_start").select(
+        "window_start",
+        F.col("n_present").alias("n_registers_hit"),
+        F.round(estimate, 6).alias("approx_distinct_users"),
+        "exact_users",
+        F.round(F.abs(estimate - F.col("exact_users")) / F.col("exact_users"), 6)
+        .alias("rel_err"),
+    )

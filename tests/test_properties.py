@@ -425,3 +425,34 @@ def test_containment_pairs_match_reference_on_generated_corpora(spark, texts):
         for r in containment_pairs_frame(df).collect()
     }
     assert got == _containment_reference(docs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_ppm_encode_decode_roundtrip(w, h, data):
+    """decode_ppm(encode(w, h, raster)) is the identity for any
+    geometry and pixel content, with and without header comments, and
+    the grayscale grid matches a per-pixel reference."""
+    from ml_feature_store_enterprise_grade_spark.operators import multimodal
+
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    for header in (f"P6\n{w} {h}\n255\n", f"P6\n# c\n {w}\t{h}\n# d\n255\n"):
+        payload = header.encode() + raster
+        got = multimodal.decode_ppm(payload)
+        assert got == (w, h, raster)
+    g = multimodal.decode_image_graysums(f"P6\n{w} {h}\n255\n".encode() + raster)
+    assert len(g) == h and all(len(r) == w for r in g)
+    for i in range(h):
+        for j in range(w):
+            o = (i * w + j) * 3
+            assert g[i][j] == raster[o] + raster[o + 1] + raster[o + 2]

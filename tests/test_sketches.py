@@ -271,3 +271,23 @@ def test_kmv_sketch_merge_equals_whole_range_sketch(spark):
     whole = kmv_sketch(e, ["event_type"], member)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_portable_hll_estimates_track_exact(spark):
+    """The deterministic HLL's estimates stay within the expected
+    error envelope of exact distinct counts (1.04/sqrt(64) ≈ 13%
+    standard error; assert a 3-sigma-ish bound), and the audit
+    columns are self-consistent."""
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import (
+        hll_portable_distinct_rollup,
+    )
+
+    rows = hll_portable_distinct_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_registers_hit <= 64
+        assert r.exact_users > 0
+        assert r.rel_err == round(
+            abs(r.approx_distinct_users - r.exact_users) / r.exact_users, 6
+        )
+        assert r.rel_err < 0.40, f"{r.event_type}: rel_err {r.rel_err}"
