@@ -315,3 +315,84 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(hi > lo).select(
         "segment", "c_custkey", "wgt", (hi - lo).cast("bigint").alias("n_hits")
     )
+
+
+#: Explicit pivot column universe — pinned so the pivot is a single
+#: pass (Spark skips the values-discovery job) and deterministic.
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS d,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )},
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit PIVOT (the reference's conditional-count family A3 as
+    a first-class relational operator): per-day event counts spread
+    into one column per event type via ``groupBy().pivot(values=...)``.
+    Pinning the value list matters twice at scale: Spark skips the
+    extra distinct-values discovery job, and the plan stays a single
+    hash aggregate (pivot-with-values compiles to the same
+    conditional-agg shape the oracle states directly)."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    tot = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("n_total"))
+    out = piv.join(tot, "d")
+    return out.select(
+        "d",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        "n_total",
+    )
+
+
+@register(
+    "feature_unpivot_long",
+    oracle="""
+    WITH feats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n_events,
+               ROUND(COALESCE(SUM(value), 0.0), 2) AS total_value,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS n_days
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, feature_name, feature_value
+    FROM feats
+    UNPIVOT (feature_value FOR feature_name IN (n_events, total_value, n_days))
+    """,
+)
+def feature_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit UNPIVOT/melt: the wide per-user feature frame turned
+    into the long (entity, feature_name, value) layout a metrics
+    store or EAV-style serving table ingests.  ``DataFrame.unpivot``
+    compiles to a single Expand node — 3 output rows per input row,
+    no shuffle beyond the feature aggregate itself; the oracle uses
+    SQL UNPIVOT for the same relation."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    feats = e.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total_value"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("n_days"),
+    )
+    return feats.unpivot(
+        ids=["user_id"],
+        values=["n_events", "total_value", "n_days"],
+        variableColumnName="feature_name",
+        valueColumnName="feature_value",
+    )

@@ -1063,7 +1063,7 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM up
     )
     SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name,
-           ROUND(rk.unit_price, 4) AS best_unit_price
+           CAST(FLOOR(rk.unit_price * 10000) AS BIGINT) AS best_unit_price_e4
     FROM rk
     JOIN part p ON rk.l_partkey = p.p_partkey
     JOIN eu ON rk.l_suppkey = eu.s_suppkey
@@ -1105,7 +1105,14 @@ def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             "n_name",
-            F.round("unit_price", 4).alias("best_unit_price"),
+            # FLOOR of the e4-scaled double, not ROUND: both engines
+            # derive the identical IEEE double for min(price/qty), but
+            # their ROUND implementations disagree on expansion ties
+            # (19/5582 rows at sf0.1); floor of the same double is
+            # implementation-uniform.
+            F.floor(F.col("unit_price") * 10000)
+            .cast("bigint")
+            .alias("best_unit_price_e4"),
         )
     )
 

@@ -76,6 +76,8 @@ _FRONT: tuple[str, ...] = (
     "hll_portable_distinct_rollup",
     "revenue_grouping_sets",
     "stream_distinct_sketch",
+    "daily_event_type_pivot",
+    "feature_unpivot_long",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -110,7 +112,6 @@ _FRONT: tuple[str, ...] = (
     "doc_repetition_stats",
     "doc_tfidf_top_terms",
     "corpus_bigram_pmi",
-    "corpus_top_bigrams",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_frame_dedup",
@@ -119,7 +120,6 @@ _FRONT: tuple[str, ...] = (
     "stream_dedup",
     "stream_static_enrichment",
     "stream_stream_interval_join",
-    "stream_stateful_running_totals",
 )
 
 def _ordered(mapping: dict) -> dict:
