@@ -1291,3 +1291,114 @@ def pca_whitening(spark: SparkSession, sf_dir: str, energy: float = 0.95):
     total = float(vals.sum())
     keep = int(np.searchsorted(np.cumsum(vals) / total, energy) + 1) if total > 0 else d
     return vecs[:, :keep], vals[:keep], keep
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60).
+_RRF_K = 60
+_RRF_TOPK = 20
+
+from .text import _BM25_SCORED_SQL_CTES  # noqa: E402  (no cycle: text does not import similarity)
+
+
+@register(
+    "rrf_hybrid_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL_CTES},
+    sr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                    AS INTEGER) AS rank_sparse
+        FROM scored
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dn AS (
+        SELECT b.vec_id AS doc_id,
+               ROUND({_cosine_sql("q.embedding", "b.embedding")}, 6) AS cos
+        FROM embeddings b CROSS JOIN q
+        WHERE b.vec_id <> 0
+    ),
+    dr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+                   AS rank_dense
+        FROM dn
+    ),
+    fused AS (
+        SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+               sr.rank_sparse, dr.rank_dense,
+               COALESCE(1.0 / ({_RRF_K} + sr.rank_sparse), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + dr.rank_dense), 0) AS rrf
+        FROM sr FULL JOIN dr ON sr.doc_id = dr.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 9) DESC, doc_id)
+                AS INTEGER) AS rank,
+           doc_id, rank_sparse, rank_dense,
+           ROUND(rrf, 9) AS rrf_score
+    FROM fused
+    ORDER BY rank
+    LIMIT {_RRF_TOPK}
+    """,
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al.
+    2009, k=60): the BM25 term ranking (``bm25_scored``, sparse half)
+    fused with an exact-cosine dense ranking against the vec_id-0
+    query embedding — the fusion step every hybrid search stack runs
+    after its two retrievers.  A document absent from one ranking
+    contributes 0 from that side (FULL join + coalesce), exactly the
+    standard RRF treatment.
+
+    Determinism: both branch rankings order by ROUND(score, 6) with a
+    doc_id tiebreak on both engines, and the fused score is a sum of
+    exact rationals 1/(60+rank), so the final ranking is
+    bit-identical.  Scale shape: both branches rank only their
+    CANDIDATE sets (posting-list matches / ANN shortlist), never the
+    corpus — at deployment each branch truncates to its own top-N
+    before the fusion join, keeping the full-outer join tiny."""
+    from .text import bm25_scored
+
+    sw = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    sr = bm25_scored(spark, sf_dir).select(
+        "doc_id", F.row_number().over(sw).cast("int").alias("rank_sparse")
+    )
+    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings")))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dn = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    dw = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    dr = dn.select(
+        "doc_id", F.row_number().over(dw).cast("int").alias("rank_dense")
+    )
+    fused = sr.join(dr, "doc_id", "full").select(
+        "doc_id",
+        "rank_sparse",
+        "rank_dense",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    fw = Window.orderBy(F.round("rrf", 9).desc(), F.col("doc_id"))
+    return (
+        fused.select(
+            F.row_number().over(fw).cast("int").alias("rank"),
+            "doc_id",
+            "rank_sparse",
+            "rank_dense",
+            F.round("rrf", 9).alias("rrf_score"),
+        )
+        .orderBy("rank")
+        .limit(_RRF_TOPK)
+    )

@@ -1191,3 +1191,122 @@ def doc_prefix_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+#: BM25 retrieval constants (Robertson/Sparck Jones defaults) and the
+#: demo query — mid-frequency corpus terms so scores discriminate.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "join", "vector")
+_BM25_TOPK = 20
+
+#: DuckDB CTE chain producing the full BM25 scored relation
+#: ``scored(doc_id, score)`` — shared by the top-k query and the RRF
+#: hybrid fusion in similarity.py.
+_BM25_SCORED_SQL_CTES = f"""nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM nd
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(n_tokens AS DOUBLE)) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN {_BM25_QUERY!r}
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * t.tf * ({_BM25_K1} + 1)
+                   / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.n_tokens / s.avgdl))) AS score
+        FROM tf t
+        JOIN df d ON t.token = d.token
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1
+    )"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 scored relation ``(doc_id, score)`` for the fixed
+    demo query — every doc containing ≥1 query term."""
+    nd = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("n_tokens").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("n_tokens") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL_CTES}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                AS INTEGER) AS rank,
+           doc_id,
+           ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY rank
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: score a fixed term query against the
+    corpus (Robertson k1=1.2, b=0.75, the +1-smoothed idf) and return
+    the top-20.  The sparse complement of ``ann_cosine_topk`` — with
+    ``inverted_index_postings`` these are the two halves of a hybrid
+    retrieval stack (fused in ``rrf_hybrid_topk``).
+
+    Scale shape: the query-term filter cuts the token stream BEFORE
+    any aggregation (term set is a literal IN — map-side, pushed to
+    the scan); per-doc lengths are one aggregate over the corpus;
+    document frequencies and global stats are tiny frames broadcast
+    into the per-doc scoring aggregate.  Ranking sorts round(score,6)
+    with a doc_id tiebreak ON BOTH ENGINES so last-ulp float
+    divergence cannot flip ranks; the top-k runs as
+    TakeOrderedAndProject, never a global sort."""
+    scored = bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("rank")
+        .limit(_BM25_TOPK)
+    )

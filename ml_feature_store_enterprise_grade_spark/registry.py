@@ -78,6 +78,8 @@ _FRONT: tuple[str, ...] = (
     "stream_distinct_sketch",
     "daily_event_type_pivot",
     "feature_unpivot_long",
+    "bm25_search_topk",
+    "rrf_hybrid_topk",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -118,8 +120,6 @@ _FRONT: tuple[str, ...] = (
     "multimodal_sidecar_kv",
     "multimodal_resize",
     "stream_dedup",
-    "stream_static_enrichment",
-    "stream_stream_interval_join",
 )
 
 def _ordered(mapping: dict) -> dict:
