@@ -101,6 +101,10 @@ BENCH_QUERIES = (
     "lsh_tuning_report",
     "corpus_ngram_novelty",
     "multimodal_decode_features",
+    "bm25_search_topk",
+    "rrf_hybrid_topk",
+    "hll_portable_distinct_rollup",
+    "stream_distinct_sketch",
 )
 
 

@@ -587,3 +587,63 @@ def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         skippable.alias("skippable"),
         F.when(skippable, F.col("n_rows")).otherwise(0).alias("rows_skipped"),
     )
+
+
+#: Distributed-training shard fan-out for the manifest op.
+_N_SHARDS = 16
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) / {_CHARS_PER_TOKEN} AS est_tokens,
+               {PORTABLE_HASH64_SQL("doc_id", 5)} % {_N_SHARDS} AS shard_id
+        FROM documents
+    ),
+    s AS (
+        SELECT shard_id,
+               COUNT(*) AS n_docs,
+               ROUND(SUM(est_tokens), 2) AS est_tokens
+        FROM a GROUP BY 1
+    ),
+    t AS (SELECT AVG(est_tokens) AS mean_tokens FROM s)
+    SELECT s.shard_id, s.n_docs, s.est_tokens,
+           ROUND(s.est_tokens / t.mean_tokens, 6) AS balance_ratio
+    FROM s, t
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-training shard manifest: assign every document to
+    one of 16 data-loader shards by portable hash — a ZERO-SHUFFLE
+    map-side assignment (each trainer rank later reads only its
+    shard's files, so assignment must not depend on any global
+    ordering) — and audit the realized balance: per-shard doc/token
+    totals and the ratio to the mean shard (hash striping balances in
+    expectation; the audit is what tells you when a pathological
+    corpus needs explicit bin packing instead).
+
+    Scale shape: one scan + one 16-group aggregate; the mean joins
+    back as a broadcast scalar.  The equivalent at petabyte scale
+    shards FILES rather than documents — same query over the file
+    manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / _CHARS_PER_TOKEN).alias("est_tokens"),
+        (portable_hash64(F.col("doc_id"), seed=5) % _N_SHARDS).alias("shard_id"),
+    )
+    s = a.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("est_tokens"), 2).alias("est_tokens"),
+    )
+    t = s.agg(F.avg("est_tokens").alias("mean_tokens"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "shard_id",
+        "n_docs",
+        "est_tokens",
+        F.round(F.col("est_tokens") / F.col("mean_tokens"), 6).alias(
+            "balance_ratio"
+        ),
+    )

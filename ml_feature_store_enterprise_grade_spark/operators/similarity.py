@@ -1296,6 +1296,10 @@ def pca_whitening(spark: SparkSession, sf_dir: str, energy: float = 0.95):
 #: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60).
 _RRF_K = 60
 _RRF_TOPK = 20
+#: Per-branch shortlist size: each retriever contributes only its
+#: top-N to the fusion, the production hybrid-search shape — and it
+#: bounds every ranking window at N rows.
+_RRF_BRANCH_N = 100
 
 from .text import _BM25_SCORED_SQL_CTES  # noqa: E402  (no cycle: text does not import similarity)
 
@@ -1305,10 +1309,13 @@ from .text import _BM25_SCORED_SQL_CTES  # noqa: E402  (no cycle: text does not 
     oracle=f"""
     WITH {_BM25_SCORED_SQL_CTES},
     sr AS (
-        SELECT doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
-                    AS INTEGER) AS rank_sparse
-        FROM scored
+        SELECT doc_id, rank_sparse FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ROUND(score, 6) DESC, doc_id)
+                        AS INTEGER) AS rank_sparse
+            FROM scored
+        ) WHERE rank_sparse <= {_RRF_BRANCH_N}
     ),
     q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     dn AS (
@@ -1318,10 +1325,12 @@ from .text import _BM25_SCORED_SQL_CTES  # noqa: E402  (no cycle: text does not 
         WHERE b.vec_id <> 0
     ),
     dr AS (
-        SELECT doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
-                   AS rank_dense
-        FROM dn
+        SELECT doc_id, rank_dense FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                        AS INTEGER) AS rank_dense
+            FROM dn
+        ) WHERE rank_dense <= {_RRF_BRANCH_N}
     ),
     fused AS (
         SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
@@ -1351,15 +1360,22 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both branch rankings order by ROUND(score, 6) with a
     doc_id tiebreak on both engines, and the fused score is a sum of
     exact rationals 1/(60+rank), so the final ranking is
-    bit-identical.  Scale shape: both branches rank only their
-    CANDIDATE sets (posting-list matches / ANN shortlist), never the
-    corpus — at deployment each branch truncates to its own top-N
-    before the fusion join, keeping the full-outer join tiny."""
+    bit-identical.  Scale shape: each branch truncates to its top-100
+    shortlist via TakeOrderedAndProject BEFORE ranks are numbered, so
+    no unpartitioned window ever sees more than 100 rows and the
+    full-outer fusion join is tiny — the production hybrid-search
+    shape."""
     from .text import bm25_scored
 
-    sw = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
-    sr = bm25_scored(spark, sf_dir).select(
-        "doc_id", F.row_number().over(sw).cast("int").alias("rank_sparse")
+    sw = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    sr = (
+        bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_RRF_BRANCH_N)
+        .select(
+            "doc_id", F.row_number().over(sw).cast("int").alias("rank_sparse")
+        )
     )
     emb = with_norm(spread(load_table(spark, sf_dir, "embeddings")))
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -1378,8 +1394,12 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dw = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
-    dr = dn.select(
-        "doc_id", F.row_number().over(dw).cast("int").alias("rank_dense")
+    dr = (
+        dn.orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(_RRF_BRANCH_N)
+        .select(
+            "doc_id", F.row_number().over(dw).cast("int").alias("rank_dense")
+        )
     )
     fused = sr.join(dr, "doc_id", "full").select(
         "doc_id",

@@ -1298,15 +1298,16 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the per-doc scoring aggregate.  Ranking sorts round(score,6)
     with a doc_id tiebreak ON BOTH ENGINES so last-ulp float
     divergence cannot flip ranks; the top-k runs as
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort — the rank column is
+    then numbered over the already-truncated 20 rows, so no
+    unpartitioned window ever sees the full candidate set."""
     scored = bm25_scored(spark, sf_dir)
-    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
-    return (
-        scored.select(
-            F.row_number().over(w).cast("int").alias("rank"),
-            "doc_id",
-            F.round("score", 6).alias("score"),
-        )
-        .orderBy("rank")
+    top = (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(_BM25_TOPK)
     )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
+    ).orderBy("rank")

@@ -80,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "feature_unpivot_long",
     "bm25_search_topk",
     "rrf_hybrid_topk",
+    "training_shard_manifest",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -119,7 +120,6 @@ _FRONT: tuple[str, ...] = (
     "multimodal_frame_dedup",
     "multimodal_sidecar_kv",
     "multimodal_resize",
-    "stream_dedup",
 )
 
 def _ordered(mapping: dict) -> dict:

@@ -293,3 +293,12 @@ def test_min_price_supplier_region_prunes_before_fact_join(spark):
     # (partial WindowGroupLimit), so the exchange carries |parts|
     # rows, not |part×supplier| — the property that matters at 100 TB.
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_retrieval_ranks_after_truncation(spark):
+    """BM25 / RRF: shortlists truncate via TakeOrderedAndProject
+    BEFORE any rank window — no unpartitioned window over the full
+    candidate set."""
+    for name in ("bm25_search_topk", "rrf_hybrid_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
