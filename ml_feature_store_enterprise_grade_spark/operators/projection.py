@@ -396,3 +396,46 @@ def feature_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="feature_name",
         valueColumnName="feature_value",
     )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    SELECT CAST(k // 10 AS INTEGER) AS k_decade,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM v
+    WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the open VARIANT type (Spark
+    4): ``parse_json`` turns the props string into a binary variant
+    once, ``variant_get`` extracts a typed path from it — the
+    schema-on-read path for payloads whose shape is NOT declared up
+    front, complementing ``event_props_struct``'s declared-schema
+    ``from_json``.  Variant's binary encoding makes repeated path
+    extraction O(field) rather than O(re-parse), which is the cost
+    model that matters when one 100 TB ingest feeds many extraction
+    queries."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return v.groupBy(
+        F.floor(F.col("k") / 10).cast("int").alias("k_decade")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

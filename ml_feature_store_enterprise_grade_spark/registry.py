@@ -81,6 +81,7 @@ _FRONT: tuple[str, ...] = (
     "bm25_search_topk",
     "rrf_hybrid_topk",
     "training_shard_manifest",
+    "event_props_variant",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -113,7 +114,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_incremental",
     "corpus_dedup_pipeline",
     "doc_repetition_stats",
-    "doc_tfidf_top_terms",
     "corpus_bigram_pmi",
     "multimodal_metadata",
     "multimodal_frame_sample",

@@ -188,3 +188,108 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return final.select(
         "user_id", "total_events", F.round("total_value", 2).alias("total_value")
     )
+
+
+class _PurchaseStatsProcessor:
+    """``transformWithStateInPandas`` processor (the Spark 4 stateful
+    API succeeding ``applyInPandasWithState``): per-user purchase
+    count / max value held in a typed ValueState, running snapshot
+    emitted each micro-batch.  Defined lazily as a plain class and
+    upgraded at query-build time (subclassing StatefulProcessor at
+    import would hard-bind this module to Spark 4)."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState(
+            "agg", "n_purchases bigint, max_value double"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._st.exists():
+            n, mx = self._st.get()
+        else:
+            n, mx = 0, float("-inf")
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        self._st.update((n, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [n],
+                "max_value": [mx if mx != float("-inf") else None],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def has_transform_with_state() -> bool:
+    """``transformWithStateInPandas`` needs protobuf (its state
+    protocol is proto-serialized); this container ships without it,
+    so the operator registers only where the dependency exists —
+    the same runtime-gating pattern as the PIL codec slot."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    GROUP BY 1
+    """
+
+
+def stream_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via the NEW Spark 4
+    ``transformWithStateInPandas`` API (typed ValueState handles,
+    timer support, TTL — the successor to ``applyInPandasWithState``,
+    which ``stream_stateful_running_totals`` still exercises): per
+    user, running purchase count and max purchase value.  Snapshots
+    are monotone in the count, so keeping the last snapshot per user
+    (``max_by``) equals the batch GROUP BY oracle under ANY
+    micro-batching — the same stream≡batch correctness contract as
+    the rest of the streaming family."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "PurchaseStatsProcessor", (_PurchaseStatsProcessor, StatefulProcessor), {}
+    )
+    e = streaming_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    snapshots = e.groupBy("user_id").transformWithStateInPandas(
+        proc_cls(),
+        outputStructType="user_id bigint, n_purchases bigint, max_value double",
+        outputMode="append",
+        timeMode="none",
+    )
+    out = run_available_now(snapshots, "stream_tws_purchase_stats")
+    final = out.groupBy("user_id").agg(
+        F.max("n_purchases").alias("n_purchases"),
+        F.max_by("max_value", "n_purchases").alias("mv"),
+    )
+    return final.select(
+        "user_id", "n_purchases", F.round("mv", 2).alias("max_value")
+    )
+
+
+if has_transform_with_state():  # pragma: no cover - environment-dependent
+    register("stream_tws_purchase_stats", oracle=_TWS_ORACLE)(
+        stream_tws_purchase_stats
+    )

@@ -502,3 +502,34 @@ def test_stream_staging_refreshes_on_source_change(spark, tmp_path):
     second_sig = (os.stat(staged).st_size, os.stat(staged).st_mtime_ns)
     assert second_sig != first_sig
     assert second_sig[0] == first_sig[0] + 128
+
+
+import pytest as _pytest
+
+from ml_feature_store_enterprise_grade_spark.streaming.joins import (
+    has_transform_with_state as _has_tws,
+)
+
+
+@_pytest.mark.skipif(
+    not _has_tws(),
+    reason=(
+        "protobuf is not installed in this container — "
+        "transformWithStateInPandas serializes its state protocol with "
+        "proto, so the Spark-4 stateful API twin "
+        "(stream_tws_purchase_stats) registers and runs only where the "
+        "dependency exists; applyInPandasWithState coverage "
+        "(stream_stateful_running_totals) always runs"
+    ),
+)
+def test_transform_with_state_twin_matches_batch(spark):
+    from ml_feature_store_enterprise_grade_spark.streaming.joins import (
+        stream_tws_purchase_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.user_id: (r.n_purchases, r.max_value)
+        for r in stream_tws_purchase_stats(spark, SF_SMOKE).collect()
+    }
+    assert got  # non-empty and one row per purchasing user
