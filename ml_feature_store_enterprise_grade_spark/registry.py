@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.similarity",
     "ml_feature_store_enterprise_grade_spark.operators.sketches",
     "ml_feature_store_enterprise_grade_spark.operators.multimodal",
+    "ml_feature_store_enterprise_grade_spark.sources.pyds",
     "ml_feature_store_enterprise_grade_spark.streaming.clickstream",
     "ml_feature_store_enterprise_grade_spark.streaming.joins",
 )
@@ -82,6 +83,7 @@ _FRONT: tuple[str, ...] = (
     "rrf_hybrid_topk",
     "training_shard_manifest",
     "event_props_variant",
+    "pyds_jsonl_roundtrip",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -114,7 +116,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_incremental",
     "corpus_dedup_pipeline",
     "doc_repetition_stats",
-    "corpus_bigram_pmi",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_frame_dedup",

@@ -86,3 +86,59 @@ def test_jsonl_roundtrip_declared_schema(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_jsonl(spark, str(bad), "doc_id bigint, text string, score double").collect()
+
+
+class TestPythonDataSource:
+    def test_pyjsonl_roundtrip_matches_parquet(self, spark):
+        from ml_feature_store_enterprise_grade_spark.catalog import load_table
+        from ml_feature_store_enterprise_grade_spark.sources.pyds import (
+            _staged_jsonl_dir,
+            register_pyjsonl,
+        )
+
+        register_pyjsonl(spark)
+        path = _staged_jsonl_dir(spark, SF_SMOKE)
+        back = (
+            spark.read.format("pyjsonl")
+            .schema("doc_id long, lang string, n_chars long")
+            .option("path", path)
+            .load()
+        )
+        want = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        assert back.exceptAll(want).count() == 0
+        assert want.exceptAll(back).count() == 0
+        # file-per-partition parallelism: as many input partitions as
+        # staged data files
+        import glob as _glob
+        import os as _os
+
+        n_files = len(_glob.glob(_os.path.join(path, "*.json*")))
+        assert back.rdd.getNumPartitions() == n_files >= 1
+
+    def test_pyjsonl_requires_schema_and_path(self, spark):
+        import pytest
+
+        from ml_feature_store_enterprise_grade_spark.sources.pyds import (
+            PythonJsonlReader,
+            register_pyjsonl,
+        )
+
+        register_pyjsonl(spark)
+        with pytest.raises(Exception, match="schema"):
+            spark.read.format("pyjsonl").option("path", "/tmp/x").load()
+        with pytest.raises(ValueError, match="path"):
+            PythonJsonlReader(None, {})
+
+    def test_pyjsonl_missing_dir_raises(self, spark):
+        import pytest
+
+        from ml_feature_store_enterprise_grade_spark.sources.pyds import (
+            PythonJsonlReader,
+        )
+        from pyspark.sql.types import StructType
+
+        r = PythonJsonlReader(StructType([]), {"path": "/tmp/definitely_missing_dir_xyz"})
+        with pytest.raises(FileNotFoundError):
+            r.partitions()
