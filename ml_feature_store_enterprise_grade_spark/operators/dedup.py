@@ -233,6 +233,39 @@ _MINHASH_AGREE_SQL = " + ".join(
 )
 
 
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct ``(doc_a < doc_b)`` pairs colliding in ≥1 LSH band —
+    THE banding scheme (4 bands × 2 signature slots as the band key);
+    every consumer of band candidates goes through here so a retune
+    of ``_MINHASH_BANDS``/slot layout changes production and its
+    calibration report together."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
+                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.h1", "bs.h2"
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -274,31 +307,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count() materializes eagerly — see dedup_ngram_jaccard.
     sig = minhash_signatures(sh).cache()
     sig.count()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
-                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
-            )
-            for b in range(_MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "bs.band", "bs.h1", "bs.h2"
-    )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     x = sig.select([F.col("doc_id").alias("doc_a")] + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)])
     y = sig.select([F.col("doc_id").alias("doc_b")] + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)])
     agree = sum(
@@ -533,8 +542,11 @@ def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate star edges (min doc_id of each identical-text
     group → other members, linear in group size — never the
     quadratic within-group pair set) unioned with the MinHash-LSH
-    near-dup pairs.  This is the edge list a production dedup
-    pipeline feeds into clustering."""
+    near-dup pairs.  The registered clustering path now pre-contracts
+    exact groups and feeds :func:`connected_components` only the
+    remapped LSH edges (see :func:`_doc_cluster_labels`); this
+    uncontracted edge list remains the reference semantics the
+    union-find property test checks against."""
     nd = _normalized_docs(spark, sf_dir)
     exh = nd.select("doc_id", F.md5("norm").alias("h"))
     m = F.min("doc_id").over(Window.partitionBy("h"))
@@ -557,6 +569,15 @@ def connected_components(
     label = min vertex id of the component.  ``vertices`` has column
     ``doc_id``; ``edges`` columns ``(a, b)`` (undirected, any
     orientation; isolated vertices keep their own label).
+
+    PRECONDITION (under the default ``active_only=True``): every edge
+    endpoint must appear in ``vertices`` — the active set is derived
+    directly from the edge endpoints (that is what makes the split
+    free of any vertex-frame scan), so an edge referencing an id
+    outside ``vertices`` would inject that id into the output instead
+    of erroring.  Callers that cannot guarantee closure must pass
+    ``active_only=False``, which iterates exactly the given vertex
+    frame.
 
     Hash-to-min label propagation with POINTER JUMPING: each round
     every vertex takes (1) the min of its own and its neighbors'
@@ -704,10 +725,15 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partition pass the exact-dedup step already does) and one
     expansion join at the end."""
     nd = _normalized_docs(spark, sf_dir)
+    # cache + eager count: rep feeds FOUR independently-materialized
+    # lineages (both edge-remap sides, the vertex frame, the final
+    # expansion join) — uncached, each would re-run the full-corpus
+    # hash-partition window.  At 100 TB, persist to a table instead.
     rep = nd.select(
         "doc_id",
         F.min("doc_id").over(Window.partitionBy(F.md5("norm"))).alias("rep"),
-    )
+    ).cache()
+    rep.count()
     near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     ra = rep.select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("ra"))
     rb = rep.select(F.col("doc_id").alias("doc_b"), F.col("rep").alias("rb"))
@@ -2244,31 +2270,7 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.count()
     sig = minhash_signatures(sh).cache()
     sig.count()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"sig_{b * _MINHASH_BAND_ROWS}").alias("h1"),
-                F.col(f"sig_{b * _MINHASH_BAND_ROWS + 1}").alias("h2"),
-            )
-            for b in range(_MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "bs.band", "bs.h1", "bs.h2"
-    )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     x = sig.select(
         [F.col("doc_id").alias("doc_a")]
         + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]

@@ -272,22 +272,25 @@ def decode_features(df: DataFrame, use_codec: bool | None = None) -> DataFrame:
     round Spark-side (``F.round``) so rounding semantics match their
     oracle's, not Python's banker's rounding."""
 
+    def featurize(p: bytes) -> list[float]:
+        if p is None or use_codec is False:
+            return _fake_featurize(p or b"")
+        # Per-PAYLOAD selection (not per-batch: a mixed-format batch
+        # must not route PPM rows through the fake featurizer or
+        # non-PPM rows into a decoder that will raise mid-job).
+        if use_codec or p[:2] == b"P6" or has_codec():
+            return _image_featurize(p)
+        return _fake_featurize(p)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            if use_codec is None:
-                real = has_codec() or bool(len(payloads)) and bytes(
-                    payloads.iloc[0][:2]
-                ) == b"P6"
-            else:
-                real = use_codec
-            featurize = _image_featurize if real else _fake_featurize
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
                     "mean_byte": payloads.map(
-                        lambda p: sum(p) / len(p) if len(p) else 0.0
+                        lambda p: sum(p) / len(p) if p is not None and len(p) else 0.0
                     ),
                     "feature": payloads.map(featurize),
                 }

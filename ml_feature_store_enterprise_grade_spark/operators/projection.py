@@ -349,8 +349,13 @@ def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(_EVENT_TYPES))
         .count()
     )
-    tot = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("n_total"))
-    out = piv.join(tot, "d")
+    tot = e.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.count("*").alias("n_total")
+    )
+    # eqNullSafe: a NULL-ts day groups to a NULL key on both sides;
+    # a plain equi-join would silently drop it while the oracle's
+    # GROUP BY keeps it.
+    out = piv.join(tot, piv["d"].eqNullSafe(tot["dt"])).drop("dt")
     return out.select(
         "d",
         *[

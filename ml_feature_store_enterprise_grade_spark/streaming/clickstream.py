@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table, normalize_ts
 from ..functions import PORTABLE_HASH64_SQL
+from ..operators.sketches import _HLL_ALPHA, _HLL_M, _HLL_RHO_BITS, _HLL_SEED
 from ..snapshots import (
     commit_generation,
     gc_generations,
@@ -847,16 +848,17 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
         SELECT date_trunc('hour', ts) AS window_start,
-               {PORTABLE_HASH64_SQL("user_id", 21)} AS h,
+               {PORTABLE_HASH64_SQL("user_id", _HLL_SEED)} AS h,
                user_id
         FROM events
         WHERE user_id IS NOT NULL
           AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm FROM fin)
     ),
     r AS (
-        SELECT window_start, h % 64 AS register,
-               COALESCE(list_min(list_filter(generate_series(1, 54),
-                   j -> ((h >> (5 + j)) & 1) = 1)), 55) AS rho
+        SELECT window_start, h % {_HLL_M} AS register,
+               COALESCE(list_min(list_filter(
+                   generate_series(1, {_HLL_RHO_BITS}),
+                   j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1}) AS rho
         FROM h
     ),
     m AS (
@@ -866,7 +868,7 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS (
         SELECT window_start,
                COUNT(*) AS n_present,
-               SUM(POWER(2.0, -m_rho)) + (64 - COUNT(*)) AS sum_pow
+               SUM(POWER(2.0, -m_rho)) + ({_HLL_M} - COUNT(*)) AS sum_pow
         FROM m GROUP BY 1
     ),
     ex AS (
@@ -875,19 +877,19 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sc AS (
         SELECT e.window_start, e.n_present,
-               0.709 * 4096 / e.sum_pow AS raw,
-               64 - e.n_present AS zeros,
+               {_HLL_ALPHA} * {_HLL_M * _HLL_M} / e.sum_pow AS raw,
+               {_HLL_M} - e.n_present AS zeros,
                x.exact_users
         FROM est e JOIN ex x ON e.window_start = x.window_start
     )
     SELECT window_start,
            CAST(n_present AS BIGINT) AS n_registers_hit,
-           ROUND(CASE WHEN raw <= 160 AND zeros > 0
-                      THEN 64 * ln(64.0 / zeros) ELSE raw END, 6)
+           ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / zeros) ELSE raw END, 6)
                AS approx_distinct_users,
            exact_users,
-           ROUND(ABS(CASE WHEN raw <= 160 AND zeros > 0
-                          THEN 64 * ln(64.0 / zeros) ELSE raw END
+           ROUND(ABS(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                          THEN {_HLL_M} * ln({_HLL_M}.0 / zeros) ELSE raw END
                      - exact_users) / exact_users, 6) AS rel_err
     FROM sc
     """,
@@ -917,13 +919,13 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = e.select(
         F.window("ts", "1 hour").alias("w"),
-        portable_hash64(F.col("user_id"), seed=21).alias("h"),
+        portable_hash64(F.col("user_id"), seed=_HLL_SEED).alias("h"),
     ).select(
         "w",
-        (F.col("h") % 64).alias("register"),
+        (F.col("h") % _HLL_M).alias("register"),
         F.expr(
-            "coalesce(array_min(filter(sequence(1, 54), "
-            "j -> ((h >> (5 + j)) & 1) = 1)), 55)"
+            f"coalesce(array_min(filter(sequence(1, {_HLL_RHO_BITS}), "
+            f"j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1})"
         ).alias("rho"),
     )
     sketch = r.groupBy("w", "register").agg(F.max("rho").alias("m_rho"))
@@ -934,7 +936,8 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sink.groupBy("window_start").agg(
         F.count("*").alias("n_present"),
         (
-            F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))) + (F.lit(64) - F.count("*"))
+            F.sum(F.pow(F.lit(2.0), -F.col("m_rho")))
+            + (F.lit(_HLL_M) - F.count("*"))
         ).alias("sum_pow"),
     )
     wm = (
@@ -953,11 +956,11 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
         .agg(F.countDistinct("user_id").alias("exact_users"))
     )
-    raw = F.lit(0.709) * 4096 / F.col("sum_pow")
-    zeros = F.lit(64) - F.col("n_present")
+    raw = F.lit(_HLL_ALPHA) * (_HLL_M * _HLL_M) / F.col("sum_pow")
+    zeros = F.lit(_HLL_M) - F.col("n_present")
     estimate = F.when(
-        (raw <= 160) & (zeros > 0),
-        F.lit(64) * F.log(F.lit(64.0) / zeros),
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / zeros),
     ).otherwise(raw)
     return est.join(ex, "window_start").select(
         "window_start",

@@ -924,3 +924,25 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
     assert np.allclose(comps.T @ comps, np.eye(k), atol=1e-8)  # orthonormal
     ref_vals = np.linalg.eigvalsh(ref)[::-1]
     assert np.allclose(vals, ref_vals[:k], atol=1e-4)
+
+
+def test_decode_mixed_format_batch_selects_per_payload(spark):
+    """Kernel selection is per-PAYLOAD: a batch mixing PPM and
+    non-PPM rows must decode the PPM rows for real and fall back to
+    the fake featurizer for the rest (no PIL in this container) —
+    never route the whole batch by its first row."""
+    from ml_feature_store_enterprise_grade_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    ppm = b"P6\n1 1\n255\n" + bytes([30, 60, 90])
+    rows = [(1, ppm), (2, b"\x10\x20 not an image"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_features(df).collect()}
+    # PPM row: real decode — band 0 = the single pixel's luminance
+    assert abs(out[1].feature[0] - (30 + 60 + 90) / (3 * 255.0)) < 1e-9
+    assert out[1].feature[1:] == [0.0] * 7
+    # non-PPM row without a codec: deterministic fake histogram
+    assert abs(sum(out[2].feature) - 1.0) < 1e-3
+    # NULL payload: empty-feature contract, no crash
+    assert out[3].feature == [0.0] * 8 and out[3].n_bytes == 0
