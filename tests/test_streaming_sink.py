@@ -533,3 +533,49 @@ def test_transform_with_state_twin_matches_batch(spark):
         for r in stream_tws_purchase_stats(spark, SF_SMOKE).collect()
     }
     assert got  # non-empty and one row per purchasing user
+
+
+def test_rocksdb_state_store_provider_matches_default(spark, tmp_path):
+    """ST8 at scale: the RocksDB state store provider (the provider a
+    large-key-space deployment runs, per the module docstring) must
+    produce the identical finalized-window set as the default HDFS-
+    backed provider.  The provider is a per-query option via the
+    checkpoint's SQL conf, so the same query graph runs under both."""
+    src = str(tmp_path / "src")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw.coalesce(2).write.mode("append").parquet(src)
+
+    def run(provider: str | None, tag: str):
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        try:
+            out = str(tmp_path / f"out_{tag}")
+            q = (
+                windowed_features(_stream(spark, src, max_files=1))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "rocks",
+    )
+    default = run(None, "default")
+    assert rocks.count() == default.count() > 0
+    assert rocks.exceptAll(default).count() == 0
+    assert default.exceptAll(rocks).count() == 0
