@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table, spread
 from ..functions import portable_hash64
 from ..registry import register
+from .text import _BM25_SCORED_SQL_CTES  # no cycle: text does not import similarity
 
 _TOPK = 5
 _N_QUERIES = 50
@@ -1300,8 +1301,6 @@ _RRF_TOPK = 20
 #: top-N to the fusion, the production hybrid-search shape — and it
 #: bounds every ranking window at N rows.
 _RRF_BRANCH_N = 100
-
-from .text import _BM25_SCORED_SQL_CTES  # noqa: E402  (no cycle: text does not import similarity)
 
 
 @register(
