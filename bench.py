@@ -105,6 +105,7 @@ BENCH_QUERIES = (
     "rrf_hybrid_topk",
     "hll_portable_distinct_rollup",
     "stream_distinct_sketch",
+    "item_pagerank",
 )
 
 

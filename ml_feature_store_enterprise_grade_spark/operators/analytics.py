@@ -1135,3 +1135,131 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (feature_a, feature_b, pearson_r)"
         )
     )
+
+
+#: PageRank over the item co-occurrence graph: damping and FIXED
+#: iteration count (fixed, not converged-to-tolerance, so both
+#: engines compute the identical deterministic value).  Edge support
+#: is 2 shared orders, NOT the lift table's {_BASKET_MIN_SUPPORT}:
+#: centrality needs a connected graph (support 3 leaves 4 nodes at
+#: sf0.1; support 2 keeps ~6k).
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_MIN_SUPPORT = 2
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    prev = "pr0" if i == 1 else f"pr{i - 1}"
+    return f"""pr{i} AS (
+        SELECT nd.item_id,
+               (1 - {_PR_DAMPING}) / n.nn
+                   + {_PR_DAMPING} * COALESCE(SUM(p.pr / dg.deg), 0) AS pr
+        FROM nodes nd
+        CROSS JOIN n
+        LEFT JOIN sym s ON s.dst = nd.item_id
+        LEFT JOIN {prev} p ON p.item_id = s.src
+        LEFT JOIN deg dg ON dg.item_id = s.src
+        GROUP BY nd.item_id, n.nn
+    )"""
+
+
+@register(
+    "item_pagerank",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    pair AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+    ),
+    sym AS (
+        SELECT item_a AS src, item_b AS dst FROM pair
+        UNION ALL
+        SELECT item_b AS src, item_a AS dst FROM pair
+    ),
+    deg AS (SELECT src AS item_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS item_id FROM sym),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+    pr0 AS (SELECT item_id, 1.0 / n.nn AS pr FROM nodes, n),
+    {", ".join(_pagerank_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT p.item_id,
+           d.deg,
+           ROUND(p.pr * 1000, 6) AS pr_permille
+    FROM pr{_PR_ITERS} p JOIN deg d ON p.item_id = d.item_id
+    """,
+)
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank item importance over the co-occurrence graph (the
+    graph-centrality feature a recommender ranks candidates with):
+    nodes are items sharing ≥2-order co-occurrence edges, 5 fixed
+    power-iteration rounds at damping 0.85 from a uniform start —
+    fixed iterations, so the value is a deterministic closed form
+    both engines reproduce (the oracle unrolls the same 5 rounds as
+    chained CTEs; convergence-tolerance stopping would tie the result
+    to float comparison order).
+
+    Scale shape: the same per-round discipline as
+    :func:`~.dedup.connected_components` — the slim symmetric edge
+    list (pre-joined with source degrees) is cached once; each round
+    is one join + one two-phase sum aggregate over edges, with
+    ``localCheckpoint`` truncating lineage so the plan stays O(1)
+    deep; the node count is a bounded scalar (|items|, not |events|).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PR_MIN_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    sym = pair.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        pair.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    sym_deg = sym.join(deg, "src").cache()
+    sym_deg.count()
+    nodes = sym_deg.select(F.col("src").alias("item_id")).distinct().localCheckpoint()
+    nn = float(nodes.count())
+    pr = nodes.select("item_id", (F.lit(1.0) / nn).alias("pr")).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        nbr = (
+            sym_deg.join(pr, sym_deg["src"] == pr["item_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        pr = (
+            nodes.join(nbr, nodes["item_id"] == nbr["dst"], "left")
+            .select(
+                "item_id",
+                (
+                    F.lit((1 - _PR_DAMPING) / nn)
+                    + _PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    sym_deg.unpersist()
+    out = pr.join(
+        deg.withColumnRenamed("src", "item_id"), "item_id"
+    )
+    return out.select(
+        "item_id", "deg", F.round(F.col("pr") * 1000, 6).alias("pr_permille")
+    )

@@ -84,6 +84,7 @@ _FRONT: tuple[str, ...] = (
     "training_shard_manifest",
     "event_props_variant",
     "pyds_jsonl_roundtrip",
+    "item_pagerank",
     # (b) semantics changed THIS round: dedup_clusters gains the
     # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
     # decode path becomes a real in-container PPM decoder (item 4).
@@ -115,7 +116,6 @@ _FRONT: tuple[str, ...] = (
     "ann_ivf_topk",
     "dedup_incremental",
     "corpus_dedup_pipeline",
-    "doc_repetition_stats",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_frame_dedup",

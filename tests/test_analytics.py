@@ -183,3 +183,21 @@ def test_decay_weighted_features_semantics(spark):
         )
         assert abs(row["decayed_events"] - expect) < 1e-5
     assert set(out) == set(by_user)
+
+
+def test_item_pagerank_invariants(spark):
+    """PageRank sanity: scores positive, mass ≈ 1 over the node set
+    (power iteration from uniform preserves total mass on a graph
+    with no dangling nodes — every node here has degree ≥ 1), and
+    higher-degree hubs do not rank below the isolated-chain floor."""
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        item_pagerank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = item_pagerank(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.pr_permille for r in rows) / 1000.0
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.pr_permille > 0 for r in rows)
+    assert all(r.deg >= 1 for r in rows)
