@@ -1238,6 +1238,16 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_deg.count()
     nodes = sym_deg.select(F.col("src").alias("item_id")).distinct().localCheckpoint()
     nn = float(nodes.count())
+    if nn == 0:
+        # no pair reaches the support threshold: empty graph, empty
+        # report (the oracle yields zero rows; a 1/nn teleport term
+        # would raise ZeroDivisionError driver-side)
+        sym_deg.unpersist()
+        return nodes.select(
+            "item_id",
+            F.lit(0).cast("bigint").alias("deg"),
+            F.lit(0.0).alias("pr_permille"),
+        )
     pr = nodes.select("item_id", (F.lit(1.0) / nn).alias("pr")).localCheckpoint()
     for _ in range(_PR_ITERS):
         # BROADCAST the rank frame: |nodes| is catalog-bounded (items,

@@ -750,7 +750,12 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_labels = connected_components(vertices, edges).withColumnRenamed(
         "doc_id", "rep"
     )
-    return rep.join(rep_labels, "rep").select("doc_id", "label")
+    # materialize the expansion before releasing the rep cache — the
+    # returned frame must not silently recompute the full-corpus
+    # window after unpersist (bounded: 2 longs per doc)
+    labels = rep.join(rep_labels, "rep").select("doc_id", "label").localCheckpoint()
+    rep.unpersist()
+    return labels
 
 
 #: Full recursive-CTE chain labeling every doc with its duplicate

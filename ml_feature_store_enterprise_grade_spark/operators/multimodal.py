@@ -277,8 +277,13 @@ def decode_features(df: DataFrame, use_codec: bool | None = None) -> DataFrame:
             return _fake_featurize(p or b"")
         # Per-PAYLOAD selection (not per-batch: a mixed-format batch
         # must not route PPM rows through the fake featurizer or
-        # non-PPM rows into a decoder that will raise mid-job).
-        if use_codec or p[:2] == b"P6" or has_codec():
+        # non-PPM rows into a decoder that will raise mid-job).  In
+        # auto mode only the PPM magic engages the real decoder — a
+        # non-PPM payload is NOT probed against PIL, because PIL.open
+        # raises on undecodable bytes and auto mode must never crash
+        # a batch; callers with known-decodable formats pass
+        # use_codec=True explicitly.
+        if use_codec or p[:2] == b"P6":
             return _image_featurize(p)
         return _fake_featurize(p)
 

@@ -702,6 +702,10 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the next 54 bits of the 60-bit portable hash.  alpha_64 = 0.709
 #: (Flajolet et al. 2007, Fig. 3).
 _HLL_M = 64
+#: Register-index bit width, derived (NOT restated): rho scans the
+#: bits ABOVE the index bits, so a retune of _HLL_M moves the scan
+#: window with it instead of silently overlapping.
+_HLL_IDX_BITS = _HLL_M.bit_length() - 1  # 6 for m=64
 _HLL_RHO_BITS = 54
 _HLL_ALPHA = 0.709
 _HLL_SEED = 21
@@ -719,7 +723,8 @@ _HLL_SEED = 21
         SELECT event_type, d, h % {_HLL_M} AS register,
                COALESCE(list_min(list_filter(
                    generate_series(1, {_HLL_RHO_BITS}),
-                   j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1}) AS rho
+                   j -> ((h >> ({_HLL_IDX_BITS - 1} + j)) & 1) = 1)),
+                   {_HLL_RHO_BITS + 1}) AS rho
         FROM h
     ),
     daily AS (
@@ -780,7 +785,8 @@ def hll_portable_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = portable_hash64(F.col("user_id"), seed=_HLL_SEED)
     rho = F.expr(
         f"coalesce(array_min(filter(sequence(1, {_HLL_RHO_BITS}), "
-        f"j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1})"
+        f"j -> ((h >> ({_HLL_IDX_BITS - 1} + j)) & 1) = 1)), "
+        f"{_HLL_RHO_BITS + 1})"
     )
     r = e.select(
         "event_type", F.to_date("ts").alias("d"), h.alias("h")

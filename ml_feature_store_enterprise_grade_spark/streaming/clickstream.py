@@ -44,7 +44,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table, normalize_ts
 from ..functions import PORTABLE_HASH64_SQL
-from ..operators.sketches import _HLL_ALPHA, _HLL_M, _HLL_RHO_BITS, _HLL_SEED
+from ..operators.sketches import _HLL_ALPHA, _HLL_IDX_BITS, _HLL_M, _HLL_RHO_BITS, _HLL_SEED
 from ..snapshots import (
     commit_generation,
     gc_generations,
@@ -858,7 +858,8 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT window_start, h % {_HLL_M} AS register,
                COALESCE(list_min(list_filter(
                    generate_series(1, {_HLL_RHO_BITS}),
-                   j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1}) AS rho
+                   j -> ((h >> ({_HLL_IDX_BITS - 1} + j)) & 1) = 1)),
+                   {_HLL_RHO_BITS + 1}) AS rho
         FROM h
     ),
     m AS (
@@ -925,7 +926,8 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % _HLL_M).alias("register"),
         F.expr(
             f"coalesce(array_min(filter(sequence(1, {_HLL_RHO_BITS}), "
-            f"j -> ((h >> (5 + j)) & 1) = 1)), {_HLL_RHO_BITS + 1})"
+            f"j -> ((h >> ({_HLL_IDX_BITS - 1} + j)) & 1) = 1)), "
+            f"{_HLL_RHO_BITS + 1})"
         ).alias("rho"),
     )
     sketch = r.groupBy("w", "register").agg(F.max("rho").alias("m_rho"))
