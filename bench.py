@@ -1,12 +1,18 @@
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+Stdout contract (the driver tails stdout and parses the LAST line,
+which therefore must stay compact — the per-query maps outgrew the
+tail in rounds 4-5 and broke the parse):
 
-Each query is timed end-to-end (plan + execute + count-style action
-that materializes every row) after a warm-up query primes the JVM.
+    line n-2: {"detail": ..., "queries_median": {...}, "samples": ...}
+    line n-1: {"detail": ..., "queries": {name: min sec, ...}}
+    line n:   {"metric": ..., "value": <total sec>, "unit": "sec",
+               "n_queries": N, "passes_completed": P, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + noop-sink action
+that materializes every row) after a warm-up pass primes the JVM.
 """
 
 from __future__ import annotations
@@ -175,15 +181,28 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "engine headline queries wall-clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
+                "detail": "per-query mins (the headline components)",
                 "queries": timings,
-                "passes_completed": min(counts.values()),
                 "sf": sf_val,
             }
         )
     )
+    # The LAST stdout line is the machine contract: the driver tails
+    # stdout, so this line must stay small (<200 bytes — the full
+    # per-query maps live on the two lines above).  Broke in r4 AND r5
+    # when the 63-query map rode along; never put a per-query map here.
+    line = json.dumps(
+        {
+            "metric": "engine headline queries wall-clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "passes_completed": min(counts.values()),
+            "sf": sf_val,
+        }
+    )
+    assert len(line) < 250, f"bench contract line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -564,6 +564,7 @@ def connected_components(
     edges: DataFrame,
     persist_rounds_to: str | None = None,
     active_only: bool = True,
+    round_times: list | None = None,
 ) -> DataFrame:
     """Distributed connected components: ``(doc_id, label)`` with
     label = min vertex id of the component.  ``vertices`` has column
@@ -663,7 +664,10 @@ def connected_components(
         active.select("doc_id", F.col("doc_id").alias("label")), 0
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    import time as _time
+
     for it in range(_CC_MAX_ITERS):
+        _t0 = _time.perf_counter()
         nbr = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy("a")
@@ -690,6 +694,8 @@ def connected_components(
             )
         labels = _materialize(stepped, it + 1)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if round_times is not None:
+            round_times.append(round(_time.perf_counter() - _t0, 3))
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -1214,20 +1214,42 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_covariance",
     oracle="""
-    WITH iv AS (
-        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+    WITH q AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-    )
-    SELECT a.dim AS di, b.dim AS dj,
-           CAST(ROUND(COVAR_POP(a.val, b.val), 6) AS DOUBLE) AS cov
-    FROM iv a JOIN iv b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-    GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.dim AS di, b.dim AS dj,
+               SUM(a.qv * b.qv) AS sxy, COUNT(*) AS n
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT dim, SUM(qv) AS sx FROM q GROUP BY 1)
+    SELECT p.di, p.dj,
+           CAST(FLOOR(CAST(p.n * p.sxy - mi.sx * mj.sx AS DOUBLE)
+                / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1000000.0))
+                AS BIGINT) AS cov_e6
+    FROM p JOIN m mi ON mi.dim = p.di JOIN m mj ON mj.dim = p.dj
     """,
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle population covariance of the embedding
     dimensions — the input to PCA/whitening (:func:`pca_whitening`)
     and the direct detector of redundant/correlated dimensions.
+    Emitted as ``cov_e6`` — covariance in 1e-6 units of the
+    1e-6-quantized embedding values.
+
+    Determinism (the r5 red-row fix): a plain ``avg()`` over doubles
+    is summation-order-dependent, so ``ROUND(cov, 6)`` can flip on a
+    boundary between engines/runs.  Instead each element is quantized
+    map-side to an exact integer ``qv = FLOOR(val * 1e6)`` (the
+    per-element double is bit-identical in Spark and DuckDB, so the
+    floor is too), every sum runs in exact integer/decimal arithmetic
+    (order-independent), and the single float step at the end —
+    cast, divide, floor — operates on bit-identical exact inputs in
+    both engines, so it is deterministic by IEEE-754
+    correct rounding.
 
     Scale shape: the d(d+1)/2 cross-products are expanded MAP-SIDE
     inside one array expression (never a self-join of the exploded
@@ -1235,39 +1257,49 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses each partition to d(d+1)/2 running sums, so
     the shuffle is O(partitions × d²) regardless of corpus size.
     Driver never sees vectors — only the d×d result."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ),
+    )
+    # qv*qv fits BIGINT (|qv| <~ 1e7 for any sanely-scaled embedding);
+    # the per-group sums are carried as DECIMAL so they stay exact at
+    # any corpus size (Spark widens sum(decimal(20,0)) to (30,0)).
     pairs = F.expr(
         """
-        flatten(transform(embedding, (xi, i) ->
-            transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->
+        flatten(transform(qv, (xi, i) ->
+            transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
                 struct(i AS di, i + j AS dj,
-                       CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS prod))))
+                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
         """
     )
     prods = (
         emb.select(F.explode(pairs).alias("p"))
         .select("p.di", "p.dj", "p.prod")
         .groupBy("di", "dj")
-        .agg(F.avg("prod").alias("exy"))
+        .agg(F.sum("prod").alias("sxy"), F.count("*").alias("n"))
     )
-    means = (
-        emb.select(
-            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-                "dim", "val"
-            )
-        )
+    sums = (
+        emb.select(F.posexplode("qv").alias("dim", "val"))
         .groupBy("dim")
-        .agg(F.avg("val").alias("mu"))
+        .agg(F.sum(F.col("val").cast("decimal(16,0)")).alias("sx"))
     )
-    mi = means.select(F.col("dim").alias("di"), F.col("mu").alias("mu_i"))
-    mj = means.select(F.col("dim").alias("dj"), F.col("mu").alias("mu_j"))
+    si = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sx_j"))
     return (
-        prods.join(F.broadcast(mi), "di")
-        .join(F.broadcast(mj), "dj")
+        prods.join(F.broadcast(si), "di")
+        .join(F.broadcast(sj), "dj")
         .select(
             "di",
             "dj",
-            F.round(F.col("exy") - F.col("mu_i") * F.col("mu_j"), 6).alias("cov"),
+            F.expr(
+                "CAST(FLOOR(CAST(CAST(n AS DECIMAL(12, 0)) * sxy"
+                " - sx_i * sx_j AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0))"
+                " AS BIGINT)"
+            ).alias("cov_e6"),
         )
     )
 
@@ -1285,7 +1317,9 @@ def pca_whitening(spark: SparkSession, sf_dir: str, energy: float = 0.95):
     d = max(r.dj for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:
-        cov[r.di, r.dj] = cov[r.dj, r.di] = r.cov
+        # cov_e6 ≈ cov_real·1e12 (quantized units²) / 1e6 — one
+        # division recovers the covariance in original units.
+        cov[r.di, r.dj] = cov[r.dj, r.di] = r.cov_e6 / 1e6
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
     vals, vecs = vals[order], vecs[:, order]

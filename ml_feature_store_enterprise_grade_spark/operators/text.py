@@ -870,7 +870,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (the retrieval-side complement of the
     dedup/quality family): per term, document frequency, collection
     frequency, and the sorted posting list of documents containing it,
-    restricted to the discriminative df band [{_IDX_DF_LO}, {_IDX_DF_HI}]
+    restricted to the discriminative df band [5, 50]
     (rarer = noise, more frequent = stop-listed — the cap is also what
     bounds the per-term aggregation buffer).
 
@@ -927,7 +927,7 @@ _VOCAB_SIZE = 500
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary induction + coverage audit: build the
-    top-{_VOCAB_SIZE} vocabulary from corpus term counts (ties broken
+    top-500 vocabulary from corpus term counts (ties broken
     on the term so both engines induce the identical vocab), then
     report each document's out-of-vocabulary token rate — the number
     that decides whether a fixed-vocab tokenizer needs retraining

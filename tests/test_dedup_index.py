@@ -203,3 +203,26 @@ def test_empty_build_cold_start(spark, split, tmp_path):
         for r in DedupIndex.build(corpus, str(tmp_path / "ref")).probe(batch).collect()
     }
     assert {r["doc_id"]: r["verdict"] for r in warmed} == ref
+
+
+def test_missing_table_dir_raises_loudly(spark, split, tmp_path):
+    """The empty-frame fallback in ``_read`` is ONLY for the
+    cold-start ``bands`` shape (dir exists, no schema-bearing file).
+    A genuinely deleted standing table must raise, not silently
+    disable its dedup check — a probe that can't see ``hashes`` would
+    otherwise admit every exact duplicate."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    corpus, batch = split
+    idx = DedupIndex.build(corpus, str(tmp_path / "idx"))
+    shutil.rmtree(tmp_path / "idx" / "hashes")
+    with pytest.raises(AnalysisException):
+        idx.probe(batch).collect()
+    # and a deleted bands dir (not the schema-less cold-start shape)
+    # is equally loud — the gate requires the directory to EXIST.
+    idx2 = DedupIndex.build(corpus, str(tmp_path / "idx2"))
+    shutil.rmtree(tmp_path / "idx2" / "bands")
+    with pytest.raises(AnalysisException):
+        idx2.probe(batch).collect()

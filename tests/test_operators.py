@@ -912,11 +912,16 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
         dtype=np.float64,
     )
     ref = np.cov(X, rowvar=False, bias=True)
-    got = {(r.di, r.dj): r.cov for r in embedding_covariance(spark, SF_SMOKE).collect()}
+    got = {
+        (r.di, r.dj): r.cov_e6 / 1e6
+        for r in embedding_covariance(spark, SF_SMOKE).collect()
+    }
     d = X.shape[1]
     assert len(got) == d * (d + 1) // 2
+    # 1e-6 element quantization + the final 1e-6 floor bound the
+    # drift from the exact covariance well under 5e-6 absolute.
     for (i, j), v in got.items():
-        assert abs(v - round(ref[i, j], 6)) <= 1e-6, (i, j, v, ref[i, j])
+        assert abs(v - ref[i, j]) <= 5e-6, (i, j, v, ref[i, j])
 
     comps, vals, k = pca_whitening(spark, SF_SMOKE, energy=0.95)
     assert comps.shape == (d, k) and len(vals) == k
