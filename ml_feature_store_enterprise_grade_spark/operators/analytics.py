@@ -1284,3 +1284,149 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     sym_deg.unpersist()
     return out
+
+
+@register(
+    "item_triangle_census",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a.item_id AS a, b.item_id AS b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b AS v FROM tri
+            UNION ALL SELECT c AS v FROM tri
+        ) GROUP BY 1
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY 1
+    )
+    SELECT d.v AS item_id, d.degree,
+           COALESCE(pv.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               CAST(FLOOR(2000000.0 * COALESCE(pv.n_triangles, 0)
+                    / (d.degree * (d.degree - 1))) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS clustering_e6
+    FROM deg d LEFT JOIN pv ON pv.v = d.v
+    """,
+)
+def item_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle count + local clustering coefficient over
+    the order co-occurrence graph — the graph-density companion to
+    :func:`item_pagerank` (communities of items that sell together as
+    a CLIQUE, not just pairwise).
+
+    Algorithm: the standard distributed triangle enumeration over the
+    id-ORIENTED edge list (a < b): wedges from one edge-edge equi-join
+    on the middle vertex, closed by a LEFT-SEMI join back to the edge
+    list, so every triangle a<b<c is counted exactly once and the
+    heavy join never materializes non-closing wedges downstream.
+    Orientation is the scale lever — wedge work is Σ out-deg², and
+    orienting low→high id caps out-degree at the graph's degeneracy
+    in expectation (AQE's skew split handles celebrity items beyond
+    that).  Edges themselves are support-thresholded co-occurrence
+    pairs built map-side from per-order item arrays (bounded blocking,
+    no cartesian — same discipline as item_cooccurrence_lift).
+
+    Determinism: counts are integers; the clustering coefficient is
+    emitted as ``FLOOR(2e6·T / (d·(d−1)))`` — one IEEE divide on exact
+    integers, bit-identical in both engines (no float-sum flake
+    class)."""
+    orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id")
+        )
+        .groupBy("order_id")
+        .agg(F.array_sort(F.collect_set("item_id")).alias("items"))
+    )
+    sz = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 2, sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("items"), i + 1).alias("a"),
+                    j.alias("b"),
+                ),
+            ),
+        )
+    )
+    # Cached: the edge list feeds four consumers (two wedge sides, the
+    # closing semi-join, the degree census) — uncached each would
+    # re-run the basket aggregate.  Slim 2-long rows.
+    e = (
+        orders.select(F.explode(F.when(sz >= 2, pairs)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+        .select("a", "b")
+        .cache()
+    )
+    e.count()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+        .alias("w")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        "left_semi",
+    )
+    pv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    out = (
+        deg.join(pv, "v", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0).cast("bigint")))
+        .select(
+            F.col("v").alias("item_id"),
+            "degree",
+            "n_triangles",
+            F.when(
+                F.col("degree") >= 2,
+                F.floor(
+                    2000000.0
+                    * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_e6"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

@@ -647,3 +647,53 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+_KFOLD_K = 5
+_KFOLD_SEED = 77
+
+
+@register(
+    "stratified_kfold_plan",
+    oracle=f"""
+    WITH folded AS (
+        SELECT lang, n_chars,
+               {PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", seed=_KFOLD_SEED)}
+                   % {_KFOLD_K} AS fold
+        FROM documents
+    )
+    SELECT lang, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM folded
+    GROUP BY 1, 2
+    """,
+)
+def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation plan: every document lands
+    in fold ``portable_hash64(doc_id) % 5`` — reproducible across
+    runs, clusters, and row order (same contract as
+    ``dataset_split_assignment``), and independent per document, so
+    each language stratum spreads ~uniformly over folds without any
+    per-stratum shuffle or counter.  The emitted (lang, fold) census
+    IS the balance audit: a skewed cell means a doc_id-generation
+    artifact, caught before any training run.
+
+    Scale: one map-side hash + one bounded aggregate
+    (|langs| × k rows out); the assignment itself never materializes
+    — any consumer recomputes ``fold`` from doc_id in its own scan
+    (zero-storage split, the property that matters when the corpus is
+    100 TB and a materialized assignment table would be another
+    corpus-sized artifact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=_KFOLD_SEED) % _KFOLD_K
+    ).alias("fold")
+    return (
+        docs.select("lang", "n_chars", fold)
+        .groupBy("lang", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )

@@ -130,6 +130,45 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_disc(value, 0.5) AS p50_disc,
+           quantile_disc(value, 0.9) AS p90_disc,
+           quantile_disc(value, 0.99) AS p99_disc
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type
+    """,
+)
+def event_value_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per group (``percentile_disc`` /
+    ``WITHIN GROUP``, ANSI form): each reported quantile is an actual
+    observed value, never an interpolation — the right summary for
+    monitoring dashboards where "a value that occurred" matters, and
+    bit-deterministic by construction (no float arithmetic happens at
+    all, so no summation-order flake class; contrast the
+    ``quantile_cont`` twin above).
+
+    Same scale shape as any exact grouped percentile: one shuffle on
+    the group key, per-group sort; at 100 TB swap to
+    ``approx_percentile`` with the same call shape."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"p{int(q * 100)}_disc")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
+@register(
     "user_rolling_7d_features",
     oracle="""
     WITH d AS (

@@ -566,3 +566,74 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_length_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+        FROM documents GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.med,
+               ABS(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    mad AS (
+        SELECT lang, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad FROM dev GROUP BY 1
+    )
+    SELECT v.doc_id, v.lang, v.n_chars, v.med, a.mad,
+           CASE WHEN a.mad > 0
+                THEN CAST(FLOOR(1000.0 * v.adev / a.mad) AS BIGINT)
+                ELSE NULL END AS robust_z_e3
+    FROM dev v JOIN mad a ON v.lang = a.lang
+    WHERE v.adev > 2 * a.mad
+    """,
+)
+def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers — median/MAD instead of
+    mean/stddev, so a heavy tail can't drag its own detection
+    threshold (the classic failure of z-scores on crawl corpora,
+    where truncation artifacts and concatenation bugs ARE the tail).
+    Flags every document whose |length − median| exceeds 2×MAD (the synthetic corpus' lognormal-ish lengths cap the ratio near 2.7, so the classic 3× gate would assert an empty set).
+
+    Determinism by construction: discrete quantiles of integers are
+    observed integers, the 2×MAD comparison is integer arithmetic,
+    and the emitted robust-z is one IEEE divide on exact integers
+    floored to e3 units — no float-sum flake class anywhere.
+
+    Scale shape: two grouped discrete quantiles (|langs| groups) with
+    the per-lang medians/MADs broadcast back — the corpus shuffles on
+    ``lang`` for the quantile sorts and is never self-joined; at
+    100 TB swap the exact quantiles for ``approx_percentile`` with
+    the same call sites."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("bigint")
+        .alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .filter(F.col("adev") > 2 * F.col("mad"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "med",
+            "mad",
+            F.when(
+                F.col("mad") > 0,
+                F.floor(1000.0 * F.col("adev") / F.col("mad")).cast("bigint"),
+            ).alias("robust_z_e3"),
+        )
+    )

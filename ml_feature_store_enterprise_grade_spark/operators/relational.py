@@ -1157,3 +1157,290 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("bigint").alias("gid"),
         )
     )
+
+
+@register(
+    "forecast_discount_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_EXT} * {_DISC}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change aggregate: the pure
+    scan-side query — no join, one output row — that exists to prove
+    the scan path is right.
+
+    Plan shape: ALL four predicates reach the parquet scan as
+    PushedFilters (shipdate range, discount band, quantity cap) and
+    the read schema prunes to the four referenced columns; what
+    survives feeds a partial sum collapsed map-side, so the shuffle
+    is one row per partition.  At 100 TB this query is bounded by
+    how many row groups the min/max statistics exclude — which is
+    exactly what it measures.  Exact-decimal product keeps the sum
+    deterministic under any partition order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(money(F.col("l_extendedprice")) * _rate("l_discount")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped late-shipment audit (shipmode recast onto the
+    columns this schema has): lines shipped more than 90 days after
+    their order date, split into urgent-vs-other CASE counts per
+    return flag.
+
+    Plan shape: the shipdate range is pushed to the lineitem scan
+    BEFORE the join (the lag predicate itself needs both sides, so it
+    filters the join output); one key shuffle joins the two pruned
+    fact projections, and the conditional counts collapse in the
+    partial aggregate — the classic Q12 two-way-CASE shape that makes
+    engines prove conditional aggregation doesn't become two passes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 90
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 4, 9, 14, 23)
+      AND p.p_brand <> 'Brand#23'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety count: how many DISTINCT
+    suppliers ship each (brand, size) bucket, excluding suppliers on
+    the complaint list (negative balance here) via NOT IN.
+
+    Plan shape: part filters push to its scan and the filtered part
+    side broadcasts; the NOT-IN subquery is a broadcast left-ANTI
+    join against the tiny bad-supplier key list (NULL-safe by
+    construction: s_suppkey is a key, never NULL — a NOT IN over a
+    nullable column would need the null-aware variant); the count
+    DISTINCT shuffles (brand, size, suppkey) once for partial
+    distinct then counts — never a global distinct of the fact
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 4, 9, 14, 23) & (F.col("p_brand") != "Brand#23")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH target AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, SUM({_QTY}) AS sup_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM target)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT l_partkey, SUM(sup_qty) AS part_qty
+        FROM shipped GROUP BY 1
+    ),
+    big AS (
+        SELECT DISTINCT s.l_suppkey
+        FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+        WHERE s.sup_qty > 0.5 * t.part_qty
+    )
+    SELECT su.s_suppkey, su.s_name, n.n_name
+    FROM supplier su
+    JOIN nation n ON su.s_nationkey = n.n_nationkey
+    WHERE su.s_suppkey IN (SELECT l_suppkey FROM big)
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier report: suppliers who
+    shipped more than half of a target (red-named) part's 1996 volume (the
+    "excess stock" semi-join chain recast onto shipment volumes —
+    this schema has no partsupp).
+
+    Plan shape: the target-part key list broadcasts into the
+    lineitem scan as a semi-join (with the shipdate range pushed
+    down); ONE shuffle aggregates (part, supplier) quantities; the
+    per-part total reuses that aggregate's partitioning (no second
+    fact scan) via a window-free self-aggregation, and the final
+    supplier resolution is a broadcast semi-join against the distinct
+    qualifying supplier keys.  Exact-decimal quantity sums make the
+    >50% comparison deterministic."""
+    target = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(target), "l_partkey", "left_semi")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(money(F.col("l_quantity"))).alias("sup_qty")
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("sup_qty").alias("part_qty"))
+    big = (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("sup_qty") > 0.5 * F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        su.join(F.broadcast(big), "s_suppkey", "left_semi")
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "nation_vip_roster",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_vips,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS roster
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def nation_vip_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG (Spark 4's ``listagg ... WITHIN GROUP``, the
+    ANSI-2016 form): the comma-joined roster of each nation's
+    high-balance customers — the "emit the members, not just the
+    count" report shape.
+
+    Determinism: within-group ORDER BY c_name makes the concatenation
+    order-stable under any shuffle; the high-balance filter bounds the
+    group size (an UNfiltered listagg over a fact table would
+    concentrate a table-sized string on one reducer — the operator is
+    only scale-safe with bounded groups, which is why the filter is
+    part of the shape).  Plan: filter pushed to the customer scan,
+    broadcast nation join, one hash-agg pass (sort-based within
+    group)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vips"),
+            F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias(
+                "roster"
+            ),
+        )
+    )
+
+
+@register(
+    "nation_top_customers_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n
+    JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t ON TRUE
+    """,
+)
+def nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: each nation's 3 richest customers,
+    written as a lateral subquery (the SQL-standard form of "for each
+    outer row, run this parameterized query").
+
+    Catalyst decorrelates the correlated LIMIT into a
+    ``WindowGroupLimit`` over the customer side — a map-side partial
+    top-3 per nation BEFORE the shuffle, then the broadcast nation
+    join — so the plan is identical to the hand-written ranked-window
+    form and never materializes a per-nation scan.  This is the
+    optimizer shape that matters at 100 TB: a naive nested-loop
+    lateral would re-scan the fact table once per outer row.
+    Tie-broken on the unique c_custkey, so the top-3 set is
+    deterministic."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )
