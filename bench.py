@@ -188,20 +188,25 @@ def main() -> None:
         )
     )
     # The LAST stdout line is the machine contract: the driver tails
-    # stdout, so this line must stay small (<200 bytes — the full
+    # stdout, so this line must stay small (<250 bytes — the full
     # per-query maps live on the two lines above).  Broke in r4 AND r5
     # when the 63-query map rode along; never put a per-query map here.
-    line = json.dumps(
-        {
-            "metric": "engine headline queries wall-clock",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "passes_completed": min(counts.values()),
-            "sf": sf_val,
-        }
-    )
-    assert len(line) < 250, f"bench contract line too long: {len(line)}"
+    # If the line somehow outgrows the limit, degrade to the minimal
+    # required fields rather than crashing AFTER all measurement work
+    # is done (an assert here would discard the whole run).
+    payload = {
+        "metric": "engine headline queries wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "passes_completed": min(counts.values()),
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    if len(line) >= 250:
+        line = json.dumps(
+            {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+        )
     print(line)
     spark.stop()
 

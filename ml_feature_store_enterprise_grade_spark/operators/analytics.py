@@ -1430,3 +1430,385 @@ def item_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+@register(
+    "monthly_revenue_momentum",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           n_orders,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(rev) OVER (
+               ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS cumulative_revenue,
+           CAST(ROUND(SUM(rev) OVER (
+               ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               / COUNT(*) OVER (
+               ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               2) AS DOUBLE) AS moving_avg_3m,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 6)
+               AS mom_growth
+    FROM m
+    """,
+)
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-level revenue momentum: per calendar month, total order
+    revenue plus the running cumulative total, the trailing 3-month
+    moving average, and month-over-month growth — the canonical
+    time-series window ladder every revenue dashboard runs.
+
+    Scale shape: the expensive part is the first aggregate, which
+    shuffles the orders table down to one row per month (~84 rows for
+    7 years of data at ANY corpus size); every window function then
+    runs over that trivially small frame on a single partition — the
+    pre-aggregate-then-window pattern that keeps global-ordered
+    windows off the fact table (a window directly over orders would
+    force a full global sort).  Determinism: monthly sums are exact
+    DECIMAL; the moving average is an exact window sum with one IEEE
+    divide; growth is one IEEE divide of exact inputs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w_cum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    w_3m = Window.orderBy("month").rowsBetween(-2, 0)
+    w_lag = Window.orderBy("month")
+    prev = F.lag("rev").over(w_lag)
+    return m.select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w_cum), 2).cast("double").alias("cumulative_revenue"),
+        F.round(F.sum("rev").over(w_3m) / F.count("*").over(w_3m), 2)
+        .cast("double")
+        .alias("moving_avg_3m"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "order_value_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS DOUBLE) AS sum1,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                        * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sum2
+        FROM orders GROUP BY 1
+    ),
+    z AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               (o.o_totalprice - s.sum1 / s.n)
+                   / sqrt(s.sum2 / s.n - (s.sum1 / s.n) * (s.sum1 / s.n)) AS zs
+        FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(zs, 4) AS z_score
+    FROM z WHERE abs(zs) > 2.5
+    """,
+)
+def order_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: orders whose total price
+    sits more than 2.5 population standard deviations from their
+    priority class's mean — the standing anomaly screen a revenue
+    pipeline runs before training on transaction amounts.
+
+    Scale shape: one partial-aggregated pass computes per-group
+    (n, Σx, Σx²) — 5 rows — which broadcast-joins back onto the fact
+    table; the z-score is then a pure map-side expression, so the
+    whole screen is two scans and zero wide shuffles of the fact
+    side.  Determinism (the ``embedding_covariance`` discipline):
+    Σx and Σx² accumulate in exact DECIMAL (order-independent under
+    any shuffle), and mean/variance/z are IEEE expressions over those
+    exact scalars evaluated identically by both engines — variance
+    via E[x²]−E[x]² on exact moments, not a streaming stddev.
+    Σx² fits DOUBLE exactly up to ~sf1; beyond that widen the final
+    cast, not the algorithm."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(16,4)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sum1"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(19,4)")
+            * F.col("o_totalprice").cast("decimal(19,4)")
+        )
+        .cast("double")
+        .alias("sum2"),
+    )
+    mean = F.col("sum1") / F.col("n")
+    var = F.col("sum2") / F.col("n") - mean * mean
+    z = (F.col("o_totalprice") - mean) / F.sqrt(var)
+    return (
+        o.join(F.broadcast(s), "o_orderpriority")
+        .withColumn("zs", z)
+        .filter(F.abs(F.col("zs")) > 2.5)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            F.round(F.col("zs"), 4).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "user_activity_entropy",
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS v,
+               SUM(c * ln(c)) AS sclc,
+               min(struct_pack(nc := -c, t := event_type)) AS top
+        FROM c GROUP BY 1
+    )
+    SELECT user_id,
+           n AS n_events,
+           v AS n_types,
+           ROUND(ln(n) - sclc / n, 4) AS entropy_nats,
+           top.t AS top_type,
+           ROUND(CAST(-top.nc AS DOUBLE) / n, 4) AS top_share
+    FROM d
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the
+    event-type distribution plus the dominant type and its share —
+    the bot/scraper screen (a user firing one event type thousands of
+    times scores ~0 nats; organic browsing scores 1-1.4) and the
+    engagement-mix feature the churn models want.
+
+    Same exact-count entropy form as ``doc_token_entropy``; the
+    deterministic mode ("top type") is the min of the (-count, type)
+    struct — largest count, then lexicographically first type — the
+    same struct-ordering trick both engines evaluate identically.
+    Two keyed partial-aggregated shuffles; no corpus-wide state."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    d = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").alias("v"),
+        F.sum(F.col("c") * F.log("c")).alias("sclc"),
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))
+        ).alias("top"),
+    )
+    return d.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("v").alias("n_types"),
+        F.round(F.log("n") - F.col("sclc") / F.col("n"), 4).alias("entropy_nats"),
+        F.col("top.t").alias("top_type"),
+        F.round((-F.col("top.nc")).cast("double") / F.col("n"), 4).alias("top_share"),
+    )
+
+
+#: Gini bucketing: acctbal in [0, 10000) split into 1000-wide ranges.
+_GINI_BUCKET = 1000
+
+
+@register(
+    "acctbal_gini_by_segment",
+    defer=True,
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment AS segment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS x,
+               c_custkey
+        FROM customer WHERE c_acctbal >= 0
+    ),
+    r AS (
+        SELECT segment, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY segment ORDER BY x, c_custkey
+               ) AS rnk
+        FROM q
+    ),
+    t AS (
+        SELECT segment, COUNT(*) AS n, SUM(x) AS sx FROM q GROUP BY 1
+    )
+    SELECT r.segment,
+           CAST(t.n AS BIGINT) AS n_customers,
+           ROUND(CAST(t.sx AS DOUBLE) / t.n, 2) AS mean_acctbal,
+           ROUND(CAST(SUM((2 * r.rnk - t.n - 1) * r.x) AS DOUBLE)
+                 / (t.n * CAST(t.sx AS DOUBLE)), 6) AS gini
+    FROM r JOIN t ON r.segment = t.segment
+    GROUP BY 1, 2, 3, t.n, t.sx
+    """,
+)
+def acctbal_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of account-balance concentration per market
+    segment — the inequality metric a monetization dashboard tracks
+    (G = Σ(2i−n−1)·x_i / (n·Σx) over ascending ranks; 0 = equal,
+    →1 = concentrated).  Negative balances are excluded (Gini is
+    defined for non-negative distributions).
+
+    Scale shape — the ``ks_2samp`` distributed-rank discipline, NOT a
+    per-segment global sort: values bucket into fixed 1000-wide
+    ranges; per-(segment, bucket) counts give bucket rank offsets via
+    a window over the tiny bucket frame; within-bucket ranks sort
+    only each bucket's rows (window PARTITIONED BY bucket, so work is
+    parallel and per-partition bounded); the global rank is offset +
+    within-rank.  Σ(2r−n−1)·x accumulates in exact DECIMAL
+    (order-independent); the final divide is one IEEE expression over
+    exact scalars.  The oracle uses the plain ROW_NUMBER form — same
+    ranks by construction (ties broken on the unique custkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0)
+    q = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("x"),
+        "c_custkey",
+        F.floor(F.col("c_acctbal") / _GINI_BUCKET).cast("int").alias("bkt"),
+    )
+    per_bkt = q.groupBy("segment", "bkt").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("segment")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_bkt.select(
+        "segment",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("segment", "bkt").orderBy("x", "c_custkey")
+    ranked = (
+        q.withColumn("rn", F.row_number().over(w_in))
+        .join(offs, ["segment", "bkt"])
+        .select("segment", "x", (F.col("off") + F.col("rn")).alias("rnk"))
+    )
+    t = q.groupBy("segment").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    j = ranked.join(F.broadcast(t), "segment")
+    num = F.sum((2 * F.col("rnk") - F.col("n") - 1) * F.col("x"))
+    return (
+        j.groupBy("segment", "n", "sx")
+        .agg(num.alias("num"))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(F.col("sx").cast("double") / F.col("n"), 2).alias(
+                "mean_acctbal"
+            ),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n") * F.col("sx").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_gap_fill",
+    defer=True,
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 480000
+        GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM m),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+                   AS month
+        FROM bounds
+    ),
+    f AS (
+        SELECT s.month,
+               COALESCE(m.n_orders, 0) AS n_orders,
+               COALESCE(m.rev, 0) AS rev,
+               m.month IS NULL AS gap_filled
+        FROM spine s LEFT JOIN m ON s.month = CAST(m.month AS DATE)
+    )
+    SELECT month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           gap_filled,
+           CAST(ROUND(SUM(rev) OVER (
+               ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_revenue
+    FROM f
+    """,
+)
+def monthly_revenue_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: the sparse high-value-urgent
+    monthly revenue series joined onto a complete month spine
+    (``sequence(min, max, interval 1 month)``), zero-filling the
+    months with no qualifying orders and flagging them — the
+    gap-filling step every time-series feature pipeline (and every
+    charting layer) needs before windowed features, since a lag over
+    a series WITH holes silently compares non-adjacent months.
+
+    Scale shape: the fact scan aggregates down to ≤ ~84 month rows
+    BEFORE the spine logic, so the generate/explode/left-join/window
+    chain runs on a bounded frame regardless of corpus size — the
+    same pre-aggregate-then-window discipline as
+    ``monthly_revenue_momentum``.  Filter is pushed to the scan;
+    revenue is exact decimal."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 480000)
+    )
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("rev"),
+    )
+    bounds = m.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+        ).alias("month")
+    )
+    f = (
+        spine.join(m.withColumnRenamed("month", "m_month"),
+                   spine.month == F.col("m_month"), "left")
+        .select(
+            "month",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(16,4)")).alias("rev"),
+            F.col("m_month").isNull().alias("gap_filled"),
+        )
+    )
+    w_run = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        "month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        "gap_filled",
+        F.round(F.sum("rev").over(w_run), 2).cast("double").alias("running_revenue"),
+    )

@@ -327,32 +327,77 @@ def drift_ks_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "feature_summary_stats",
     oracle="""
+    WITH q AS (
+        SELECT event_type, value, CAST(value AS DECIMAL(18,8)) AS qd
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(qd) AS DOUBLE) AS s1,
+               -- one factor widened to DECIMAL(19,8): DuckDB executes
+               -- DECIMAL(18)×DECIMAL(18) in int64 (overflows on real
+               -- sums); 19 digits forces the INT128 path → exact
+               -- DECIMAL(37,16), same type Spark's (18,8)×(18,8) gives
+               CAST(SUM(CAST(qd AS DECIMAL(19,8)) * qd) AS DOUBLE) AS s2,
+               MEDIAN(value) AS med,
+               MIN(value) AS mn,
+               MAX(value) AS mx
+        FROM q GROUP BY 1
+    )
     SELECT event_type,
-           COUNT(*) AS n,
-           ROUND(AVG(value), 6) AS mean,
-           ROUND(STDDEV_SAMP(value), 6) AS std,
-           ROUND(MEDIAN(value), 6) AS median,
-           ROUND(MIN(value), 6) AS min_value,
-           ROUND(MAX(value), 6) AS max_value
-    FROM events
-    WHERE value IS NOT NULL AND NOT isnan(value)
-    GROUP BY event_type
+           n,
+           ROUND(s1 / n, 6) AS mean,
+           CASE WHEN n > 1
+                THEN ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) END AS std,
+           ROUND(med, 6) AS median,
+           ROUND(mn, 6) AS min_value,
+           ROUND(mx, 6) AS max_value
+    FROM m
     """,
 )
 def feature_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 drift-report summary statistics (reference
     scripts/drift_detection.py:99-113) — exact median via
-    ``percentile`` (interpolating, matching DuckDB's MEDIAN)."""
+    ``percentile`` (interpolating, matching DuckDB's MEDIAN).
+
+    Determinism (r6 item 8, the ``embedding_covariance`` discipline
+    promoted here): ``avg()``/``stddev_samp()`` over doubles are
+    summation-order-dependent, so ROUND(·, 6) could flip on a
+    boundary between engines/shuffle orders.  Instead each value is
+    cast once to DECIMAL(18,8) — a deterministic per-element rounding
+    identical in both engines (a tie at scale 8 would need the double
+    to be an exact binary multiple of 5e-9, which doesn't exist) —
+    Σx and Σx² accumulate exactly in decimal (order-independent),
+    and mean/std are IEEE expressions over those exact scalars:
+    identical inputs + identical expression tree ⇒ identical
+    results.  Sample std via (Σx² − (Σx)²/n)/(n−1); cancellation
+    costs ~1e-12 absolute here, five orders inside the 6dp margin —
+    and deterministically identical on both engines either way."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
-    return e.groupBy("event_type").agg(
+    qd = F.col("value").cast("decimal(18,8)")
+    m = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean"),
-        F.round(F.stddev_samp("value"), 6).alias("std"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        F.sum(qd).cast("double").alias("s1"),
+        F.sum(qd * qd).cast("double").alias("s2"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1")
+    s2 = F.col("s2")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s1 / n, 6).alias("mean"),
+        F.when(n > 1, F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)).alias("std"),
+        F.round(F.col("med"), 6).alias("median"),
+        F.round(F.col("mn"), 6).alias("min_value"),
+        F.round(F.col("mx"), 6).alias("max_value"),
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import money
+from ..functions.scalar import MONEY
 from ..registry import register
 
 #: DuckDB twins of the exact-decimal money arithmetic (see
@@ -1443,4 +1444,133 @@ def nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY c_acctbal DESC, c_custkey LIMIT 3
         ) t
         """
+    )
+
+
+@register(
+    "brand_bracket_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1
+    """,
+)
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-conjunctions revenue (brand/size/quantity
+    brackets recast onto this schema's columns — the testdata carries
+    no container/shipmode).
+
+    The optimizer shape Q19 exists to test: the disjunction mixes
+    part-side and lineitem-side predicates, and Catalyst must (a)
+    derive the single-side implications — ``p_brand IN (...)`` and
+    ``p_size BETWEEN 1 AND 15`` push to the part scan, ``l_quantity
+    BETWEEN 1 AND 30`` to the lineitem scan — BEFORE the join, and
+    (b) keep the full disjunction as a post-join filter.  Without the
+    derived pushdowns the join shuffles the whole fact table for a
+    <1% selectivity query.  Exact-decimal revenue per the house
+    parity discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        j.filter(bracket)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "local_supply_share",
+    oracle=f"""
+    SELECT n.n_name AS cust_nation,
+           CAST(ROUND(SUM(CASE WHEN s.s_nationkey = c.c_nationkey
+                          THEN {_EXT} * (1 - {_DISC}) ELSE 0 END), 2) AS DOUBLE)
+               AS local_revenue,
+           CAST(ROUND(SUM({_EXT} * (1 - {_DISC})), 2) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN s.s_nationkey = c.c_nationkey
+                          THEN {_EXT} * (1 - {_DISC}) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_EXT} * (1 - {_DISC})) AS DOUBLE), 6) AS local_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def local_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain localness (TPC-H Q7/Q8 family, new semantics):
+    per customer nation, what fraction of 1995-96 revenue was shipped
+    by a supplier in the SAME nation — the "domestic share" metric a
+    sourcing dashboard runs.
+
+    Plan shape: orderdate range pushes to the orders scan; the
+    lineitem→orders and →customer joins shuffle on their keys once
+    each; supplier is a key-join AQE converts to broadcast at any
+    realistic dim size (and at 100 TB, where supplier outgrows the
+    broadcast threshold, it shuffles on l_suppkey like any fact-fact
+    join — no plan rewrite needed); nation is always broadcast.  The
+    local/total CASE-sum pair collapses in one partial aggregate —
+    one pass, no second scan for the denominator.  Exact-decimal
+    sums; the share is one IEEE divide over exact inputs, so the
+    result is deterministic under any shuffle order."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = money(F.col("l_extendedprice")) * (1 - _rate("l_discount"))
+    local = F.col("s_nationkey") == F.col("c_nationkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    zero = F.lit(0).cast(MONEY)
+    local_sum = F.sum(F.when(local, rev).otherwise(zero))
+    total_sum = F.sum(rev)
+    return (
+        j.groupBy(F.col("n_name").alias("cust_nation"))
+        .agg(
+            F.round(local_sum, 2).cast("double").alias("local_revenue"),
+            F.round(total_sum, 2).cast("double").alias("total_revenue"),
+            F.round(local_sum.cast("double") / total_sum.cast("double"), 6).alias(
+                "local_share"
+            ),
+        )
     )

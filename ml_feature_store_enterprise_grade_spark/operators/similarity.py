@@ -1264,15 +1264,21 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
         ),
     )
-    # qv*qv fits BIGINT (|qv| <~ 1e7 for any sanely-scaled embedding);
-    # the per-group sums are carried as DECIMAL so they stay exact at
-    # any corpus size (Spark widens sum(decimal(20,0)) to (30,0)).
+    # Each factor is cast to DECIMAL BEFORE the multiply: a bare
+    # xi * xj would run in BIGINT, where non-ANSI Spark wraps silently
+    # on overflow — an embedding scaled beyond ~3e3 (qv ~3e9) would
+    # produce wrong covariances with no error.  DECIMAL(18,0) factors
+    # give a DECIMAL(37,0) product (inside the 38-digit cap) that is
+    # exact for any |qv| < 1e18, and overflow past that raises instead
+    # of wrapping.  Per-group sums stay DECIMAL — exact at any corpus
+    # size.
     pairs = F.expr(
         """
         flatten(transform(qv, (xi, i) ->
             transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
                 struct(i AS di, i + j AS dj,
-                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
+                       CAST(xi AS DECIMAL(18, 0)) * CAST(xj AS DECIMAL(18, 0))
+                           AS prod))))
         """
     )
     prods = (
@@ -1454,4 +1460,112 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
         .limit(_RRF_TOPK)
+    )
+
+
+#: Product-quantization layout: 8 subvectors × 8 dims × 2 bits/dim
+#: (4 uniform levels per dimension) → 16-bit code per subvector.
+_PQ_SUB_DIMS = 8
+_PQ_LEVELS = 4
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    iv AS (
+        SELECT vec_id, i, v[i] AS x
+        FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i)
+    ),
+    st AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM iv GROUP BY 1),
+    lv AS (
+        SELECT vec_id,
+               CAST(floor((iv.i - 1) / {_PQ_SUB_DIMS}) AS BIGINT) AS sub,
+               CASE WHEN st.hi = st.lo THEN 0
+                    ELSE least(greatest(CAST(floor(
+                        (iv.x - st.lo) / (st.hi - st.lo) * {_PQ_LEVELS}
+                    ) AS BIGINT), 0), {_PQ_LEVELS - 1}) END
+               * CAST(pow({_PQ_LEVELS}, (iv.i - 1) % {_PQ_SUB_DIMS}) AS BIGINT)
+                   AS term
+        FROM iv JOIN st ON iv.i = st.i
+    ),
+    sc AS (
+        SELECT vec_id, sub, CAST(SUM(term) AS BIGINT) AS code
+        FROM lv GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code
+        FROM sc GROUP BY 1
+    ),
+    bk AS (SELECT pq_code, COUNT(*) AS bucket_size FROM pc GROUP BY 1)
+    SELECT p.vec_id, p.pq_code, CAST(b.bucket_size AS BIGINT) AS bucket_size
+    FROM pc p JOIN bk b ON p.pq_code = b.pq_code
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al., TPAMI'11
+    shape) with a data-independent codebook: split each 64-d vector
+    into 8 subvectors of 8 dims, quantize every dimension onto 4
+    uniform levels between its corpus-wide [min, max], and pack each
+    subvector's 2-bit levels into a 16-bit code.  Emitted per vector:
+    the dash-joined 8-code word and its bucket size (how many vectors
+    share the identical full code) — the collision signal that seeds
+    PQ-based near-dup candidate generation and the memory planning
+    for an IVFPQ index (codes are 16 B/vector vs 256 B raw).
+
+    A k-means-trained codebook (the FAISS default) is deliberately
+    not used HERE: uniform per-dim grids keep the assignment a pure
+    closed-form expression both engines evaluate bit-identically, so
+    the whole operator is oracle-checkable; the trained-codebook path
+    exists as ``VectorIndex``/``ann_ivf_topk``.
+
+    Scale shape: the per-dim [lo, hi] table is d rows — broadcast
+    back onto the exploded stream; level/code assignment is map-side
+    arithmetic; the only wide shuffles are keyed by (vec_id) and by
+    the 16-byte code word.  Everything is linear in N·d with no
+    pairwise stage, and at 100 TB the explode never materializes —
+    it pipelines inside whole-stage codegen between two shuffles.
+    Determinism: lo/hi are exact min/max folds; each level is ONE
+    IEEE expression (sub, div, mul, floor) evaluated identically by
+    both engines; codes are exact integer sums."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    iv = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "i0", "x"
+        ),
+    )
+    st = iv.groupBy("i0").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    lev = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _PQ_LEVELS)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_PQ_LEVELS - 1),
+        )
+    )
+    term = lev * F.pow(F.lit(_PQ_LEVELS), F.col("i0") % _PQ_SUB_DIMS).cast("bigint")
+    sc = (
+        iv.join(F.broadcast(st), "i0")
+        .select(
+            "vec_id",
+            F.floor(F.col("i0") / _PQ_SUB_DIMS).cast("bigint").alias("sub"),
+            term.alias("term"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.sum("term").cast("bigint").alias("code"))
+    )
+    pc = sc.groupBy("vec_id").agg(
+        F.expr(
+            "listagg(CAST(code AS STRING), '-') WITHIN GROUP (ORDER BY sub)"
+        ).alias("pq_code")
+    )
+    bk = pc.groupBy("pq_code").agg(F.count("*").alias("bucket_size"))
+    return pc.join(bk, "pq_code").select(
+        "vec_id", "pq_code", F.col("bucket_size").cast("bigint").alias("bucket_size")
     )

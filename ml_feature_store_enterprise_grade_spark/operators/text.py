@@ -1311,3 +1311,304 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
     ).orderBy("rank")
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS v,
+               SUM(c * ln(c)) AS sclc
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           v AS n_types,
+           ROUND(CAST(v AS DOUBLE) / n, 4) AS type_token_ratio,
+           ROUND(ln(n) - sclc / n, 4) AS token_entropy_nats,
+           CASE WHEN v > 1 THEN ROUND((ln(n) - sclc / n) / ln(v), 4) END
+               AS norm_entropy
+    FROM d
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic low-entropy screen for boilerplate/template/spam pages in
+    a pretraining corpus (a page repeating 10 tokens scores ~2.3 nats
+    while natural prose of the same length scores 4-5), plus
+    type-token ratio and entropy normalized by ln(vocab).
+
+    Shape: explode → per-(doc, token) count → per-doc fold, i.e. two
+    partial-aggregated shuffles keyed by doc, both map-side combined;
+    no corpus-wide state, so it scales linearly.  Entropy uses the
+    count form H = ln(N) − Σc·ln(c)/N so every summand is derived
+    from exact integer counts; the double sum is rounded at 4dp
+    (summation-order noise ~1e-12, five orders inside the margin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    c = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").alias("v"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("sclc"),
+    )
+    raw_h = F.log(F.col("n")) - F.col("sclc") / F.col("n")
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.round(F.col("v").cast("double") / F.col("n"), 4).alias("type_token_ratio"),
+        F.round(raw_h, 4).alias("token_entropy_nats"),
+        F.when(F.col("v") > 1, F.round(raw_h / F.log(F.col("v")), 4)).alias(
+            "norm_entropy"
+        ),
+    )
+
+
+#: Winnowing parameters: word-3-gram hashes, window of 4 consecutive
+#: k-grams → guarantee window t = w + k − 1 = 6 tokens (any shared run
+#: of ≥6 tokens between two documents shares ≥1 fingerprint).
+_WINNOW_W = 4
+
+
+def winnow_fingerprints(nd: DataFrame, w: int = _WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint selection over a ``(doc_id, toks)`` frame:
+    word-3-gram hashes, leftmost-min-per-window-of-``w`` selection via
+    (hash, pos) struct ordering.  Returns the distinct selected
+    ``(doc_id, fpos, fph, n_sh)`` rows — the core both the registered
+    query and the guarantee property test drive."""
+    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    sh = (
+        nd.select(
+            "doc_id",
+            F.posexplode(F.slice(F.col("toks"), 1, n3)).alias("i0", "t0"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("pos"),
+            portable_hash64(
+                F.concat_ws(
+                    " ",
+                    F.col("t0"),
+                    F.element_at("toks", F.col("i0") + 2),
+                    F.element_at("toks", F.col("i0") + 3),
+                )
+            ).alias("h"),
+        )
+    )
+    w_sel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    win = sh.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct(F.col("h"), F.col("pos").alias("p"))).over(w_sel).alias("sel"),
+        F.count("*").over(w_doc).alias("n_sh"),
+    )
+    return (
+        win.filter(F.col("pos") <= F.greatest(F.col("n_sh") - w + 1, F.lit(1)))
+        .select(
+            "doc_id",
+            F.col("sel.p").alias("fpos"),
+            F.col("sel.h").alias("fph"),
+            "n_sh",
+        )
+        .distinct()
+    )
+
+
+#: Shared DuckDB CTE chain producing the winnowing fingerprint set
+#: ``fp(doc_id, fpos, fph, n_sh)`` — the oracle twin of
+#: :func:`winnow_fingerprints`, reused by every winnowing query.
+_WINNOW_FP_SQL_CTES = f"""nd AS (
+        SELECT doc_id, string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               {PORTABLE_HASH64_SQL("toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")} AS h
+        FROM nd, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               min(struct_pack(h := h, p := pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+               ) AS sel,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM sh
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, sel.p AS fpos, sel.h AS fph, n_sh
+        FROM win WHERE pos <= greatest(n_sh - {_WINNOW_W} + 1, 1)
+    )"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL_CTES},
+    hd AS (
+        SELECT fph, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY 1
+    )
+    SELECT f.doc_id,
+           MAX(f.n_sh) AS n_kgrams,
+           COUNT(*) AS n_fingerprints,
+           CAST(COUNT(DISTINCT f.fph) AS BIGINT) AS n_distinct_fp,
+           CAST(SUM(CASE WHEN hd.n_docs > 1 AND f.fpos = f.min_pos_for_hash
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(f.n_sh), 4) AS density
+    FROM (
+        SELECT *, MIN(fpos) OVER (PARTITION BY doc_id, fph) AS min_pos_for_hash
+        FROM fp
+    ) f
+    JOIN hd ON f.fph = hd.fph
+    GROUP BY 1
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word-3-gram, slide a
+    window of w=4 consecutive hashes over each document, and select
+    the minimum of each window (leftmost on ties via (hash, pos)
+    struct ordering — deterministic in both engines).  The selected
+    set is the document's fingerprint: any shared token run of length
+    ≥ w+k−1 between two documents is GUARANTEED to share a selected
+    hash, with expected density 2/(w+1) — the local-selection
+    guarantee MinHash doesn't give.
+
+    Per doc this reports k-gram count, fingerprint count, distinct
+    fingerprint hashes, how many of those hashes also appear in some
+    OTHER document (the plagiarism/near-dup signal), and selection
+    density (≈ 2/(w+1) = 0.4 on random text).
+
+    Scale shape: shingling + hashing is a map-side explode; the
+    window min runs inside each doc partition (docs are bounded, no
+    skew); the cross-doc sharing pass is a fingerprint-keyed
+    count-distinct shuffle whose input is already ~2/(w+1) of the
+    k-gram stream — all linear, no pairwise comparisons anywhere.
+    A full MOSS-style matcher would equi-join fp↔fp on hash — the
+    same bounded-bucket shape as ``dedup_minhash_lsh``."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    fp = winnow_fingerprints(nd)
+    hd = fp.groupBy("fph").agg(F.count_distinct("doc_id").alias("n_docs"))
+    w_hash = Window.partitionBy("doc_id", "fph")
+    f = fp.withColumn("min_pos_for_hash", F.min("fpos").over(w_hash)).join(hd, "fph")
+    return f.groupBy("doc_id").agg(
+        F.max("n_sh").alias("n_kgrams"),
+        F.count("*").alias("n_fingerprints"),
+        F.count_distinct("fph").cast("bigint").alias("n_distinct_fp"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("fpos") == F.col("min_pos_for_hash")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_shared_fp"),
+        F.round(F.count("*").cast("double") / F.max("n_sh"), 4).alias("density"),
+    )
+
+
+#: MOSS-style stoplist bound: fingerprint hashes appearing in more
+#: documents than this are boilerplate, not plagiarism signal — and
+#: dropping them is also what bounds the join's bucket sizes.
+_WINNOW_MAX_DF = 50
+
+
+@register(
+    "doc_winnowing_matches",
+    defer=True,
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL_CTES},
+    d AS (SELECT DISTINCT doc_id, fph FROM fp),
+    df AS (SELECT fph, COUNT(*) AS nd FROM d GROUP BY 1),
+    kept AS (
+        SELECT d.doc_id, d.fph
+        FROM d JOIN df USING (fph)
+        WHERE df.nd BETWEEN 2 AND {_WINNOW_MAX_DF}
+    ),
+    pc AS (SELECT doc_id, COUNT(*) AS n_fp FROM d GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+        FROM kept a JOIN kept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.shared_fp AS BIGINT) AS shared_fp,
+           CAST(pa.n_fp AS BIGINT) AS n_fp_a,
+           CAST(pb.n_fp AS BIGINT) AS n_fp_b,
+           ROUND(CAST(p.shared_fp AS DOUBLE) / LEAST(pa.n_fp, pb.n_fp), 4)
+               AS overlap
+    FROM pairs p
+    JOIN pc pa ON p.doc_a = pa.doc_id
+    JOIN pc pb ON p.doc_b = pb.doc_id
+    WHERE p.shared_fp >= 2
+    """,
+)
+def doc_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS matcher on top of :func:`winnow_fingerprints`: for
+    every document pair sharing ≥2 selected fingerprints, the shared
+    count and the overlap ratio (shared / min fingerprint count) —
+    the plagiarism/quote-detection report the winnowing paper builds,
+    and the natural next filter after ``doc_winnowing_fingerprints``
+    flags corpus-level sharing.
+
+    Scale shape: the pair generation is an equi-join of the
+    fingerprint table with itself ON THE HASH — never an all-pairs
+    document comparison — and the MOSS stoplist (df ≤ 50) both
+    removes boilerplate noise and hard-bounds every join bucket, the
+    same discipline as ``dedup_minhash_lsh``'s band join.  Input to
+    the join is already winnowed to ~2/(w+1) of the k-gram stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    d = winnow_fingerprints(nd).select("doc_id", "fph").distinct()
+    df_tbl = d.groupBy("fph").agg(F.count("*").alias("nd"))
+    kept = (
+        d.join(df_tbl, "fph")
+        .filter(F.col("nd").between(2, _WINNOW_MAX_DF))
+        .select("doc_id", "fph")
+    )
+    pc = d.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fph")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fph")
+    pairs = (
+        a.join(b, "fph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+    pa = pc.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    pb = pc.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_fp").cast("bigint").alias("shared_fp"),
+            F.col("n_fp_a").cast("bigint").alias("n_fp_a"),
+            F.col("n_fp_b").cast("bigint").alias("n_fp_b"),
+            F.round(
+                F.col("shared_fp").cast("double")
+                / F.least("n_fp_a", "n_fp_b"),
+                4,
+            ).alias("overlap"),
+        )
+    )

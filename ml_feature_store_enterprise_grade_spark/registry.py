@@ -25,6 +25,14 @@ ORACLES: dict[str, str] = {}
 #: OFF the driver surface until a window slot frees up — the first-50
 #: window must hold every never-checked driver-visible query, so new
 #: operators landing after the window fills wait here one round.
+#: Overflow queue (promote when a window slot frees; one name per
+#: line, format enforced by tests/test_registry.py):
+#   - stream_tws_purchase_stats (environment-gated on protobuf —
+#     permanently deferred in containers whose driver env lacks it)
+#   - doc_winnowing_matches (round 7 overflow)
+#   - user_activity_entropy (round 7 overflow)
+#   - acctbal_gini_by_segment (round 7 overflow)
+#   - monthly_revenue_gap_fill (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -58,70 +66,139 @@ _loaded = False
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
 _FRONT: tuple[str, ...] = (
-    # --- Round 5 window ---
-    # (a) the 4 queries deferred behind the full round-4 window
-    # (VERDICT r4 item 1) — promoted, never driver-checked.
-    "dup_cluster_size_histogram",
-    "embedding_covariance",
-    "countmin_heavy_hitters",
-    "stream_quality_monitor",
-    # (c) new this round — inserted here as they land.
-    "customer_order_distribution",
-    "waiting_supplier_audit",
-    "important_parts_share",
-    "min_price_supplier_region",
-    "lsh_tuning_report",
-    "corpus_ngram_novelty",
-    "feature_correlation_matrix",
-    "l_diversity_audit",
-    "hll_portable_distinct_rollup",
-    "revenue_grouping_sets",
-    "stream_distinct_sketch",
-    "daily_event_type_pivot",
-    "feature_unpivot_long",
-    "bm25_search_topk",
-    "rrf_hybrid_topk",
-    "training_shard_manifest",
-    "event_props_variant",
-    "pyds_jsonl_roundtrip",
-    "item_pagerank",
-    # (b) semantics changed THIS round: dedup_clusters gains the
-    # exact-group pre-contraction (VERDICT r4 item 5); the multimodal
-    # decode path becomes a real in-container PPM decoder (item 4).
-    "dedup_clusters",
-    "multimodal_decode_features",
-    # (d) rotation (VERDICT r4 item 3): round-1 greens —
-    # relational.py/projection.py churned materially since.
-    "pricing_summary",
-    "region_revenue",
-    "top_revenue_orders",
-    "top_customers_per_nation",
-    "event_code_projection",
-    "customers_without_orders",
-    "discounted_bracket_revenue",
-    "idle_rich_customers",
-    "nation_pair_trade",
-    "priority_order_counts",
-    "profile_distribution_stats",
-    "promo_revenue_share",
-    "small_quantity_parts",
-    "top_supplier_revenue",
-    # then the oldest round-3 greens whose modules changed in round 4
-    # (dedup.py, sketches.py).
-    "dedup_crossdoc_spans",
-    "kmv_audience_overlap",
-    "histogram_quantile_rollup",
-    # then round-2 greens in modules that churned in rounds 3-4
-    # (similarity, dedup, text, streaming, multimodal).
-    "ann_ivf_topk",
-    "dedup_incremental",
-    "corpus_dedup_pipeline",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_frame_dedup",
-    "multimodal_sidecar_kv",
-    "multimodal_resize",
+    # --- Round 7 window (VERDICT r6 item 1) ---
+    # (a) the 10 round-6 queries the driver has never checked —
+    # registered last round without a window slot (the process miss
+    # tests/test_registry.py::test_driver_unchecked_queries_are_in_the_window
+    # caught); they go first.
+    "item_triangle_census",
+    "stratified_kfold_plan",
+    "forecast_discount_revenue",
+    "late_shipment_priority",
+    "part_supplier_variety",
+    "excess_stock_suppliers",
+    "nation_vip_roster",
+    "nation_top_customers_lateral",
+    "event_value_percentile_disc",
+    "doc_length_mad_outliers",
+    # (c) new round-7 queries — inserted here as they land; overflow
+    # beyond the 50-slot window MUST use register(defer=True).
+    "brand_bracket_revenue",
+    "monthly_revenue_momentum",
+    "local_supply_share",
+    "order_value_zscore_outliers",
+    "doc_token_entropy",
+    "doc_winnowing_fingerprints",
+    "embedding_pq_codes",
+    "stream_event_type_share",
+    # (d) rotation: the 32 oldest greens (last driver row r2) — their
+    # modules (feature_agg, asof, projection, encoding, analytics,
+    # drift, quality, text, similarity, streaming) have all churned
+    # materially across rounds 3-6, so they re-earn their rows.
+    "user_sliding_features_rollup",
+    "user_primary_event_type",
+    "pit_label_join",
+    "event_props_struct",
+    "user_rolling_7d_features",
+    "feature_hash_cross",
+    "dataset_split_assignment",
+    "temporal_split_embargo",
+    "feature_scaling",
+    "feature_binning_quantile",
+    "session_funnel",
+    "user_recency_features",
+    "cohort_retention",
+    "scd2_activity_history",
+    "activity_band_interval_join",
+    "session_path_markov",
+    "drift_report_multi_feature",
+    "feature_value_histogram",
+    "corpus_contamination",
+    "corpus_sampling_plan",
+    "doc_repetition_stats",
+    "corpus_top_bigrams",
+    "corpus_bigram_pmi",
+    "doc_tfidf_top_terms",
+    "pii_scrub",
+    "embedding_quantization_error",
+    "embedding_norm_stats",
+    "session_windows",
+    "stream_dedup",
+    "stream_static_enrichment",
+    "stream_stream_interval_join",
+    "stream_stateful_running_totals",
 )
+
+#: Names with at least one driver CORRECTNESS row from a prior round
+#: (regenerate with ``python tools/update_checked_names.py`` after each
+#: round's CORRECTNESS_r*.json lands).  ``register()`` consults this at
+#: import time: a query that has never been driver-checked must either
+#: sit in ``_FRONT`` (inside the first-50 window) or be registered with
+#: ``defer=True`` — so the round-6 class of miss (new queries silently
+#: landing outside the window, shipping "claimed, not proven") fails
+#: loudly at import, not just in a pytest someone forgets to read.
+_DRIVER_CHECKED: frozenset[str] = frozenset((
+    "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
+    "ann_ivf_topk", "bloom_prejoin_prune", "bm25_search_topk",
+    "calendar_features", "cdc_merge_upsert", "cohort_retention",
+    "context_length_fit", "conversion_attribution", "corpus_bigram_pmi",
+    "corpus_contamination", "corpus_data_card", "corpus_dedup_pipeline",
+    "corpus_lang_stats", "corpus_mixture_weights", "corpus_ngram_novelty",
+    "corpus_quality_filter", "corpus_sampling_plan", "corpus_top_bigrams",
+    "countmin_heavy_hitters", "crossdoc_span_heavy_hitters", "crossdoc_span_trim",
+    "customer_order_distribution", "customers_without_orders", "daily_event_type_pivot",
+    "dataset_split_assignment", "dedup_clusters", "dedup_crossdoc_spans",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_rate_by_lang", "dedup_simhash",
+    "dedup_simhash_pairs", "discounted_bracket_revenue", "doc_bigram_logprob",
+    "doc_chunking_plan", "doc_fingerprint", "doc_prefix_cluster_stats",
+    "doc_repetition_stats", "doc_text_stats", "doc_tfidf_top_terms",
+    "doc_unigram_logprob", "drift_js_divergence", "drift_ks_click_vs_view",
+    "drift_psi_multi_feature", "drift_report_multi_feature", "dup_cluster_size_histogram",
+    "duplicate_key_check", "embedding_covariance", "embedding_dim_stats",
+    "embedding_label_confusion", "embedding_neardup", "embedding_norm_stats",
+    "embedding_quantization_error", "embedding_truncation_audit", "event_code_projection",
+    "event_customer_enrichment", "event_customer_overlap", "event_props_struct",
+    "event_props_variant", "event_value_percentiles", "feature_backfill_plan",
+    "feature_binning_quantile", "feature_binning_scalable", "feature_correlation_matrix",
+    "feature_coverage", "feature_freshness", "feature_hash_cross",
+    "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
+    "feature_value_histogram", "file_skipping_stats", "gdpr_deletion_audit",
+    "histogram_quantile_rollup", "hll_portable_distinct_rollup", "idle_rich_customers",
+    "important_parts_share", "incremental_feature_update", "inverted_index_postings",
+    "item_cooccurrence_lift", "item_pagerank", "k_anonymity_audit",
+    "kmv_audience_overlap", "l_diversity_audit", "lang_id_confusion",
+    "large_volume_customers", "late_arrival_audit", "latest_feature_snapshot",
+    "lsh_tuning_report", "min_price_supplier_region", "multimodal_decode_features",
+    "multimodal_frame_dedup", "multimodal_frame_sample", "multimodal_metadata",
+    "multimodal_resize", "multimodal_sidecar_kv", "nation_market_share",
+    "nation_pair_trade", "negative_sample_pairs", "online_feature_lookup",
+    "order_reconciliation_audit", "partition_compaction_plan", "percentile_rank_features",
+    "pii_scrub", "pit_asof_join", "pit_label_join",
+    "pit_multi_view_join", "pricing_summary", "priority_order_counts",
+    "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
+    "purchase_interarrival_stats", "pyds_jsonl_roundtrip", "quality_expectation_suite",
+    "region_revenue", "returned_items_revenue", "revenue_grouping_sets",
+    "revenue_rollup_cube", "rfm_segmentation", "rrf_hybrid_topk",
+    "scd2_activity_history", "segment_dedup", "semantic_dedup",
+    "sequence_packing_plan", "session_funnel", "session_path_markov",
+    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
+    "skew_diagnostics", "small_quantity_parts", "snapshot_diff_audit",
+    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
+    "stream_dedup", "stream_distinct_sketch", "stream_drift_monitor",
+    "stream_hourly_features", "stream_online_materialize", "stream_quality_monitor",
+    "stream_session_windows", "stream_sliding_features", "stream_stateful_running_totals",
+    "stream_static_enrichment", "stream_stream_interval_join", "stream_topk_heavy_hitters",
+    "target_encoding_loo", "temporal_split_embargo", "text_clean_projection",
+    "tokenizer_fertility_audit", "top_customers_per_nation", "top_revenue_orders",
+    "top_supplier_revenue", "training_set_export", "training_shard_manifest",
+    "user_daily_activity", "user_decay_weighted_features", "user_hourly_features",
+    "user_ltv_features", "user_primary_event_type", "user_recency_features",
+    "user_rolling_7d_features", "user_sliding_features", "user_sliding_features_rollup",
+    "user_wow_delta_features", "vocab_oov_rate", "volume_anomaly_days",
+    "waiting_supplier_audit", "weighted_systematic_sample", "zorder_layout_plan",
+))
+
 
 def _ordered(mapping: dict) -> dict:
     front = {n: mapping[n] for n in _FRONT if n in mapping}
@@ -157,6 +234,12 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES or name in DEFERRED_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        if not defer and name not in _DRIVER_CHECKED and name not in _FRONT:
+            raise ValueError(
+                f"query {name!r}: never driver-checked and not in _FRONT — "
+                "either add it to the _FRONT window (if a slot is free) or "
+                "register with defer=True so it cannot ship unverified"
+            )
         if defer:
             if oracle is None:
                 raise ValueError(

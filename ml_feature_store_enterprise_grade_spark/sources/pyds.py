@@ -46,6 +46,22 @@ class _JsonlFilePartition(InputPartition):
         self.path = path
 
 
+def _arrow_type(dtype):
+    """Arrow type for a supported declared field type (same four-type
+    surface ``_coerce`` accepts)."""
+    import pyarrow as pa
+
+    if isinstance(dtype, LongType):
+        return pa.int64()
+    if isinstance(dtype, IntegerType):
+        return pa.int32()
+    if isinstance(dtype, DoubleType):
+        return pa.float64()
+    if isinstance(dtype, StringType):
+        return pa.string()
+    raise TypeError(f"pyjsonl: unsupported field type {dtype}")
+
+
 def _coerce(value, dtype):
     if value is None:
         return None
@@ -81,15 +97,52 @@ class PythonJsonlReader(DataSourceReader):
             raise FileNotFoundError(f"pyjsonl: no JSONL files under {p}")
         return [_JsonlFilePartition(f) for f in files]
 
-    def read(self, partition: _JsonlFilePartition) -> Iterator[tuple]:
+    #: Lines per emitted RecordBatch: large enough to amortize the
+    #: Arrow conversion + IPC transfer per batch, small enough that a
+    #: batch of wide documents stays well under executor memory.
+    _BATCH_ROWS = 4096
+
+    def read(self, partition: _JsonlFilePartition) -> Iterator["pa.RecordBatch"]:
+        """Arrow-batched read (VERDICT r5 item 7 / r6 item 6): yield
+        ``pyarrow.RecordBatch`` chunks instead of per-row tuples.  The
+        Data Source API ships RecordBatches to the JVM over Arrow IPC
+        with zero per-row pickling — the same reason Pandas UDFs beat
+        row UDFs — while keeping identical FAILFAST decode semantics
+        (``json.loads`` and per-field coercion still raise on a bad
+        line)."""
+        import pyarrow as pa
+
         opener = gzip.open if partition.path.endswith(".gz") else open
         fields = [(f.name, f.dataType) for f in self._schema.fields]
+        arrow_schema = pa.schema(
+            [(name, _arrow_type(dtype)) for name, dtype in fields]
+        )
+
+        def to_batch(cols: list[list]) -> pa.RecordBatch:
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=arrow_schema.field(i).type)
+                    for i, col in enumerate(cols)
+                ],
+                schema=arrow_schema,
+            )
+
+        cols: list[list] = [[] for _ in fields]
+        n = 0
         with opener(partition.path, "rt", encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 obj = json.loads(line)
-                yield tuple(_coerce(obj.get(n), t) for n, t in fields)
+                for i, (name, dtype) in enumerate(fields):
+                    cols[i].append(_coerce(obj.get(name), dtype))
+                n += 1
+                if n >= self._BATCH_ROWS:
+                    yield to_batch(cols)
+                    cols = [[] for _ in fields]
+                    n = 0
+        if n:
+            yield to_batch(cols)
 
 
 class PythonJsonlDataSource(DataSource):

@@ -972,3 +972,65 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(estimate - F.col("exact_users")) / F.col("exact_users"), 6)
         .alias("rel_err"),
     )
+
+
+@register(
+    "stream_event_type_share",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM events
+                  WHERE event_type IS NOT NULL)
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / SUM(n_events) OVER (PARTITION BY window_start), 6) AS share
+    FROM w
+    """,
+)
+def stream_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming traffic-mix monitor: per finalized hourly window, the
+    event count, value sum, and SHARE of the window's traffic each
+    event type carries — the mix-shift signal an ingest monitor
+    alarms on (a click/view ratio swinging 10 points in an hour means
+    an SDK rollout broke instrumentation upstream).
+
+    Two-stage shape, because a share needs the window TOTAL and
+    streaming append mode cannot join two live aggregates of the same
+    stream: the STREAM computes the additive per-(window, type)
+    aggregate under the watermark — tiny bounded state, one row per
+    (hour, type) — and the share is a batch window-function post-pass
+    over the finalized sink rows (|types| ≈ 4 rows per hour, so the
+    post-pass is trivially small; at 100 TB the stream stage does all
+    the data-volume work map-side before its keyed shuffle).  The
+    oracle is the equivalent batch aggregate restricted to
+    watermark-finalized windows — stream ≡ batch is the correctness
+    claim, per the module contract."""
+    ev = streaming_events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = run_available_now(agg, "stream_event_type_share")
+    w_tot = Window.partitionBy("window_start")
+    return sink.withColumn(
+        "share",
+        F.round(F.col("n_events").cast("double") / F.sum("n_events").over(w_tot), 6),
+    )

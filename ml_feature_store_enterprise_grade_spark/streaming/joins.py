@@ -290,6 +290,13 @@ def stream_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 if has_transform_with_state():  # pragma: no cover - environment-dependent
-    register("stream_tws_purchase_stats", oracle=_TWS_ORACLE)(
+    # defer=True: environment-gated (protobuf), so the name can exist
+    # in SOME interpreters (e.g. Python workers with a vendored
+    # protobuf on path) and not others — a non-deferred registration
+    # would trip the never-driver-checked window guard exactly in
+    # those asymmetric environments.  Deferred keeps it on the local
+    # parity surface wherever the dependency exists and off the
+    # driver surface everywhere.
+    register("stream_tws_purchase_stats", oracle=_TWS_ORACLE, defer=True)(
         stream_tws_purchase_stats
     )

@@ -1,13 +1,17 @@
 """Stage-level wall-clock breakdown of ``dedup_clusters``
-(VERDICT r5 item 5): where do its ~6 s at sf0.1 actually go —
-LSH pair generation, the exact-group contraction, the CC rounds, or
-fixed per-round overhead?
+(VERDICT r5 item 5 / r6 item 7): where do its ~6 s at sf0.1 actually
+go — LSH pair generation, the exact-group contraction, the CC rounds,
+or fixed per-round overhead?
 
     python tools/profile_dedup_clusters.py [sf_dir]
 
 Prints one JSON object with per-stage seconds and per-CC-round
-seconds.  Uses the same library internals the registered query uses
-(no copied logic), timing each materialization boundary.
+seconds.  Each stage calls the SAME factored helper the registered
+query uses (``_exact_rep_frame`` / ``_contracted_edges`` /
+``connected_components`` / ``_expand_labels`` — see
+``operators/dedup._doc_cluster_labels``), so the profiler cannot
+drift from the production pipeline; it only inserts materialization
+boundaries between the shared stages to time them.
 """
 
 from __future__ import annotations
@@ -31,26 +35,12 @@ def main() -> None:
     out: dict = {"sf_dir": sf_dir}
 
     t0 = time.perf_counter()
-    nd = D._normalized_docs(spark, sf_dir)
-    rep = nd.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy(F.md5("norm"))).alias("rep"),
-    ).cache()
+    rep = D._exact_rep_frame(spark, sf_dir)
     out["n_docs"] = rep.count()
     out["t_rep_window"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    near = D.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    ra = rep.select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("ra"))
-    rb = rep.select(F.col("doc_id").alias("doc_b"), F.col("rep").alias("rb"))
-    edges = (
-        near.join(ra, "doc_a")
-        .join(rb, "doc_b")
-        .select(F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = D._contracted_edges(spark, sf_dir, rep).localCheckpoint()
     out["n_contracted_edges"] = edges.count()
     out["t_lsh_pairs_and_edge_remap"] = round(time.perf_counter() - t0, 3)
 
@@ -64,13 +54,12 @@ def main() -> None:
     rep_labels = D.connected_components(
         vertices, edges, round_times=round_times
     ).withColumnRenamed("doc_id", "rep")
-    n_labeled = rep_labels.count()
+    out["n_labeled"] = rep_labels.count()
     out["t_cc_total"] = round(time.perf_counter() - t0, 3)
     out["cc_round_times"] = round_times
-    out["n_labeled"] = n_labeled
 
     t0 = time.perf_counter()
-    labels = rep.join(rep_labels, "rep").select("doc_id", "label").localCheckpoint()
+    labels = D._expand_labels(rep, rep_labels)
     clusters = labels.withColumnRenamed("label", "cluster_id")
     w = Window.partitionBy("cluster_id")
     final = clusters.select(
