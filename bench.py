@@ -112,6 +112,11 @@ BENCH_QUERIES = (
     "hll_portable_distinct_rollup",
     "stream_distinct_sketch",
     "item_pagerank",
+    # round 7
+    "local_supply_share",
+    "doc_token_entropy",
+    "doc_winnowing_fingerprints",
+    "embedding_pq_codes",
 )
 
 

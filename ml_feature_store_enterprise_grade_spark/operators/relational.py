@@ -1574,3 +1574,118 @@ def local_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "part_name_fuzzy_links",
+    defer=True,
+    oracle="""
+    WITH names AS (
+        SELECT p_name,
+               COUNT(*) AS n_parts,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM names a
+    JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def part_name_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over part names: candidate name pairs
+    within edit distance 3, blocked on the shared noun — the
+    catalog-reconciliation operator (typo'd SKUs, vendor spelling
+    variants) every entity-resolution pipeline starts with.
+
+    The two moves that make fuzzy joins viable at 100 TB, both here:
+    (1) linkage runs on the DISTINCT-VALUE vocabulary, not the fact
+    rows — the first aggregate collapses the part table to its name
+    vocabulary (with per-name row counts for weighting), so the
+    quadratic-ish distance work touches |vocabulary|², not |rows|²;
+    (2) blocking — candidates must share the noun token, so the join
+    is a keyed equi-join with per-block bounded buckets, and the
+    Levenshtein kernel (JVM built-in, codegen'd) evaluates only
+    inside blocks.  An unblocked fuzzy join is a cartesian and is
+    exactly what this operator exists to avoid."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts")).select(
+        "p_name", "n_parts", F.split(F.col("p_name"), " ").getItem(1).alias("noun")
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "noun",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "noun",
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+            F.col("n_parts_a").cast("bigint").alias("n_parts_a"),
+            F.col("n_parts_b").cast("bigint").alias("n_parts_b"),
+        )
+    )
+
+
+@register(
+    "supplier_acctbal_ntile",
+    defer=True,
+    oracle="""
+    WITH q AS (
+        SELECT n.n_name,
+               s.s_acctbal,
+               NTILE(4) OVER (
+                   PARTITION BY n.n_name ORDER BY s.s_acctbal, s.s_suppkey
+               ) AS quartile
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           CAST(quartile AS INTEGER) AS quartile,
+           COUNT(*) AS n_suppliers,
+           ROUND(MIN(s_acctbal), 2) AS min_bal,
+           ROUND(MAX(s_acctbal), 2) AS max_bal,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS sum_bal
+    FROM q GROUP BY 1, 2
+    """,
+)
+def supplier_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartiles via NTILE(4) — the
+    equal-count banding used for supplier credit tiers (and the one
+    ranking window function the surface didn't exercise yet; ties
+    broken on the unique suppkey so tile assignment is
+    deterministic).
+
+    Scale note: NTILE needs its partition sorted — fine here because
+    the partition key (nation) bounds each sort to one dimension
+    group; for fact-scale quantile banding use the sampled-cut-point
+    path (``feature_binning_scalable``), which this query deliberately
+    complements, not replaces."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    q = j.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("n_name", F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_bal"),
+    )

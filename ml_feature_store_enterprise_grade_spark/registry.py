@@ -33,6 +33,8 @@ ORACLES: dict[str, str] = {}
 #   - user_activity_entropy (round 7 overflow)
 #   - acctbal_gini_by_segment (round 7 overflow)
 #   - monthly_revenue_gap_fill (round 7 overflow)
+#   - part_name_fuzzy_links (round 7 overflow)
+#   - supplier_acctbal_ntile (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -302,3 +302,64 @@ def test_retrieval_ranks_after_truncation(spark):
     for name in ("bm25_search_topk", "rrf_hybrid_topk"):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_brand_bracket_derives_single_side_pushdowns(spark):
+    """Q19 shape: Catalyst must push the derived per-side implications
+    of the OR-of-conjunctions into BOTH scans — the quantity
+    disjunction to lineitem, the brand/size disjunction to part —
+    instead of filtering only after the join."""
+    plan = plan_of(spark, "brand_bracket_revenue")
+    assert "CartesianProduct" not in plan
+    # derived lineitem-side bound reaches the scan
+    assert "l_quantity,1.0" in plan and "PushedFilters" in plan
+    # part side carries its brand/size predicates into the scan
+    assert "Brand#12" in plan
+
+
+def test_zscore_outliers_broadcasts_stats_back(spark):
+    """The 5-row per-priority moment table must broadcast back onto
+    the fact scan — a SortMergeJoin here would shuffle the whole
+    orders table to join 5 rows."""
+    plan = plan_of(spark, "order_value_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_broadcasts_dim_stats(spark):
+    """embedding_pq_codes: the d-row per-dimension [lo, hi] table is
+    broadcast onto the exploded stream; nothing cartesian anywhere."""
+    plan = plan_of(spark, "embedding_pq_codes")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_monthly_momentum_windows_run_post_aggregate(spark):
+    """The global-ordered windows must consume the ~80-row monthly
+    aggregate, never the orders fact table: the plan's windows sit
+    above a HashAggregate, and the scan reads only the two referenced
+    columns."""
+    plan = plan_of(spark, "monthly_revenue_momentum")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Window")  # Window above agg in tree print
+    scan = plan.split("ReadSchema")[1][:300]
+    assert "o_orderdate" in scan and "o_totalprice" in scan
+    assert "o_custkey" not in scan and "o_orderpriority" not in scan
+
+
+def test_winnowing_has_no_cartesian(spark):
+    for name in ("doc_winnowing_fingerprints",):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan
+
+
+def test_local_supply_share_single_pass(spark):
+    """One aggregate computes numerator and denominator (no second
+    scan for the total), and nation broadcasts."""
+    plan = plan_of(spark, "local_supply_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # single aggregation over the joined frame: the orderdate filter
+    # is pushed to the orders scan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or "1995-01-01" in plan
