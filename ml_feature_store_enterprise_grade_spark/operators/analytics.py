@@ -1520,13 +1520,14 @@ def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderpriority,
            ROUND(o_totalprice, 2) AS total_price,
            ROUND(zs, 4) AS z_score
-    FROM z WHERE abs(zs) > 2.5
+    FROM z WHERE abs(zs) > 1.7
     """,
 )
 def order_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outlier detection: orders whose total price
-    sits more than 2.5 population standard deviations from their
-    priority class's mean — the standing anomaly screen a revenue
+    sits more than 1.7 population standard deviations from their
+    priority class's mean (the totalprice distribution is short-tailed
+    — roughly triangular, |z| < 2 — so 1.7 is the operative tail) — the standing anomaly screen a revenue
     pipeline runs before training on transaction amounts.
 
     Scale shape: one partial-aggregated pass computes per-group
@@ -1558,7 +1559,7 @@ def order_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(s), "o_orderpriority")
         .withColumn("zs", z)
-        .filter(F.abs(F.col("zs")) > 2.5)
+        .filter(F.abs(F.col("zs")) > 1.7)
         .select(
             "o_orderkey",
             "o_orderpriority",
@@ -1811,4 +1812,162 @@ def monthly_revenue_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev"), 2).cast("double").alias("revenue"),
         "gap_filled",
         F.round(F.sum("rev").over(w_run), 2).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "revenue_seasonal_decomposition",
+    defer=True,
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS revd
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT month, CAST(revd AS DOUBLE) AS rev,
+               CAST(SUM(revd) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend
+        FROM m
+        WINDOW w AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    ),
+    s AS (
+        SELECT *, EXTRACT(month FROM month) AS moy,
+               rev - trend AS detrended
+        FROM t
+    ),
+    idx AS (
+        SELECT moy, SUM(detrended) / COUNT(*) AS seasonal FROM s GROUP BY 1
+    )
+    SELECT CAST(s.month AS DATE) AS month,
+           ROUND(s.rev, 2) AS revenue,
+           FLOOR(s.trend * 100.0 + 0.5) / 100.0 AS trend,
+           FLOOR(idx.seasonal * 100.0 + 0.5) / 100.0 AS seasonal,
+           FLOOR((s.rev - s.trend - idx.seasonal) * 100.0 + 0.5) / 100.0
+               AS residual
+    FROM s JOIN idx ON s.moy = idx.moy
+    """,
+)
+def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend (centered 12-month moving average), month-of-year seasonal
+    index (mean detrended deviation), and residual — the
+    trend/seasonality/anomaly split a demand-forecasting pipeline
+    computes before fitting anything fancier, and the residual column
+    is the honest input to the anomaly screens
+    (``volume_anomaly_days`` on raw volumes misses December being
+    "anomalous" every year; the residual doesn't).
+
+    Scale shape: identical to ``monthly_revenue_momentum`` — the fact
+    table collapses to ≤ ~84 month rows in one partial-aggregated
+    shuffle and every window/second aggregate runs on that bounded
+    frame.  Monthly sums are exact decimal; trend is an exact window
+    sum with one IEEE divide; the seasonal index averages ≤ 7 doubles
+    per month-of-year (round-2 output, ~6 orders of margin)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("revd")
+    )
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    # the trend's 12-term sum runs in exact DECIMAL (a double window
+    # sum flipped a round-2 boundary at sf0.01 — caught by parity);
+    # one IEEE divide over the exact sum is deterministic.
+    t = m.select(
+        "month",
+        F.col("revd").cast("double").alias("rev"),
+        (F.sum("revd").over(w).cast("double") / F.count("*").over(w)).alias(
+            "trend"
+        ),
+    )
+    s = t.select(
+        "*",
+        F.month("month").alias("moy"),
+        (F.col("rev") - F.col("trend")).alias("detrended"),
+    )
+    idx = s.groupBy("moy").agg(
+        (F.sum("detrended") / F.count("*")).alias("seasonal")
+    )
+    # Emission rounds via floor(x*100 + 0.5)/100, NOT round(): the two
+    # engines' round() disagree on doubles whose *100 product rounds
+    # to an exact .5 (hit at sf0.01 — Spark's BigDecimal HALF_UP vs
+    # DuckDB's float path), while this explicit IEEE expression is
+    # evaluated identically by both.
+    def _r2(c):
+        return F.floor(c * 100.0 + 0.5) / 100.0
+
+    return (
+        s.join(F.broadcast(idx), "moy")
+        .select(
+            "month",
+            F.round("rev", 2).alias("revenue"),
+            _r2(F.col("trend")).alias("trend"),
+            _r2(F.col("seasonal")).alias("seasonal"),
+            _r2(F.col("rev") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@register(
+    "part_price_size_skyline",
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT p_retailprice AS price, MAX(p_size) AS gmax
+        FROM part GROUP BY 1
+    ),
+    pm AS (
+        SELECT price, gmax,
+               MAX(gmax) OVER (
+                   ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM g
+    )
+    SELECT p.p_partkey, p.p_name,
+           ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS INTEGER) AS size
+    FROM part p
+    JOIN pm ON p.p_retailprice = pm.price
+    WHERE p.p_size = pm.gmax
+      AND (pm.prev_max IS NULL OR p.p_size > pm.prev_max)
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: the parts no other part strictly
+    dominates on (price low, size high) — the classic multi-criteria
+    OLAP operator (Börzsönyi et al., ICDE'01) behind "cheapest part
+    at every capability level" sourcing views.  A part is on the
+    front iff it has the max size within its price AND beats the max
+    size of every strictly cheaper price (ties on both axes are
+    mutually non-dominating and all kept).
+
+    Scale shape — dominance via prefix max, never the O(n²)
+    pairwise NOT EXISTS: collapse to the distinct-price frame (one
+    keyed aggregate), one running-max window over that bounded frame,
+    then a broadcast join back to the fact rows.  The window orders
+    |distinct prices| rows, not |parts|; for a fact-scale distinct
+    domain the same bucketed-prefix trick as ``acctbal_gini_by_segment``
+    applies unchanged."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pm = g.select("price", "gmax", F.max("gmax").over(w).alias("prev_max"))
+    return (
+        p.join(F.broadcast(pm), p.p_retailprice == pm.price)
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
     )

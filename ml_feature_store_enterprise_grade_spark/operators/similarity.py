@@ -1264,21 +1264,31 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
         ),
     )
-    # Each factor is cast to DECIMAL BEFORE the multiply: a bare
-    # xi * xj would run in BIGINT, where non-ANSI Spark wraps silently
-    # on overflow — an embedding scaled beyond ~3e3 (qv ~3e9) would
-    # produce wrong covariances with no error.  DECIMAL(18,0) factors
-    # give a DECIMAL(37,0) product (inside the 38-digit cap) that is
-    # exact for any |qv| < 1e18, and overflow past that raises instead
-    # of wrapping.  Per-group sums stay DECIMAL — exact at any corpus
-    # size.
+    # Overflow guard BEFORE the hot loop: a bare xi * xj runs in
+    # BIGINT, where non-ANSI Spark wraps silently on overflow — an
+    # embedding scaled beyond ~3e3 (qv ~3e9, product ~9e18 > 2^63)
+    # would produce wrong covariances with no error.  Each ELEMENT is
+    # guarded once (O(d) raise_error branches), which makes the O(d²)
+    # int64 product loop provably safe: |qv| ≤ 3e9 ⇒ |xi·xj| ≤ 9e18
+    # < 2^63.  (Wall-clock is identical to decimal-typed factors —
+    # measured r7, both ~3.2 s at sf0.1; the explode+hash-agg over
+    # N·d²/2 product rows dominates, not the multiply — the guard is
+    # kept for the LOUD failure mode, not speed.)  Products are cast
+    # to DECIMAL at the leaf so per-group SUMs stay exact at any
+    # corpus size.
+    guarded = (
+        "transform(qv, x -> CASE WHEN abs(x) > 3000000000 THEN"
+        " CAST(raise_error('embedding_covariance: |value| > 3e3 —"
+        " quantized element overflows the int64 product guard;"
+        " rescale the embedding column') AS BIGINT)"
+        " ELSE x END)"
+    )
     pairs = F.expr(
-        """
-        flatten(transform(qv, (xi, i) ->
+        f"""
+        flatten(transform({guarded}, (xi, i) ->
             transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
                 struct(i AS di, i + j AS dj,
-                       CAST(xi AS DECIMAL(18, 0)) * CAST(xj AS DECIMAL(18, 0))
-                           AS prod))))
+                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
         """
     )
     prods = (

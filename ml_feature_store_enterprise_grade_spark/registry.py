@@ -35,6 +35,8 @@ ORACLES: dict[str, str] = {}
 #   - monthly_revenue_gap_fill (round 7 overflow)
 #   - part_name_fuzzy_links (round 7 overflow)
 #   - supplier_acctbal_ntile (round 7 overflow)
+#   - revenue_seasonal_decomposition (round 7 overflow)
+#   - part_price_size_skyline (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
