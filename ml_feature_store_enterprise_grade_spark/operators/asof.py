@@ -657,3 +657,138 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+@register(
+    "user_value_locf_interpolation",
+    defer=True,
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, day, value
+        FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.day, o.value,
+               o.day IS NOT NULL AS observed
+        FROM spine s
+        LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+    ),
+    w AS (
+        SELECT *,
+            MAX(CASE WHEN observed THEN day END) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+            LAST_VALUE(value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+            MIN(CASE WHEN observed THEN day END) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+            FIRST_VALUE(value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val
+        FROM j
+    )
+    SELECT user_id, day, observed,
+           prev_val AS value_locf,
+           CAST(DATE_DIFF('day', prev_day, day) AS INTEGER) AS days_since_obs,
+           CASE WHEN observed THEN FLOOR(value * 10000.0 + 0.5) / 10000.0
+                ELSE FLOOR((prev_val + (next_val - prev_val) *
+                        (CAST(DATE_DIFF('day', prev_day, day) AS DOUBLE) /
+                         CAST(DATE_DIFF('day', prev_day, next_day) AS DOUBLE)))
+                      * 10000.0 + 0.5) / 10000.0
+           END AS value_interp
+    FROM w
+    """,
+)
+def user_value_locf_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-series gap fill: densify each user's purchase
+    history onto a daily spine (first-to-last observed day), then fill
+    the gaps two ways — last-observation-carried-forward (the
+    feature-store staple for "value as of day D") and linear
+    interpolation between the bracketing observations (the training
+    variant that avoids LOCF's staircase bias) — plus a staleness
+    counter (``days_since_obs``) so a model can learn to discount
+    carried values.  TimescaleDB calls this pair locf()/interpolate()
+    in time_bucket_gapfill; pandas calls it ffill/interpolate.
+
+    Per day the carried observation is the LAST purchase of that day,
+    chosen by ``max(struct(ts, event_id, value))`` — a hash aggregate
+    with a total (ts, event_id) order, deterministic under any shuffle
+    (the oracle's ROW_NUMBER twin orders the same way).
+
+    Scale shape: the spine is built per user from a pre-aggregated
+    (user, day) frame — ``sequence()`` arrays are bounded by each
+    user's own history span, never a global calendar cross join; all
+    three windows partition by ``user_id`` (per-user sort of ~span
+    rows, no global sort, one shuffle shared by all of them via the
+    common partitioning).  Emitted doubles go through the
+    engine-identical ``floor(x*1e4 + 0.5)/1e4`` (``round()`` is the
+    known cross-engine half-case trap); ``value_locf`` is a carried
+    raw column — no arithmetic, no rounding needed."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    obs = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "day", F.col("m.value").alias("value"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = spine.join(obs, ["user_id", "day"], "left").withColumn(
+        "observed", F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_struct = F.when(F.col("observed"), F.struct("day", "value"))
+    withs = j.select(
+        "user_id",
+        "day",
+        "observed",
+        "value",
+        F.last(obs_struct, ignorenulls=True).over(w_back).alias("prev"),
+        F.first(obs_struct, ignorenulls=True).over(w_fwd).alias("next"),
+    )
+
+    def _r4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    d_prev = F.datediff("day", "prev.day").cast("double")
+    d_span = F.datediff("next.day", "prev.day").cast("double")
+    interp = F.col("prev.value") + (
+        F.col("next.value") - F.col("prev.value")
+    ) * (d_prev / d_span)
+    return withs.select(
+        "user_id",
+        "day",
+        "observed",
+        F.col("prev.value").alias("value_locf"),
+        F.datediff("day", "prev.day").cast("int").alias("days_since_obs"),
+        F.when(F.col("observed"), _r4(F.col("value")))
+        .otherwise(_r4(interp))
+        .alias("value_interp"),
+    )

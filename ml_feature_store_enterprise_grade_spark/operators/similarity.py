@@ -1579,3 +1579,283 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc.join(bk, "pq_code").select(
         "vec_id", "pq_code", F.col("bucket_size").cast("bigint").alias("bucket_size")
     )
+
+
+# --- Distributed Lloyd's k-means over the embedding corpus ----------
+#
+# The one clustering primitive every embedding pipeline needs (IVF
+# codebooks, SemDeDup coarse cells, diversity sampling) expressed so
+# the ITERATIVE algorithm itself is oracle-checkable: every centroid
+# statistic is an exact integer/decimal (quantized elements, decimal
+# sums), so each Lloyd round is bit-identical in Spark and DuckDB and
+# the driver's value-hash gate certifies all three unrolled rounds.
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_SEED = 7
+
+
+def _km_oracle() -> str:
+    from ..functions import PORTABLE_HASH64_SQL
+
+    h = PORTABLE_HASH64_SQL("CAST(vec_id AS VARCHAR)", _KM_SEED)
+    ctes = [
+        f"""x AS (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qx
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings)
+    )""",
+        f"""seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+        FROM (SELECT vec_id, {h} AS h FROM embeddings)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {_KM_K}
+    )""",
+        """c0 AS (
+        SELECT s.cid, x.pos, SUM(CAST(x.qx AS DECIMAL(38,0))) AS s,
+               COUNT(*) AS n
+        FROM seeds s JOIN x ON x.vec_id = s.vec_id
+        GROUP BY 1, 2
+    )""",
+    ]
+    dist = (
+        "CAST(CAST(c.n AS BIGINT) * x.qx - c.s AS DECIMAL(19,0))"
+        " * CAST(CAST(c.n AS BIGINT) * x.qx - c.s AS DECIMAL(19,0))"
+    )
+    for t in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""d{t} AS (
+        SELECT x.vec_id, c.cid, c.n, SUM({dist}) AS dn
+        FROM x JOIN c{t - 1} c ON x.pos = c.pos
+        GROUP BY 1, 2, 3
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+        SELECT vec_id,
+               MIN(struct_pack(
+                   d := CAST(dn AS DOUBLE) /
+                        ((CAST(n AS DOUBLE) * 1000000.0)
+                         * (CAST(n AS DOUBLE) * 1000000.0)),
+                   cid := cid, dn := dn, n := n)) AS m
+        FROM d{t} GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+        SELECT struct_extract(a.m, 'cid') AS cid, x.pos,
+               SUM(CAST(x.qx AS DECIMAL(38,0))) AS s, COUNT(*) AS n
+        FROM a{t} a JOIN x ON x.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+        )
+    T = _KM_ITERS
+    return f"""
+    WITH {",".join(ctes)},
+    stats AS (
+        SELECT struct_extract(m, 'cid') AS cid,
+               COUNT(*) AS n_members,
+               SUM(struct_extract(m, 'dn')) AS dn_sum,
+               MAX(struct_extract(m, 'n')) AS n_src
+        FROM a{T} GROUP BY 1
+    ),
+    dims AS (
+        SELECT cid,
+               MAX(CASE WHEN pos = 0 THEN
+                   CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+               END) AS d0,
+               MAX(CASE WHEN pos = 1 THEN
+                   CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+               END) AS d1
+        FROM c{T} GROUP BY 1
+    ),
+    lab AS (
+        SELECT struct_extract(a.m, 'cid') AS cid, e.label, COUNT(*) AS cnt
+        FROM a{T} a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT cid, struct_extract(mm, 'v') AS top_label,
+               -struct_extract(mm, 'nc') AS top_cnt
+        FROM (SELECT cid, MIN(struct_pack(nc := -cnt, v := label)) AS mm
+              FROM lab GROUP BY 1)
+    )
+    SELECT CAST(st.cid AS INTEGER) AS cid,
+           st.n_members AS n_members,
+           CAST(md.top_label AS INTEGER) AS top_label,
+           FLOOR((md.top_cnt / st.n_members) * 10000.0 + 0.5) / 10000.0
+               AS top_label_share,
+           FLOOR(dims.d0 * 10000.0 + 0.5) / 10000.0 AS centroid_d0,
+           FLOOR(dims.d1 * 10000.0 + 0.5) / 10000.0 AS centroid_d1,
+           FLOOR(CAST(st.dn_sum AS DOUBLE) /
+                 ((CAST(st.n_src AS DOUBLE) * 1000000.0)
+                  * (CAST(st.n_src AS DOUBLE) * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS inertia
+    FROM stats st JOIN dims USING (cid) JOIN md USING (cid)
+    """
+
+
+def _km_assign(cents: list[tuple[int, list[int], int]]) -> Column:
+    """min(struct(dist, cid, dist_numerator, n_src)) over the centroid
+    set — the exact-arithmetic Lloyd assignment.
+
+    With centroid = s/(n*1e6) held as (decimal-sum s, count n), the
+    squared distance to quantized vector x satisfies
+    ``d2 = sum_pos (n*x - s)^2 / (n*1e6)^2``: the numerator is an
+    exact integer (order-independent under any shuffle), and the one
+    float divide at the end is the same IEEE operation in both
+    engines, so even near-tie assignments agree bit-for-bit."""
+    cands = []
+    for cid, s_list, n in cents:
+        s_arr = F.array(*[F.lit(int(s)) for s in s_list])
+        nl = F.lit(n).cast("bigint")
+        prods = F.zip_with(
+            F.col("qv"),
+            s_arr,
+            lambda x, s: (nl * x - s).cast("decimal(19,0)")
+            * (nl * x - s).cast("decimal(19,0)"),
+        )
+        dn = F.aggregate(
+            prods, F.lit(0).cast("decimal(38,0)"), lambda a, p: a + p
+        )
+        den = (n * 1.0e6) * (n * 1.0e6)
+        cands.append(
+            F.struct(
+                (dn.cast("double") / F.lit(den)).alias("d"),
+                F.lit(cid).alias("cid"),
+                dn.alias("dn"),
+                F.lit(n).cast("bigint").alias("n"),
+            )
+        )
+    return F.array_min(F.array(*cands))
+
+
+@register("embedding_kmeans", defer=True, oracle=_km_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k={k}, {t} assignment rounds) over the
+    embedding corpus, bit-deterministic in both engines: per-cluster
+    size, majority label + share (cluster purity), first two centroid
+    coordinates, and inertia (the summed squared distance the final
+    assignment minimized, measured against its pre-update centroids —
+    the Lloyd objective at assignment time).
+
+    Determinism: elements are quantized once (floor(x*1e6), the
+    ``embedding_covariance`` pattern); every centroid is carried as
+    (exact decimal element-sums, member count) so each round's
+    distance comparisons reduce to exact-integer numerators with one
+    IEEE divide — no shuffle-order float drift anywhere in the
+    iteration.  Seeds are the {k} vectors with the smallest
+    (portable_hash64(vec_id), vec_id), i.e. a deterministic uniform
+    draw.  Ties on distance break by centroid id in both engines.
+
+    Scale shape (MLlib's own Lloyd layout): the corpus stays
+    partitioned; each round broadcasts k*d centroid statistics into a
+    map-side zip_with/fold (whole-stage codegen, no join, no shuffle
+    of the corpus) and reduces k*d partial sums — the only shuffled
+    frame is the 256-row centroid update, collected to the driver
+    (bounded: k*d rows/round, the documented IVF-codebook pattern).
+    Empty clusters simply drop out of the next round (same rule both
+    engines).  At 100 TB with huge member counts the exact-integer
+    numerators would outgrow DECIMAL(38); the production path then
+    divides first in doubles (MLlib semantics) and this query remains
+    the small-SF determinism harness — noted, not hidden."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("qv"),
+    ).cache()
+
+    seed_rows = (
+        base.select(
+            "vec_id",
+            "qv",
+            portable_hash64(F.col("vec_id").cast("string"), _KM_SEED).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents = [
+        (cid, [int(q) for q in r["qv"]], 1) for cid, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(_KM_ITERS - 1):
+        assigned = base.select(
+            "vec_id", "qv", _km_assign(cents)["cid"].alias("cid")
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        ns: dict[int, int] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
+            ns[r["cid"]] = int(r["n"])
+        cents = [
+            (cid, [sums[p] for p in sorted(sums)], ns[cid])
+            for cid, sums in sorted(by_cid.items())
+        ]
+
+    a = base.select("vec_id", "label", "qv", _km_assign(cents).alias("m")).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dn").alias("dn"),
+        F.col("m.n").alias("n_src"),
+    )
+    stats = a.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dn").alias("dn_sum"),
+        F.max("n_src").alias("n_src"),
+        F.sum(F.col("qv")[0].cast("decimal(38,0)")).alias("s0"),
+        F.sum(F.col("qv")[1].cast("decimal(38,0)")).alias("s1"),
+    )
+    lab = a.groupBy("cid", "label").agg(F.count("*").alias("cnt"))
+    md = lab.groupBy("cid").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("v"))
+        ).alias("mm")
+    )
+
+    def _r(c, scale):
+        return F.floor(c * scale + 0.5) / scale
+
+    def _dim(s):
+        return _r(
+            F.col(s).cast("double")
+            / (F.col("n_members").cast("double") * F.lit(1000000.0)),
+            10000.0,
+        )
+
+    den = (F.col("n_src").cast("double") * F.lit(1000000.0)) * (
+        F.col("n_src").cast("double") * F.lit(1000000.0)
+    )
+    return stats.join(F.broadcast(md), "cid").select(
+        F.col("cid").cast("int").alias("cid"),
+        "n_members",
+        F.col("mm.v").cast("int").alias("top_label"),
+        _r((-F.col("mm.nc")) / F.col("n_members"), 10000.0).alias(
+            "top_label_share"
+        ),
+        _dim("s0").alias("centroid_d0"),
+        _dim("s1").alias("centroid_d1"),
+        _r(F.col("dn_sum").cast("double") / den, 1000000.0).alias("inertia"),
+    )
+
+
+embedding_kmeans.__doc__ = embedding_kmeans.__doc__.format(
+    k=_KM_K, t=_KM_ITERS
+)

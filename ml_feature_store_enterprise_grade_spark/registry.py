@@ -37,6 +37,8 @@ ORACLES: dict[str, str] = {}
 #   - supplier_acctbal_ntile (round 7 overflow)
 #   - revenue_seasonal_decomposition (round 7 overflow)
 #   - part_price_size_skyline (round 7 overflow)
+#   - user_value_locf_interpolation (round 7 overflow)
+#   - embedding_kmeans (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

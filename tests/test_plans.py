@@ -363,3 +363,30 @@ def test_local_supply_share_single_pass(spark):
     # single aggregation over the joined frame: the orderdate filter
     # is pushed to the orders scan
     assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or "1995-01-01" in plan
+
+
+def plan_of_deferred(spark, name: str) -> str:
+    df = registry.DEFERRED_QUERIES[name](spark, SF_SMOKE)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_locf_interpolation_shares_one_user_shuffle(spark):
+    """All three per-user windows (LOCF back, interp forward, spine
+    join) run on the same user_id hash partitioning — no global sort
+    (rangepartitioning) anywhere, per-user local sorts only."""
+    plan = plan_of_deferred(spark, "user_value_locf_interpolation")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """Lloyd assignment is a broadcast-free map-side fold over the
+    corpus (centroids are literal arrays): the only join in the final
+    plan is the broadcast of the k-row label-mode frame — never a
+    shuffle join or cartesian of the corpus."""
+    plan = plan_of_deferred(spark, "embedding_kmeans")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
