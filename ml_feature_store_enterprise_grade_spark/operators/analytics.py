@@ -1971,3 +1971,373 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("int").alias("size"),
         )
     )
+
+
+# --- Time-series autocorrelation over the daily event series --------
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    per_lag = ",\n".join(
+        f"""l{k} AS (
+        SELECT event_type, {k} AS lag,
+               COUNT(ck) AS n_pairs,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(ck AS DECIMAL(19,0)))
+                   AS num
+        FROM (SELECT event_type, c,
+                     LAG(c, {k}) OVER (
+                         PARTITION BY event_type ORDER BY day) AS ck
+              FROM cent)
+        GROUP BY 1
+    )"""
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT * FROM l{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+        FROM daily GROUP BY 1
+    ),
+    cent AS (
+        SELECT d.event_type, d.day,
+               CAST(st.n AS BIGINT) * d.x - st.s AS c
+        FROM daily d JOIN st USING (event_type)
+    ),
+    den AS (
+        SELECT event_type,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                   AS den
+        FROM cent GROUP BY 1
+    ),
+    {per_lag},
+    lags AS ({unions})
+    SELECT l.event_type, l.lag, l.n_pairs,
+           ROUND(CAST(l.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+    FROM lags l JOIN den d USING (event_type)
+    ORDER BY event_type, lag
+    """
+
+
+@register("event_daily_autocorrelation", defer=True, oracle=_acf_oracle())
+def event_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the per-type daily event
+    count series at lags 1..{maxlag} — the standing seasonality probe
+    (a weekly cycle shows as a lag-7 peak) a volume-forecasting or
+    anomaly pipeline runs before picking its model.  Standard ACF:
+    r(k) = sum_t (x_t - mean)(x_t-k - mean) / sum_t (x_t - mean)^2,
+    full-series variance in the denominator.
+
+    Determinism (the ``embedding_covariance`` discipline): with
+    integer daily counts, the centered value is scaled by n to the
+    exact integer c_t = n*x_t - S, so every numerator and the
+    denominator are exact DECIMAL sums of integer products (the n^2
+    factor cancels in the ratio) — order-independent under any
+    shuffle; one IEEE divide at the end.
+
+    Scale shape: the corpus collapses to the (type, day) frame in one
+    partial aggregate — bounded by the calendar (~365 rows/type/year)
+    at ANY corpus size; the {maxlag} lag columns come from ONE window
+    sort of that tiny frame (per-type partitions), the products fold
+    in a second keyed aggregate, and the 1-row-per-type denominator
+    broadcast-joins back.  Nothing fact-scale is ever sorted."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    cent = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n").cast("bigint") * F.col("x") - F.col("s")).alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dec = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    lagged = cent.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    den = lagged.groupBy("event_type").agg(
+        F.sum(dec("c") * dec("c")).alias("den")
+    )
+    stack_expr = "stack({n}, {args}) as (lag, ck)".format(
+        n=_ACF_MAX_LAG,
+        args=", ".join(f"{k}, c{k}" for k in range(1, _ACF_MAX_LAG + 1)),
+    )
+    pairs = (
+        lagged.select("event_type", "c", F.expr(stack_expr))
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("ck").alias("n_pairs"),
+            F.sum(dec("c") * dec("ck")).alias("num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )
+
+
+event_daily_autocorrelation.__doc__ = event_daily_autocorrelation.__doc__.format(
+    maxlag=_ACF_MAX_LAG
+)
+
+
+# --- Exponentially-weighted moving average with exact weights -------
+
+#: EWMA decay 0.7 as the exact rational 7/10: weight for lag j in a
+#: 12-term window is the INTEGER 7^j * 10^(11-j), the common
+#: denominator 10^11 cancelling in num/den — so the whole smoother is
+#: exact decimal arithmetic until one final IEEE divide.
+_EWMA_SPAN = 12
+_EWMA_W = [7**j * 10 ** (_EWMA_SPAN - 1 - j) for j in range(_EWMA_SPAN)]
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"LAG(rev, {j}) OVER (ORDER BY month) AS r{j}"
+        for j in range(1, _EWMA_SPAN)
+    )
+    num_terms = " + ".join(
+        ["CAST(rev AS DECIMAL(38,4)) * {w}".format(w=_EWMA_W[0])]
+        + [
+            f"COALESCE(CAST(r{j} AS DECIMAL(38,4)) * {_EWMA_W[j]}, 0)"
+            for j in range(1, _EWMA_SPAN)
+        ]
+    )
+    den_terms = " + ".join(
+        [str(_EWMA_W[0])]
+        + [
+            f"CASE WHEN r{j} IS NOT NULL THEN {_EWMA_W[j]} ELSE 0 END"
+            for j in range(1, _EWMA_SPAN)
+        ]
+    )
+    return f"""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT month, rev,
+               {lag_cols}
+        FROM m
+    ),
+    acc AS (
+        SELECT month, rev,
+               {num_terms} AS num,
+               CAST({den_terms} AS BIGINT) AS den
+        FROM lagged
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 2)
+                AS DOUBLE) AS ewma,
+           CAST(rev AS DECIMAL(38,4)) * den > num AS above_trend
+    FROM acc
+    """
+
+
+@register("revenue_ewma_trend", defer=True, oracle=_ewma_oracle())
+def revenue_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue
+    (decay 0.7, {span}-term window — pandas ``ewm(alpha=0.3,
+    adjust=True)`` truncated to the span) plus an exact above-trend
+    flag per month — the smoother a revenue-monitoring pipeline
+    prefers over a flat moving average because it discounts stale
+    months geometrically instead of cliff-dropping them.
+
+    Determinism: the decay is the exact rational 7/10, so lag-j's
+    weight is the INTEGER 7^j*10^({span1}-j) (common denominator
+    10^{span1} cancels); numerator and denominator accumulate in
+    exact DECIMAL in a fixed column order (no shuffle-ordered float
+    sum anywhere), one IEEE divide at the end.  ``above_trend`` is
+    the exact decimal comparison rev*den > num — no epsilon.
+
+    Scale shape: identical to ``monthly_revenue_momentum`` — the fact
+    table collapses to one row per month in a single partial
+    aggregate, and the {span}-lag window sorts only that bounded
+    frame.  The EWMA itself is zero extra shuffles on top of the
+    monthly rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("rev"))
+    w = Window.orderBy("month")
+    lagged = m.select(
+        "month",
+        "rev",
+        *[F.lag("rev", j).over(w).alias(f"r{j}") for j in range(1, _EWMA_SPAN)],
+    )
+    num = F.col("rev").cast("decimal(38,4)") * F.lit(_EWMA_W[0])
+    den = F.lit(_EWMA_W[0]).cast("bigint")
+    for j in range(1, _EWMA_SPAN):
+        num = num + F.coalesce(
+            F.col(f"r{j}").cast("decimal(38,4)") * F.lit(_EWMA_W[j]),
+            F.lit(0).cast("decimal(38,4)"),
+        )
+        den = den + F.when(
+            F.col(f"r{j}").isNotNull(), F.lit(_EWMA_W[j])
+        ).otherwise(F.lit(0)).cast("bigint")
+    return lagged.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(num.cast("double") / den.cast("double"), 2).alias("ewma"),
+        (F.col("rev").cast("decimal(38,4)") * den > num).alias("above_trend"),
+    )
+
+
+revenue_ewma_trend.__doc__ = revenue_ewma_trend.__doc__.format(
+    span=_EWMA_SPAN, span1=_EWMA_SPAN - 1
+)
+
+
+@register(
+    "concurrent_sessions_daily",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM x
+    ),
+    iv AS (
+        SELECT user_id, sess, MIN(ts) AS st,
+               MAX(ts) + INTERVAL 30 MINUTES AS en
+        FROM s GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT st AS ts, 1 AS delta FROM iv
+        UNION ALL
+        SELECT en AS ts, -1 AS delta FROM iv
+    ),
+    pref AS (
+        SELECT CAST(ts AS DATE) AS day, delta,
+               SUM(delta) OVER (
+                   PARTITION BY CAST(ts AS DATE) ORDER BY ts, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM b
+    ),
+    per_day AS (
+        SELECT day,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+               SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends,
+               SUM(delta) AS net, MAX(p) AS mx
+        FROM pref GROUP BY 1
+    ),
+    off AS (
+        SELECT *, COALESCE(SUM(net) OVER (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS o
+        FROM per_day
+    )
+    SELECT day,
+           CAST(n_starts AS BIGINT) AS n_starts,
+           CAST(n_ends AS BIGINT) AS n_ends,
+           CAST(o AS BIGINT) AS open_at_start,
+           CAST(GREATEST(o, o + mx) AS BIGINT) AS peak_concurrency,
+           CAST(o + net AS BIGINT) AS open_at_end
+    FROM off
+    """,
+)
+def concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily concurrency profile of user sessions — per calendar day,
+    how many sessions started/ended, how many were open at midnight,
+    and the peak number simultaneously open — the capacity-planning
+    sweep-line every serving/limits team runs.  Sessions are the
+    repo's standard 30-minute-gap windows (``session_windows``
+    semantics: interval [first event, last event + gap)), and a
+    session ending at instant t frees its slot before one starting at
+    t takes it (ends sort before starts: ORDER BY ts, delta).
+
+    The classic answer is a single global ORDER BY over all interval
+    boundaries — a non-starter at fact scale.  This is the KS
+    bucketed-prefix-sum pattern instead (``operators/drift.py``):
+    boundaries carry +1/-1 deltas, each DAY bucket prefix-sums its own
+    boundaries inside a day-partitioned window, and the cross-day
+    carry (concurrency open at each midnight) comes from a running sum
+    over the calendar-bounded per-day frame — so no partition ever
+    sorts more than one day of boundaries, and the only global window
+    runs over ~365 rows/year.  Everything is exact integer arithmetic;
+    days with zero boundaries simply have no row (occupancy is flat
+    there, carried by the next day's ``open_at_start``)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_u)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    s = e.select("user_id", "ts", "event_id", brk).select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    iv = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("st"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("en"),
+    )
+    b = iv.select(F.col("st").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("en").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    day = F.to_date("ts").alias("day")
+    w_d = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = b.select(day, "ts", "delta").select(
+        "day", "delta", F.sum("delta").over(w_d).alias("p")
+    )
+    per_day = pref.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
+        F.sum("delta").alias("net"),
+        F.max("p").alias("mx"),
+    )
+    w_cal = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    off = per_day.select(
+        "*", F.coalesce(F.sum("net").over(w_cal), F.lit(0)).alias("o")
+    )
+    return off.select(
+        "day",
+        F.col("n_starts").cast("bigint").alias("n_starts"),
+        F.col("n_ends").cast("bigint").alias("n_ends"),
+        F.col("o").cast("bigint").alias("open_at_start"),
+        F.greatest(F.col("o"), F.col("o") + F.col("mx"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+        (F.col("o") + F.col("net")).cast("bigint").alias("open_at_end"),
+    )

@@ -637,3 +637,96 @@ def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z_e3"),
         )
     )
+
+
+# --- Benford first-digit conformance audit --------------------------
+
+import math as _math
+
+#: Benford shares log10(1 + 1/d) injected as identical literals into
+#: BOTH engines' queries — never computed at runtime, so cross-engine
+#: libm log10 last-ulp drift cannot exist by construction.
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    p_case = " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+        SELECT o_orderpriority AS priority,
+               CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    grp AS (
+        SELECT priority, digit, COUNT(*) AS n_obs
+        FROM digits GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT priority, SUM(n_obs) AS n_grp FROM grp GROUP BY 1
+    )
+    SELECT g.priority, g.digit,
+           g.n_obs,
+           ROUND(CAST(g.n_obs AS DOUBLE) / CAST(t.n_grp AS DOUBLE), 6)
+               AS obs_share,
+           ROUND(CASE g.digit {p_case} END, 6) AS benford_share,
+           ROUND(
+               (CAST(g.n_obs AS DOUBLE)
+                - CAST(t.n_grp AS DOUBLE) * (CASE g.digit {p_case} END))
+               * (CAST(g.n_obs AS DOUBLE)
+                  - CAST(t.n_grp AS DOUBLE) * (CASE g.digit {p_case} END))
+               / (CAST(t.n_grp AS DOUBLE) * (CASE g.digit {p_case} END)),
+               6) AS chi2_term
+    FROM grp g JOIN tot t USING (priority)
+    """
+
+
+@register("benford_digit_audit", defer=True, oracle=_benford_oracle())
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals, per
+    priority class: observed leading-digit counts and shares against
+    the log10(1+1/d) expectation, with per-digit chi-square terms —
+    the standard forensic-accounting screen for fabricated or
+    truncated monetary data (a synthetic uniform generator fails it
+    loudly; the audit quantifies HOW, digit by digit).
+
+    Determinism: digit extraction goes through CAST(DECIMAL(18,2) AS
+    string) — identical plain rendering in both engines (double
+    formatting is NOT; the decimal hop sidesteps it).  The nine
+    Benford shares are baked into both queries as identical literals
+    (see ``_BENFORD_P``), so expected counts and chi-square terms are
+    the same IEEE expression over exact integers on both sides —
+    runtime log10 never runs.
+
+    Scale shape: one partial-aggregated pass collapses the fact table
+    to <= 9 rows per group; the group-total join is a broadcast of a
+    handful of rows.  Zero wide shuffles, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    grp = (
+        o.select(F.col("o_orderpriority").alias("priority"), digit.alias("digit"))
+        .groupBy("priority", "digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = grp.groupBy("priority").agg(F.sum("n_obs").alias("n_grp"))
+    p = F.col("digit")
+    bshare = F.when(p == 1, F.lit(_BENFORD_P[1]))
+    for d in range(2, 10):
+        bshare = bshare.when(p == d, F.lit(_BENFORD_P[d]))
+    exp = F.col("n_grp").cast("double") * bshare
+    dev = F.col("n_obs").cast("double") - exp
+    return grp.join(F.broadcast(tot), "priority").select(
+        "priority",
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("n_grp").cast("double"), 6
+        ).alias("obs_share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round(dev * dev / exp, 6).alias("chi2_term"),
+    )

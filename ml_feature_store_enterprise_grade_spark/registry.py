@@ -39,6 +39,10 @@ ORACLES: dict[str, str] = {}
 #   - part_price_size_skyline (round 7 overflow)
 #   - user_value_locf_interpolation (round 7 overflow)
 #   - embedding_kmeans (round 7 overflow)
+#   - event_daily_autocorrelation (round 7 overflow)
+#   - revenue_ewma_trend (round 7 overflow)
+#   - concurrent_sessions_daily (round 7 overflow)
+#   - benford_digit_audit (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

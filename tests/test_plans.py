@@ -390,3 +390,23 @@ def test_kmeans_assignment_is_map_side(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_benford_audit_broadcasts_group_totals(spark):
+    """The fact table collapses in one partial aggregate; the
+    group-total join is a broadcast of a handful of rows — no
+    shuffle join anywhere."""
+    plan = plan_of_deferred(spark, "benford_digit_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorrelation_windows_only_daily_frame(spark):
+    """The corpus collapses to the (type, day) frame before any
+    window runs: per-type stats and the denominator ride broadcast
+    joins, and no global sort (rangepartitioning) appears."""
+    plan = plan_of_deferred(spark, "event_daily_autocorrelation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
