@@ -2341,3 +2341,444 @@ def concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_concurrency"),
         (F.col("o") + F.col("net")).cast("bigint").alias("open_at_end"),
     )
+
+
+# --- k-core decomposition of the item co-occurrence graph -----------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+_KCORE_MIN_SUPPORT = 2
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+        SELECT e.src AS item_id, COUNT(*) AS deg
+        FROM sym e
+        JOIN s{i - 1} a ON e.src = a.item_id
+        JOIN s{i - 1} b ON e.dst = b.item_id
+        GROUP BY 1
+    )"""
+        )
+        rounds.append(
+            f"""s{i} AS MATERIALIZED (SELECT item_id FROM d{i} WHERE deg >= {_KCORE_K})"""
+        )
+    R = _KCORE_ROUNDS
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    pair AS MATERIALIZED (
+        SELECT a.item_id AS item_a, b.item_id AS item_b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
+    ),
+    sym AS MATERIALIZED (
+        SELECT item_a AS src, item_b AS dst FROM pair
+        UNION ALL
+        SELECT item_b AS src, item_a AS dst FROM pair
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT src AS item_id FROM sym),
+    {rounds_sql},
+    fin AS (
+        SELECT e.src AS item_id, COUNT(*) AS core_degree
+        FROM sym e
+        JOIN s{R} a ON e.src = a.item_id
+        JOIN s{R} b ON e.dst = b.item_id
+        GROUP BY 1
+    )
+    SELECT f.item_id, f.core_degree,
+           (SELECT COUNT(*) FROM s{R}) = (SELECT COUNT(*) FROM s{R - 1})
+               AS converged
+    FROM fin f
+    JOIN s{R} s ON f.item_id = s.item_id
+    """
+
+
+@register("item_kcore_membership", defer=True, oracle=_kcore_oracle())
+def item_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the item co-occurrence graph (same edges as
+    :func:`item_pagerank`: items sharing >= {sup} orders): the maximal
+    subgraph where every item retains >= {k} neighbors — the standard
+    "dense cohesive nucleus" screen a recommender uses to separate
+    items with robust co-purchase structure from hairball fringe, and
+    the classic pre-filter before community detection.
+
+    Peeling (repeatedly drop degree-<{k} nodes, recompute) is
+    data-dependent in its round count, which an oracle cannot chase —
+    so BOTH engines run exactly {r} synchronized peel rounds and emit
+    a ``converged`` flag (round {r} node set == round {r1}'s).  Every
+    round is exact integer degree arithmetic; the flag makes an
+    unconverged corpus loud instead of silently wrong.
+
+    Scale shape: the slim symmetric edge list is cached once; each
+    peel is two broadcast semi-joins of the (catalog-bounded) survivor
+    set against it plus one keyed count — the edge list itself never
+    re-shuffles; ``localCheckpoint`` truncates per-round lineage
+    exactly like :func:`~.dedup.connected_components`."""
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _KCORE_MIN_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    sym = (
+        pair.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .unionAll(
+            pair.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+        )
+        .cache()
+    )
+    sym.count()
+    surv = sym.select(F.col("src").alias("item_id")).distinct().localCheckpoint()
+    n_prev = surv.count()
+    for _ in range(_KCORE_ROUNDS):
+        n_prev = surv.count()
+        deg = (
+            sym.join(
+                F.broadcast(surv), sym["src"] == surv["item_id"], "leftsemi"
+            )
+            .join(
+                F.broadcast(surv.select(F.col("item_id").alias("dst_id"))),
+                F.col("dst") == F.col("dst_id"),
+                "leftsemi",
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        surv = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("item_id"))
+            .localCheckpoint()
+        )
+    converged = surv.count() == n_prev
+    fin = (
+        sym.join(F.broadcast(surv), sym["src"] == surv["item_id"], "leftsemi")
+        .join(
+            F.broadcast(surv.select(F.col("item_id").alias("dst_id"))),
+            F.col("dst") == F.col("dst_id"),
+            "leftsemi",
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    out = fin.select(
+        F.col("src").alias("item_id"),
+        "core_degree",
+        F.lit(converged).alias("converged"),
+    ).localCheckpoint()
+    sym.unpersist()
+    return out
+
+
+item_kcore_membership.__doc__ = item_kcore_membership.__doc__.format(
+    k=_KCORE_K, sup=_KCORE_MIN_SUPPORT, r=_KCORE_ROUNDS, r1=_KCORE_ROUNDS - 1
+)
+
+
+# --- Deterministic synchronous label propagation --------------------
+
+_LPA_ROUNDS = 5
+_LPA_MIN_SUPPORT = 2
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS MATERIALIZED (
+        SELECT dst AS item_id,
+               struct_extract(MIN(struct_pack(nc := -cnt, v := label)), 'v')
+                   AS label
+        FROM (
+            SELECT e.dst, p.label, COUNT(*) AS cnt
+            FROM sym e JOIN l{i - 1} p ON e.src = p.item_id
+            GROUP BY 1, 2
+        )
+        GROUP BY 1
+    )"""
+        )
+    R = _LPA_ROUNDS
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    pair AS MATERIALIZED (
+        SELECT a.item_id AS item_a, b.item_id AS item_b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+    ),
+    sym AS MATERIALIZED (
+        SELECT item_a AS src, item_b AS dst FROM pair
+        UNION ALL
+        SELECT item_b AS src, item_a AS dst FROM pair
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS item_id, src AS label FROM sym),
+    {rounds_sql}
+    SELECT label AS community,
+           COUNT(*) AS n_members,
+           MIN(item_id) AS min_item,
+           MAX(item_id) AS max_item
+    FROM l{R}
+    GROUP BY 1
+    """
+
+
+@register("item_label_propagation", defer=True, oracle=_lpa_oracle())
+def item_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the item co-occurrence graph by
+    synchronous label propagation (Raghavan et al. 2007), made fully
+    deterministic: every node starts labeled with its own id, and each
+    of the {r} synchronized rounds relabels every node with its
+    neighbors' MOST FREQUENT label, ties broken by smallest label —
+    ``min(struct(-count, label))``, the repo's standard deterministic
+    mode idiom (asynchronous/random-order LPA, the usual formulation,
+    is irreproducible by design; the synchronized tie-broken variant
+    is the one an oracle can certify).  Output is the community
+    roster: label, member count, id range.
+
+    Scale shape: identical per-round discipline to
+    :func:`item_pagerank` — the cached edge list never re-shuffles;
+    each round broadcasts the (catalog-bounded) label frame into a
+    map-side join, reduces per-(node, label) counts partial-first,
+    and takes the deterministic mode as a hash aggregate, with
+    ``localCheckpoint`` truncating lineage."""
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _LPA_MIN_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    sym = (
+        pair.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .unionAll(
+            pair.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+        )
+        .cache()
+    )
+    sym.count()
+    lab = (
+        sym.select(F.col("src").alias("item_id"))
+        .distinct()
+        .withColumn("label", F.col("item_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_LPA_ROUNDS):
+        lab = (
+            sym.join(F.broadcast(lab), sym["src"] == lab["item_id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("v"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("item_id"), F.col("m.v").alias("label"))
+            .localCheckpoint()
+        )
+    out = (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("item_id").alias("min_item"),
+            F.max("item_id").alias("max_item"),
+        )
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+@register(
+    "session_survival_curve",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM x
+    ),
+    iv AS (
+        SELECT user_id, sess, MIN(ts) AS st, MAX(ts) AS en
+        FROM s GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS mts FROM events WHERE user_id IS NOT NULL),
+    dur AS (
+        SELECT CAST(FLOOR(date_diff('second', st, en) / 60.0) AS BIGINT) AS t,
+               CASE WHEN en > mts - INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS censored
+        FROM iv CROSS JOIN mx
+    ),
+    bucket AS (
+        SELECT t,
+               SUM(1 - censored) AS d,
+               SUM(censored) AS c
+        FROM dur GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d, c,
+               SUM(d + c) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        FROM bucket
+    ),
+    km AS (
+        SELECT t, d, c, n,
+               MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS dead,
+               SUM(CASE WHEN d > 0 AND d < n
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                        ELSE 0.0 END) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS logsurv
+        FROM risk
+    )
+    SELECT t AS duration_min,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS hazard,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE FLOOR(exp(logsurv) * 10000.0 + 0.5) / 10000.0
+           END AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration (minute
+    buckets): for each duration at which sessions end, the number
+    still at risk, ending ("deaths"), and right-censored (sessions
+    whose last event falls within one gap of the corpus edge — still
+    open when observation stopped), with the discrete hazard d/n and
+    the KM product-limit survival estimate.  The engagement-analytics
+    staple: "what fraction of sessions survive past t minutes",
+    censoring-corrected so edge-truncated sessions don't bias the
+    tail down.
+
+    Determinism: counts, at-risk tallies (a reverse cumulative sum),
+    and hazards are exact integers + one IEEE divide.  The product
+    limit is evaluated as exp(sum(ln(1 - d/n))) IN BOTH ENGINES over
+    the same bucket order — the window sum is sequential over ~tens
+    of bucket rows, so the only cross-engine freedom is last-ulp
+    libm drift, crushed by the e4 floor-emission (documented
+    audited-acceptable class: bounded output count, ~1e-13 error vs
+    5e-5 rounding margin).  An all-remaining-die bucket pins survival
+    to exactly 0 via a flag rather than exp(-inf).
+
+    Scale shape: sessionization shuffles once on ``user_id``; the
+    fact table then collapses to the per-bucket frame (bounded by the
+    duration range in minutes, NOT corpus size), and every window
+    runs over that tiny frame."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_u)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    s = e.select("user_id", "ts", "event_id", brk).select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    iv = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    mts = e.agg(F.max("ts").alias("mts"))
+    dur = iv.crossJoin(F.broadcast(mts)).select(
+        F.floor(
+            (F.col("en").cast("long") - F.col("st").cast("long")) / 60
+        ).alias("t"),
+        F.when(
+            F.col("en") > F.col("mts") - F.expr("INTERVAL 30 MINUTES"), 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    bucket = dur.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = bucket.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_rev).alias("n")
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dn = F.col("d").cast("double") / F.col("n").cast("double")
+    km = risk.select(
+        "t",
+        "d",
+        "c",
+        "n",
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_fwd)
+        .alias("dead"),
+        F.sum(
+            F.when((F.col("d") > 0) & (F.col("d") < F.col("n")), F.log(1.0 - dn))
+            .otherwise(F.lit(0.0))
+        )
+        .over(w_fwd)
+        .alias("logsurv"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_min"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(dn, 6).alias("hazard"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.floor(F.exp("logsurv") * 10000.0 + 0.5) / 10000.0)
+        .alias("survival"),
+    )

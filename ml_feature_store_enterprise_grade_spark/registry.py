@@ -43,6 +43,9 @@ ORACLES: dict[str, str] = {}
 #   - revenue_ewma_trend (round 7 overflow)
 #   - concurrent_sessions_daily (round 7 overflow)
 #   - benford_digit_audit (round 7 overflow)
+#   - item_kcore_membership (round 7 overflow)
+#   - item_label_propagation (round 7 overflow)
+#   - session_survival_curve (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

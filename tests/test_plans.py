@@ -410,3 +410,22 @@ def test_autocorrelation_windows_only_daily_frame(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_kcore_edges_shuffle_once(spark):
+    """The symmetric edge list is cached once; every peel round joins
+    the broadcast survivor set against it — no per-round shuffle join
+    of the edges in the final plan (localCheckpoint truncates rounds,
+    so the executed plan only shows the last round's shape)."""
+    plan = plan_of_deferred(spark, "item_kcore_membership")
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_curve_windows_only_bucket_frame(spark):
+    """Sessionization shuffles once on user_id; the KM windows run
+    over the bounded duration-bucket frame (a global window over tens
+    of rows is fine; what must not appear is a cartesian or a
+    shuffle join of the fact side)."""
+    plan = plan_of_deferred(spark, "session_survival_curve")
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
