@@ -2782,3 +2782,129 @@ def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.exp("logsurv") * 10000.0 + 0.5) / 10000.0)
         .alias("survival"),
     )
+
+
+@register(
+    "revenue_changepoint_scan",
+    defer=True,
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS x,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT month, x,
+               ROW_NUMBER() OVER (ORDER BY month) AS t,
+               SUM(CAST(x AS DECIMAL(38,4))) OVER (
+                   ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+        FROM m
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,4))) AS s FROM p
+    ),
+    gain AS (
+        SELECT p.month, p.t, tot.n,
+               CAST(CAST(p.ps AS DECIMAL(38,4))
+                    * CAST(p.ps AS DECIMAL(38,4)) AS DOUBLE) / p.t
+               + CAST(CAST(tot.s - p.ps AS DECIMAL(38,4))
+                      * CAST(tot.s - p.ps AS DECIMAL(38,4)) AS DOUBLE)
+                 / (tot.n - p.t)
+               - CAST(CAST(tot.s AS DECIMAL(38,4))
+                      * CAST(tot.s AS DECIMAL(38,4)) AS DOUBLE) / tot.n
+                   AS g,
+               CAST(p.ps AS DOUBLE) / p.t AS mean_before,
+               CAST(tot.s - p.ps AS DOUBLE) / (tot.n - p.t) AS mean_after
+        FROM p CROSS JOIN tot
+        WHERE p.t < tot.n
+    )
+    SELECT CAST(rk AS INTEGER) AS rank,
+           CAST(month AS DATE) AS split_after_month,
+           CAST(t AS BIGINT) AS n_before,
+           CAST(n - t AS BIGINT) AS n_after,
+           FLOOR(mean_before * 100.0 + 0.5) / 100.0 AS mean_before,
+           FLOOR(mean_after * 100.0 + 0.5) / 100.0 AS mean_after,
+           FLOOR(g / 1000000.0 * 100.0 + 0.5) / 100.0 AS gain_m
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY g DESC, month ASC) AS rk
+        FROM gain
+    )
+    WHERE rk <= 3
+    """,
+)
+def revenue_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint scan over the monthly revenue series by
+    binary segmentation (Scott & Knott): for every candidate split the
+    variance-reduction gain  S_L^2/n_L + S_R^2/n_R - S^2/n  (the
+    amount splitting lowers total squared error, means model), ranked;
+    top-3 candidates with before/after means.  The first step of
+    every changepoint detector a revenue-monitoring pipeline runs —
+    and recursing on the winning segment is just this query re-run on
+    a date-bounded slice.
+
+    Determinism: monthly sums and their prefix sums are exact DECIMAL
+    under any shuffle; each gain is a fixed IEEE expression over
+    exact-decimal squares (cast decimal->double is
+    correctly-rounded in both engines), so ranking compares identical
+    doubles, with the month as the explicit tie-break.  Emission uses
+    the floor(x*100+0.5) discipline; the gain is surfaced in units of
+    1e6 (it is a squared-revenue quantity).
+
+    Scale shape: the fact table collapses to one row per month in one
+    partial aggregate; the prefix sum, gain scan, and top-3 rank all
+    run over that calendar-bounded frame (~84 rows) — a global window
+    over a bounded frame, never over facts."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("x"))
+    w = Window.orderBy("month")
+    p = m.select(
+        "month",
+        F.row_number().over(w).alias("t"),
+        F.sum(F.col("x").cast("decimal(38,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("ps"),
+    )
+    tot = p.agg(F.count("*").alias("n"), F.max("ps").alias("s"))
+    sq = lambda c: (c.cast("decimal(38,4)") * c.cast("decimal(38,4)")).cast(  # noqa: E731
+        "double"
+    )
+    rest = F.col("s") - F.col("ps")
+    gain = (
+        p.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "month",
+            "t",
+            "n",
+            (
+                sq(F.col("ps")) / F.col("t")
+                + sq(rest) / (F.col("n") - F.col("t"))
+                - sq(F.col("s")) / F.col("n")
+            ).alias("g"),
+            (F.col("ps").cast("double") / F.col("t")).alias("mean_before"),
+            (rest.cast("double") / (F.col("n") - F.col("t"))).alias(
+                "mean_after"
+            ),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("g").desc(), F.col("month")))
+    r2 = lambda c: F.floor(c * 100.0 + 0.5) / 100.0  # noqa: E731
+    return (
+        gain.withColumn("rank", rk)
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("month").alias("split_after_month"),
+            F.col("t").cast("bigint").alias("n_before"),
+            (F.col("n") - F.col("t")).cast("bigint").alias("n_after"),
+            r2(F.col("mean_before")).alias("mean_before"),
+            r2(F.col("mean_after")).alias("mean_after"),
+            r2(F.col("g") / 1000000.0).alias("gain_m"),
+        )
+    )

@@ -792,3 +792,130 @@ def user_value_locf_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(_r4(interp))
         .alias("value_interp"),
     )
+
+
+#: Tolerance for the nearest-direction as-of variant.  Hourly feature
+#: timestamps sit on :00 boundaries, so the 00:30 lookup time is
+#: EXACTLY equidistant from its backward and forward neighbors — the
+#: tie the backward preference must win deterministically.
+NEAREST_TOL_HOURS = 12
+
+
+def asof_join_nearest(
+    entities: DataFrame,
+    features: DataFrame,
+    key: str,
+    lookup_ts: str = "lookup_ts",
+    feature_ts: str = "feature_timestamp",
+    tol_hours: int = NEAREST_TOL_HOURS,
+    feature_cols: tuple[str, ...] = _FEATURE_COLS,
+) -> DataFrame:
+    """Nearest-direction as-of join — pandas
+    ``merge_asof(direction='nearest', tolerance=...)``: each entity
+    lookup takes the feature row with the smallest |feature_ts -
+    lookup_ts| within the tolerance, in EITHER direction, ties broken
+    backward (the earlier row — the leakage-safer side).  LEFT
+    semantics: lookups with nothing in tolerance keep a NULL struct.
+
+    Same scale shape as :func:`asof_join`: equi-join on the key plus a
+    range predicate, then ONE ``min_by`` hash aggregate per (key,
+    lookup) — candidates collapse map-side, no window over the joined
+    frame, no sort.  The pick key is the struct (abs_diff_seconds,
+    feature_ts): seconds are exact integers, and ascending feature_ts
+    makes the equidistant tie land backward."""
+    diff = features[feature_ts].cast("long") - entities[lookup_ts].cast("long")
+    cond = (
+        (entities[key] == features[key])
+        & (F.abs(diff) <= tol_hours * 3600)
+    )
+    joined = entities.alias("e").join(features.alias("f"), cond, "left")
+    adiff = F.abs(
+        F.col(f"f.{feature_ts}").cast("long")
+        - F.col(f"e.{lookup_ts}").cast("long")
+    )
+    picked = joined.groupBy(
+        F.col(f"e.{key}").alias(key), F.col(f"e.{lookup_ts}").alias(lookup_ts)
+    ).agg(
+        F.min_by(
+            F.struct(
+                F.col(f"f.{feature_ts}").alias(feature_ts),
+                *[F.col(f"f.{c}").alias(c) for c in feature_cols],
+            ),
+            F.struct(
+                adiff.alias("d"), F.col(f"f.{feature_ts}").alias("ts")
+            ),
+        ).alias("__f")
+    )
+    return picked.select(
+        key,
+        lookup_ts,
+        F.col(f"__f.{feature_ts}").alias(feature_ts),
+        *[F.col(f"__f.{c}").alias(c) for c in feature_cols],
+    )
+
+
+@register(
+    "pit_nearest_join",
+    defer=True,
+    oracle=f"""
+    WITH {HOURLY_FEATURES_SQL_CTE},
+    entity AS (
+        SELECT c.c_custkey AS user_id, t.lookup_ts
+        FROM customer c CROSS JOIN (VALUES {_PIT_VALUES_SQL}) t(lookup_ts)
+    ),
+    j AS (
+        SELECT e.user_id, e.lookup_ts, f.feature_timestamp, {_FEATURE_COLS_SQL},
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.user_id, e.lookup_ts
+                   ORDER BY ABS(CAST(floor(epoch(f.feature_timestamp)) AS BIGINT)
+                               - CAST(floor(epoch(e.lookup_ts)) AS BIGINT))
+                            ASC NULLS LAST,
+                            f.feature_timestamp ASC NULLS LAST
+               ) AS rn
+        FROM entity e
+        LEFT JOIN hourly f
+          ON e.user_id = f.user_id
+         AND ABS(CAST(floor(epoch(f.feature_timestamp)) AS BIGINT)
+                 - CAST(floor(epoch(e.lookup_ts)) AS BIGINT))
+             <= {NEAREST_TOL_HOURS} * 3600
+    )
+    SELECT user_id, lookup_ts, feature_timestamp,
+           CASE WHEN feature_timestamp IS NULL THEN NULL
+                WHEN feature_timestamp <= lookup_ts THEN 'backward'
+                ELSE 'forward' END AS direction,
+           {", ".join(_FEATURE_COLS)}
+    FROM j WHERE rn = 1
+    """,
+)
+def pit_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction point-in-time retrieval
+    (:func:`asof_join_nearest`) of the hourly features at the standard
+    lookup fixture.  The 00:30 lookups are exactly equidistant from
+    the :00 hourly timestamps on both sides, so every row exercises
+    the deterministic backward tie-break; the post-corpus lookup
+    exercises the out-of-tolerance NULL path; a ``direction`` column
+    surfaces which side won (the backfill-vs-leakage audit signal —
+    'forward' rows are the ones a strictly-causal serving path could
+    not have produced)."""
+    events = load_table(spark, sf_dir, "events")
+    features = hourly_features(events)
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
+        )
+    )
+    out = asof_join_nearest(entities, features, key="user_id")
+    return out.select(
+        "user_id",
+        "lookup_ts",
+        "feature_timestamp",
+        F.when(F.col("feature_timestamp").isNull(), F.lit(None).cast("string"))
+        .when(F.col("feature_timestamp") <= F.col("lookup_ts"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        *_FEATURE_COLS,
+    )

@@ -730,3 +730,164 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bshare, 6).alias("benford_share"),
         F.round(dev * dev / exp, 6).alias("chi2_term"),
     )
+
+
+# --- Hash-bucket experiment assignment + sample-ratio-mismatch ------
+
+_AB_SEED = 31
+#: (arm, weight%) — weights sum to 100; bucket = hash % 100.
+_AB_ARMS = (("control", 50), ("treat_a", 30), ("treat_b", 20))
+#: lcm of the weights, for the exact common-denominator chi-square.
+_AB_LCM = 300
+#: chi-square 95th percentile at k-1 = 2 degrees of freedom.
+_AB_CHI2_CRIT = 5.991
+
+
+def _ab_oracle() -> str:
+    h = PORTABLE_HASH64_SQL("CAST(c_custkey AS VARCHAR)", _AB_SEED)
+    cuts, acc, cases = [], 0, []
+    for arm, wgt in _AB_ARMS:
+        acc += wgt
+        cuts.append(acc)
+        cases.append(f"WHEN bucket < {acc} THEN '{arm}'")
+    arm_w = " ".join(
+        f"WHEN '{arm}' THEN {wgt}" for arm, wgt in _AB_ARMS
+    )
+    return f"""
+    WITH assign AS (
+        SELECT c_custkey AS user_id,
+               CASE {" ".join(cases)} END AS arm
+        FROM (SELECT c_custkey, ({h}) % 100 AS bucket FROM customer)
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_arm AS (
+        SELECT a.arm, (CASE a.arm {arm_w} END) AS w,
+               COUNT(*) AS n_users,
+               SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_converters
+        FROM assign a LEFT JOIN conv cv ON a.user_id = cv.user_id
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_users) AS n FROM per_arm),
+    terms AS (
+        SELECT p.arm, p.w, p.n_users, p.n_converters, t.n,
+               (100 * p.n_users - t.n * p.w)
+                   * (100 * p.n_users - t.n * p.w) AS num,
+               (100 * p.n_users - t.n * p.w)
+                   * (100 * p.n_users - t.n * p.w)
+                   * ({_AB_LCM} / p.w) AS num_scaled
+        FROM per_arm p CROSS JOIN tot t
+    ),
+    chi AS (
+        SELECT CAST(SUM(num_scaled) AS DOUBLE)
+               / (100.0 * {_AB_LCM} * MAX(n)) AS chi2
+        FROM terms
+    )
+    SELECT t.arm,
+           t.n_users,
+           CAST(CAST(t.n * t.w AS DECIMAL(28,0)) / 100 AS DECIMAL(18,2))
+               AS expected_users,
+           ROUND(CAST(t.num AS DOUBLE) / (100.0 * t.n * t.w), 6)
+               AS chi2_term,
+           ROUND(c.chi2, 6) AS srm_chi2,
+           c.chi2 > {_AB_CHI2_CRIT} AS srm_flag,
+           ROUND(CAST(t.n_converters AS DOUBLE)
+                 / CAST(t.n_users AS DOUBLE), 6) AS conv_rate
+    FROM terms t CROSS JOIN chi c
+    """
+
+
+@register("ab_assignment_srm_audit", defer=True, oracle=_ab_oracle())
+def ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket experiment assignment with a
+    sample-ratio-mismatch (SRM) audit — the first gate every
+    experimentation platform runs before reading a metric: users land
+    in arms by ``portable_hash64(user_id) % 100`` against 50/30/20
+    weight cutoffs (stable, coordination-free, re-derivable anywhere),
+    and the realized arm counts are chi-square-tested against the
+    design weights.  An SRM flag firing means assignment or logging is
+    broken and every downstream readout is invalid (Fabijan et al.'s
+    "most dangerous bug in experimentation").  Per-arm conversion
+    (>= 1 purchase) rides along as the example readout.
+
+    Determinism: bucketing is the portable 60-bit hash both engines
+    compute identically; the chi-square statistic is assembled from
+    the EXACT integer (100*obs - n*w)^2 terms over the lcm common
+    denominator — one IEEE divide at the end, so even the boundary
+    comparison against the 5.991 critical value is the same double in
+    both engines.  Expected counts are exact DECIMAL(18,2) (n*w/100 is
+    always a quarter-integer here).
+
+    Scale shape: assignment is a pure map-side expression on the
+    customer scan; conversion is one DISTINCT semi-frame LEFT-joined
+    on the (entity-bounded) key; everything then collapses to
+    |arms| = 3 rows, and the totals ride a broadcast cross join of
+    single-row frames.  Zero wide shuffles beyond the one
+    entity-keyed join."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        portable_hash64(F.col("c_custkey").cast("string"), _AB_SEED) % 100
+    )
+    arm = F.when(bucket < _AB_ARMS[0][1], F.lit(_AB_ARMS[0][0]))
+    acc = _AB_ARMS[0][1]
+    for name, wgt in _AB_ARMS[1:]:
+        acc += wgt
+        arm = arm.when(bucket < acc, F.lit(name))
+    assign = c.select(F.col("c_custkey").alias("user_id"), arm.alias("arm"))
+    conv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    w_map = F.create_map(
+        *[x for a, wg in _AB_ARMS for x in (F.lit(a), F.lit(wg))]
+    )
+    per_arm = (
+        assign.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converters"),
+        )
+        .withColumn("w", w_map[F.col("arm")])
+    )
+    tot = per_arm.agg(F.sum("n_users").alias("n"))
+    dev = 100 * F.col("n_users") - F.col("n") * F.col("w")
+    terms = per_arm.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "w",
+        "n_users",
+        "n_converters",
+        "n",
+        (dev * dev).alias("num"),
+        (dev * dev * (_AB_LCM / F.col("w")).cast("bigint")).alias("num_scaled"),
+    )
+    chi = terms.agg(
+        (
+            F.sum("num_scaled").cast("double")
+            / (F.lit(100.0) * _AB_LCM * F.max("n"))
+        ).alias("chi2")
+    )
+    return terms.crossJoin(F.broadcast(chi)).select(
+        "arm",
+        "n_users",
+        ((F.col("n") * F.col("w")).cast("decimal(28,0)").cast("decimal(20,2)")
+         / F.lit(100))
+        .cast("decimal(18,2)")
+        .alias("expected_users"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.lit(100.0) * F.col("n") * F.col("w")),
+            6,
+        ).alias("chi2_term"),
+        F.round(F.col("chi2"), 6).alias("srm_chi2"),
+        (F.col("chi2") > _AB_CHI2_CRIT).alias("srm_flag"),
+        F.round(
+            F.col("n_converters").cast("double") / F.col("n_users").cast("double"),
+            6,
+        ).alias("conv_rate"),
+    )

@@ -46,6 +46,9 @@ ORACLES: dict[str, str] = {}
 #   - item_kcore_membership (round 7 overflow)
 #   - item_label_propagation (round 7 overflow)
 #   - session_survival_curve (round 7 overflow)
+#   - pit_nearest_join (round 7 overflow)
+#   - ab_assignment_srm_audit (round 7 overflow)
+#   - revenue_changepoint_scan (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -429,3 +429,20 @@ def test_survival_curve_windows_only_bucket_frame(spark):
     plan = plan_of_deferred(spark, "session_survival_curve")
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nearest_join_is_single_hash_aggregate(spark):
+    """Nearest as-of collapses candidates with one min_by hash
+    aggregate per (key, lookup): no window over the joined frame, no
+    global sort."""
+    plan = plan_of_deferred(spark, "pit_nearest_join")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_srm_audit_broadcasts_everything_small(spark):
+    """Assignment is map-side; conversion joins broadcast on the
+    entity key; the 3-row arm frame rides broadcast cross joins — no
+    shuffle join in the plan."""
+    plan = plan_of_deferred(spark, "ab_assignment_srm_audit")
+    assert "SortMergeJoin" not in plan
