@@ -2908,3 +2908,191 @@ def revenue_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("g") / 1000000.0).alias("gain_m"),
         )
     )
+
+
+@register(
+    "part_revenue_abc_classes",
+    defer=True,
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM per_part),
+    ranked AS (
+        SELECT p.l_partkey, p.rev, t.s, t.n,
+               SUM(p.rev) OVER (
+                   ORDER BY p.rev DESC, p.l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM per_part p CROSS JOIN tot t
+    ),
+    classed AS (
+        SELECT *,
+               CASE WHEN cum * 100 <= s * 80 THEN 'A'
+                    WHEN cum * 100 <= s * 95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc,
+           COUNT(*) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+               AS part_share,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(s) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed GROUP BY 1
+    """,
+)
+def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by discounted
+    revenue: rank parts by revenue, classify the head that carries
+    <= 80% of cumulative revenue as A, up to 95% as B, the tail as C,
+    and report each class's item count and revenue concentration —
+    the 80/20 screen every assortment/inventory pipeline starts with.
+
+    Determinism: per-part revenues are exact DECIMAL sums; the
+    cumulative total orders by (rev DESC, partkey) — a total order,
+    so the running DECIMAL sum is identical in both engines; class
+    boundaries compare exact decimals (cum*100 <= s*80), never a
+    float share.
+
+    Scale shape: the fact table collapses to one row per part in a
+    single partial aggregate.  The ranked running sum is a global
+    window over the per-part frame — catalog-bounded, not
+    fact-bounded; at a catalog too large for one partition the same
+    two-level bucketed prefix-sum used by ``acctbal_gini_by_segment``
+    slots in (bucket by revenue range, per-bucket offsets broadcast).
+    Final classing collapses to 3 rows map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("rev")
+    )
+    tot = per_part.agg(F.sum("rev").alias("s"), F.count("*").alias("n"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "rev", "s", "n", F.sum("rev").over(w).alias("cum")
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("s") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("s") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.count("*").cast("double") / F.max("n").cast("double"), 6
+            ).alias("part_share"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("s").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "revenue_trend_regression",
+    defer=True,
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY month) AS t FROM m
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(t) AS st,
+               SUM(CAST(t AS BIGINT) * t) AS stt,
+               SUM(CAST(y AS DECIMAL(38,4))) AS sy,
+               SUM(CAST(t AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,4)))
+                   AS sty,
+               SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+                   AS syy
+        FROM idx
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           FLOOR((CAST(n * sty - st * sy AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE)) * 100.0 + 0.5)
+               / 100.0 AS slope_per_month,
+           FLOOR((CAST(sy AS DOUBLE) / n
+                  - (CAST(n * sty - st * sy AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE))
+                    * (CAST(st AS DOUBLE) / n)) * 100.0 + 0.5) / 100.0
+               AS intercept,
+           FLOOR((CAST(n * sty - st * sy AS DOUBLE)
+                  * CAST(n * sty - st * sy AS DOUBLE)
+                  / (CAST(n * stt - st * st AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of monthly revenue against the
+    month index: slope (revenue change per month), intercept, and R²
+    — the one-line answer to "is revenue structurally growing" that
+    anchors every forecast baseline (and the line the
+    ``revenue_changepoint_scan`` residuals are judged against).
+
+    Determinism: all five regression moments (Σt, Σt², Σy, Σty, Σy²)
+    accumulate EXACTLY — integer t, DECIMAL y and products — so the
+    closed-form slope/intercept/R² are fixed IEEE expressions over
+    exact scalars, identical in both engines; emission uses the floor
+    discipline.  Scale shape: one partial aggregate collapses orders
+    to months; the five moments fold in a second single-row
+    aggregate.  Nothing global is ever sorted except the
+    calendar-bounded month index."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y"))
+    idx = m.select(
+        "y", F.row_number().over(Window.orderBy("month")).alias("t")
+    )
+    s = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t").cast("bigint") * F.col("t")).alias("stt"),
+        F.sum(F.col("y").cast("decimal(38,4)")).alias("sy"),
+        F.sum(
+            F.col("t").cast("decimal(19,0)") * F.col("y").cast("decimal(19,4)")
+        ).alias("sty"),
+        F.sum(
+            F.col("y").cast("decimal(19,4)") * F.col("y").cast("decimal(19,4)")
+        ).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    den_t = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den_t
+    r2c = lambda c, scale: F.floor(c * scale + 0.5) / scale  # noqa: E731
+    return s.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        r2c(slope, 100.0).alias("slope_per_month"),
+        r2c(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("st").cast("double") / F.col("n")),
+            100.0,
+        ).alias("intercept"),
+        r2c(num * num / (den_t * den_y), 1000000.0).alias("r2"),
+    )

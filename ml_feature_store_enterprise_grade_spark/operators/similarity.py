@@ -1859,3 +1859,217 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_kmeans.__doc__ = embedding_kmeans.__doc__.format(
     k=_KM_K, t=_KM_ITERS
 )
+
+
+# --- Dominant principal direction by exact-integer power iteration --
+
+_EIG_ITERS = 3
+_EIG_VSCALE = 1_000_000
+
+
+def _eig_oracle() -> str:
+    rounds = []
+    for r in range(1, _EIG_ITERS + 1):
+        rounds.append(
+            f"""u{r} AS (
+        SELECT s.i AS pos,
+               SUM(CAST(s.sval AS HUGEINT) * v.v) AS u
+        FROM smat s JOIN v{r - 1} v ON s.j = v.pos
+        GROUP BY 1
+    )"""
+        )
+        rounds.append(
+            f"""v{r} AS MATERIALIZED (
+        SELECT pos,
+               (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                   * ((ABS(u) * {_EIG_VSCALE})
+                      // (SELECT MAX(ABS(u)) FROM u{r})) AS v
+        FROM u{r}
+    )"""
+        )
+    R = _EIG_ITERS
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qx
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings)
+    ),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x),
+    sp AS (SELECT pos, SUM(CAST(qx AS HUGEINT)) AS s FROM x GROUP BY 1),
+    ut AS MATERIALIZED (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(a.qx AS HUGEINT) * b.qx) AS spp
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2
+    ),
+    full_ut AS (
+        SELECT i, j, spp FROM ut
+        UNION ALL
+        SELECT j AS i, i AS j, spp FROM ut WHERE i < j
+    ),
+    smat AS MATERIALIZED (
+        SELECT f.i, f.j,
+               nn.n * f.spp - si.s * sj.s AS sval
+        FROM full_ut f
+        CROSS JOIN nn
+        JOIN sp si ON si.pos = f.i
+        JOIN sp sj ON sj.pos = f.j
+    ),
+    v0 AS (
+        SELECT DISTINCT pos, CAST({_EIG_VSCALE} AS HUGEINT) AS v FROM x
+    ),
+    {rounds_sql},
+    ufin AS (
+        SELECT s.i AS pos, SUM(CAST(s.sval AS HUGEINT) * v.v) AS u
+        FROM smat s JOIN v{R} v ON s.j = v.pos
+        GROUP BY 1
+    ),
+    ray AS (
+        SELECT SUM(CAST(v.v AS HUGEINT) * u.u) AS num,
+               SUM(CAST(v.v AS HUGEINT) * v.v) AS den
+        FROM v{R} v JOIN ufin u ON v.pos = u.pos
+    ),
+    tr AS (SELECT SUM(sval) AS trace FROM smat WHERE i = j),
+    nrm AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv FROM v{R})
+    SELECT v.pos,
+           ROUND(CAST(v.v AS DOUBLE) / sqrt(CAST(nrm.vv AS DOUBLE)), 6)
+               AS loading,
+           ROUND(CAST(ray.num AS DOUBLE)
+                 / (CAST(ray.den AS DOUBLE) * CAST(tr.trace AS DOUBLE)),
+                 6) AS explained_share
+    FROM v{R} v CROSS JOIN ray CROSS JOIN tr CROSS JOIN nrm
+    """
+
+
+@register("embedding_top_eigenvector", defer=True, oracle=_eig_oracle())
+def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding scatter matrix by {t}
+    power-iteration rounds, bit-deterministic end to end — the first
+    principal direction (PCA without the full decomposition): per
+    dimension its loading on the top component, plus the Rayleigh
+    explained-variance share — the signal that tells an embedding
+    pipeline whether one axis dominates (anisotropy / collapsed
+    representation, Mu & Viswanath's all-but-the-top diagnostic).
+
+    Determinism (the ``embedding_kmeans`` discipline taken to linear
+    algebra): elements quantize to integers once; the scatter matrix
+    S = n*Sum(x_i x_j) - Sum(x_i)Sum(x_j) is exact integer; each
+    power round's mat-vec is an exact integer fold, and the rescale
+    divides by max|u| in INTEGER arithmetic — sign * (|u|*1e6 div
+    max) — where both engines truncate toward zero (Spark ``div``,
+    DuckDB ``//`` on HUGEINT; DECIMAL ``//`` would true-divide).  So
+    the ITERATION — not just its inputs — is value-hash-oracled; the
+    only IEEE ops are the final normalized loadings and the Rayleigh
+    ratio of exact scalars.
+
+    Scale shape: one flatten pass builds (vec, dim, q); the d(d+1)/2
+    upper-triangle co-moments come from ONE self-join keyed on
+    vec_id (MLlib RowMatrix's Gram layout); after that every round
+    touches only the d^2-row S frame with the d-row vector broadcast
+    as a literal array — map-side multiply, one d-row aggregate,
+    driver-rescaled exactly like the k-means centroid update.  The
+    fact-scale data is read once."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, e ->"
+                " CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT))"
+            )
+        ).alias("pos", "qx"),
+    )
+    n = x.select("vec_id").distinct().count()
+    sp_rows = (
+        x.groupBy("pos")
+        .agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    sp = {r["pos"]: int(r["s"]) for r in sp_rows}
+    a, b = x.alias("a"), x.alias("b")
+    ut = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.qx").cast("decimal(19,0)")
+                * F.col("b.qx").cast("decimal(19,0)")
+            ).alias("spp")
+        )
+    )
+    full_ut = ut.unionAll(
+        ut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "spp"
+        )
+    )
+    sp_arr = F.array(
+        *[F.lit(sp[p]).cast("decimal(38,0)") for p in sorted(sp)]
+    )
+    smat = full_ut.select(
+        "i",
+        "j",
+        (
+            F.lit(n).cast("decimal(38,0)") * F.col("spp")
+            - F.element_at(sp_arr, F.col("i") + 1)
+            * F.element_at(sp_arr, F.col("j") + 1)
+        ).alias("sval"),
+    ).cache()
+    smat.count()
+
+    d = len(sp)
+    v = [_EIG_VSCALE] * d
+
+    def _matvec() -> list[int]:
+        v_arr = F.array(*[F.lit(int(c)).cast("decimal(38,0)") for c in v])
+        rows = (
+            smat.groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("sval") * F.element_at(v_arr, F.col("j") + 1)
+                ).alias("u")
+            )
+            .collect()
+        )
+        out = [0] * d
+        for r in rows:
+            out[r["i"]] = int(r["u"])
+        return out
+
+    for _ in range(_EIG_ITERS):
+        u = _matvec()
+        mx = max(abs(c) for c in u)
+        v = [
+            (1 if c >= 0 else -1) * ((abs(c) * _EIG_VSCALE) // mx) for c in u
+        ]
+    ufin = _matvec()
+    num = sum(vi * ui for vi, ui in zip(v, ufin))
+    den = sum(vi * vi for vi in v)
+    trace_rows = smat.filter(F.col("i") == F.col("j")).agg(
+        F.sum("sval").alias("t")
+    ).collect()
+    trace = int(trace_rows[0]["t"])
+    smat.unpersist()
+    import math as _math
+
+    vv = float(den)
+    explained = float(num) / (float(den) * float(trace))
+    out = [
+        (p, round(v[p] / _math.sqrt(vv), 6), round(explained, 6))
+        for p in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "pos int, loading double, explained_share double"
+    )
+
+
+embedding_top_eigenvector.__doc__ = embedding_top_eigenvector.__doc__.format(
+    t=_EIG_ITERS
+)

@@ -49,6 +49,9 @@ ORACLES: dict[str, str] = {}
 #   - pit_nearest_join (round 7 overflow)
 #   - ab_assignment_srm_audit (round 7 overflow)
 #   - revenue_changepoint_scan (round 7 overflow)
+#   - part_revenue_abc_classes (round 7 overflow)
+#   - revenue_trend_regression (round 7 overflow)
+#   - embedding_top_eigenvector (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
