@@ -1612,3 +1612,173 @@ def doc_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# --- RAKE keyphrase extraction --------------------------------------
+
+_RAKE_TOP_K = 20
+
+
+@register(
+    "doc_rake_keyphrases",
+    defer=True,
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, pos, w,
+               (w IN {_STOPWORDS!r} OR w = '') AS is_stop
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(
+                       {NORMALIZE_TEXT_SQL("text")}, ' '), 1) AS pos,
+                   unnest(string_split(
+                       {NORMALIZE_TEXT_SQL("text")}, ' ')) AS w
+            FROM documents
+        )
+    ),
+    marked AS (
+        SELECT doc_id, pos, w, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pid
+        FROM toks
+    ),
+    pw AS MATERIALIZED (
+        SELECT doc_id, pid, pos, w FROM marked WHERE NOT is_stop
+    ),
+    plen AS (
+        SELECT doc_id, pid, COUNT(*) AS n_words
+        FROM pw GROUP BY 1, 2
+    ),
+    wstat AS (
+        SELECT w,
+               COUNT(*) AS freq,
+               SUM(p.n_words) AS deg
+        FROM pw JOIN plen p USING (doc_id, pid)
+        GROUP BY 1
+    ),
+    wscore AS (
+        SELECT w, (deg * 1000000) // freq AS score_q FROM wstat
+    ),
+    phrase AS (
+        SELECT pw.doc_id, pw.pid,
+               string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+               COUNT(*) AS n_words,
+               SUM(ws.score_q) AS score_q
+        FROM pw JOIN wscore ws ON pw.w = ws.w
+        GROUP BY 1, 2
+    ),
+    corpus AS (
+        SELECT phrase,
+               COUNT(*) AS n_occurrences,
+               MAX(n_words) AS n_words,
+               MAX(score_q) AS score_q
+        FROM phrase GROUP BY 1
+    )
+    SELECT CAST(rk AS INTEGER) AS rank, phrase,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           ROUND(CAST(score_q AS DOUBLE) / 1000000.0, 6) AS rake_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score_q DESC, phrase ASC) AS rk
+        FROM corpus
+    )
+    WHERE rk <= {_RAKE_TOP_K}
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each
+    word scores degree/frequency (degree = summed length of every
+    phrase it appears in — favors words that travel in long
+    collocations), and a phrase scores the sum of its words; the
+    corpus top-{k} phrases by score.  The classic unsupervised
+    keyword extractor a corpus-exploration pipeline runs before
+    anything model-based.
+
+    Determinism: word scores are quantized to integers —
+    (deg * 1e6) div freq, truncating division identical in both
+    engines — so phrase scores are exact integer sums under any
+    shuffle order, and the final ranking breaks ties on the phrase
+    text itself.  Phrase reassembly is an explicitly ordered
+    aggregation (sort-by-position), not a collect-order accident.
+
+    Scale shape: phrase segmentation is the sessionization idiom
+    (stopword-break running count) inside one doc-partitioned
+    window; word stats collapse by vocabulary (bounded); the word
+    score joins back as a broadcast; the only fact-scale shuffles
+    are the doc-keyed window and the (doc, phrase) aggregate.  The
+    top-{k} is a TakeOrdered over per-partition heads, not a global
+    sort of all phrases."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "w"),
+    ).withColumn(
+        "is_stop", F.col("w").isin(*_STOPWORDS) | (F.col("w") == "")
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pw = (
+        toks.withColumn(
+            "pid", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w_doc)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "pid", "pos", "w")
+    )
+    plen = pw.groupBy("doc_id", "pid").agg(F.count("*").alias("n_words"))
+    wstat = (
+        pw.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("n_words").alias("deg"))
+    )
+    wscore = wstat.select(
+        "w", F.expr("(deg * 1000000) div freq").alias("score_q")
+    )
+    phrase = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("score_q").alias("score_q"),
+        )
+    )
+    corpus = phrase.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.max("n_words").alias("n_words"),
+        F.max("score_q").alias("score_q"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("score_q").desc(), F.col("phrase"))
+    )
+    return (
+        corpus.withColumn("rank", rk)
+        .filter(F.col("rank") <= _RAKE_TOP_K)
+        .select(
+            F.col("rank").cast("int"),
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.round(F.col("score_q").cast("double") / 1000000.0, 6).alias(
+                "rake_score"
+            ),
+        )
+    )
+
+
+doc_rake_keyphrases.__doc__ = doc_rake_keyphrases.__doc__.format(
+    k=_RAKE_TOP_K
+)
