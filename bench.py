@@ -117,13 +117,22 @@ BENCH_QUERIES = (
     "doc_token_entropy",
     "doc_winnowing_fingerprints",
     "embedding_pq_codes",
+    # round 7 continuation — the iterative/graph/text additions, so
+    # every new operator class carries a tracked number (deferred
+    # queries are benchmarkable: the registry merge below includes
+    # DEFERRED_QUERIES).
+    "item_kcore_membership",
+    "embedding_top_eigenvector",
+    "session_survival_curve",
+    "concurrent_sessions_daily",
+    "doc_rake_keyphrases",
 )
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    qs = registry.queries()
+    qs = {**registry.queries(), **registry.DEFERRED_QUERIES}
 
     # Warm up: JIT-compile the query paths once at the smallest SF so
     # measurements reflect steady-state execution, not first-call

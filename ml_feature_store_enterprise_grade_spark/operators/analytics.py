@@ -2450,8 +2450,8 @@ def item_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.count()
     surv = sym.select(F.col("src").alias("item_id")).distinct().localCheckpoint()
     n_prev = surv.count()
+    converged = False
     for _ in range(_KCORE_ROUNDS):
-        n_prev = surv.count()
         deg = (
             sym.join(
                 F.broadcast(surv), sym["src"] == surv["item_id"], "leftsemi"
@@ -2469,7 +2469,15 @@ def item_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("item_id"))
             .localCheckpoint()
         )
-    converged = surv.count() == n_prev
+        n_cur = surv.count()
+        if n_cur == n_prev:
+            # Peeling only ever REMOVES nodes, so an unchanged count is
+            # an unchanged set and every remaining round is the
+            # identity — stopping here is exact, not approximate (the
+            # oracle's full unroll computes the same fixed point).
+            converged = True
+            break
+        n_prev = n_cur
     fin = (
         sym.join(F.broadcast(surv), sym["src"] == surv["item_id"], "leftsemi")
         .join(

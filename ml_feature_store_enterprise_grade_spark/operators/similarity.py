@@ -1973,37 +1973,38 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a literal array — map-side multiply, one d-row aggregate,
     driver-rescaled exactly like the k-means centroid update.  The
     fact-scale data is read once."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    x = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(embedding, e ->"
-                " CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT))"
-            )
-        ).alias("pos", "qx"),
+    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, e ->"
+            " CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ),
     )
-    n = x.select("vec_id").distinct().count()
+    n = emb.count()
     sp_rows = (
-        x.groupBy("pos")
+        emb.select(F.posexplode("qv").alias("pos", "qx"))
+        .groupBy("pos")
         .agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"))
         .collect()
     )
     sp = {r["pos"]: int(r["s"]) for r in sp_rows}
-    a, b = x.alias("a"), x.alias("b")
+    # d(d+1)/2 co-moments in ONE pass via the embedding_covariance
+    # array expansion — never a self-join of the exploded frame (that
+    # shape was 2x slower, measured r7: it shuffles |vectors|*d rows
+    # twice).  The int64 product is safe under the same |qv| <= 3e9
+    # guard bound; products go DECIMAL at the leaf so sums are exact.
+    pairs = F.expr(
+        """
+        flatten(transform(qv, (xi, i) ->
+            transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
+                struct(i AS di, i + j AS dj,
+                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
+        """
+    )
     ut = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.pos") <= F.col("b.pos")),
-        )
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.qx").cast("decimal(19,0)")
-                * F.col("b.qx").cast("decimal(19,0)")
-            ).alias("spp")
-        )
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.di").alias("i"), F.col("p.dj").alias("j"))
+        .agg(F.sum("p.prod").alias("spp"))
     )
     full_ut = ut.unionAll(
         ut.filter(F.col("i") < F.col("j")).select(
