@@ -3104,3 +3104,170 @@ def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         r2c(num * num / (den_t * den_y), 1000000.0).alias("r2"),
     )
+
+
+# --- Recommender offline evaluation: NDCG@10 on a temporal split ----
+
+_REC_K = 10
+_REC_SPLIT = "1997-01-01"
+#: Quantized DCG position discounts floor(1e6/log2(i+1)), i = 1..K —
+#: identical integer literals in both engines, so DCG/IDCG/NDCG are
+#: exact integer arithmetic (runtime log2 never runs).
+_REC_W = [int(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, _REC_K + 1)]
+_REC_IDCG = [sum(_REC_W[:m]) for m in range(_REC_K + 1)]  # prefix sums, [0]=0
+
+
+def _rec_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_REC_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN {m} THEN {v}" for m, v in enumerate(_REC_IDCG) if m > 0
+    )
+    return f"""
+    WITH train AS (
+        SELECT l.l_partkey AS part, COUNT(DISTINCT l.l_orderkey) AS cnt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '{_REC_SPLIT}'
+        GROUP BY 1
+    ),
+    rec AS (
+        SELECT part, rk FROM (
+            SELECT part, ROW_NUMBER() OVER (
+                ORDER BY cnt DESC, part ASC) AS rk
+            FROM train
+        ) WHERE rk <= {_REC_K}
+    ),
+    test AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{_REC_SPLIT}'
+    ),
+    per_user AS (
+        SELECT t.user_id,
+               COUNT(*) AS n_rel,
+               SUM(CASE WHEN r.rk IS NOT NULL
+                        THEN (CASE r.rk {w_case} END) ELSE 0 END) AS dcg,
+               SUM(CASE WHEN r.rk IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM test t LEFT JOIN rec r ON t.part = r.part
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT c.c_mktsegment AS segment, p.hits,
+               (p.dcg * 1000000)
+                   // (CASE LEAST(p.n_rel, {_REC_K}) {idcg_case} END)
+                   AS ndcg_q
+        FROM per_user p JOIN customer c ON p.user_id = c.c_custkey
+    )
+    SELECT segment,
+           COUNT(*) AS n_test_users,
+           ROUND(CAST(SUM(ndcg_q) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_ndcg_at_10,
+           ROUND(CAST(SUM(hits) AS DOUBLE)
+                 / (COUNT(*) * {_REC_K}.0), 6) AS mean_precision_at_10,
+           ROUND(CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hit_rate
+    FROM scored GROUP BY 1
+    """
+
+
+@register("rec_popularity_ndcg", defer=True, oracle=_rec_oracle())
+def rec_popularity_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation on a temporal split: the
+    popularity baseline (top-{k} parts by distinct-order count before
+    {split}) scored against each customer's post-split purchases with
+    NDCG@{k}, precision@{k}, and hit rate, reported per market
+    segment — the eval harness every recommender project stands up
+    first, and the leakage-safe split discipline (`train strictly
+    before, test strictly after`) is the point.
+
+    Determinism: position discounts 1/log2(i+1) are pre-quantized to
+    integer micro-units and baked into BOTH engines as literals, so
+    per-user DCG and the ideal DCG are exact integer sums and NDCG is
+    one truncating integer division — the per-segment means then
+    average exact integers with a single IEEE divide each.  Runtime
+    log2 never executes; tie-breaks (equal train popularity) fall to
+    the part key.
+
+    Scale shape: train popularity is one keyed aggregate; the
+    recommendation list is {k} rows broadcast everywhere; test
+    relevance is a DISTINCT projection of the fact join; per-user
+    scoring is a LEFT broadcast join + one hash aggregate keyed on
+    user — no window over facts, no global sort (the top-{k} ranks a
+    catalog-bounded frame)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lo = l.join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        l["l_orderkey"] == o["o_orderkey"],
+    )
+    split = F.lit(_REC_SPLIT).cast("timestamp")
+    train = (
+        lo.filter(F.col("o_orderdate") < split)
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.countDistinct("l_orderkey").alias("cnt"))
+    )
+    rec = (
+        train.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("part"))
+            ),
+        )
+        .filter(F.col("rk") <= _REC_K)
+        .select("part", "rk")
+    )
+    test = (
+        lo.filter(F.col("o_orderdate") >= split)
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    w_arr = F.array(*[F.lit(w) for w in _REC_W])
+    per_user = (
+        test.join(F.broadcast(rec), "part", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("rk").isNotNull(),
+                    F.element_at(w_arr, F.col("rk")),
+                ).otherwise(0)
+            ).alias("dcg"),
+            F.sum(F.when(F.col("rk").isNotNull(), 1).otherwise(0)).alias(
+                "hits"
+            ),
+        )
+    )
+    scored = per_user.join(
+        c.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "user_id",
+    ).select(
+        "segment",
+        "hits",
+        F.expr(
+            f"(dcg * 1000000) div"
+            f" element_at(array({','.join(str(v) for v in _REC_IDCG[1:])}),"
+            f" int(least(n_rel, {_REC_K})))"
+        ).alias("ndcg_q"),
+    )
+    return scored.groupBy("segment").agg(
+        F.count("*").alias("n_test_users"),
+        F.round(
+            F.sum("ndcg_q").cast("double") / (F.count("*") * 1000000.0), 6
+        ).alias("mean_ndcg_at_10"),
+        F.round(
+            F.sum("hits").cast("double") / (F.count("*") * float(_REC_K)), 6
+        ).alias("mean_precision_at_10"),
+        F.round(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hit_rate"),
+    )

@@ -53,6 +53,7 @@ ORACLES: dict[str, str] = {}
 #   - revenue_trend_regression (round 7 overflow)
 #   - embedding_top_eigenvector (round 7 overflow)
 #   - doc_rake_keyphrases (round 7 overflow)
+#   - rec_popularity_ndcg (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
