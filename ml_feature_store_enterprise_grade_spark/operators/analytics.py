@@ -3271,3 +3271,101 @@ def rec_popularity_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hit_rate"),
     )
+
+
+@register(
+    "user_activity_streaks",
+    defer=True,
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               COUNT(*) AS len,
+               MIN(day) AS streak_start,
+               MAX(day) AS streak_end
+        FROM isl GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(day) AS last_day FROM days)
+    SELECT s.user_id,
+           CAST(SUM(s.len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(s.len) AS BIGINT) AS longest_streak,
+           MIN(CASE WHEN s.len = ml.m THEN s.streak_start END)
+               AS longest_streak_start,
+           CAST(COALESCE(MAX(CASE
+               WHEN s.streak_end >= mx.last_day - 1 THEN s.len END), 0)
+               AS BIGINT) AS current_streak
+    FROM streaks s
+    CROSS JOIN mx
+    JOIN (SELECT user_id, MAX(len) AS m FROM streaks GROUP BY 1) ml
+      ON s.user_id = ml.user_id
+    GROUP BY 1
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gap-and-islands
+    idiom (day minus its per-user row number is constant within a
+    consecutive run): total active days, streak count, longest streak
+    with its start date (earliest on ties), and the CURRENT streak
+    (the run still alive at the corpus edge, grace of one day) — the
+    engagement features every retention model and gamification
+    surface wants.
+
+    Determinism: everything is exact integer/date arithmetic; the
+    longest-streak start picks the earliest qualifying date via a
+    MIN over equal-length streaks.
+
+    Scale shape: one DISTINCT collapses events to (user, day); ONE
+    shuffle on user_id then carries the row-number window, the island
+    aggregate, and the per-user rollup — the chained-windows-reuse-
+    one-Exchange discipline this module opens with.  The corpus-edge
+    date is a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    mx = days.agg(F.max("day").alias("last_day"))
+    ml = streaks.groupBy("user_id").agg(F.max("len").alias("m"))
+    return (
+        streaks.crossJoin(F.broadcast(mx))
+        .join(ml, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("m"), F.col("streak_start"))
+            ).alias("longest_streak_start"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("streak_end") >= F.date_sub(F.col("last_day"), 1),
+                        F.col("len"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("current_streak"),
+        )
+    )

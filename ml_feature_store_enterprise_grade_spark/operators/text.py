@@ -1782,3 +1782,115 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_rake_keyphrases.__doc__ = doc_rake_keyphrases.__doc__.format(
     k=_RAKE_TOP_K
 )
+
+
+# --- Zipf rank-frequency fit ----------------------------------------
+
+
+@register(
+    "vocab_zipf_fit",
+    defer=True,
+    oracle=f"""
+    WITH vocab AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' '))
+                AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rank
+        FROM vocab
+    ),
+    q AS (
+        SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS lx,
+               CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS ly
+        FROM ranked
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(lx AS HUGEINT)) AS sx,
+               SUM(CAST(ly AS HUGEINT)) AS sy,
+               SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+               SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+               SUM(CAST(ly AS HUGEINT) * ly) AS syy
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000.0 + 0.5)
+               / 10000.0 AS zipf_slope,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0 AS r2
+    FROM s
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log-frequency against log-rank (natural-corpus text slopes near
+    -1; a flat or kinked curve flags synthetic, templated, or
+    truncated-vocabulary text) with the fit R² — the two-number
+    corpus-health diagnostic that catches generator artifacts no
+    per-document statistic sees.
+
+    Determinism: ranks and frequencies are exact integers with the
+    word as rank tie-break; the logs are QUANTIZED at the leaf —
+    floor(ln(v)*1e6) per value — so the five regression moments
+    accumulate as exact integers under any shuffle order (the
+    audited last-ulp risk lives only in the per-value floor, ~1e-10
+    odds per distinct value, not in the order-sensitive sums); the
+    closed-form slope/R² are single IEEE expressions over exact
+    scalars, emitted with the floor discipline.
+
+    Scale shape: one flatten + one keyed aggregate builds the
+    vocabulary (vocabulary-bounded, not corpus-bounded); the rank
+    window orders that bounded frame; the moments fold to a single
+    row map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("w")))
+        .alias("rank"),
+    )
+    lq = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1000000.0
+    ).cast("bigint")
+    q = ranked.select(lq(F.col("rank")).alias("lx"), lq(F.col("freq")).alias("ly"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("lx"))).alias("sx"),
+        F.sum(dec(F.col("ly"))).alias("sy"),
+        F.sum(dec(F.col("lx")) * F.col("lx")).alias("sxx"),
+        F.sum(dec(F.col("lx")) * F.col("ly")).alias("sxy"),
+        F.sum(dec(F.col("ly")) * F.col("ly")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return s.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        emit(num / den_x).alias("zipf_slope"),
+        emit(num * num / (den_x * den_y)).alias("r2"),
+    )

@@ -54,6 +54,8 @@ ORACLES: dict[str, str] = {}
 #   - embedding_top_eigenvector (round 7 overflow)
 #   - doc_rake_keyphrases (round 7 overflow)
 #   - rec_popularity_ndcg (round 7 overflow)
+#   - user_activity_streaks (round 7 overflow)
+#   - vocab_zipf_fit (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
