@@ -153,3 +153,74 @@ def test_srm_audit_accepts_the_null_hypothesis(spark):
     # the portable hash IS uniform: the design split must not trip SRM
     assert all(not r.srm_flag for r in rows)
     assert len({r.srm_chi2 for r in rows}) == 1
+
+
+def test_rake_ranking_is_dense_and_positive(spark):
+    rows = (
+        registry.DEFERRED_QUERIES["doc_rake_keyphrases"](spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.rake_score for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_words >= 1 and r.n_occurrences >= 1 for r in rows)
+
+
+def test_ndcg_metrics_are_proper_fractions(spark):
+    rows = registry.DEFERRED_QUERIES["rec_popularity_ndcg"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_test_users > 0
+        for v in (r.mean_ndcg_at_10, r.mean_precision_at_10, r.hit_rate):
+            assert 0.0 <= v <= 1.0
+        # a hit is necessary for any NDCG mass
+        if r.mean_ndcg_at_10 > 0:
+            assert r.hit_rate > 0
+
+
+def test_streak_ordering_invariants(spark):
+    rows = registry.DEFERRED_QUERIES["user_activity_streaks"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.current_streak <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        assert r.longest_streak_start is not None
+
+
+def test_abc_classes_partition_revenue(spark):
+    rows = registry.DEFERRED_QUERIES["part_revenue_abc_classes"](
+        spark, SF_SMOKE
+    ).collect()
+    got = {r.abc: r for r in rows}
+    assert set(got) == {"A", "B", "C"}
+    assert abs(sum(r.part_share for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-5
+    # class construction: A's cumulative band is the largest, C's the
+    # smallest (the synthetic corpus is near-uniform, so the classic
+    # "A has few parts" Pareto shape does NOT hold here — only the
+    # band ordering is structural)
+    assert (
+        got["A"].revenue_share
+        >= got["B"].revenue_share
+        >= got["C"].revenue_share
+    )
+
+
+def test_changepoint_scan_splits_cover_series(spark):
+    rows = (
+        registry.DEFERRED_QUERIES["revenue_changepoint_scan"](spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.rank for r in rows] == [1, 2, 3]
+    totals = {r.n_before + r.n_after for r in rows}
+    assert len(totals) == 1  # every split partitions the same series
+    gains = [r.gain_m for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g >= 0 for g in gains)  # variance reduction is nonnegative
