@@ -3369,3 +3369,141 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("current_streak"),
         )
     )
+
+
+@register(
+    "revenue_mann_kendall",
+    defer=True,
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY month) AS t FROM m
+    ),
+    pairs AS (
+        SELECT a.t AS ti, b.t AS tj, a.y AS yi, b.y AS yj,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+               CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope
+        FROM idx a JOIN idx b ON a.t < b.t
+    ),
+    sstat AS (
+        SELECT SUM(sgn) AS s, COUNT(*) AS n_pairs FROM pairs
+    ),
+    n_cte AS (SELECT COUNT(*) AS n FROM idx),
+    ties AS (
+        SELECT COALESCE(SUM(tk * (tk - 1) * (2 * tk + 5)), 0) AS tie_adj
+        FROM (SELECT COUNT(*) AS tk FROM idx GROUP BY y HAVING COUNT(*) > 1)
+    ),
+    var_cte AS (
+        SELECT (CAST(n.n AS BIGINT) * (n.n - 1) * (2 * n.n + 5)
+                - t.tie_adj) / 18.0 AS var_s
+        FROM n_cte n CROSS JOIN ties t
+    ),
+    ts AS (
+        SELECT quantile_disc(slope, 0.5) AS theil_sen FROM pairs
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_months,
+           CAST(s.s AS BIGINT) AS s_statistic,
+           FLOOR(v.var_s * 100.0 + 0.5) / 100.0 AS var_s,
+           FLOOR((CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var_s)
+                       WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var_s)
+                       ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z_score,
+           CASE WHEN s.s > 0 THEN 'increasing'
+                WHEN s.s < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend,
+           FLOOR(ts.theil_sen * 100.0 + 0.5) / 100.0 AS theil_sen_slope
+    FROM sstat s CROSS JOIN n_cte n CROSS JOIN var_cte v CROSS JOIN ts
+    """,
+)
+def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test + Theil-Sen robust slope
+    over monthly revenue — the distribution-free complement to
+    :func:`revenue_trend_regression`: MK's S statistic counts
+    concordant-minus-discordant month pairs (immune to outliers and
+    any monotone transform), with the tie-corrected normal
+    approximation and continuity-corrected z; Theil-Sen is the median
+    of all pairwise slopes, the robust trend magnitude every
+    environmental/SLA monitoring stack reports alongside it.
+
+    Determinism: S is an exact integer sum of sign comparisons on
+    exact DECIMAL monthly revenues; the tie correction and variance
+    are exact integer arithmetic over tie-group sizes with one /18
+    at the end; pairwise slopes are identical IEEE divides of exact
+    decimals in both engines, so the discrete median
+    (percentile_disc / quantile_disc) selects the same element.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    monthly frame first; the O(n²) pair join runs over ~84 rows
+    (~3.5k pairs) — bounded by the CALENDAR, never by the corpus.
+    For a fine-grained series the O(n log n) rank-based S
+    formulation slots in (the KS prefix-sum machinery), noted not
+    needed at monthly grain."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y"))
+    idx = m.select(
+        "y", F.row_number().over(Window.orderBy("month")).alias("t")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    sstat = pairs.agg(
+        F.sum("sgn").alias("s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias(
+            "theil_sen"
+        ),
+    )
+    n_row = idx.agg(F.count("*").alias("n"))
+    ties = (
+        idx.groupBy("y")
+        .agg(F.count("*").alias("tk"))
+        .filter(F.col("tk") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_adj")
+        )
+    )
+    var_s = (
+        F.col("n").cast("bigint") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_adj")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    emit = lambda c, s: F.floor(c * s + 0.5) / s  # noqa: E731
+    return (
+        sstat.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_months"),
+            F.col("s").cast("bigint").alias("s_statistic"),
+            emit(var_s, 100.0).alias("var_s"),
+            emit(z, 10000.0).alias("z_score"),
+            F.when(F.col("s") > 0, "increasing")
+            .when(F.col("s") < 0, "decreasing")
+            .otherwise("no trend")
+            .alias("trend"),
+            emit(F.col("theil_sen"), 100.0).alias("theil_sen_slope"),
+        )
+    )

@@ -56,6 +56,7 @@ ORACLES: dict[str, str] = {}
 #   - rec_popularity_ndcg (round 7 overflow)
 #   - user_activity_streaks (round 7 overflow)
 #   - vocab_zipf_fit (round 7 overflow)
+#   - revenue_mann_kendall (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
