@@ -3507,3 +3507,116 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emit(F.col("theil_sen"), 100.0).alias("theil_sen_slope"),
         )
     )
+
+
+@register(
+    "daily_revenue_runs_test",
+    defer=True,
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS y
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_disc(y, 0.5) AS m FROM d),
+    signed AS (
+        SELECT day, CASE WHEN y > m THEN 1 ELSE 0 END AS above
+        FROM d CROSS JOIN med
+        WHERE y <> m
+    ),
+    runs AS (
+        SELECT above,
+               CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                         OR LAG(above) OVER (ORDER BY day) <> above
+                    THEN 1 ELSE 0 END AS is_start
+        FROM signed
+    ),
+    s AS (
+        SELECT SUM(is_start) AS r,
+               SUM(above) AS n1,
+               SUM(1 - above) AS n2
+        FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           FLOOR((1.0 + 2.0 * n1 * n2 / (n1 + n2)) * 10000.0 + 0.5)
+               / 10000.0 AS expected_runs,
+           FLOOR(((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))
+                 * 10000.0 + 0.5) / 10000.0 AS z_score
+    FROM s
+    """,
+)
+def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: dichotomize
+    each day against the series median (median-equal days excluded,
+    the standard convention), count runs of consecutive same-side
+    days, and compare with the expected run count under randomness —
+    too FEW runs means sticky regimes (autocorrelation, seasonality,
+    level shifts), too many means oscillation.  The third leg of the
+    trend battery (OLS slope → Mann-Kendall monotonicity → runs
+    randomness), and the cheapest "is this series i.i.d." gate a
+    monitoring pipeline can run.
+
+    Determinism: daily sums are exact DECIMAL; the discrete median
+    selects an actual element identically in both engines; run starts
+    are integer lag comparisons over the day order; expected-runs and
+    z are single IEEE expressions over three exact integers, emitted
+    with the floor discipline.
+
+    Scale shape: one partial aggregate collapses the fact table to
+    the calendar-bounded daily frame; the lag window and the final
+    single-row fold run over that frame only."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y")
+    )
+    med = d.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("m")
+    )
+    signed = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select(
+            "day", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above")
+        )
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = runs.agg(
+        F.sum("is_start").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    n1, n2, r = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("r").cast("double"),
+    )
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return s.select(
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        emit(exp_r).alias("expected_runs"),
+        emit((r - exp_r) / F.sqrt(var_r)).alias("z_score"),
+    )

@@ -57,6 +57,7 @@ ORACLES: dict[str, str] = {}
 #   - user_activity_streaks (round 7 overflow)
 #   - vocab_zipf_fit (round 7 overflow)
 #   - revenue_mann_kendall (round 7 overflow)
+#   - daily_revenue_runs_test (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
