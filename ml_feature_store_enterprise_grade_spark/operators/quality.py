@@ -787,8 +787,7 @@ def _ab_oracle() -> str:
     )
     SELECT t.arm,
            t.n_users,
-           CAST(CAST(t.n * t.w AS DECIMAL(28,0)) / 100 AS DECIMAL(18,2))
-               AS expected_users,
+           CAST(t.n * t.w AS DOUBLE) / 100.0 AS expected_users,
            ROUND(CAST(t.num AS DOUBLE) / (100.0 * t.n * t.w), 6)
                AS chi2_term,
            ROUND(c.chi2, 6) AS srm_chi2,
@@ -817,8 +816,11 @@ def ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXACT integer (100*obs - n*w)^2 terms over the lcm common
     denominator — one IEEE divide at the end, so even the boundary
     comparison against the 5.991 critical value is the same double in
-    both engines.  Expected counts are exact DECIMAL(18,2) (n*w/100 is
-    always a quarter-integer here).
+    both engines.  Expected counts are n*w/100 with an
+    integer numerator exactly representable in DOUBLE, so the one
+    divide is the same IEEE op in both engines (a DECIMAL emission
+    would land as pandas objects on one side and float64 on the
+    other — the dtype-parity guard catches that skew).
 
     Scale shape: assignment is a pure map-side expression on the
     customer scan; conversion is one DISTINCT semi-frame LEFT-joined
@@ -875,10 +877,9 @@ def ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(chi)).select(
         "arm",
         "n_users",
-        ((F.col("n") * F.col("w")).cast("decimal(28,0)").cast("decimal(20,2)")
-         / F.lit(100))
-        .cast("decimal(18,2)")
-        .alias("expected_users"),
+        ((F.col("n") * F.col("w")).cast("double") / F.lit(100.0)).alias(
+            "expected_users"
+        ),
         F.round(
             F.col("num").cast("double")
             / (F.lit(100.0) * F.col("n") * F.col("w")),
