@@ -3620,3 +3620,210 @@ def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(exp_r).alias("expected_runs"),
         emit((r - exp_r) / F.sqrt(var_r)).alias("z_score"),
     )
+
+
+@register(
+    "discount_quantity_elasticity",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+        SELECT brand,
+               COUNT(*) AS n,
+               SUM(disc_pct) AS sx,
+               SUM(disc_pct * disc_pct) AS sxx,
+               SUM(qty) AS sy,
+               SUM(disc_pct * qty) AS sxy,
+               SUM(qty * qty) AS syy
+        FROM x GROUP BY 1
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000.0 + 0.5)
+               / 10000.0 AS slope_qty_per_pct,
+           FLOOR((CAST(sy AS DOUBLE) / n
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / n)) * 10000.0 + 0.5) / 10000.0
+               AS intercept_qty,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS — the "many small models in one
+    aggregate" pattern: per part brand, regress line quantity on the
+    discount percentage (does discounting move volume, and for which
+    brands?).  One fact-table pass computes the five regression
+    moments for EVERY brand simultaneously; slope/intercept/R² then
+    evaluate per group in a bounded projection — exactly how a
+    100 TB pipeline fits thousands of per-segment models without a
+    per-model scan (and without MLlib: the closed form IS the model).
+
+    Determinism: discount rescales to an exact integer percentage
+    (the generator draws hundredths, so round(x*100) is exact),
+    quantity is integer, all moments are exact integer sums; the
+    per-group formulas are single IEEE expressions over exact
+    scalars, floor-emitted.
+
+    Scale shape: one broadcast join (part is a dim), one partial
+    hash aggregate to |brands| rows, zero sorts, zero windows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = l.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        l["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    s = x.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("disc_pct").alias("sx"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).alias("sxx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("qty")).alias("sxy"),
+        F.sum(F.col("qty") * F.col("qty")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den_x
+    emit = lambda c, s_: F.floor(c * s_ + 0.5) / s_  # noqa: E731
+    return s.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        emit(slope, 10000.0).alias("slope_qty_per_pct"),
+        emit(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n")),
+            10000.0,
+        ).alias("intercept_qty"),
+        emit(num * num / (den_x * den_y), 1000000.0).alias("r2"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    defer=True,
+    oracle="""
+    WITH firstseen AS (
+        SELECT user_id,
+               date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               CAST(FLOOR(date_diff('day', f.cohort_week,
+                                    CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                   AS age_week,
+               CAST(e.value AS DECIMAL(16,4)) AS v
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+        SELECT cohort_week, age_week,
+               SUM(v) AS week_revenue,
+               COUNT(*) AS n_purchases
+        FROM rev GROUP BY 1, 2
+    ),
+    sz AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM firstseen GROUP BY 1
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           c.age_week,
+           s.cohort_size,
+           c.n_purchases,
+           CAST(ROUND(c.week_revenue, 2) AS DOUBLE) AS week_revenue,
+           CAST(ROUND(SUM(c.week_revenue) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS cum_revenue,
+           FLOOR(CAST(SUM(c.week_revenue) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / s.cohort_size * 10000.0 + 0.5) / 10000.0
+               AS cum_ltv_per_user
+    FROM cell c JOIN sz s USING (cohort_week)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the money twin of
+    ``cohort_retention``: users grouped by first-seen week, purchase
+    revenue bucketed by cohort age in weeks, with each cohort's
+    cumulative revenue and cumulative LTV per cohort member (the
+    curve whose flattening point sets payback windows and CAC
+    ceilings).
+
+    Determinism: weekly revenue cells are exact DECIMAL sums; the
+    cumulative window runs per cohort over the age order (exact
+    decimal running sum); the per-user normalization is one IEEE
+    divide by the exact cohort size, floor-emitted.
+
+    Scale shape: first-seen is one keyed aggregate; the fact table
+    joins it on the entity key (one shuffle, or zero with the
+    bucketed-table path) and collapses to the (cohort, age) matrix —
+    bounded by calendar², not corpus; windows run on that matrix
+    partitioned by cohort."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firstseen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias(
+            "cohort_week"
+        )
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firstseen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0
+            )
+            .cast("bigint")
+            .alias("age_week"),
+            F.col("value").cast("decimal(16,4)").alias("v"),
+        )
+    )
+    cell = rev.groupBy("cohort_week", "age_week").agg(
+        F.sum("v").alias("week_revenue"), F.count("*").alias("n_purchases")
+    )
+    sz = firstseen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("week_revenue").over(w)
+    return cell.join(F.broadcast(sz), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "cohort_size",
+        "n_purchases",
+        F.round("week_revenue", 2).cast("double").alias("week_revenue"),
+        F.round(cum, 2).cast("double").alias("cum_revenue"),
+        (
+            F.floor(
+                cum.cast("double") / F.col("cohort_size") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("cum_ltv_per_user"),
+    )

@@ -58,6 +58,8 @@ ORACLES: dict[str, str] = {}
 #   - vocab_zipf_fit (round 7 overflow)
 #   - revenue_mann_kendall (round 7 overflow)
 #   - daily_revenue_runs_test (round 7 overflow)
+#   - discount_quantity_elasticity (round 7 overflow)
+#   - cohort_ltv_curve (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
