@@ -3827,3 +3827,97 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("cum_ltv_per_user"),
     )
+
+
+@register(
+    "supply_concentration_hhi",
+    defer=True,
+    oracle="""
+    WITH per_supp AS (
+        SELECT p.p_type AS part_type, l.l_suppkey AS supp,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT part_type,
+               COUNT(*) AS n_suppliers,
+               SUM(CAST(rev AS DECIMAL(38,4))) AS tot,
+               SUM(CAST(rev AS DECIMAL(19,4)) * CAST(rev AS DECIMAL(19,4)))
+                   AS sumsq,
+               MAX(rev) AS mx
+        FROM per_supp GROUP BY 1
+    )
+    SELECT part_type,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(sumsq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+           ROUND(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_share,
+           CASE WHEN CAST(sumsq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) > 0.25
+                THEN 'concentrated'
+                WHEN CAST(sumsq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) > 0.15
+                THEN 'moderate' ELSE 'competitive' END AS doj_band
+    FROM agg
+    """,
+)
+def supply_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part type:
+    HHI = sum of squared supplier revenue shares, computed as
+    sum(rev²)/total² so it needs NO per-supplier share materialization
+    — plus the top supplier's share and the DOJ merger-guideline band
+    (>0.25 concentrated, >0.15 moderate) — the supply-chain-risk
+    screen a procurement pipeline runs to find single-supplier
+    exposure.
+
+    Determinism: per-supplier revenues, their squares, and totals are
+    exact DECIMAL sums; HHI and top-share are single IEEE ratios of
+    exact scalars; the band thresholds compare those same doubles.
+
+    Scale shape: one fact pass with a broadcast part dim collapses to
+    (type, supplier) — bounded by catalog × suppliers — then a second
+    keyed aggregate folds each type's moments; zero sorts, zero
+    windows, zero share joins (the sum-of-squares identity removes
+    the usual shares-back-join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_supp = (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            l["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(
+            F.col("p_type").alias("part_type"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("rev")
+        )
+    )
+    agg = per_supp.groupBy("part_type").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("rev").cast("decimal(38,4)")).alias("tot"),
+        F.sum(
+            F.col("rev").cast("decimal(19,4)") * F.col("rev").cast("decimal(19,4)")
+        ).alias("sumsq"),
+        F.max("rev").alias("mx"),
+    )
+    hhi = F.col("sumsq").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot").cast("double")
+    )
+    return agg.select(
+        "part_type",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            F.col("mx").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("top_share"),
+        F.when(hhi > 0.25, "concentrated")
+        .when(hhi > 0.15, "moderate")
+        .otherwise("competitive")
+        .alias("doj_band"),
+    )

@@ -60,6 +60,7 @@ ORACLES: dict[str, str] = {}
 #   - daily_revenue_runs_test (round 7 overflow)
 #   - discount_quantity_elasticity (round 7 overflow)
 #   - cohort_ltv_curve (round 7 overflow)
+#   - supply_concentration_hhi (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
