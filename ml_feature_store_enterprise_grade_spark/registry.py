@@ -93,6 +93,14 @@ _loaded = False
 #: (a) queries the driver has never checked, (b) queries whose
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
+#: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
+#: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2)
+#: promote the ~33 round-7 deferred queries (list above) to
+#: ``register()`` without ``defer`` and put them at the head of
+#: ``_FRONT`` (they all have 3-scale local parity; the window holds
+#: 50, so all fit plus changed-query re-checks); (3) keep
+#: ``stream_tws_purchase_stats`` deferred (environment-gated).
 _FRONT: tuple[str, ...] = (
     # --- Round 7 window (VERDICT r6 item 1) ---
     # (a) the 10 round-6 queries the driver has never checked —
