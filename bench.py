@@ -157,7 +157,10 @@ def main() -> None:
     t_start = time.perf_counter()
     for p in range(n_passes):
         # keep total wall bounded at bigger SFs: re-pass only while cheap
-        if p > 0 and time.perf_counter() - t_start > 120:
+        # (budget raised 120->200 in round 7 when the headline set grew
+        # to 72 queries / ~120 s per pass — min-of-2 is what keeps the
+        # trend line reproducible, so the second pass must survive)
+        if p > 0 and time.perf_counter() - t_start > 200:
             break
         for name in BENCH_QUERIES:
             fn = qs[name]
