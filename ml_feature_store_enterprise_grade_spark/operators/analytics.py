@@ -3921,3 +3921,238 @@ def supply_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("competitive")
         .alias("doj_band"),
     )
+
+
+#: Link-prediction support floor: 2 shared orders (the pagerank/kcore
+#: graph, NOT the lift table's 3) — at sf0.1 the support-3 graph is a
+#: union of cliques with ZERO non-adjacent distance-2 pairs, so the
+#: prediction set would be vacuous exactly at bench scale (measured:
+#: 15,643 / 13,146 / 1,393 candidates at sf0.001/0.01/0.1 with
+#: support 2 vs 1,942 / 7 / 0 with support 3).
+_RA_MIN_SUPPORT = 2
+_RA_TOPK = 20
+
+
+@register(
+    "item_ra_link_prediction",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a.item_id AS a, b.item_id AS b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_RA_MIN_SUPPORT}
+    ),
+    adj AS (
+        SELECT a AS z, b AS v FROM e
+        UNION ALL SELECT b AS z, a AS v FROM e
+    ),
+    deg AS (SELECT z, COUNT(*) AS degree FROM adj GROUP BY 1),
+    w AS (
+        SELECT adj.z, adj.v, 1000000000000 // deg.degree AS wq
+        FROM adj JOIN deg ON deg.z = adj.z
+    ),
+    cand AS (
+        SELECT x.v AS a, y.v AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               SUM(x.wq) AS score_q
+        FROM w x JOIN w y ON x.z = y.z AND x.v < y.v
+        GROUP BY 1, 2
+    )
+    SELECT a AS item_a, b AS item_b, n_common,
+           ROUND(score_q / 1000000000000.0, 6) AS ra_score
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)
+    ORDER BY score_q DESC, item_a, item_b
+    LIMIT {_RA_TOPK}
+    """,
+)
+def item_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009 —
+    the exact-arithmetic member of the Adamic-Adar family) over the
+    order co-occurrence item graph: for every NON-adjacent item pair,
+    score = Σ over common neighbors z of 1/degree(z), and emit the
+    top-{k} predicted links — "these two items never sell together
+    yet, but their neighborhoods say they will", the classic
+    candidate generator for a recommender.
+
+    Determinism: 1/deg is quantized to ``1e12 DIV deg`` (exact
+    integer division in both engines — RA chosen over Adamic-Adar's
+    1/ln(deg) precisely because it needs NO transcendental whose last
+    ulp could differ between libm builds); scores are exact BIGINT
+    sums; ranking ties break on (item_a, item_b); the one double is
+    the final display divide.
+
+    Scale shape: edges are support-thresholded co-occurrence pairs
+    built map-side from per-order item arrays (same discipline as
+    item_triangle_census); the wedge equi-join on the middle vertex
+    costs Σ deg(z)² — bounded by the support floor, with AQE skew
+    split for celebrity items; the non-adjacency screen is a
+    left-anti equi-join (never an all-pairs NOT IN); the final top-k
+    is TakeOrderedAndProject, no global sort."""
+    orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item_id")
+        )
+        .groupBy("order_id")
+        .agg(F.array_sort(F.collect_set("item_id")).alias("items"))
+    )
+    sz = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 2, sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("items"), i + 1).alias("a"),
+                    j.alias("b"),
+                ),
+            ),
+        )
+    )
+    # Cached: the edge list feeds the adjacency expansion AND the
+    # non-adjacency anti-join.
+    e = (
+        orders.select(F.explode(F.when(sz >= 2, pairs)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _RA_MIN_SUPPORT)
+        .select("a", "b")
+        .cache()
+    )
+    e.count()
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").alias("degree"))
+    w = adj.join(deg, "z").select(
+        "z", "v", F.expr("DIV(1000000000000, degree)").alias("wq")
+    )
+    x, y = w.alias("x"), w.alias("y")
+    cand = (
+        x.join(y, (F.col("x.z") == F.col("y.z")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(F.col("x.wq")).alias("score_q"),
+        )
+    )
+    nonedge = cand.join(e, ["a", "b"], "left_anti")
+    out = (
+        nonedge.select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            "n_common",
+            F.round(F.col("score_q") / 1000000000000.0, 6).alias("ra_score"),
+            "score_q",
+        )
+        .orderBy(F.desc("score_q"), "item_a", "item_b")
+        .limit(_RA_TOPK)
+        .drop("score_q")
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out
+
+
+#: PAA frame width (calendar days per bucket) and SAX alphabet size.
+_SAX_FRAME_DAYS = 7
+_SAX_ALPHABET = 4
+
+
+@register(
+    "daily_revenue_sax",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS revd
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT (day - (SELECT MIN(day) FROM d)) // {_SAX_FRAME_DAYS} AS bucket,
+               MIN(day) AS start_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(FLOOR(CAST(SUM(revd) AS DOUBLE) * 100.0 / COUNT(*))
+                    AS BIGINT) AS mean_cents
+        FROM d GROUP BY 1
+    ),
+    s AS (
+        SELECT *, NTILE({_SAX_ALPHABET}) OVER (ORDER BY mean_cents, bucket)
+                      AS tile
+        FROM b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, start_day, n_days,
+           mean_cents / 100.0 AS paa_mean,
+           CASE tile WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                     WHEN 3 THEN 'c' ELSE 'd' END AS sax_symbol
+    FROM s
+    """,
+)
+def daily_revenue_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily-revenue series (Lin, Keogh,
+    Lonardi & Chiu 2003): Piecewise Aggregate Approximation over
+    fixed 7-day frames (frame mean), then a 4-letter alphabet
+    assigned by rank quartile — the discretization that turns a
+    numeric series into a string so motif discovery, similarity
+    search, and anomaly screens can run with text machinery
+    (cf. doc_winnowing_fingerprints on the discrete side).  Quartile
+    breakpoints (equal-frequency via NTILE, not the Gaussian
+    breakpoints of classic SAX) keep the operator PRNG- and
+    erf-free, hence bit-deterministic across engines.
+
+    Determinism: day sums are exact decimal; the frame mean is
+    quantized to integer cents with one IEEE multiply+divide+floor on
+    exact inputs; NTILE orders by (mean_cents, bucket) — a total
+    order on exact integers, so tile assignment cannot flip.
+
+    Scale shape: the fact table collapses to ≤ ~2,500 day rows in one
+    partial-aggregated shuffle; frames and the NTILE window run on
+    that bounded frame (the global window sorts ≤ ~360 rows — the
+    series length is calendar-bounded, independent of corpus SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("revd")
+    )
+    mn = d.agg(F.min("day").alias("min_day"))
+    b = (
+        d.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.expr(f"DIV(datediff(day, min_day), {_SAX_FRAME_DAYS})").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.min("day").alias("start_day"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.floor(
+                F.sum("revd").cast("double") * 100.0 / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mean_cents"),
+        )
+    )
+    w = Window.orderBy("mean_cents", "bucket")
+    return b.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "start_day",
+        "n_days",
+        (F.col("mean_cents") / 100.0).alias("paa_mean"),
+        F.ntile(_SAX_ALPHABET).over(w).alias("tile"),
+    ).select(
+        "bucket",
+        "start_day",
+        "n_days",
+        "paa_mean",
+        F.when(F.col("tile") == 1, "a")
+        .when(F.col("tile") == 2, "b")
+        .when(F.col("tile") == 3, "c")
+        .otherwise("d")
+        .alias("sax_symbol"),
+    )

@@ -697,3 +697,99 @@ def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars_total"),
         )
     )
+
+
+#: Rendezvous (highest-random-weight) shard ring: 8 shards, each doc
+#: hashed once PER SHARD with a shard-tagged seed; the winner is the
+#: max weight.  Distinct seed base from every other hash family.
+_HRW_SHARDS = 8
+_HRW_SEED_BASE = 9100
+
+
+def _hrw_case_sql() -> tuple[str, str]:
+    """DuckDB twin of the argmax-by-first-match shard pick: returns
+    (the hash-projection SELECT, the first-match WHEN ladder)."""
+    hs = [
+        PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", seed=_HRW_SEED_BASE + s)
+        for s in range(_HRW_SHARDS)
+    ]
+    greatest = "GREATEST(" + ", ".join(hs) + ")"
+    whens = "\n               ".join(
+        f"WHEN {h} = g THEN {s}" for s, h in enumerate(hs)
+    )
+    return f"SELECT doc_id, n_chars, {greatest} AS g FROM documents", whens
+
+
+@register(
+    "doc_shard_rendezvous",
+    defer=True,
+    oracle=f"""
+    WITH g AS ({_hrw_case_sql()[0]}),
+    a AS (
+        SELECT n_chars,
+               CASE {_hrw_case_sql()[1]}
+               END AS shard
+        FROM g
+    ),
+    s AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM a GROUP BY 1
+    )
+    SELECT shard, n_docs, n_chars_total,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (), 6) AS doc_share,
+           ROUND(CAST(n_chars_total AS DOUBLE)
+                 / SUM(n_chars_total) OVER (), 6) AS char_share
+    FROM s
+    """,
+)
+def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment census
+    over the document corpus (Thaler & Ravishankar 1998): each doc
+    scores every shard with an independent portable hash and joins
+    the shard with the max weight.  Unlike ``hash(doc) % k`` (the
+    kfold/split family), HRW gives MINIMAL RESHUFFLE under topology
+    change — adding or removing one shard moves only ~1/k of the
+    corpus (the docs whose argmax changes), which is the property a
+    100 TB corpus cares about when the shard fleet scales.
+
+    Determinism: every weight is the portable 60-bit MD5 hash;
+    argmax ties (astronomically unlikely, 2^-60) break to the lowest
+    shard index via first-match CASE order in BOTH engines; counts
+    and char sums are exact integers; the two share columns are
+    single IEEE divides of exact integers.
+
+    Scale shape: k hashes per row map-side (no per-shard pass), one
+    aggregate to exactly k rows, one trivial k-row window for shares
+    — zero joins, zero sorts, one shuffle of k×partitions partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = [
+        portable_hash64(F.col("doc_id").cast("string"), seed=_HRW_SEED_BASE + s)
+        for s in range(_HRW_SHARDS)
+    ]
+    g = F.greatest(*hs)
+    expr = None
+    for s, h in enumerate(hs):
+        expr = F.when(h == g, s) if expr is None else expr.when(h == g, s)
+    agg = (
+        docs.select(expr.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_chars_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("doc_share"),
+        F.round(
+            F.col("n_chars_total").cast("double") / F.sum("n_chars_total").over(w),
+            6,
+        ).alias("char_share"),
+    )

@@ -564,3 +564,101 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entities_in_multiple_splits",
         )
     )
+
+
+#: Quantile-normalization resolution: deciles (10 rank buckets).
+_QN_BUCKETS = 10
+
+
+@register(
+    "event_value_quantile_normalization",
+    defer=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    r AS (
+        SELECT event_type, qv,
+               NTILE({_QN_BUCKETS}) OVER (
+                   PARTITION BY event_type ORDER BY qv, event_id) AS decile
+        FROM q
+    ),
+    g AS (
+        SELECT event_type, decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        FROM r GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT decile, SUM(mq) AS ref_q, COUNT(*) AS n_types
+        FROM g GROUP BY 1
+    )
+    SELECT g.event_type, g.decile, g.n,
+           ROUND(g.mq / 1000000.0, 6) AS orig_decile_mean,
+           ROUND(ref.ref_q / (ref.n_types * 1000000.0), 6)
+               AS normalized_value
+    FROM g JOIN ref ON ref.decile = g.decile
+    """,
+)
+def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the ``value`` distribution across
+    event types (the microarray-era batch-effect correction of Bolstad
+    et al. 2003, at decile resolution): rank each value within its
+    event type, build the REFERENCE distribution as the cross-type
+    mean at each rank bucket, and remap every (type, decile) cell to
+    that reference — after which all event types share an identical
+    value distribution and downstream models can't learn the type
+    from the value's marginal.  Emits the mapping table (type ×
+    decile → original mean, normalized value), which is what a
+    training pipeline materializes and broadcast-joins back onto the
+    fact stream.
+
+    Determinism: values are quantized map-side to exact 1e-6 integers
+    (same double → same floor in both engines); decile assignment is
+    NTILE over the total order (qv, event_id); per-cell means are one
+    IEEE divide of exact sums, re-quantized to integers BEFORE the
+    cross-type average so the reference is an exact integer sum (the
+    float-sum-order flake class cannot occur); display divides are
+    single IEEE ops.
+
+    Scale shape: NTILE is a within-type sort — the exact-rank twin of
+    ``feature_binning_scalable``'s approx-quantile path (at 100 TB
+    swap in approx percentile breakpoints; the mapping-table contract
+    downstream is unchanged); everything after the rank collapses to
+    |types| × 10 rows, and the reference join is a broadcast of 10
+    rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("qv"),
+    )
+    r = q.select(
+        "event_type",
+        "qv",
+        F.ntile(_QN_BUCKETS)
+        .over(Window.partitionBy("event_type").orderBy("qv", "event_id"))
+        .alias("decile"),
+    )
+    g = r.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(F.sum("qv").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mq"),
+    )
+    ref = g.groupBy("decile").agg(
+        F.sum("mq").alias("ref_q"), F.count("*").alias("n_types")
+    )
+    return g.join(F.broadcast(ref), "decile").select(
+        "event_type",
+        "decile",
+        "n",
+        F.round(F.col("mq") / 1000000.0, 6).alias("orig_decile_mean"),
+        F.round(F.col("ref_q") / (F.col("n_types") * 1000000.0), 6).alias(
+            "normalized_value"
+        ),
+    )

@@ -2074,3 +2074,119 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_top_eigenvector.__doc__ = embedding_top_eigenvector.__doc__.format(
     t=_EIG_ITERS
 )
+
+
+#: JL target dimensionality and the quantization scale for the
+#: distortion audit.  The |x| <= 30 guard keeps every intermediate
+#: integer exact in a double (see docstring bound).
+_JL_K = 8
+_JL_SCALE = 10000.0
+_JL_MAX_ABS = 30.0
+
+
+@register(
+    "embedding_jl_distortion",
+    defer=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, i - 1 AS i,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_JL_SCALE}
+                          + 0.5) AS BIGINT) AS qv
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    p AS (
+        SELECT vec_id, label, j.j,
+               SUM(qv * CASE WHEN substr(md5('jl:' || j.j || ':' || i), 2, 1)
+                             IN ('1','3','5','7','9','b','d','f')
+                        THEN 1 ELSE -1 END) AS pj
+        FROM q, unnest(generate_series(0, {_JL_K} - 1)) AS j(j)
+        GROUP BY 1, 2, 3
+    ),
+    vq AS (SELECT vec_id, label, SUM(qv * qv) AS q_sq FROM q GROUP BY 1, 2),
+    vp AS (SELECT vec_id, SUM(pj * pj) AS p_sq FROM p GROUP BY 1),
+    d AS (
+        SELECT vq.label,
+               CAST(FLOOR((CAST(p_sq AS DOUBLE) * 1000000.0)
+                    / ({_JL_K}.0 * CAST(q_sq AS DOUBLE))) AS BIGINT) AS dq
+        FROM vq JOIN vp ON vp.vec_id = vq.vec_id
+        WHERE q_sq > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(dq) / (COUNT(*) * 1000000.0), 6) AS mean_distortion,
+           ROUND(MIN(dq) / 1000000.0, 6) AS min_distortion,
+           ROUND(MAX(dq) / 1000000.0, 6) AS max_distortion
+    FROM d GROUP BY 1
+    """,
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit: project every embedding
+    from d=64 to k=8 dimensions with a deterministic Rademacher (±1)
+    matrix (Achlioptas 2003's database-friendly JL variant — signs,
+    not Gaussians, so the projection is exact integer arithmetic) and
+    measure per-label norm distortion ``‖Pv‖² / (k·‖v‖²)`` — expected
+    1.0 under the JL guarantee.  This is the go/no-go audit before
+    serving truncated/projected embeddings for cheap first-stage
+    retrieval: a label whose min distortion strays far from 1 loses
+    recall under projection.
+
+    Determinism: elements quantize map-side to exact 1e-4 integers
+    (guarded |x| ≤ 30 ⇒ every projection, square, and sum stays an
+    exact integer below 2^53 — loud raise_error beyond, same contract
+    as embedding_covariance); the sign matrix derives from MD5
+    (identical bytes in Python, Spark, and DuckDB); the one float
+    step per vector (multiply, divide, floor on exact integers) is
+    IEEE-identical in both engines, and per-label stats sum exact
+    quantized integers.
+
+    Scale shape: the whole projection is ONE map-side array fold per
+    row (a k×d literal sign matrix folded over the quantized vector —
+    no explode, no join, no shuffle before the |labels|-row
+    aggregate); cost is O(k·d) per vector, the same as reading it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _rademacher_planes(_JL_K, prefix="jl")
+    s_lit = F.array(
+        *[F.array(*[F.lit(int(w)) for w in row]) for row in planes]
+    )
+    guard = (
+        f"transform(embedding, x -> CASE WHEN abs(CAST(x AS DOUBLE)) >"
+        f" {_JL_MAX_ABS} THEN CAST(raise_error('embedding_jl_distortion:"
+        f" |value| > {_JL_MAX_ABS} — quantized element overflows the exact"
+        f" double bound; rescale the embedding column') AS BIGINT)"
+        f" ELSE CAST(FLOOR(CAST(x AS DOUBLE) * {_JL_SCALE} + 0.5) AS BIGINT)"
+        f" END)"
+    )
+    qv = F.expr(guard)
+    zero = F.lit(0).cast("bigint")
+    pj = F.transform(
+        s_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("qv"), lambda w, x: w.cast("bigint") * x),
+            zero,
+            lambda acc, v: acc + v,
+        ),
+    )
+    sq = lambda arr: F.aggregate(  # noqa: E731 — local fold shorthand
+        F.transform(arr, lambda v: v * v), zero, lambda acc, v: acc + v
+    )
+    per_vec = (
+        emb.select("label", qv.alias("qv"))
+        .select("label", sq(pj).alias("p_sq"), sq(F.col("qv")).alias("q_sq"))
+        .filter(F.col("q_sq") > 0)
+        .select(
+            "label",
+            F.floor(
+                (F.col("p_sq").cast("double") * 1000000.0)
+                / (float(_JL_K) * F.col("q_sq").cast("double"))
+            )
+            .cast("bigint")
+            .alias("dq"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("dq") / (F.count("*") * 1000000.0), 6).alias(
+            "mean_distortion"
+        ),
+        F.round(F.min("dq") / 1000000.0, 6).alias("min_distortion"),
+        F.round(F.max("dq") / 1000000.0, 6).alias("max_distortion"),
+    )

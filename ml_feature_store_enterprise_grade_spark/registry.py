@@ -61,6 +61,11 @@ ORACLES: dict[str, str] = {}
 #   - discount_quantity_elasticity (round 7 overflow)
 #   - cohort_ltv_curve (round 7 overflow)
 #   - supply_concentration_hhi (round 7 overflow)
+#   - doc_shard_rendezvous (round 7 overflow)
+#   - item_ra_link_prediction (round 7 overflow)
+#   - daily_revenue_sax (round 7 overflow)
+#   - event_value_quantile_normalization (round 7 overflow)
+#   - embedding_jl_distortion (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
