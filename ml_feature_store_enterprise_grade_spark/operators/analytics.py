@@ -4156,3 +4156,104 @@ def daily_revenue_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("sax_symbol"),
     )
+
+
+#: Segment-migration split date: the orders table spans 1992-1998, so
+#: mid-1995 cuts it into two populated halves at every SF.
+_MIGRATION_SPLIT = "1995-06-01"
+_MIGRATION_TERCILES = 3
+
+
+@register(
+    "customer_segment_migration",
+    defer=True,
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS cust,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_MIGRATION_SPLIT}'
+                    THEN 1 ELSE 2 END AS period,
+               SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS spend
+        FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT cust, period,
+               NTILE({_MIGRATION_TERCILES}) OVER (
+                   PARTITION BY period ORDER BY spend, cust) AS tercile
+        FROM spend
+    ),
+    m AS (
+        SELECT COALESCE(a.cust, b.cust) AS cust,
+               COALESCE(CAST(a.tercile AS VARCHAR), 'absent') AS seg_before,
+               COALESCE(CAST(b.tercile AS VARCHAR), 'absent') AS seg_after
+        FROM (SELECT * FROM seg WHERE period = 1) a
+        FULL OUTER JOIN (SELECT * FROM seg WHERE period = 2) b
+          ON a.cust = b.cust
+    )
+    SELECT seg_before, seg_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+               AS share
+    FROM m GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend-tercile segment in the
+    first half of the timeline (orders before {split}) crossed with
+    the segment in the second half, plus 'absent' for customers active
+    in only one period — the churn/upgrade/downgrade transition table
+    a CRM pipeline recomputes every quarter (the longitudinal
+    companion to the static rfm_segmentation snapshot).
+
+    Determinism: per-period spend is an exact decimal sum; tercile
+    assignment is NTILE over the total order (spend, custkey); the
+    matrix is exact counts with one IEEE share divide.
+
+    Scale shape: one fact pass collapses to (customer, period) rows;
+    NTILE is a within-period sort of |customers| rows (at 100 TB swap
+    in approx-percentile breakpoints — same contract, same matrix);
+    the FULL OUTER self-join is keyed on customer and the output is a
+    bounded (terciles+1)² matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_MIGRATION_SPLIT).cast("date"),
+            1,
+        )
+        .otherwise(2)
+        .alias("period"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(16,2)")).alias("spend"))
+    seg = spend.select(
+        "cust",
+        "period",
+        F.ntile(_MIGRATION_TERCILES)
+        .over(Window.partitionBy("period").orderBy("spend", "cust"))
+        .alias("tercile"),
+    )
+    a = seg.filter(F.col("period") == 1).select(
+        F.col("cust").alias("cust_a"), F.col("tercile").alias("t_a")
+    )
+    b = seg.filter(F.col("period") == 2).select(
+        F.col("cust").alias("cust_b"), F.col("tercile").alias("t_b")
+    )
+    m = a.join(b, a["cust_a"] == b["cust_b"], "full_outer").select(
+        F.coalesce(F.col("t_a").cast("string"), F.lit("absent")).alias(
+            "seg_before"
+        ),
+        F.coalesce(F.col("t_b").cast("string"), F.lit("absent")).alias(
+            "seg_after"
+        ),
+    )
+    agg = m.groupBy("seg_before", "seg_after").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "seg_before",
+        "seg_after",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double") / F.sum("n_customers").over(w),
+            6,
+        ).alias("share"),
+    )

@@ -66,6 +66,8 @@ ORACLES: dict[str, str] = {}
 #   - daily_revenue_sax (round 7 overflow)
 #   - event_value_quantile_normalization (round 7 overflow)
 #   - embedding_jl_distortion (round 7 overflow)
+#   - stream_stream_left_outer_join (round 7 overflow)
+#   - customer_segment_migration (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

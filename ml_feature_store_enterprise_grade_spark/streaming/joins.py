@@ -300,3 +300,95 @@ if has_transform_with_state():  # pragma: no cover - environment-dependent
     register("stream_tws_purchase_stats", oracle=_TWS_ORACLE, defer=True)(
         stream_tws_purchase_stats
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    defer=True,
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                  - INTERVAL 15 MINUTES AS w),
+    j AS (SELECT c.user_id, c.ts AS click_ts, p.value
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_matched,
+           CAST(ROUND(SUM(CASE WHEN value IS NULL
+                               THEN CAST(0 AS DECIMAL(12,2))
+                               ELSE CAST(value AS DECIMAL(12,2)) END), 2)
+                AS DOUBLE) AS matched_value
+    FROM j
+    WHERE value IS NOT NULL
+       OR click_ts + INTERVAL 30 MINUTES < (SELECT w FROM wm)
+    GROUP BY 1
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-eviction
+    stress case the inner join (stream_stream_interval_join) never
+    exercises: an unmatched click can only be emitted (with NULLs)
+    once the engine can PROVE no future purchase will match, i.e.
+    when the global watermark passes click_ts + interval.  Clicks in
+    the final watermark-wide tail of the stream are therefore
+    legitimately withheld at EOF, and the oracle encodes exactly that
+    semantics: batch LEFT join restricted to (matched) OR (click_ts +
+    30 min < min(max_click_ts, max_purchase_ts) − 15 min) — the
+    global watermark is the MIN across both inputs' (max event time −
+    delay), Spark's default multi-input watermark policy.  Verified
+    emission-for-emission against the streaming run at
+    sf0.001/0.01/0.1 (209/2,005/19,849 rows; boundary strictness
+    unexercised — no click lands exactly on the watermark at
+    microsecond resolution).
+
+    Scale: join state holds only rows inside watermark + interval on
+    each side (sized by traffic in the 45-minute horizon, not
+    history); the per-user rollup runs batch-side on the emitted
+    stream."""
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select("user_id", "value")
+    out = run_available_now(pairs, "stream_stream_left_outer_join")
+    return out.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("value").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("value").isNull(), F.lit(0).cast("decimal(12,2)")
+                ).otherwise(F.col("value").cast("decimal(12,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("matched_value"),
+    )
