@@ -126,6 +126,12 @@ BENCH_QUERIES = (
     "session_survival_curve",
     "concurrent_sessions_daily",
     "doc_rake_keyphrases",
+    # round 7b — one representative per new class: link prediction
+    # (wedge join), JL projection (map-side fold), outer stream-stream
+    # join (watermark state eviction).
+    "item_ra_link_prediction",
+    "embedding_jl_distortion",
+    "stream_stream_left_outer_join",
 )
 
 

@@ -162,3 +162,83 @@ def test_jl_distortion_is_near_unity(spark):
         # vectors); generous envelope so the test pins the invariant,
         # not the corpus
         assert 0.5 <= r.mean_distortion <= 1.6
+
+
+def test_left_outer_join_withholds_watermark_tail(spark):
+    """The outer join's defining semantics: matched pairs all emit;
+    unmatched clicks emit ONLY once the global watermark passes
+    click_ts + interval — so emitted rows must equal the batch left
+    join restricted by that predicate (per-user counts checked here;
+    value parity is the oracle's job)."""
+    from datetime import timedelta
+
+    from ml_feature_store_enterprise_grade_spark.catalog import load_table
+
+    got = {
+        r.user_id: (r.n_rows, r.n_matched)
+        for r in registry.DEFERRED_QUERIES["stream_stream_left_outer_join"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    clicks = [
+        (r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .collect()
+    ]
+    purchases = [
+        (r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .collect()
+    ]
+    wm = min(
+        max(ts for _, ts in clicks), max(ts for _, ts in purchases)
+    ) - timedelta(minutes=15)
+    want: dict[int, list[int]] = {}
+    for u, cts in clicks:
+        matches = [
+            1
+            for pu, pts in purchases
+            if pu == u and cts <= pts <= cts + timedelta(minutes=30)
+        ]
+        agg = want.setdefault(u, [0, 0])
+        if matches:
+            agg[0] += len(matches)
+            agg[1] += len(matches)
+        elif cts + timedelta(minutes=30) < wm:
+            agg[0] += 1
+    want = {u: tuple(v) for u, v in want.items() if v[0] > 0}
+    assert got == want
+
+
+def test_segment_migration_matrix_is_consistent(spark):
+    rows = registry.DEFERRED_QUERIES["customer_segment_migration"](
+        spark, SF_SMOKE
+    ).collect()
+    total = sum(r.n_customers for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # no (absent, absent) cell can exist: a customer appears in the
+    # matrix only through at least one period
+    assert all(
+        not (r.seg_before == "absent" and r.seg_after == "absent")
+        for r in rows
+    )
+    # terciles are equal-frequency per period: the three non-absent
+    # row-sums (period-1 segments) differ by at most 1, ditto columns
+    from collections import Counter
+
+    row_sums = Counter()
+    col_sums = Counter()
+    for r in rows:
+        if r.seg_before != "absent":
+            row_sums[r.seg_before] += r.n_customers
+        if r.seg_after != "absent":
+            col_sums[r.seg_after] += r.n_customers
+    for sums in (row_sums, col_sums):
+        vals = sorted(sums.values())
+        assert len(vals) == 3 and vals[-1] - vals[0] <= 1
+    assert total >= sum(row_sums.values())
