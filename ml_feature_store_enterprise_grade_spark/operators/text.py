@@ -1894,3 +1894,154 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(num / den_x).alias("zipf_slope"),
         emit(num * num / (den_x * den_y)).alias("r2"),
     )
+
+
+#: BPE training rounds: enough to exercise multi-char symbol merges
+#: (round-3+ pairs contain round-1/2 merge products) while keeping
+#: the oracle's chained-CTE form readable.
+_BPE_MERGES = 5
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as chained CTEs: pair counts over the current
+    symbolization, the argmax merge (ties break lexicographically),
+    and the re-symbolized vocabulary."""
+    prev = f"v{r - 1}"
+    return f"""
+    p{r} AS (
+        SELECT s[i] || ' ' || s[i + 1] AS pair, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(sym, ' ') AS s FROM {prev}),
+             unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1
+    ),
+    b{r} AS (
+        SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    v{r} AS (
+        SELECT word, freq,
+               trim(replace(' ' || sym || ' ',
+                            (SELECT ' ' || pair || ' ' FROM b{r}),
+                            (SELECT ' ' || merged || ' ' FROM b{r}))) AS sym
+        FROM {prev}
+    )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+    emit = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' '))
+                  AS w
+              FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY 1
+    ),
+    v0 AS (
+        SELECT word, freq,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM words
+    ),{rounds}
+    {emit}
+    """
+
+
+@register("bpe_merge_learning", defer=True, oracle=_bpe_oracle())
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {n} byte-pair-encoding merges from the corpus
+    (Sennrich, Haddow & Birch 2016 — the tokenizer-training step of
+    every LLM data pipeline): symbolize each vocabulary word as
+    characters, then repeatedly count adjacent symbol pairs weighted
+    by word frequency and merge the most frequent pair.  Emits the
+    learned merge table (rank, pair, merged symbol, count) — the
+    artifact a tokenizer ships.
+
+    THE scale property (and why this is 100 TB-shaped): BPE training
+    never iterates over the corpus — it iterates over the WORD
+    FREQUENCY TABLE, which is vocabulary-bounded (Heaps' law: ~1e6
+    rows at 100 TB, one early aggregate of the corpus exactly like
+    doc_tfidf's DF pass).  Each round is a map-side pair expansion
+    (O(symbols/word)) + one bounded aggregate + a 1-row broadcast
+    argmax folded back via string replace — no driver collect, no
+    growing plan state beyond the ≤{n} accumulated replaces.
+
+    Determinism: counts are exact integer sums of exact frequencies;
+    the argmax tie-breaks lexicographically on the pair string (both
+    engines compare ASCII binary); merge application is the engines'
+    shared non-overlapping left-to-right ``replace`` over
+    space-padded symbol strings (textbook BPE differs only on
+    immediately-repeating pair sites, e.g. 'a a a' — a documented,
+    engine-identical greedy convention).
+
+    Reference parity note: the reference has no tokenizer trainer
+    (its text surface stops at feature strings); this is a BASELINE
+    north-star extension like the rest of operators/text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    v = words.select(
+        "word",
+        "freq",
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+    )
+    bests = []
+    for r in range(1, _BPE_MERGES + 1):
+        s = F.split(F.col("sym"), " ")
+        sz = F.size(s)
+        pairs = F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.concat(
+                F.element_at(s, i), F.lit(" "), F.element_at(s, i + 1)
+            ),
+        )
+        pc = (
+            v.select("freq", F.explode(F.when(sz >= 2, pairs)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select(
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("merged"),
+                "cnt",
+            )
+            # materialize the 1-row argmax so round r+1's plan does not
+            # re-derive rounds 1..r (the unchecked plan doubles per
+            # round); a 1-row localCheckpoint is the bounded scalar the
+            # registry contract allows
+            .localCheckpoint()
+        )
+        bests.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                "pair",
+                "merged",
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        v = v.crossJoin(F.broadcast(best.select("pair", "merged"))).select(
+            "word",
+            "freq",
+            F.trim(
+                F.expr(
+                    "replace(' ' || sym || ' ', ' ' || pair || ' ',"
+                    " ' ' || merged || ' ')"
+                )
+            ).alias("sym"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out

@@ -68,6 +68,7 @@ ORACLES: dict[str, str] = {}
 #   - embedding_jl_distortion (round 7 overflow)
 #   - stream_stream_left_outer_join (round 7 overflow)
 #   - customer_segment_migration (round 7 overflow)
+#   - bpe_merge_learning (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -242,3 +242,54 @@ def test_segment_migration_matrix_is_consistent(spark):
         vals = sorted(sums.values())
         assert len(vals) == 3 and vals[-1] - vals[0] <= 1
     assert total >= sum(row_sums.values())
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Full Python twin of the BPE trainer on the smoke corpus —
+    including the engines' shared left-to-right non-overlapping
+    replace convention (Python str.replace has the identical
+    semantics), so this pins the merge TABLE exactly, not just its
+    shape."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from ml_feature_store_enterprise_grade_spark.operators.text import (
+        _BPE_MERGES,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
+        .fetchall()
+    ]
+    freq: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                freq[w] += 1
+    sym = {w: " ".join(w) for w in freq}
+    want = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, s in sym.items():
+            toks = s.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[f"{a} {b}"] += freq[w]
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, best[0], best[0].replace(" ", ""), best[1]))
+        pat, rep = f" {best[0]} ", f" {best[0].replace(' ', '')} "
+        sym = {w: f" {s} ".replace(pat, rep).strip() for w, s in sym.items()}
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in registry.DEFERRED_QUERIES["bpe_merge_learning"](
+            spark, SF_SMOKE
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    counts = [c for *_, c in got]
+    assert counts == sorted(counts, reverse=True)  # greedy argmax property
