@@ -2045,3 +2045,122 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out
+
+
+@register(
+    "source_ablation_report",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT source, n_chars,
+               md5({NORMALIZE_TEXT_SQL("text")}) AS h,
+               string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT source, n_chars, h,
+               (len(toks) >= {_MIN_TOKENS} AND len(toks) <= {_MAX_TOKENS}
+                AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / NULLIF(len(toks), 0) >= {_MIN_DISTINCT_RATIO}
+                AND CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r}))
+                         AS DOUBLE)
+                    / NULLIF(len(toks), 0) <= {_MAX_STOPWORD_RATIO})
+                   AS admitted
+        FROM d
+    ),
+    hs AS (SELECT h, COUNT(DISTINCT source) AS ns FROM m GROUP BY 1),
+    j AS (SELECT m.*, hs.ns FROM m JOIN hs ON hs.h = m.h),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_admitted,
+               CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_crossdup,
+               CAST(SUM(CASE WHEN ns = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS unique_chars
+        FROM j GROUP BY 1
+    )
+    SELECT source, n_docs, n_chars_total,
+           ROUND(CAST(n_admitted AS DOUBLE) / n_docs, 6) AS admitted_rate,
+           ROUND(CAST(n_crossdup AS DOUBLE) / n_docs, 6) AS crossdup_rate,
+           ROUND(CAST(unique_chars AS DOUBLE)
+                 / SUM(n_chars_total) OVER (), 6) AS unique_char_share
+    FROM s
+    """,
+)
+def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: for every corpus source,
+    the ablation-relevant facts a mixture-curation pipeline weighs
+    before dropping or down-weighting it — volume (docs, chars),
+    C4-admission rate (the corpus_quality_filter predicate, inlined),
+    cross-source exact-dup rate (docs whose normalized-text hash also
+    appears under ANOTHER source — content you would NOT lose by
+    dropping this source), and the unique-char share (chars only this
+    source contributes — exactly what an ablation removes from the
+    training mixture).
+
+    Determinism: the dup census keys on the portable MD5 of the
+    normalized text; every tally is an exact integer; the three rates
+    are single IEEE divides of exact integers.
+
+    Scale shape: one corpus scan computes (source, hash, chars,
+    admitted) map-side; the hash census is the dedup_exact shuffle
+    (corpus-wide but key-partitioned, no skew beyond duplicate
+    groups); the hash join fans back ONE bounded column (ns); the
+    final aggregate collapses to |sources| rows, and the share window
+    runs on that bounded frame."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tok, F.lit(0)
+    )
+    stopword_ratio = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    ).cast("double") / F.nullif(n_tok, F.lit(0))
+    admitted = (
+        (n_tok >= _MIN_TOKENS)
+        & (n_tok <= _MAX_TOKENS)
+        & (distinct_ratio >= _MIN_DISTINCT_RATIO)
+        & (stopword_ratio <= _MAX_STOPWORD_RATIO)
+    )
+    m = d.select(
+        "source",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+        admitted.alias("admitted"),
+    )
+    hs = m.groupBy("h").agg(F.countDistinct("source").alias("ns"))
+    j = m.join(hs, "h")
+    s = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_admitted"),
+        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossdup"),
+        F.sum(F.when(F.col("ns") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("unique_chars"),
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(F.col("n_admitted").cast("double") / F.col("n_docs"), 6).alias(
+            "admitted_rate"
+        ),
+        F.round(F.col("n_crossdup").cast("double") / F.col("n_docs"), 6).alias(
+            "crossdup_rate"
+        ),
+        F.round(
+            F.col("unique_chars").cast("double")
+            / F.sum("n_chars_total").over(w),
+            6,
+        ).alias("unique_char_share"),
+    )

@@ -69,6 +69,7 @@ ORACLES: dict[str, str] = {}
 #   - stream_stream_left_outer_join (round 7 overflow)
 #   - customer_segment_migration (round 7 overflow)
 #   - bpe_merge_learning (round 7 overflow)
+#   - source_ablation_report (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -293,3 +293,19 @@ def test_bpe_merges_match_python_reference(spark):
     assert got == want
     counts = [c for *_, c in got]
     assert counts == sorted(counts, reverse=True)  # greedy argmax property
+
+
+def test_source_ablation_shares_and_bounds(spark):
+    rows = registry.DEFERRED_QUERIES["source_ablation_report"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.admitted_rate <= 1.0
+        assert 0.0 <= r.crossdup_rate <= 1.0
+    # unique-char shares can never exceed the sources' raw char shares,
+    # and their sum is <= 1 (cross-dup chars are counted by no source)
+    total_chars = sum(r.n_chars_total for r in rows)
+    assert sum(r.unique_char_share for r in rows) <= 1.0 + 1e-6
+    for r in rows:
+        assert r.unique_char_share <= r.n_chars_total / total_chars + 1e-6
