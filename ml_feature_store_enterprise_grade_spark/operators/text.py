@@ -2164,3 +2164,163 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unique_char_share"),
     )
+
+
+#: Lexical-drift vocabulary size and probability floor (the PSI/JS
+#: discipline), plus the conventional JS "investigate" threshold.
+_LEX_TOPK = 100
+_LEX_EPS = 1e-06
+
+
+@register(
+    "corpus_lexical_drift",
+    defer=True,
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, doc_id % 2 AS half, t.w AS word
+        FROM (SELECT lang, doc_id,
+                     string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+              FROM documents),
+             unnest(toks) AS t(w)
+        WHERE regexp_matches(t.w, '^[a-z]+$')
+    ),
+    census AS (
+        SELECT lang, half, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+        SELECT lang, word FROM (
+            SELECT lang, word, SUM(n) AS tot FROM census GROUP BY 1, 2
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY tot DESC, word) <= {_LEX_TOPK}
+    ),
+    bucketed AS (
+        SELECT c.lang,
+               CASE WHEN v.word IS NULL THEN '<oov>' ELSE c.word END
+                   AS bucket,
+               SUM(CASE WHEN c.half = 0 THEN c.n ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN c.half = 1 THEN c.n ELSE 0 END) AS n_cur
+        FROM census c
+        LEFT JOIN vocab v ON v.lang = c.lang AND v.word = c.word
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT lang, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+        FROM bucketed GROUP BY 1
+    ),
+    p AS (
+        SELECT b.lang,
+               GREATEST(CAST(b.n_ref AS DOUBLE) / t.t_ref, {_LEX_EPS})
+                   AS p_ref,
+               GREATEST(CAST(b.n_cur AS DOUBLE) / t.t_cur, {_LEX_EPS})
+                   AS p_cur,
+               t.t_ref, t.t_cur
+        FROM bucketed b JOIN t ON t.lang = b.lang
+    ),
+    q AS (
+        SELECT lang, t_ref, t_cur,
+               CAST(FLOOR((0.5 * p_ref * log2(p_ref / ((p_ref + p_cur) / 2))
+                    + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2)))
+                    * 1000000000.0) AS BIGINT) AS tq
+        FROM p
+    )
+    SELECT lang,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref_tokens,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur_tokens,
+           ROUND(SUM(tq) / 1000000000.0, 6) AS js_divergence,
+           SUM(tq) >= 100000000 AS shifted
+    FROM q GROUP BY 1
+    """,
+)
+def corpus_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift monitor: per-language Jensen-Shannon divergence
+    (base-2, bounded [0,1]) between the word distributions of two
+    ingest halves (doc_id parity stands in for batch boundaries) over
+    the top-{k} vocabulary + an OOV bucket — the TEXT counterpart of
+    the numeric drift toolbox (KS / PSI / JS on feature values), and
+    the standard alarm for a crawl source changing register, language
+    mix, or template under a training pipeline.
+
+    Determinism: the one libm call (log2) runs on bit-identical
+    doubles in both engines (ratios of exact integer counts), and
+    each of the ≤{k}+1 JS terms is quantized to an exact 1e-9 integer
+    BEFORE summation — stricter than drift_js_divergence's 10-bin
+    float sum, because a 100-term double sum's order-dependence would
+    be a real flake risk.  The shifted flag compares the exact
+    integer sum against the exact 0.1 threshold in integer units.
+
+    Scale shape: one corpus scan explodes to the token census —
+    (lang, half, word), vocabulary-bounded like every text operator
+    here; the top-K election, bucketing join, and JS fold all run on
+    that bounded census; output is |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(_tokens(F.col("text"))).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    census = w.groupBy("lang", "half", "word").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = census.groupBy("lang", "word").agg(F.sum("n").alias("tot"))
+    vocab = (
+        tot.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("tot"), "word")
+            ),
+        )
+        .filter(F.col("rk") <= _LEX_TOPK)
+        # rename BOTH join keys: vocab derives from census, so an
+        # unaliased join is a self-join Spark rejects as ambiguous
+        .select(F.col("lang").alias("vlang"), F.col("word").alias("vword"))
+    )
+    bucketed = (
+        census.join(
+            F.broadcast(vocab),
+            (census["lang"] == vocab["vlang"])
+            & (census["word"] == vocab["vword"]),
+            "left",
+        )
+        .select(
+            census["lang"].alias("lang"),
+            F.when(F.col("vword").isNull(), "<oov>")
+            .otherwise(F.col("word"))
+            .alias("bucket"),
+            "half",
+            "n",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0)).alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+    )
+    t = bucketed.groupBy("lang").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.greatest(
+        F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(_LEX_EPS)
+    )
+    p_cur = F.greatest(
+        F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(_LEX_EPS)
+    )
+    m = (p_ref + p_cur) / 2
+    term = 0.5 * p_ref * F.log2(p_ref / m) + 0.5 * p_cur * F.log2(p_cur / m)
+    q = bucketed.join(F.broadcast(t), "lang").select(
+        "lang",
+        "t_ref",
+        "t_cur",
+        F.floor(term * 1000000000.0).cast("bigint").alias("tq"),
+    )
+    return q.groupBy("lang").agg(
+        F.max("t_ref").cast("bigint").alias("n_ref_tokens"),
+        F.max("t_cur").cast("bigint").alias("n_cur_tokens"),
+        F.round(F.sum("tq") / 1000000000.0, 6).alias("js_divergence"),
+        (F.sum("tq") >= 100000000).alias("shifted"),
+    )

@@ -309,3 +309,16 @@ def test_source_ablation_shares_and_bounds(spark):
     assert sum(r.unique_char_share for r in rows) <= 1.0 + 1e-6
     for r in rows:
         assert r.unique_char_share <= r.n_chars_total / total_chars + 1e-6
+
+
+def test_lexical_drift_is_bounded_and_symmetric_smoke(spark):
+    rows = registry.DEFERRED_QUERIES["corpus_lexical_drift"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        # JS with base-2 logs is bounded [0, 1]; quantization floors
+        # each term so the sum can only undershoot, never exceed 1
+        assert 0.0 <= r.js_divergence <= 1.0
+        assert r.shifted == (r.js_divergence >= 0.1)
+        assert r.n_ref_tokens > 0 and r.n_cur_tokens > 0
