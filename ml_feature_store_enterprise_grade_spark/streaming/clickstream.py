@@ -1034,3 +1034,38 @@ def stream_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         F.round(F.col("n_events").cast("double") / F.sum("n_events").over(w_tot), 6),
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    defer=True,
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the state-BOUNDED stream
+    dedup (Spark 3.5+): where ``dropDuplicates`` holds every key seen
+    forever (state grows with the stream — the operator stream_dedup
+    uses, safe only because event_ids are unique), this variant
+    guarantees dedup for duplicates arriving within the watermark
+    delay of the first occurrence and EVICTS the key after, so state
+    is bounded by traffic × delay at any stream length — the only
+    form that survives an unbounded 100 TB/day stream on a repeating
+    key space.
+
+    Determinism: deduping a coarse key (user, event_type) keeps the
+    FIRST-SEEN row, which within a micro-batch is partition-order —
+    nondeterministic on non-key columns — so the query projects the
+    KEY COLUMNS ONLY, making the output the exact key-set (oracle:
+    SELECT DISTINCT).  The watermark-eviction semantics add no
+    single-replay divergence: under availableNow all duplicates share
+    the batch, inside every eviction horizon."""
+    events = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    deduped = (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(deduped, "stream_dedup_within_watermark")
