@@ -2190,3 +2190,149 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("dq") / 1000000.0, 6).alias("min_distortion"),
         F.round(F.max("dq") / 1000000.0, 6).alias("max_distortion"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    defer=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id % 2 AS half, label, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS qv
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    s AS (
+        SELECT label, dim,
+               SUM(CASE WHEN half = 0 THEN CAST(qv AS DECIMAL(20,0))
+                        ELSE CAST(0 AS DECIMAL(20,0)) END) AS s0,
+               SUM(CASE WHEN half = 1 THEN CAST(qv AS DECIMAL(20,0))
+                        ELSE CAST(0 AS DECIMAL(20,0)) END) AS s1
+        FROM q GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT label,
+               CAST(COUNT(*) FILTER (WHERE half = 0 AND dim = 0) AS BIGINT)
+                   AS n0,
+               CAST(COUNT(*) FILTER (WHERE half = 1 AND dim = 0) AS BIGINT)
+                   AS n1
+        FROM q GROUP BY 1
+    ),
+    m AS (
+        SELECT label,
+               SUM(CAST(s0 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))
+                   AS dot01,
+               SUM(CAST(s0 AS DECIMAL(38,0)) * CAST(s0 AS DECIMAL(38,0)))
+                   AS dot00,
+               SUM(CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))
+                   AS dot11
+        FROM s GROUP BY 1
+    )
+    SELECT m.label, n.n0 AS n_ref, n.n1 AS n_cur,
+           ROUND(CAST(dot01 AS DOUBLE)
+                 / (sqrt(CAST(dot00 AS DOUBLE))
+                    * sqrt(CAST(dot11 AS DOUBLE))), 6) AS centroid_cosine,
+           ROUND(sqrt(CAST(dot00 AS DOUBLE))
+                 / (n.n0 * 1000000.0), 6) AS ref_centroid_norm,
+           ROUND(sqrt(CAST(dot11 AS DOUBLE))
+                 / (n.n1 * 1000000.0), 6) AS cur_centroid_norm
+    FROM m JOIN n ON n.label = m.label
+    WHERE n.n0 > 0 AND n.n1 > 0
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between
+    the centroid of the REF half (even vec_id — batch-boundary
+    stand-in) and the CUR half, plus both centroid norms — the
+    representation-health alarm a retrieval/serving pipeline runs
+    when the upstream encoder or corpus shifts (the embedding
+    counterpart of corpus_lexical_drift; a cosine well below 1 for a
+    label means its two halves no longer agree on where the class
+    lives).
+
+    Determinism: elements quantize map-side to exact 1e-6 integers;
+    per-(label, dim) half-sums are exact DECIMAL; the d cross-products
+    accumulate in exact DECIMAL(38) (bounds: |s| ≤ n·6e5·1e6 ≈ 2^57,
+    square ≤ 1e35 < 1e38); the only floats are final casts of exact
+    decimals followed by sqrt (correctly rounded under IEEE-754) and
+    one divide — bit-identical in both engines.  Centroid division
+    by n is folded into the norm denominators so no rational centroid
+    is ever materialized.
+
+    Scale shape: one posexplode to (label, half, dim) partials —
+    partial aggregation collapses each partition to |labels|×2×d
+    running sums before the only shuffle; everything after runs on
+    the |labels|×d bounded frame."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    q = emb.select(
+        "half", "label", F.posexplode("qv").alias("dim", "v")
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum(
+            F.when(F.col("half") == 0, F.col("v").cast("decimal(20,0)")).otherwise(
+                F.lit(0).cast("decimal(20,0)")
+            )
+        ).alias("s0"),
+        F.sum(
+            F.when(F.col("half") == 1, F.col("v").cast("decimal(20,0)")).otherwise(
+                F.lit(0).cast("decimal(20,0)")
+            )
+        ).alias("s1"),
+    )
+    n = (
+        q.filter(F.col("dim") == 0)
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    m = s.groupBy("label").agg(
+        F.sum(
+            F.col("s0").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+        ).alias("dot01"),
+        F.sum(
+            F.col("s0").cast("decimal(38,0)") * F.col("s0").cast("decimal(38,0)")
+        ).alias("dot00"),
+        F.sum(
+            F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+        ).alias("dot11"),
+    )
+    return (
+        m.join(F.broadcast(n), "label")
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "label",
+            F.col("n0").alias("n_ref"),
+            F.col("n1").alias("n_cur"),
+            F.round(
+                F.col("dot01").cast("double")
+                / (
+                    F.sqrt(F.col("dot00").cast("double"))
+                    * F.sqrt(F.col("dot11").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.col("dot00").cast("double"))
+                / (F.col("n0") * 1000000.0),
+                6,
+            ).alias("ref_centroid_norm"),
+            F.round(
+                F.sqrt(F.col("dot11").cast("double"))
+                / (F.col("n1") * 1000000.0),
+                6,
+            ).alias("cur_centroid_norm"),
+        )
+    )

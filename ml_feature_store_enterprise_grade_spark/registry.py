@@ -72,6 +72,7 @@ ORACLES: dict[str, str] = {}
 #   - source_ablation_report (round 7 overflow)
 #   - corpus_lexical_drift (round 7 overflow)
 #   - stream_dedup_within_watermark (round 7 overflow)
+#   - embedding_centroid_drift (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

