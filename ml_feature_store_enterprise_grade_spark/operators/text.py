@@ -2324,3 +2324,113 @@ def corpus_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("tq") / 1000000000.0, 6).alias("js_divergence"),
         (F.sum("tq") >= 100000000).alias("shifted"),
     )
+
+
+#: Phrase search: how many query phrases (top corpus trigrams) and
+#: how many hit docs per phrase to emit.
+_PHRASE_N_QUERIES = 3
+_PHRASE_TOPDOCS = 5
+
+
+@register(
+    "phrase_search_topdocs",
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               )) AS phrase
+        FROM t
+    ),
+    census AS (
+        SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM tri GROUP BY 1, 2
+    ),
+    queries AS (
+        SELECT phrase FROM (
+            SELECT phrase, SUM(n_occ) AS tot FROM census GROUP BY 1
+        )
+        QUALIFY ROW_NUMBER() OVER (ORDER BY tot DESC, phrase)
+            <= {_PHRASE_N_QUERIES}
+    ),
+    hits AS (
+        SELECT c.phrase, c.doc_id, c.n_occ,
+               COUNT(*) OVER (PARTITION BY c.phrase) AS n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.phrase
+                   ORDER BY c.n_occ DESC, c.doc_id) AS rk
+        FROM census c JOIN queries q ON q.phrase = c.phrase
+    )
+    SELECT phrase, CAST(rk AS BIGINT) AS rank, doc_id, n_occ,
+           CAST(n_docs AS BIGINT) AS n_matching_docs
+    FROM hits WHERE rk <= {_PHRASE_TOPDOCS}
+    """,
+)
+def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over an n-gram posting index — the
+    capability BM25's bag-of-words ranking cannot give (word ORDER
+    matters): per query phrase, the top-{k} documents by occurrence
+    count plus the phrase's total document frequency.  Query phrases
+    are the corpus's own top-{q} trigrams (deterministic, corpus-
+    derived), standing in for a user query list; the search itself is
+    one equi-join against the trigram census — at serving time the
+    census IS the persisted phrase index, and a query never rescans
+    a document.
+
+    Determinism: counts exact; both rankings tie-break on text/doc_id
+    totals orders.
+
+    Scale shape: the trigram expansion is the corpus_top_bigrams
+    narrow flatMap one word wider; the census is one map-side-combined
+    shuffle keyed by (doc, phrase); query matching is an equi-join of
+    a {q}-row broadcast against the census — per-phrase top-k runs as
+    a window over only the matching postings (never the full index)."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    sz = F.size("toks")
+    # all three windows MUST share length sz-2: zip_with null-pads the
+    # shorter side, and concat_ws silently drops NULLs — mismatched
+    # lengths fabricate trailing 2- and 1-word "phrases"
+    a = F.slice(F.col("toks"), 1, sz - 2)
+    b = F.slice(F.col("toks"), 2, sz - 2)
+    c = F.slice(F.col("toks"), 3, sz - 2)
+    tris = F.zip_with(
+        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        c,
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    census = (
+        d.select("doc_id", F.explode(F.when(sz >= 3, tris)).alias("phrase"))
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+    )
+    queries = (
+        census.groupBy("phrase")
+        .agg(F.sum("n_occ").alias("tot"))
+        .orderBy(F.desc("tot"), "phrase")
+        .limit(_PHRASE_N_QUERIES)
+        .select(F.col("phrase").alias("qphrase"))
+    )
+    hits = census.join(
+        F.broadcast(queries), census["phrase"] == queries["qphrase"]
+    ).select("phrase", "doc_id", "n_occ")
+    w = Window.partitionBy("phrase")
+    wr = w.orderBy(F.desc("n_occ"), "doc_id")
+    return (
+        hits.select(
+            "phrase",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+            "doc_id",
+            "n_occ",
+            F.count("*").over(w).cast("bigint").alias("n_matching_docs"),
+        )
+        .filter(F.col("rank") <= _PHRASE_TOPDOCS)
+    )

@@ -336,3 +336,40 @@ def test_centroid_drift_cosine_bounds_and_identity(spark):
         assert -1.0 <= r.centroid_cosine <= 1.0 + 1e-9
         assert r.ref_centroid_norm > 0 and r.cur_centroid_norm > 0
         assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_phrase_search_hits_contain_the_phrase(spark):
+    """Every reported hit doc must actually contain the phrase as a
+    CONTIGUOUS token run, n_occ times — checked against a direct
+    Python substring-of-token-list count."""
+    import re
+
+    import duckdb
+
+    texts = {
+        r[0]: re.sub(r"\s+", " ", r[1].lower()).strip().split(" ")
+        for r in duckdb.connect()
+        .execute(f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'")
+        .fetchall()
+    }
+    rows = registry.DEFERRED_QUERIES["phrase_search_topdocs"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        toks = texts[r.doc_id]
+        phrase = r.phrase.split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - 2)
+            if toks[i : i + 3] == phrase
+        )
+        assert n == r.n_occ and n >= 1
+    # ranks are 1..k per phrase with no gaps
+    from collections import defaultdict
+
+    by_phrase = defaultdict(list)
+    for r in rows:
+        by_phrase[r.phrase].append(r.rank)
+    for ranks in by_phrase.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
