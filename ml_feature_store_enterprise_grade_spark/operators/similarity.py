@@ -1211,6 +1211,77 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One scatter-moment computation per (application, sf_dir):
+#: embedding_covariance and embedding_top_eigenvector consume the
+#: IDENTICAL (di, dj, Σ qxi·qxj) upper-triangle frame + per-dim sums
+#: (same 1e-6 quantization, same overflow guard), so the d(d+1)/2
+#: expansion over the corpus runs once per session — the
+#: cobuy_pair_census / dedup-label memoization discipline.  Both
+#: frames are localCheckpointed (materialized, lineage-free).
+_EMB_MOMENTS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def _embedding_scatter_moments(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """``(ut, sums, n)``: upper-triangle co-moments ``(di, dj, sxy)``
+    with exact DECIMAL sums of guarded int64 products, per-dimension
+    sums ``(dim, sx)`` as DECIMAL(38,0), and the vector count."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _EMB_MOMENTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ),
+    )
+    # Overflow guard BEFORE the hot loop: a bare xi * xj runs in
+    # BIGINT, where non-ANSI Spark wraps silently on overflow — an
+    # embedding scaled beyond ~3e3 (qv ~3e9, product ~9e18 > 2^63)
+    # would produce wrong covariances with no error.  Each ELEMENT is
+    # guarded once (O(d) raise_error branches), which makes the O(d²)
+    # int64 product loop provably safe: |qv| ≤ 3e9 ⇒ |xi·xj| ≤ 9e18
+    # < 2^63.  Products go DECIMAL at the leaf so per-group SUMs stay
+    # exact at any corpus size.
+    guarded = (
+        "transform(qv, x -> CASE WHEN abs(x) > 3000000000 THEN"
+        " CAST(raise_error('embedding scatter moments: |value| > 3e3 —"
+        " quantized element overflows the int64 product guard;"
+        " rescale the embedding column') AS BIGINT)"
+        " ELSE x END)"
+    )
+    pairs = F.expr(
+        f"""
+        flatten(transform({guarded}, (xi, i) ->
+            transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
+                struct(i AS di, i + j AS dj,
+                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
+        """
+    )
+    ut = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.di", "p.dj", "p.prod")
+        .groupBy("di", "dj")
+        .agg(F.sum("prod").alias("sxy"))
+        .localCheckpoint()
+    )
+    sums = (
+        emb.select(F.posexplode("qv").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("sx"))
+        .localCheckpoint()
+    )
+    n = int(emb.count())
+    out = (ut, sums, n)
+    _EMB_MOMENTS_CACHE[key] = out
+    return out
+
+
 @register(
     "embedding_covariance",
     oracle="""
@@ -1256,65 +1327,27 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, which would shuffle |vectors|×d rows twice); partial
     aggregation collapses each partition to d(d+1)/2 running sums, so
     the shuffle is O(partitions × d²) regardless of corpus size.
-    Driver never sees vectors — only the d×d result."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "qv",
-        F.expr(
-            "transform(embedding, x ->"
-            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-        ),
-    )
-    # Overflow guard BEFORE the hot loop: a bare xi * xj runs in
-    # BIGINT, where non-ANSI Spark wraps silently on overflow — an
-    # embedding scaled beyond ~3e3 (qv ~3e9, product ~9e18 > 2^63)
-    # would produce wrong covariances with no error.  Each ELEMENT is
-    # guarded once (O(d) raise_error branches), which makes the O(d²)
-    # int64 product loop provably safe: |qv| ≤ 3e9 ⇒ |xi·xj| ≤ 9e18
-    # < 2^63.  (Wall-clock is identical to decimal-typed factors —
-    # measured r7, both ~3.2 s at sf0.1; the explode+hash-agg over
-    # N·d²/2 product rows dominates, not the multiply — the guard is
-    # kept for the LOUD failure mode, not speed.)  Products are cast
-    # to DECIMAL at the leaf so per-group SUMs stay exact at any
-    # corpus size.
-    guarded = (
-        "transform(qv, x -> CASE WHEN abs(x) > 3000000000 THEN"
-        " CAST(raise_error('embedding_covariance: |value| > 3e3 —"
-        " quantized element overflows the int64 product guard;"
-        " rescale the embedding column') AS BIGINT)"
-        " ELSE x END)"
-    )
-    pairs = F.expr(
-        f"""
-        flatten(transform({guarded}, (xi, i) ->
-            transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
-                struct(i AS di, i + j AS dj,
-                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
-        """
-    )
-    prods = (
-        emb.select(F.explode(pairs).alias("p"))
-        .select("p.di", "p.dj", "p.prod")
-        .groupBy("di", "dj")
-        .agg(F.sum("prod").alias("sxy"), F.count("*").alias("n"))
-    )
-    sums = (
-        emb.select(F.posexplode("qv").alias("dim", "val"))
-        .groupBy("dim")
-        .agg(F.sum(F.col("val").cast("decimal(16,0)")).alias("sx"))
-    )
+    Driver never sees vectors — only the d×d result.
+
+    The moment frames (and their |qv| ≤ 3e9 raise_error overflow
+    guard) live in :func:`_embedding_scatter_moments`, shared with
+    embedding_top_eigenvector — the expensive d(d+1)/2 expansion runs
+    once per session.  ``n`` is the corpus vector count (every vector
+    carries all d dims), folded in as a literal."""
+    ut, sums, n = _embedding_scatter_moments(spark, sf_dir)
     si = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sx_i"))
     sj = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sx_j"))
     return (
-        prods.join(F.broadcast(si), "di")
+        ut.join(F.broadcast(si), "di")
         .join(F.broadcast(sj), "dj")
         .select(
             "di",
             "dj",
             F.expr(
-                "CAST(FLOOR(CAST(CAST(n AS DECIMAL(12, 0)) * sxy"
+                f"CAST(FLOOR(CAST(CAST({n} AS DECIMAL(12, 0)) * sxy"
                 " - sx_i * sx_j AS DOUBLE)"
-                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0))"
-                " AS BIGINT)"
+                f" / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)"
+                " * 1000000.0)) AS BIGINT)"
             ).alias("cov_e6"),
         )
     )
@@ -1973,38 +2006,17 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a literal array — map-side multiply, one d-row aggregate,
     driver-rescaled exactly like the k-means centroid update.  The
     fact-scale data is read once."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "qv",
-        F.expr(
-            "transform(embedding, e ->"
-            " CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT))"
-        ),
-    )
-    n = emb.count()
-    sp_rows = (
-        emb.select(F.posexplode("qv").alias("pos", "qx"))
-        .groupBy("pos")
-        .agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"))
-        .collect()
-    )
-    sp = {r["pos"]: int(r["s"]) for r in sp_rows}
-    # d(d+1)/2 co-moments in ONE pass via the embedding_covariance
-    # array expansion — never a self-join of the exploded frame (that
-    # shape was 2x slower, measured r7: it shuffles |vectors|*d rows
-    # twice).  The int64 product is safe under the same |qv| <= 3e9
-    # guard bound; products go DECIMAL at the leaf so sums are exact.
-    pairs = F.expr(
-        """
-        flatten(transform(qv, (xi, i) ->
-            transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
-                struct(i AS di, i + j AS dj,
-                       CAST(xi * xj AS DECIMAL(20, 0)) AS prod))))
-        """
-    )
-    ut = (
-        emb.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.di").alias("i"), F.col("p.dj").alias("j"))
-        .agg(F.sum("p.prod").alias("spp"))
+    # The (di, dj, Σ qxi·qxj) co-moment frame and per-dim sums come
+    # from the memoized _embedding_scatter_moments (shared with
+    # embedding_covariance — identical quantization and |qv| ≤ 3e9
+    # guard; the one-pass array expansion there was measured 2x
+    # faster than the exploded self-join in r7).
+    moments, sums, n = _embedding_scatter_moments(spark, sf_dir)
+    sp = {
+        r["dim"]: int(r["sx"]) for r in sums.collect()
+    }
+    ut = moments.select(
+        F.col("di").alias("i"), F.col("dj").alias("j"), F.col("sxy").alias("spp")
     )
     full_ut = ut.unionAll(
         ut.filter(F.col("i") < F.col("j")).select(
