@@ -919,3 +919,117 @@ def pit_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direction"),
         *_FEATURE_COLS,
     )
+
+
+#: Bitemporal feature window: prior orders count as "known" only once
+#: fully received — knowledge/transaction time = max lineitem ship
+#: date + a fixed receipt lag (this testdata carries no receiptdate
+#: column; the lag models ship->receive latency) — and contribute
+#: only within this many days of valid time (order date) before the
+#: entity's own order date.
+_BT_VALID_DAYS = 365
+_BT_RECEIPT_LAG_DAYS = 14
+
+
+@register(
+    "bitemporal_customer_features",
+    defer=True,
+    oracle=f"""
+    WITH known AS (
+        SELECT o.o_orderkey AS k, o.o_custkey AS cust,
+               CAST(o.o_orderdate AS DATE) AS odate,
+               CAST(o.o_totalprice AS DECIMAL(16,2)) AS price,
+               MAX(CAST(l.l_shipdate AS DATE))
+                   + INTERVAL {_BT_RECEIPT_LAG_DAYS} DAYS AS known_at
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3, 4
+    ),
+    f AS (
+        SELECT e.k, e.cust, e.odate,
+               COUNT(p.k) AS prior_known_orders,
+               COALESCE(SUM(p.price),
+                        CAST(0 AS DECIMAL(16,2))) AS prior_known_revenue
+        FROM known e
+        LEFT JOIN known p
+          ON p.cust = e.cust
+         AND p.known_at <= e.odate
+         AND p.odate >= e.odate - INTERVAL {_BT_VALID_DAYS} DAYS
+         AND p.odate < e.odate
+        GROUP BY 1, 2, 3
+    )
+    SELECT k AS o_orderkey, cust AS o_custkey, odate AS o_orderdate,
+           CAST(prior_known_orders AS BIGINT) AS prior_known_orders,
+           CAST(prior_known_revenue AS DOUBLE) AS prior_known_revenue
+    FROM f
+    """,
+)
+def bitemporal_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time features — BOTH time axes enforced,
+    where pit_asof_join enforces only one: for every order, the
+    customer's prior-order count and revenue restricted by (a) VALID
+    time — the prior order happened within the last {d} days and
+    strictly before — and (b) KNOWLEDGE/transaction time — the prior
+    order is counted only if it was fully KNOWN by then (its last
+    lineitem receipt date ≤ the entity's order date).  This is the
+    correction a training pipeline needs when facts arrive late: a
+    feature computed on order date alone would leak ~weeks of
+    not-yet-received shipment knowledge into training (the class of
+    leak the reference's Feast timestamp semantics can't express —
+    Feast tracks one event_timestamp; reference
+    feast_repo/features.py).
+
+    Determinism: dates are exact; revenue sums are exact decimal cast
+    once to double for emission.
+
+    Scale shape: one header+detail join (keyed on orderkey, AQE
+    handles it) collapses to the per-order knowledge frame; the
+    bitemporal join is an EQUI-join on custkey with the two time
+    predicates as post-join filters — per-customer fan-in is bounded
+    by order cadence × the {d}-day valid window, the same bound every
+    as-of join here relies on, never a cross-customer cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    known = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            o["o_orderkey"].alias("k"),
+            o["o_custkey"].alias("cust"),
+            o["o_orderdate"].cast("date").alias("odate"),
+            o["o_totalprice"].cast("decimal(16,2)").alias("price"),
+        )
+        .agg(
+            F.date_add(
+                F.max(l["l_shipdate"].cast("date")), _BT_RECEIPT_LAG_DAYS
+            ).alias("known_at")
+        )
+    )
+    e = known.select(
+        F.col("k").alias("e_k"),
+        F.col("cust").alias("e_cust"),
+        F.col("odate").alias("e_odate"),
+    )
+    p = known.select(
+        F.col("k").alias("p_k"),
+        F.col("cust").alias("p_cust"),
+        F.col("odate").alias("p_odate"),
+        F.col("price").alias("p_price"),
+        F.col("known_at").alias("p_known_at"),
+    )
+    j = e.join(
+        p,
+        (F.col("p_cust") == F.col("e_cust"))
+        & (F.col("p_known_at") <= F.col("e_odate"))
+        & (F.col("p_odate") >= F.date_sub(F.col("e_odate"), _BT_VALID_DAYS))
+        & (F.col("p_odate") < F.col("e_odate")),
+        "left",
+    )
+    return j.groupBy(
+        F.col("e_k").alias("o_orderkey"),
+        F.col("e_cust").alias("o_custkey"),
+        F.col("e_odate").alias("o_orderdate"),
+    ).agg(
+        F.count("p_k").cast("bigint").alias("prior_known_orders"),
+        F.coalesce(F.sum("p_price"), F.lit(0).cast("decimal(16,2)"))
+        .cast("double")
+        .alias("prior_known_revenue"),
+    )

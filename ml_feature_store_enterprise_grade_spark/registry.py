@@ -74,6 +74,7 @@ ORACLES: dict[str, str] = {}
 #   - stream_dedup_within_watermark (round 7 overflow)
 #   - embedding_centroid_drift (round 7 overflow)
 #   - phrase_search_topdocs (round 7 overflow)
+#   - bitemporal_customer_features (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

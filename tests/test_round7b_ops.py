@@ -373,3 +373,53 @@ def test_phrase_search_hits_contain_the_phrase(spark):
         by_phrase[r.phrase].append(r.rank)
     for ranks in by_phrase.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bitemporal_features_respect_both_time_axes(spark):
+    """Python twin on the smoke corpus: a prior order contributes iff
+    (valid) it happened in the 365 days strictly before the entity's
+    order AND (knowledge) its last shipment + 14d receipt lag had
+    landed by then — the leak pit-on-one-axis joins cannot catch."""
+    from datetime import timedelta
+    from decimal import Decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE),
+               CAST(o.o_totalprice AS DECIMAL(16,2)),
+               MAX(CAST(l.l_shipdate AS DATE))
+        FROM '{SF_SMOKE}/orders.parquet' o
+        JOIN '{SF_SMOKE}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3, 4
+        """
+    ).fetchall()
+    by_cust: dict[int, list] = {}
+    for k, cust, odate, price, last_ship in rows:
+        by_cust.setdefault(cust, []).append(
+            (k, odate, price, last_ship + timedelta(days=14))
+        )
+    want = {}
+    for cust, orders in by_cust.items():
+        for k, odate, _, _ in orders:
+            n, rev = 0, Decimal(0)
+            for pk, podate, pprice, pknown in orders:
+                if (
+                    pk != k
+                    and podate < odate
+                    and podate >= odate - timedelta(days=365)
+                    and pknown <= odate
+                ):
+                    n += 1
+                    rev += pprice
+            want[k] = (n, float(rev))
+    got = {
+        r.o_orderkey: (r.prior_known_orders, r.prior_known_revenue)
+        for r in registry.DEFERRED_QUERIES["bitemporal_customer_features"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    assert any(n > 0 for n, _ in got.values())
