@@ -1689,3 +1689,64 @@ def supplier_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_bal"),
     )
+
+
+#: Diversified ranking: global top-k with a per-customer cap.
+_DIV_TOPK = 20
+_DIV_PER_CUSTOMER = 2
+
+
+@register(
+    "top_orders_diversified",
+    defer=True,
+    oracle=f"""
+    WITH capped AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)
+            <= {_DIV_PER_CUSTOMER}
+    )
+    SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS o_totalprice
+    FROM capped
+    ORDER BY price DESC, o_orderkey
+    LIMIT {_DIV_TOPK}
+    """,
+)
+def top_orders_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified global top-k: the 20 highest-value orders with AT
+    MOST 2 per customer — the result-diversity constraint every
+    leaderboard/recommendation surface applies so one whale cannot
+    monopolize the list (plain top_revenue_orders has no such cap).
+
+    Plan shape this exists to exercise: the per-customer cap is a
+    rank-filter Catalyst rewrites to WindowGroupLimit (each group
+    keeps only its first 2 rows DURING the window sort — the
+    sort-bounded top-k inside groups), and the global cut is
+    TakeOrderedAndProject — so neither step materializes a full sort
+    of the fact table.  Exact decimal ranking keys; ties break on
+    orderkey at both levels."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("price"), F.asc("o_orderkey")
+    )
+    capped = (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DIV_PER_CUSTOMER)
+        .drop("rk")
+    )
+    return (
+        capped.orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(_DIV_TOPK)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("price").cast("double").alias("o_totalprice"),
+        )
+    )

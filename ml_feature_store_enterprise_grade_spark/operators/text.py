@@ -2434,3 +2434,86 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _PHRASE_TOPDOCS)
     )
+
+
+#: Mixed-language screen: a doc is flagged when its SECOND-strongest
+#: language's marker count reaches this fraction of the strongest's.
+_MIXED_RATIO_E2 = 50  # 0.50 in integer percent-of-best units
+
+
+def _lang_marker_count_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split({NORMALIZE_TEXT_SQL('text')}, ' '),"
+        f" x -> x IN {_LANG_MARKERS[lang]!r}))"
+    )
+
+
+@register(
+    "doc_language_purity",
+    defer=True,
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               {", ".join(f"CAST({_lang_marker_count_sql(lg)} AS BIGINT) AS n_{lg}" for lg in sorted(_LANG_MARKERS))}
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               list_sort([n_de, n_en, n_es, n_fr])[4] AS best,
+               list_sort([n_de, n_en, n_es, n_fr])[3] AS second
+        FROM m
+    )
+    SELECT doc_id, lang, best AS best_markers, second AS second_markers,
+           (best > 0 AND second * 100 >= best * {_MIXED_RATIO_E2})
+               AS mixed_language
+    FROM r
+    """,
+)
+def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document screen: per document, the strongest
+    and second-strongest language marker counts (the heuristic
+    language-ID banks of corpus_lang_stats), and the mixed-language
+    flag — second ≥ 50% of best — that a monolingual training
+    pipeline uses to route code-switched / boilerplate-bilingual
+    documents to a separate bucket (mixed docs poison both language
+    buckets' statistics if admitted blindly).
+
+    Determinism: marker counts are exact integers; the flag compares
+    ``second·100 ≥ best·50`` in integer arithmetic — no ratio
+    doubles at all.
+
+    Scale shape: one map-side projection per doc (4 bounded
+    list-filter folds over the token array — no explode, no shuffle,
+    no join); output is one row per document with three ints and a
+    bool."""
+    toks = _tokens(F.col("text"))
+
+    def _marker_count(lg: str):
+        markers = _LANG_MARKERS[lg]
+        # single-arg lambda: a second (defaulted) parameter would make
+        # PySpark pass the element INDEX as that argument
+        return (
+            F.size(F.filter(toks, lambda x: x.isin(*markers)))
+            .cast("bigint")
+            .alias(f"n_{lg}")
+        )
+
+    counts = {lg: _marker_count(lg) for lg in sorted(_LANG_MARKERS)}
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", *counts.values()
+    )
+    cols = [F.col(f"n_{lg}") for lg in sorted(_LANG_MARKERS)]
+    # best/second-best of four via one sorted array — tie-proof where
+    # a greatest/CASE ladder is not (both engines sort ints the same)
+    arr = F.array_sort(F.array(*cols))
+    best = F.element_at(arr, 4)
+    second = F.element_at(arr, 3)
+    return d.select(
+        "doc_id",
+        "lang",
+        best.alias("best_markers"),
+        second.alias("second_markers"),
+        ((best > 0) & (second * 100 >= best * _MIXED_RATIO_E2)).alias(
+            "mixed_language"
+        ),
+    )

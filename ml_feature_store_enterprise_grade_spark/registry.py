@@ -75,6 +75,8 @@ ORACLES: dict[str, str] = {}
 #   - embedding_centroid_drift (round 7 overflow)
 #   - phrase_search_topdocs (round 7 overflow)
 #   - bitemporal_customer_features (round 7 overflow)
+#   - doc_language_purity (round 7 overflow)
+#   - top_orders_diversified (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

