@@ -1002,6 +1002,11 @@ def bitemporal_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(l["l_shipdate"].cast("date")), _BT_RECEIPT_LAG_DAYS
             ).alias("known_at")
         )
+        # localCheckpoint: known self-joins as entity AND prior sides;
+        # unmaterialized, the header+detail join and aggregate run
+        # twice (column pruning gives the sides different subtrees, so
+        # exchange reuse does not kick in)
+        .localCheckpoint()
     )
     e = known.select(
         F.col("k").alias("e_k"),

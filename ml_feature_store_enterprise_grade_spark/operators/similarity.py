@@ -1233,7 +1233,10 @@ def _embedding_scatter_moments(
     hit = _EMB_MOMENTS_CACHE.get(key)
     if hit is not None:
         return hit
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    # spread(): the embeddings parquet is byte-light, so Spark's
+    # size-based split can hand the O(N·d²) pair expansion ONE task
+    # without it (the eigenvector path had this before the refactor).
+    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "qv",
         F.expr(
             "transform(embedding, x ->"
@@ -1267,7 +1270,12 @@ def _embedding_scatter_moments(
         emb.select(F.explode(pairs).alias("p"))
         .select("p.di", "p.dj", "p.prod")
         .groupBy("di", "dj")
-        .agg(F.sum("prod").alias("sxy"))
+        # per-pair contributing-row count kept alongside the sum:
+        # covariance must normalize by the rows that actually carried
+        # both dims (ragged/NULL embeddings contribute no product row
+        # but would still inflate a global count — the oracle uses the
+        # per-pair n, so the engine must too)
+        .agg(F.sum("prod").alias("sxy"), F.count("*").alias("n"))
         .localCheckpoint()
     )
     sums = (
@@ -1332,9 +1340,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The moment frames (and their |qv| ≤ 3e9 raise_error overflow
     guard) live in :func:`_embedding_scatter_moments`, shared with
     embedding_top_eigenvector — the expensive d(d+1)/2 expansion runs
-    once per session.  ``n`` is the corpus vector count (every vector
-    carries all d dims), folded in as a literal."""
-    ut, sums, n = _embedding_scatter_moments(spark, sf_dir)
+    once per session.  Normalization uses the PER-PAIR contributing
+    count ``n`` carried in the moments frame (matching the oracle's
+    ``COUNT(*)``), not a global vector count — ragged/NULL embeddings
+    contribute no product row and must not dilute the covariance."""
+    ut, sums, _n = _embedding_scatter_moments(spark, sf_dir)
     si = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sx_i"))
     sj = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sx_j"))
     return (
@@ -1344,9 +1354,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "di",
             "dj",
             F.expr(
-                f"CAST(FLOOR(CAST(CAST({n} AS DECIMAL(12, 0)) * sxy"
+                "CAST(FLOOR(CAST(CAST(n AS DECIMAL(12, 0)) * sxy"
                 " - sx_i * sx_j AS DOUBLE)"
-                f" / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
                 " * 1000000.0)) AS BIGINT)"
             ).alias("cov_e6"),
         )

@@ -2126,12 +2126,14 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (distinct_ratio >= _MIN_DISTINCT_RATIO)
         & (stopword_ratio <= _MAX_STOPWORD_RATIO)
     )
+    # localCheckpoint: m feeds the hash census AND the fan-back join
+    # — unmaterialized, every document is normalized+hashed twice
     m = d.select(
         "source",
         "n_chars",
         F.md5(normalize_text(F.col("text"))).alias("h"),
         admitted.alias("admitted"),
-    )
+    ).localCheckpoint()
     hs = m.groupBy("h").agg(F.countDistinct("source").alias("ns"))
     j = m.join(hs, "h")
     s = j.groupBy("source").agg(
@@ -2208,6 +2210,11 @@ _LEX_EPS = 1e-06
     t AS (
         SELECT lang, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
         FROM bucketed GROUP BY 1
+        -- a language whose docs all share one parity has an empty
+        -- half: 0/0 = NaN wins GREATEST and poisons the fold (and the
+        -- NaN->BIGINT cast errors here while Spark nulls) — no drift
+        -- is computable, so the language is excluded in BOTH engines
+        HAVING SUM(n_ref) > 0 AND SUM(n_cur) > 0
     ),
     p AS (
         SELECT b.lang,
@@ -2260,8 +2267,13 @@ def corpus_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.explode(_tokens(F.col("text"))).alias("word"),
     ).filter(F.col("word").rlike("^[a-z]+$"))
-    census = w.groupBy("lang", "half", "word").agg(
-        F.count("*").cast("bigint").alias("n")
+    # localCheckpoint: the census feeds the vocab election AND the
+    # bucketing aggregate — unmaterialized, the corpus tokenization
+    # would run twice
+    census = (
+        w.groupBy("lang", "half", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
     )
     tot = census.groupBy("lang", "word").agg(F.sum("n").alias("tot"))
     vocab = (
@@ -2301,8 +2313,13 @@ def corpus_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    t = bucketed.groupBy("lang").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    t = (
+        bucketed.groupBy("lang")
+        .agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+        # empty-half guard: 0/0 would be NaN (NaN wins GREATEST), which
+        # Spark floors to NULL/0 while DuckDB errors on the BIGINT cast
+        # — drop the undrift-able language identically in both engines
+        .filter((F.col("t_ref") > 0) & (F.col("t_cur") > 0))
     )
     p_ref = F.greatest(
         F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(_LEX_EPS)
@@ -2407,10 +2424,15 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         c,
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
+    # localCheckpoint: the census feeds BOTH the query election and
+    # the hits join — unmaterialized, the corpus trigram expansion
+    # would run twice (at serving scale this frame is the persisted
+    # phrase index)
     census = (
         d.select("doc_id", F.explode(F.when(sz >= 3, tris)).alias("phrase"))
         .groupBy("doc_id", "phrase")
         .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .localCheckpoint()
     )
     queries = (
         census.groupBy("phrase")

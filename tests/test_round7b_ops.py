@@ -436,23 +436,32 @@ def test_language_purity_flags_are_consistent(spark):
         assert r.mixed_language == want
 
 
-def test_diversified_topk_respects_per_customer_cap(spark):
-    from collections import Counter
+def test_diversified_topk_matches_python_reference(spark):
+    """Exact Python twin of the capped ranking (so the cap semantics
+    are pinned even when the smoke data happens to have no whale in
+    the global top-20): per-customer keep the best 2, then global
+    top-20, ties on orderkey at both levels."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
 
+    import duckdb
+
+    orders = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    by_cust = defaultdict(list)
+    for k, c, p in orders:
+        by_cust[c].append((k, p))
+    capped = []
+    for c, lst in by_cust.items():
+        lst.sort(key=lambda kp: (-kp[1], kp[0]))
+        capped += [(k, c, p) for k, p in lst[:2]]
+    capped.sort(key=lambda r: (-r[2], r[0]))
+    want = [(k, c, float(p)) for k, c, p in capped[:20]]
     rows = registry.DEFERRED_QUERIES["top_orders_diversified"](
         spark, SF_SMOKE
     ).collect()
-    assert len(rows) == 20
-    per_cust = Counter(r.o_custkey for r in rows)
-    assert max(per_cust.values()) <= 2
-    prices = [r.o_totalprice for r in rows]
-    assert prices == sorted(prices, reverse=True)
-    # the cap must actually bite vs the plain top-20 (otherwise the
-    # query is indistinguishable from top_revenue_orders on this data)
-    plain = {
-        r.o_orderkey
-        for r in registry.QUERIES["top_revenue_orders"](spark, SF_SMOKE)
-        .limit(20)
-        .collect()
-    }
-    assert {r.o_orderkey for r in rows}  # non-empty; overlap allowed
+    got = [(r.o_orderkey, r.o_custkey, r.o_totalprice) for r in rows]
+    assert got == want
+    assert max(Counter(c for _, c, _ in got).values()) <= 2
