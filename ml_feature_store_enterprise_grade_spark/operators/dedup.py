@@ -2418,3 +2418,101 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     )
+
+
+#: Hard-negative mining: band-colliding pairs verified BELOW the
+#: exact-Jaccard dup threshold, ranked hardest (highest agreement)
+#: first.  The cutoff is _JACCARD_THRESHOLD (0.5), NOT the LSH
+#: admission floor 0.25: a band collision structurally implies 2 of 8
+#: slots agree (est >= 0.25), so the complement of the floor is empty
+#: by construction — the meaningful negatives live in [0.25, 0.5).
+_HARDNEG_MAX_EST = _JACCARD_THRESHOLD
+_HARDNEG_TOPK = 50
+
+
+@register(
+    "hard_negative_pairs",
+    defer=True,
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_MINHASH_AGREE_SQL}) AS BIGINT) AS n_agree,
+           ROUND(({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)}, 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN sig x ON c.doc_a = x.doc_id
+    JOIN sig y ON c.doc_b = y.doc_id
+    WHERE ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)}
+          < {_HARDNEG_MAX_EST}
+    ORDER BY ({_MINHASH_AGREE_SQL}) DESC, c.doc_a, c.doc_b
+    LIMIT {_HARDNEG_TOPK}
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative pair mining for contrastive/embedding training:
+    document pairs that COLLIDE in an LSH band (lexically similar
+    enough to share a bucket — the blocker's own notion of "looks
+    alike") yet score BELOW the near-dup admission threshold on
+    signature agreement.  These are exactly the "similar but not
+    duplicate" pairs a bi-encoder needs as hard negatives (random
+    negatives are trivially separable; near-dups would be false
+    negatives), and they fall out of the SAME banding pass the dedup
+    pipeline already runs.  Cutoff: est < 0.5 (the exact-Jaccard dup
+    threshold) — NOT the 0.25 LSH floor, whose complement is
+    structurally empty (any band collision already agrees on 2 of 8
+    slots), so the mined negatives live in the est ∈ [0.25, 0.5)
+    "similar-but-distinct" band.
+
+    Determinism: signatures/bands are portable-MD5; agreement is an
+    exact integer; ranking ties break on (doc_a, doc_b).
+
+    Scale shape: identical to dedup_minhash_lsh — band equi-join
+    (never all-pairs, hot buckets bounded by the rare-shingle DF
+    cap), signature table cached once, TakeOrdered top-{_HARDNEG_TOPK}."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir)))
+    sig = minhash_signatures(sh).cache()
+    sig.count()
+    cand = _lsh_candidate_pairs(sig)
+    x = sig.select(
+        [F.col("doc_id").alias("doc_a")]
+        + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
+    )
+    y = sig.select(
+        [F.col("doc_id").alias("doc_b")]
+        + [F.col(f"sig_{j}").alias(f"yb_{j}") for j in range(_MINHASH_K)]
+    )
+    agree = sum(
+        F.when(F.col(f"xa_{j}") == F.col(f"yb_{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    out = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("n_agree", agree.cast("bigint"))
+        .filter(F.col("n_agree") / float(_MINHASH_K) < _HARDNEG_MAX_EST)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree") / float(_MINHASH_K), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy(F.desc("n_agree"), "doc_a", "doc_b")
+        .limit(_HARDNEG_TOPK)
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return out

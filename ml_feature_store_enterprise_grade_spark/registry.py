@@ -77,6 +77,7 @@ ORACLES: dict[str, str] = {}
 #   - bitemporal_customer_features (round 7 overflow)
 #   - doc_language_purity (round 7 overflow)
 #   - top_orders_diversified (round 7 overflow)
+#   - hard_negative_pairs (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -112,7 +113,7 @@ _loaded = False
 #: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
 #: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
 #: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2)
-#: promote the 48 round-7 deferred queries (list above) to
+#: promote the 49 round-7 deferred queries (list above) to
 #: ``register()`` without ``defer`` and put them at the head of
 #: ``_FRONT`` (they all have 3-scale local parity; the window holds
 #: 50, so all fit plus changed-query re-checks); (3) keep

@@ -465,3 +465,21 @@ def test_diversified_topk_matches_python_reference(spark):
     got = [(r.o_orderkey, r.o_custkey, r.o_totalprice) for r in rows]
     assert got == want
     assert max(Counter(c for _, c, _ in got).values()) <= 2
+
+
+def test_hard_negatives_live_in_the_similar_but_distinct_band(spark):
+    """Mined pairs must sit in est ∈ [0.25, 0.5): at least one band
+    collision (structural floor 2/8) but below the dup threshold —
+    checked at sf0.01 (the smoke corpus has no mid-similarity pairs,
+    so the result there is legitimately empty)."""
+    from tests.conftest import SF_ORACLE
+
+    rows = registry.DEFERRED_QUERIES["hard_negative_pairs"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows, "sf0.01 must yield hard negatives"
+    for r in rows:
+        assert 2 <= r.n_agree <= 3  # 8 slots: [0.25, 0.5) == {2, 3}
+        assert 0.25 <= r.est_jaccard < 0.5
+    agrees = [r.n_agree for r in rows]
+    assert agrees == sorted(agrees, reverse=True)
