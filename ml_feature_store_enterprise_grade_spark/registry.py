@@ -81,6 +81,16 @@ ORACLES: dict[str, str] = {}
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
+#: Data-driven promotion: names listed here are promoted OUT of
+#: defer at registration time — ``register(defer=True)`` becomes a
+#: normal registration for them, so a round's promotion is ONE edit
+#: (fill this set + rebuild ``_FRONT``) instead of ~50 decorator
+#: edits across operator files.  Every promoted name must then sit in
+#: ``_FRONT`` (or be driver-checked) — the existing never-checked
+#: guard enforces that automatically; stale names are caught by
+#: tests/test_registry.py::test_promoted_names_are_registered.
+_PROMOTED: frozenset[str] = frozenset()
+
 _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.feature_agg",
     "ml_feature_store_enterprise_grade_spark.operators.relational",
@@ -112,12 +122,15 @@ _loaded = False
 #: long-stable greens rotate to the tail.
 #: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
 #: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
-#: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2)
-#: promote the 49 round-7 deferred queries (list above) to
-#: ``register()`` without ``defer`` and put them at the head of
-#: ``_FRONT`` (they all have 3-scale local parity; the window holds
-#: 50, so all fit plus changed-query re-checks); (3) keep
-#: ``stream_tws_purchase_stats`` deferred (environment-gated).
+#: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2) fill
+#: ``_PROMOTED`` (above) with the 48 promotable round-7 deferred
+#: names (the overflow list above MINUS the environment-gated
+#: ``stream_tws_purchase_stats``) — promotion is data-driven, NO
+#: decorator edits — and rebuild ``_FRONT`` with those names at the
+#: head (all have 3-scale local parity; the window holds 50, so run
+#: it over two rounds: 48 > 50 − changed-query re-checks means pick
+#: ~45 now, leave the rest deferred); (3) delete the promoted names
+#: from the overflow comment list.
 _FRONT: tuple[str, ...] = (
     # --- Round 7 window (VERDICT r6 item 1) ---
     # (a) the 10 round-6 queries the driver has never checked —
@@ -285,15 +298,16 @@ def register(
         )
 
     def deco(fn: QueryFn) -> QueryFn:
+        eff_defer = defer and name not in _PROMOTED
         if name in QUERIES or name in DEFERRED_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        if not defer and name not in _DRIVER_CHECKED and name not in _FRONT:
+        if not eff_defer and name not in _DRIVER_CHECKED and name not in _FRONT:
             raise ValueError(
                 f"query {name!r}: never driver-checked and not in _FRONT — "
                 "either add it to the _FRONT window (if a slot is free) or "
                 "register with defer=True so it cannot ship unverified"
             )
-        if defer:
+        if eff_defer:
             if oracle is None:
                 raise ValueError(
                     f"query {name!r}: defer=True requires an oracle — a "

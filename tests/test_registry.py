@@ -131,3 +131,16 @@ def test_deferred_queries_all_carry_oracles_and_are_queued():
         assert f"#   - {name}" in src, f"{name} missing from the overflow queue comment"
     # deferred names never leak onto the driver surface
     assert not set(registry.DEFERRED_QUERIES) & set(registry.queries())
+
+
+def test_promoted_names_are_registered():
+    """Every _PROMOTED name must resolve to a real (now non-deferred)
+    registration — a typo'd or stale promotion would otherwise silently
+    promote nothing while the checklist believes it shipped."""
+    from ml_feature_store_enterprise_grade_spark import registry
+
+    registry.load_all()
+    stale = [n for n in registry._PROMOTED if n not in registry.QUERIES]
+    assert not stale, f"_PROMOTED names not registered (typo/stale): {stale}"
+    leaked = [n for n in registry._PROMOTED if n in registry.DEFERRED_QUERIES]
+    assert not leaked, f"_PROMOTED names still deferred: {leaked}"
