@@ -2539,3 +2539,114 @@ def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mixed_language"
         ),
     )
+
+
+#: DSIR-style importance weighting: target domain = English docs;
+#: per-WORD log-ratio contributions are quantized at the vocabulary
+#: level (1e6 units) so per-doc scores are exact integer sums.
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    defer=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, t.w AS word
+        FROM (SELECT doc_id, lang,
+                     string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+              FROM documents),
+             unnest(toks) AS t(w)
+        WHERE regexp_matches(t.w, '^[a-z]+$')
+    ),
+    vocab AS (
+        SELECT word,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+               CAST(COUNT(*) AS BIGINT) AS c_c
+        FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(c_t) AS n_t, SUM(c_c) AS n_c,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab
+    ),
+    contrib AS (
+        SELECT word,
+               CAST(FLOOR((ln((c_t + 1.0) / (tot.n_t + tot.v))
+                           - ln((c_c + 1.0) / (tot.n_c + tot.v)))
+                          * 1000000.0) AS BIGINT) AS cq
+        FROM vocab, tot
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(c.cq) AS score_e6,
+           SUM(c.cq) > 0 AS selected
+    FROM tok t JOIN contrib c ON c.word = t.word
+    GROUP BY 1, 2
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log importance ratio of a TARGET-domain unigram
+    LM (here: the English slice) over the general-corpus LM —
+    ``Σ_tokens ln p_target(w)/p_corpus(w)`` with add-one smoothing —
+    and flag the positive-ratio docs a target-matched training
+    mixture would keep.  This is the standing technique for carving
+    domain-matched training sets out of a crawl without a trained
+    classifier.
+
+    Determinism: the two libm ``ln`` calls run per VOCABULARY WORD
+    (not per token) on bit-identical doubles (ratios of exact
+    integers), and each word's contribution is quantized to an exact
+    1e-6 integer BEFORE the per-doc sum — so per-doc scores are exact
+    integer sums no shuffle order can perturb, and a last-ulp libm
+    divergence would have to land within one ulp of a 1e-6 floor
+    boundary across only |vocab| words to matter (vs |corpus tokens|
+    if quantization were per-token).
+
+    Scale shape: one tokenization pass builds the (word, target
+    count, corpus count) vocabulary census — vocabulary-bounded, the
+    doc_tfidf discipline; contributions broadcast back onto the token
+    stream as an equi-join; per-doc aggregation is one map-side
+    combinable shuffle keyed by doc_id."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    vocab = tok.groupBy("word").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+        F.count("*").cast("bigint").alias("c_c"),
+    )
+    tot = vocab.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_c").alias("n_c"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    contrib = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.floor(
+                (
+                    F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
+                    - F.log((F.col("c_c") + 1.0) / (F.col("n_c") + F.col("v")))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("cq"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(contrib), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cq").alias("score_e6"),
+            (F.sum("cq") > 0).alias("selected"),
+        )
+    )

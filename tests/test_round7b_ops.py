@@ -483,3 +483,19 @@ def test_hard_negatives_live_in_the_similar_but_distinct_band(spark):
         assert 0.25 <= r.est_jaccard < 0.5
     agrees = [r.n_agree for r in rows]
     assert agrees == sorted(agrees, reverse=True)
+
+
+def test_dsir_scores_favor_the_target_language(spark):
+    """The defining property of importance resampling: documents from
+    the target domain (en) must score higher on average than the rest,
+    and the selected flag must equal score > 0."""
+    rows = registry.DEFERRED_QUERIES["dsir_importance_weights"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    en = [r.score_e6 for r in rows if r.lang == "en"]
+    other = [r.score_e6 for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for r in rows:
+        assert r.selected == (r.score_e6 > 0)
