@@ -2650,3 +2650,107 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cq") > 0).alias("selected"),
         )
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM vocab),
+    contrib AS (
+        SELECT tok,
+               CAST(FLOOR(log10(CAST(n AS DOUBLE) / tot.total)
+                          * 1000000.0) AS BIGINT) AS cq
+        FROM vocab, tot
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+               SUM(d.cnt * c.cq) AS score_q
+        FROM dtc d JOIN contrib c ON c.tok = d.tok
+        GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT *,
+               CAST(score_q AS DOUBLE) / n_tokens AS mean_q,
+               NTILE(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(score_q AS DOUBLE) / n_tokens DESC, doc_id)
+                   AS tile
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(mean_q / 1000000.0, 6) AS mean_logprob,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ccnet_bucket
+    FROM b
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document within its language by mean unigram log-probability
+    under the corpus LM and cut each language into equal head / middle
+    / tail terciles — the curation scheme CommonCrawl pipelines use to
+    keep 'head' (fluent) text, sample 'middle', and drop 'tail'
+    (classic CCNet trains a KenLM per language; the corpus unigram LM
+    is this engine's deterministic stand-in, same contract as
+    doc_unigram_logprob).
+
+    Determinism: per-WORD log contributions quantize to exact 1e-6
+    integers at the vocabulary level (the dsir_importance_weights
+    discipline — never a per-token float sum); per-doc means are one
+    IEEE divide of exact integers; the tercile NTILE orders by that
+    bit-identical double with doc_id tie-break.  Negative-score
+    integer division is avoided entirely (Spark DIV truncates toward
+    zero, DuckDB // floors — they disagree on negatives).
+
+    Scale shape: per-doc term counts collapse occurrences before the
+    vocab join (doc_unigram_logprob's discipline); the NTILE is a
+    within-language sort of |docs| slim rows — at 100 TB swap in
+    approx per-lang quantile cut points, same bucket contract."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    dtc = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("cnt"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    total = float(vocab.agg(F.sum("n")).first()[0])
+    contrib = vocab.select(
+        "tok",
+        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
+        .cast("bigint")
+        .alias("cq"),
+    )
+    scored = (
+        dtc.join(F.broadcast(contrib), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cq")).alias("score_q"),
+        )
+    )
+    mean_q = F.col("score_q").cast("double") / F.col("n_tokens")
+    w = Window.partitionBy("lang").orderBy(F.desc(mean_q), "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(mean_q / 1000000.0, 6).alias("mean_logprob"),
+        F.ntile(3).over(w).alias("tile"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_logprob",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )

@@ -499,3 +499,24 @@ def test_dsir_scores_favor_the_target_language(spark):
     assert sum(en) / len(en) > sum(other) / len(other)
     for r in rows:
         assert r.selected == (r.score_e6 > 0)
+
+
+def test_ccnet_buckets_are_equal_terciles_ordered_by_fluency(spark):
+    from collections import Counter, defaultdict
+
+    rows = registry.DEFERRED_QUERIES["ccnet_perplexity_buckets"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        sizes = Counter(r.ccnet_bucket for r in rs)
+        assert set(sizes) == {"head", "middle", "tail"}
+        vals = sorted(sizes.values())
+        assert vals[-1] - vals[0] <= 1  # NTILE equal-frequency
+        # fluency order: every head doc >= every tail doc on logprob
+        head_min = min(r.mean_logprob for r in rs if r.ccnet_bucket == "head")
+        tail_max = max(r.mean_logprob for r in rs if r.ccnet_bucket == "tail")
+        assert head_min >= tail_max
