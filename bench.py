@@ -128,10 +128,14 @@ BENCH_QUERIES = (
     "doc_rake_keyphrases",
     # round 7b — one representative per new class: link prediction
     # (wedge join), JL projection (map-side fold), outer stream-stream
-    # join (watermark state eviction).
+    # join (watermark state eviction), iterative BPE training,
+    # bitemporal PIT, DSIR data selection.
     "item_ra_link_prediction",
     "embedding_jl_distortion",
     "stream_stream_left_outer_join",
+    "bpe_merge_learning",
+    "bitemporal_customer_features",
+    "dsir_importance_weights",
 )
 
 
