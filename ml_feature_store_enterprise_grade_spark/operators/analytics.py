@@ -4224,3 +4224,125 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@register(
+    "funnel_conversion_ztest",
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+    ),
+    clickers AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'click'),
+    conv AS (
+        SELECT DISTINCT c.user_id
+        FROM e c JOIN e p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+    ),
+    u AS (
+        SELECT k.user_id,
+               COALESCE(cu.c_mktsegment, 'UNKNOWN') AS segment,
+               CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        FROM clickers k
+        LEFT JOIN conv v ON v.user_id = k.user_id
+        LEFT JOIN customer cu ON cu.c_custkey = k.user_id
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_clickers,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM u GROUP BY 1
+    ),
+    g AS (
+        SELECT SUM(n_clickers) AS nc, SUM(n_converted) AS nv FROM seg
+    )
+    SELECT s.segment, s.n_clickers, s.n_converted,
+           ROUND(CAST(s.n_converted AS DOUBLE) / s.n_clickers, 6)
+               AS conversion_rate,
+           ROUND((CAST(s.n_converted AS DOUBLE) / s.n_clickers
+                  - CAST(g.nv AS DOUBLE) / g.nc)
+                 / sqrt((CAST(g.nv AS DOUBLE) / g.nc)
+                        * (1 - CAST(g.nv AS DOUBLE) / g.nc)
+                        * (1.0 / s.n_clickers + 1.0 / g.nc)), 4) AS z_score,
+           ABS((CAST(s.n_converted AS DOUBLE) / s.n_clickers
+                - CAST(g.nv AS DOUBLE) / g.nc)
+               / sqrt((CAST(g.nv AS DOUBLE) / g.nc)
+                      * (1 - CAST(g.nv AS DOUBLE) / g.nc)
+                      * (1.0 / s.n_clickers + 1.0 / g.nc))) > 1.96
+               AS significant
+    FROM seg s CROSS JOIN g
+    WHERE s.n_clickers > 0
+    """,
+)
+def funnel_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment funnel significance: 30-minute click→purchase
+    conversion rate per market segment (the sessionized funnel —
+    lifetime conversion is saturated on this corpus, every clicker
+    eventually purchases) with a two-proportion z-test against the
+    pooled rate (the experimentation readout an A/B platform runs per
+    slice after the SRM gate — ab_assignment_srm_audit checks the
+    denominators, this checks the effect).
+
+    Determinism: clicker/converter tallies are exact integers; the
+    rate, pooled rate, and z are a fixed chain of IEEE ops (divide,
+    multiply, sqrt — all correctly rounded) on exact-integer-derived
+    doubles, identical in both engines; the 1.96 two-sided 5% cut
+    compares those same doubles.
+
+    Scale shape: the conversion pair join is the stream interval-join
+    shape batch-side — equi-keyed on user with the 30-min window as a
+    post-join filter, per-user fan-in bounded by event cadence; both
+    distincts and the segment rollup are map-side combinable; the
+    customer dim rides a broadcast; the pooled scalar is a 1-row
+    cross join of a bounded aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    clickers = clicks.select("user_id").distinct()
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    u = (
+        clickers.join(conv, "user_id", "left")
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"), "left")
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+        )
+    )
+    seg = u.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_clickers"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    g = seg.agg(
+        F.sum("n_clickers").alias("nc"), F.sum("n_converted").alias("nv")
+    )
+    j = seg.crossJoin(F.broadcast(g)).filter(F.col("n_clickers") > 0)
+    rate = F.col("n_converted").cast("double") / F.col("n_clickers")
+    pooled = F.col("nv").cast("double") / F.col("nc")
+    z = (rate - pooled) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_clickers") + 1.0 / F.col("nc"))
+    )
+    return j.select(
+        "segment",
+        "n_clickers",
+        "n_converted",
+        F.round(rate, 6).alias("conversion_rate"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

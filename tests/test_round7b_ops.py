@@ -520,3 +520,20 @@ def test_ccnet_buckets_are_equal_terciles_ordered_by_fluency(spark):
         head_min = min(r.mean_logprob for r in rs if r.ccnet_bucket == "head")
         tail_max = max(r.mean_logprob for r in rs if r.ccnet_bucket == "tail")
         assert head_min >= tail_max
+
+
+def test_funnel_ztest_rates_and_flags_are_consistent(spark):
+    rows = registry.DEFERRED_QUERIES["funnel_conversion_ztest"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    total_conv = sum(r.n_converted for r in rows)
+    total_click = sum(r.n_clickers for r in rows)
+    assert 0 < total_conv < total_click  # funnel is neither empty nor saturated
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_clickers
+        assert abs(r.conversion_rate - r.n_converted / r.n_clickers) < 1e-6
+        # flag derives from the UNROUNDED z; skip the boundary sliver
+        # where the rounded display z could disagree
+        if abs(abs(r.z_score) - 1.96) > 1e-3:
+            assert r.significant == (abs(r.z_score) > 1.96)
