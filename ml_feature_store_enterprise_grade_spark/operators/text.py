@@ -2580,7 +2580,7 @@ _DSIR_TARGET_LANG = "en"
     )
     SELECT t.doc_id, t.lang,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           SUM(c.cq) AS score_e6,
+           CAST(SUM(c.cq) AS BIGINT) AS score_e6,
            SUM(c.cq) > 0 AS selected
     FROM tok t JOIN contrib c ON c.word = t.word
     GROUP BY 1, 2
