@@ -4346,3 +4346,188 @@ def funnel_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "robust_order_value_stats",
+    defer=True,
+    oracle="""
+    WITH r AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
+               NTILE(20) OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY CAST(o.o_totalprice AS DECIMAL(12,2)),
+                            o.o_orderkey) AS vig
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 2) AS raw_mean,
+           ROUND(CAST(SUM(CASE WHEN vig BETWEEN 2 AND 19
+                               THEN price
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / SUM(CASE WHEN vig BETWEEN 2 AND 19 THEN 1 ELSE 0 END),
+                 2) AS trimmed_mean,
+           CAST(SUM(CASE WHEN vig BETWEEN 2 AND 19 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_trimmed
+    FROM r GROUP BY 1
+    """,
+)
+def robust_order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-trimmed) mean order value per market segment next
+    to the raw mean — the outlier-resistant location estimate a
+    monitoring pipeline alarms on when whales/fat fingers would whip
+    a plain mean around.  Trimming is rank-based: drop the bottom and
+    top vigintile (NTILE(20) buckets 1 and 20) within each segment.
+
+    Determinism: the vigintile orders by (exact decimal price,
+    orderkey) — a total order; sums are exact decimal; the two means
+    are single IEEE divides of exact sums.
+
+    Scale shape: one keyed window sort per segment (the exact-rank
+    path; at 100 TB swap in approx P5/P95 cut points — same contract)
+    collapsing straight into a per-segment aggregate; the customer
+    dim rides a broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("price", "o_orderkey")
+    r = r.select("segment", "price", F.ntile(20).over(w).alias("vig"))
+    kept = F.col("vig").between(2, 19)
+    zero = F.lit(0).cast("decimal(12,2)")
+    return r.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("price").cast("double") / F.count("*"), 2).alias(
+            "raw_mean"
+        ),
+        F.round(
+            F.sum(F.when(kept, F.col("price")).otherwise(zero)).cast("double")
+            / F.sum(F.when(kept, 1).otherwise(0)),
+            2,
+        ).alias("trimmed_mean"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_trimmed"),
+    )
+
+
+#: Edge-churn split date: same mid-1995 boundary as the segment
+#: migration matrix, cutting the order timeline into two halves.
+_CHURN_SPLIT = "1995-06-01"
+_CHURN_MIN_SUPPORT = 2
+
+
+@register(
+    "cobuy_edge_churn",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS order_id, l.l_partkey AS item_id,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         < DATE '{_CHURN_SPLIT}'
+                    THEN 1 ELSE 2 END AS period
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+        SELECT a.period, a.item_id AS a, b.item_id AS b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {_CHURN_MIN_SUPPORT}
+    ),
+    m AS (
+        SELECT COALESCE(x.a, y.a) AS a, COALESCE(x.b, y.b) AS b,
+               CASE WHEN y.a IS NULL THEN 'died'
+                    WHEN x.a IS NULL THEN 'born'
+                    ELSE 'stable' END AS fate
+        FROM (SELECT a, b FROM e WHERE period = 1) x
+        FULL OUTER JOIN (SELECT a, b FROM e WHERE period = 2) y
+          ON x.a = y.a AND x.b = y.b
+    )
+    SELECT fate, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+               AS share
+    FROM m GROUP BY 1
+    """,
+)
+def cobuy_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn: build the support-2 co-purchase edge
+    set independently in each half of the order timeline and classify
+    every edge as born (second half only), died (first half only), or
+    stable — the graph-drift companion to customer_segment_migration
+    and the health check for any model trained on co-occurrence
+    features (a high churn share means yesterday's item graph doesn't
+    describe today's traffic, so pagerank/k-core/link-prediction
+    features go stale).
+
+    Determinism: per-period edge elections are exact-count thresholds;
+    the fate matrix is a keyed FULL OUTER join with exact tallies and
+    one IEEE share divide.
+
+    Scale shape: the per-period censuses come from the same map-side
+    basket-array expansion as cobuy_pair_census (here keyed by period,
+    so the memoized whole-timeline census cannot be reused); the fate
+    classification is one keyed full-outer join of two slim edge
+    lists; output is 3 rows."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_CHURN_SPLIT).cast("date"),
+            1,
+        )
+        .otherwise(2)
+        .alias("period"),
+    )
+    basket = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("period", F.col("l_orderkey").alias("order_id"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    sz = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 2, sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("items"), i + 1).alias("a"),
+                    j.alias("b"),
+                ),
+            ),
+        )
+    )
+    e = (
+        basket.select("period", F.explode(F.when(sz >= 2, pairs)).alias("p"))
+        .groupBy("period", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _CHURN_MIN_SUPPORT)
+        .select("period", "a", "b")
+        .localCheckpoint()
+    )
+    x = e.filter(F.col("period") == 1).select(
+        F.col("a").alias("xa"), F.col("b").alias("xb")
+    )
+    y = e.filter(F.col("period") == 2).select(
+        F.col("a").alias("ya"), F.col("b").alias("yb")
+    )
+    m = x.join(
+        y, (x["xa"] == y["ya"]) & (x["xb"] == y["yb"]), "full_outer"
+    ).select(
+        F.when(F.col("ya").isNull(), "died")
+        .when(F.col("xa").isNull(), "born")
+        .otherwise("stable")
+        .alias("fate")
+    )
+    agg = m.groupBy("fate").agg(F.count("*").cast("bigint").alias("n_edges"))
+    w = Window.partitionBy()
+    return agg.select(
+        "fate",
+        "n_edges",
+        F.round(
+            F.col("n_edges").cast("double") / F.sum("n_edges").over(w), 6
+        ).alias("share"),
+    )

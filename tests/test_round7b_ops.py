@@ -537,3 +537,25 @@ def test_funnel_ztest_rates_and_flags_are_consistent(spark):
         # where the rounded display z could disagree
         if abs(abs(r.z_score) - 1.96) > 1e-3:
             assert r.significant == (abs(r.z_score) > 1.96)
+
+
+def test_trimmed_mean_is_between_bounds_and_trims_ten_percent(spark):
+    rows = registry.DEFERRED_QUERIES["robust_order_value_stats"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        # NTILE(20) drops buckets 1 and 20 -> ~10% trimmed (±bucket
+        # rounding)
+        assert abs(r.n_trimmed / r.n_orders - 0.10) < 0.02
+        assert r.trimmed_mean > 0 and r.raw_mean > 0
+
+
+def test_edge_churn_shares_sum_to_one_and_cover_fates(spark):
+    rows = registry.DEFERRED_QUERIES["cobuy_edge_churn"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert {r.fate for r in rows} <= {"born", "died", "stable"}
+    assert all(r.n_edges > 0 for r in rows)
