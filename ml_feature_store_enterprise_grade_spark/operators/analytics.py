@@ -4531,3 +4531,88 @@ def cobuy_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("double") / F.sum("n_edges").over(w), 6
         ).alias("share"),
     )
+
+
+@register(
+    "cobuy_degree_assortativity",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a.item_id AS a, b.item_id AS b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PR_MIN_SUPPORT}
+    ),
+    adj AS (SELECT a AS z, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    ends AS (
+        SELECT dx.d AS dj, dy.d AS dk
+        FROM adj j JOIN deg dx ON dx.z = j.z JOIN deg dy ON dy.z = j.v
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               SUM(dj * dk) AS sjk,
+               SUM(dj) AS sj,
+               SUM(dj * dj) AS sjj
+        FROM ends
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           ROUND((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+                 / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def cobuy_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all directed
+    edge ends — positive means hub items co-sell with other hubs
+    (social-network-like), negative means hubs attach to the fringe
+    (technological/dissortative), and the sign determines how
+    celebrity-item skew propagates through every graph feature built
+    here (pagerank, k-core, link prediction).
+
+    Determinism: degrees and all five moments are exact integer sums
+    over the symmetric edge-end list (the standard directed-ends form
+    of Newman's formula — both directions counted, so no /2 halving
+    ambiguity); the correlation is a fixed chain of IEEE ops on exact
+    scalars.
+
+    Scale shape: edges filter the memoized co-purchase census; the
+    endpoint-degree join is two keyed equi-joins of slim frames; the
+    moment fold is one scalar aggregate — output is 1 row."""
+    e = (
+        cobuy_pair_census(spark, sf_dir)
+        .filter(F.col("n_ab") >= _PR_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").cast("bigint").alias("d"))
+    dx = deg.select(F.col("z").alias("jz"), F.col("d").alias("dj"))
+    dy = deg.select(F.col("z").alias("kz"), F.col("d").alias("dk"))
+    ends = adj.join(dx, adj["z"] == dx["jz"]).join(
+        dy, adj["v"] == dy["kz"]
+    ).select("dj", "dk")
+    m = ends.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum("dj").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+    )
+    num = F.col("m2").cast("double") * F.col("sjk") - F.col("sj").cast(
+        "double"
+    ) * F.col("sj")
+    den = F.col("m2").cast("double") * F.col("sjj") - F.col("sj").cast(
+        "double"
+    ) * F.col("sj")
+    return m.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

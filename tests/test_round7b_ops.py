@@ -559,3 +559,13 @@ def test_edge_churn_shares_sum_to_one_and_cover_fates(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     assert {r.fate for r in rows} <= {"born", "died", "stable"}
     assert all(r.n_edges > 0 for r in rows)
+
+
+def test_assortativity_is_a_valid_correlation(spark):
+    rows = registry.DEFERRED_QUERIES["cobuy_degree_assortativity"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_edges > 0
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
