@@ -2516,3 +2516,75 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.unpersist()
     return out
+
+
+@register(
+    "dup_cluster_language_purity",
+    defer=True,
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    sized AS (
+        SELECT l.cluster_id, d.lang,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+        FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    per_cluster AS (
+        SELECT cluster_id,
+               CAST(MAX(cluster_size) AS BIGINT) AS cluster_size,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM sized WHERE cluster_size >= 2
+        GROUP BY 1
+    )
+    SELECT n_langs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+               AS cluster_share
+    FROM per_cluster GROUP BY 1
+    """,
+)
+def dup_cluster_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of duplicate clusters: for every multi-doc
+    cluster, how many distinct languages its members span — clusters
+    that cross languages are TRANSLATION pairs / boilerplate templates
+    rather than re-crawls, and a dedup policy that keeps one canonical
+    doc per cluster would silently delete translations a multilingual
+    mixture wants to keep.  This census (n_langs → cluster counts,
+    doc counts, shares) is the governance readout that decides whether
+    cluster-level removal needs a language guard.
+
+    Determinism: labels come from the exact CC algorithm (oracle: the
+    same recursive-CTE reachability every dedup_clusters check uses);
+    tallies exact; one IEEE share divide.
+
+    Scale shape: reuses the per-(session, sf) memoized cluster-label
+    frame (_doc_cluster_labels — zero marginal component cost after
+    any dedup query has run), one broadcast-sized join to doc langs
+    (label frame is |corpus| slim rows; the join is keyed on doc_id),
+    then bounded aggregates."""
+    labels = _doc_cluster_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sized = labels.join(langs, "doc_id").select("cluster_id", "lang")
+    per_cluster = (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    agg = per_cluster.groupBy("n_langs").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "n_langs",
+        "n_clusters",
+        "n_docs",
+        F.round(
+            F.col("n_clusters").cast("double") / F.sum("n_clusters").over(w), 6
+        ).alias("cluster_share"),
+    )

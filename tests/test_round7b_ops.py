@@ -569,3 +569,15 @@ def test_assortativity_is_a_valid_correlation(spark):
     r = rows[0]
     assert r.n_edges > 0
     assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+def test_cluster_language_purity_tallies_are_consistent(spark):
+    rows = registry.DEFERRED_QUERIES["dup_cluster_language_purity"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    assert abs(sum(r.cluster_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.n_langs >= 1
+        # every counted cluster has >= 2 docs
+        assert r.n_docs >= 2 * r.n_clusters
