@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ml_feature_store_enterprise_grade_spark import registry
@@ -244,15 +245,38 @@ def test_segment_migration_matrix_is_consistent(spark):
     assert total >= sum(row_sums.values())
 
 
-def test_bpe_merges_match_python_reference(spark):
-    """Full Python twin of the BPE trainer on the smoke corpus —
-    including the engines' shared left-to-right non-overlapping
-    replace convention (Python str.replace has the identical
-    semantics), so this pins the merge TABLE exactly, not just its
-    shape."""
+def _python_bpe(texts, rounds):
+    """Python twin of bpe_merge_learning — including the engines'
+    shared left-to-right non-overlapping replace convention (Python
+    str.replace has identical semantics)."""
     import re
     from collections import Counter
 
+    freq: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                freq[w] += 1
+    sym = {w: " ".join(w) for w in freq}
+    want = []
+    for rank in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, s in sym.items():
+            toks = s.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[f"{a} {b}"] += freq[w]
+        if not pairs:
+            return want
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, best[0], best[0].replace(" ", ""), best[1]))
+        pat, rep = f" {best[0]} ", f" {best[0].replace(' ', '')} "
+        sym = {w: f" {s} ".replace(pat, rep).strip() for w, s in sym.items()}
+    return want
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Pins the merge TABLE exactly on the smoke corpus, not just its
+    shape."""
     import duckdb
 
     from ml_feature_store_enterprise_grade_spark.operators.text import (
@@ -265,23 +289,7 @@ def test_bpe_merges_match_python_reference(spark):
         .execute(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
         .fetchall()
     ]
-    freq: Counter = Counter()
-    for t in texts:
-        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
-            if re.fullmatch(r"[a-z]+", w):
-                freq[w] += 1
-    sym = {w: " ".join(w) for w in freq}
-    want = []
-    for rank in range(1, _BPE_MERGES + 1):
-        pairs: Counter = Counter()
-        for w, s in sym.items():
-            toks = s.split(" ")
-            for a, b in zip(toks, toks[1:]):
-                pairs[f"{a} {b}"] += freq[w]
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        want.append((rank, best[0], best[0].replace(" ", ""), best[1]))
-        pat, rep = f" {best[0]} ", f" {best[0].replace(' ', '')} "
-        sym = {w: f" {s} ".replace(pat, rep).strip() for w, s in sym.items()}
+    want = _python_bpe(texts, _BPE_MERGES)
     got = [
         (r.merge_rank, r.pair, r.merged, r.pair_count)
         for r in registry.DEFERRED_QUERIES["bpe_merge_learning"](
@@ -581,3 +589,130 @@ def test_cluster_language_purity_tallies_are_consistent(spark):
         assert r.n_langs >= 1
         # every counted cluster has >= 2 docs
         assert r.n_docs >= 2 * r.n_clusters
+
+
+# ---------------------------------------------------------------------------
+# Randomized property tests: the oracle sweep cross-checks three fixed
+# corpora; these drive the same registered queries over ARBITRARY
+# Hypothesis-generated inputs (written as a minimal sf_dir with just the
+# table each query reads) against direct Python references.
+
+
+def _python_ra_topk(baskets, support, topk):
+    from collections import defaultdict
+    from itertools import combinations
+
+    pair_count = defaultdict(int)
+    for items in baskets:
+        for a, b in combinations(sorted(set(items)), 2):
+            pair_count[(a, b)] += 1
+    edges = {p for p, n in pair_count.items() if n >= support}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wq = {z: 10**12 // len(vs) for z, vs in adj.items()}
+    scores = defaultdict(lambda: [0, 0])  # (a,b) -> [score_q, n_common]
+    for z, vs in adj.items():
+        from itertools import combinations as comb2
+
+        for a, b in comb2(sorted(vs), 2):
+            s = scores[(a, b)]
+            s[0] += wq[z]
+            s[1] += 1
+    cand = [
+        (a, b, n, q)
+        for (a, b), (q, n) in scores.items()
+        if (a, b) not in edges
+    ]
+    cand.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return [
+        (a, b, n, round(q / 1e12, 6)) for a, b, n, q in cand[:topk]
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(1, 12), min_size=1, max_size=5),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ra_link_prediction_matches_python_reference_on_random_baskets(
+    spark, tmp_path_factory, baskets
+):
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _COBUY_CACHE,
+        _RA_MIN_SUPPORT,
+        _RA_TOPK,
+    )
+
+    d = tmp_path_factory.mktemp("ra_sf")
+    rows = [
+        (o + 1, int(item))
+        for o, items in enumerate(baskets)
+        for item in items
+    ]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    # catalog.load_table normalizes lineitem's ts column; give the
+    # fixture a real timestamp so the dispatch recognizes it
+    pdf["l_shipdate"] = pd.Timestamp("1995-01-01")
+    pdf.to_parquet(d / "lineitem.parquet")
+    _COBUY_CACHE.clear()  # synthetic dir must not hit a stale census
+    try:
+        got = [
+            (r.item_a, r.item_b, r.n_common, r.ra_score)
+            for r in registry.DEFERRED_QUERIES["item_ra_link_prediction"](
+                spark, str(d)
+            ).collect()
+        ]
+    finally:
+        _COBUY_CACHE.clear()
+    want = _python_ra_topk(baskets, _RA_MIN_SUPPORT, _RA_TOPK)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_matches_python_reference_on_random_corpora(
+    spark, tmp_path_factory, words
+):
+    """BPE trainer vs the Python twin on arbitrary tiny corpora —
+    exercises tie-breaks, single-char words, repeated-pair sites, and
+    early vocabulary exhaustion that the fixed corpus never hits."""
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.text import (
+        _BPE_MERGES,
+    )
+
+    text = " ".join(words)
+    d = tmp_path_factory.mktemp("bpe_sf")
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(d / "documents.parquet")
+    want = _python_bpe([text], _BPE_MERGES)
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in registry.DEFERRED_QUERIES["bpe_merge_learning"](
+            spark, str(d)
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
