@@ -4616,3 +4616,119 @@ def cobuy_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m2") / 2).cast("bigint").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+@register(
+    "markov_entropy_rate",
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) IS NULL
+                     OR date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > {int(SESSION_GAP_MINUTES * 60e6)}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM g
+    ),
+    t AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id, sess ORDER BY ts, event_id
+               ) AS dst_type
+        FROM s
+    ),
+    c AS (
+        SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    ),
+    srcn AS (SELECT src_type, SUM(n) AS n_src FROM c GROUP BY 1),
+    hq AS (
+        SELECT c.src_type, s.n_src,
+               SUM(CAST(FLOOR(-(CAST(c.n AS DOUBLE) / s.n_src)
+                          * log2(CAST(c.n AS DOUBLE) / s.n_src)
+                          * 1000000000.0) AS BIGINT)) AS h_q
+        FROM c JOIN srcn s ON s.src_type = c.src_type
+        GROUP BY 1, 2
+    )
+    SELECT src_type,
+           CAST(n_src AS BIGINT) AS n_transitions,
+           ROUND(h_q / 1000000000.0, 6) AS entropy_bits,
+           ROUND(CAST(SUM(n_src * h_q) OVER () AS DOUBLE)
+                 / (SUM(n_src) OVER () * 1000000000.0), 6)
+               AS entropy_rate_bits
+    FROM hq
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy rate of the within-session event chain: per
+    source state the conditional next-event entropy H(dst | src) in
+    bits, plus the empirical entropy rate Σ p(src)·H(dst|src) — the
+    information-theoretic summary of session_path_markov's transition
+    matrix.  A collapsing entropy rate means traffic is becoming
+    scripted/bot-like (deterministic paths); a jump means the funnel
+    lost its structure — the single-number alarm on top of the full
+    matrix.
+
+    Determinism: transition counts are exact; each of the ≤|types|
+    per-cell −p·log2(p) terms is computed from bit-identical doubles
+    (ratios of exact integers) and quantized to an exact 1e-9 integer
+    BEFORE summation (the corpus_lexical_drift discipline); the rate
+    weights those exact integers by exact counts with one final IEEE
+    divide.
+
+    Scale shape: identical to session_path_markov through the
+    transition census (one user-keyed window shuffle); everything
+    after runs on the ≤|types|² bounded matrix."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    # the SAME sessionizer session_path_markov uses — hand-rolling the
+    # gap here (e.g. via second-truncated casts) could break sessions
+    # differently from the oracle's microsecond date_diff
+    tagged = sessionize(e, SESSION_GAP_MINUTES, tiebreak="event_id")
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    t = tagged.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(ws).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    c = t.groupBy("src_type", "dst_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    srcn = c.groupBy("src_type").agg(F.sum("n").alias("n_src"))
+    p = F.col("n").cast("double") / F.col("n_src")
+    hq = (
+        c.join(F.broadcast(srcn), "src_type")
+        .select(
+            "src_type",
+            "n_src",
+            F.floor(-p * F.log2(p) * 1000000000.0).cast("bigint").alias("tq"),
+        )
+        .groupBy("src_type", "n_src")
+        .agg(F.sum("tq").alias("h_q"))
+    )
+    w = Window.partitionBy()
+    return hq.select(
+        "src_type",
+        F.col("n_src").cast("bigint").alias("n_transitions"),
+        F.round(F.col("h_q") / 1000000000.0, 6).alias("entropy_bits"),
+        F.round(
+            F.sum(F.col("n_src") * F.col("h_q")).over(w).cast("double")
+            / (F.sum("n_src").over(w) * 1000000000.0),
+            6,
+        ).alias("entropy_rate_bits"),
+    )

@@ -716,3 +716,26 @@ def test_bpe_matches_python_reference_on_random_corpora(
         .collect()
     ]
     assert got == want
+
+
+def test_entropy_rate_is_bounded_and_weighted_mean(spark):
+    import math
+
+    rows = registry.DEFERRED_QUERIES["markov_entropy_rate"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    n_states = len(rows)
+    cap = math.log2(max(n_states, 2)) + 1e-6
+    rate = rows[0].entropy_rate_bits
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= cap
+        assert r.entropy_rate_bits == rate  # global column is constant
+    # the rate is the count-weighted mean of per-src entropies
+    want = sum(r.n_transitions * r.entropy_bits for r in rows) / sum(
+        r.n_transitions for r in rows
+    )
+    assert abs(rate - want) < 1e-4
+    assert min(r.entropy_bits for r in rows) <= rate <= max(
+        r.entropy_bits for r in rows
+    )
