@@ -4732,3 +4732,123 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_bits"),
     )
+
+
+def _pois_w_sql(lam: str, k: str) -> str:
+    """Unnormalized truncated-Poisson weight λ^k/k! as a LEFT fold of
+    λ/i — multiplication order fixed and identical in both engines, so
+    the double is bit-deterministic with NO exp/log/pow anywhere."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {k}),"
+        f" i -> ({lam}) / i), (a, b) -> a * b)"
+    )
+
+
+@register(
+    "basket_size_poisson_gof",
+    defer=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS k
+        FROM lineitem GROUP BY 1
+    ),
+    obs AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    s AS (
+        SELECT SUM(n) AS n_orders, SUM(k * n) AS sk, SUM(k * k * n) AS skk,
+               MAX(k) AS kmax
+        FROM obs
+    ),
+    lamz AS (
+        SELECT n_orders, sk, skk, kmax,
+               CAST(sk AS DOUBLE) / n_orders AS lam
+        FROM s
+    ),
+    z AS (
+        SELECT *, list_reduce(list_transform(generate_series(1, kmax),
+                   kk -> {_pois_w_sql("lam", "kk")}), (a, b) -> a + b) AS zz
+        FROM lamz
+    ),
+    cells AS (
+        SELECT o.k, o.n,
+               z.n_orders * {_pois_w_sql("z.lam", "o.k")} / z.zz AS expd,
+               z.lam, z.n_orders, z.sk, z.skk
+        FROM obs o CROSS JOIN z
+    )
+    SELECT k, n AS n_observed,
+           ROUND(expd, 4) AS n_expected,
+           ROUND((n - expd) * (n - expd) / expd, 4) AS chi2_term,
+           ROUND(SUM((n - expd) * (n - expd) / expd) OVER (), 4) AS chi2_total,
+           ROUND((CAST(skk AS DOUBLE) / n_orders - lam * lam) / lam, 6)
+               AS dispersion_index
+    FROM cells
+    """,
+)
+def basket_size_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit for basket sizes (distinct items per
+    order): observed vs expected cell counts under a support-1..kmax
+    truncated Poisson fitted by the raw mean, per-cell χ² terms, the
+    total χ², and the variance/mean dispersion index — the standard
+    screen for whether order composition is random arrivals
+    (index ≈ 1), bursty/clumped (over-dispersed > 1, the negative-
+    binomial regime), or quota-like (under-dispersed < 1).
+
+    Determinism — the novelty here: NO exp/log/pow anywhere.  Every
+    Poisson weight λ^k/k! is a LEFT fold of λ/i multiplications and
+    the truncated normalizer is a left fold of those weights — fixed
+    operation order on bit-identical doubles, so both engines produce
+    the same bits where an e^-λ formulation would hinge on libm exp's
+    last ulp.  Moments are exact integer sums; λ and the dispersion
+    index are single IEEE chains over them.
+
+    Scale shape: one fact aggregate to per-order sizes, one to the
+    ≤kmax-cell histogram; the fold arithmetic runs on that bounded
+    frame (kmax ≈ 17 here; basket sizes are small constants at any
+    corpus scale)."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("k"))
+    )
+    obs = b.groupBy("k").agg(F.count("*").cast("bigint").alias("n"))
+    s = obs.agg(
+        F.sum("n").alias("n_orders"),
+        F.sum(F.col("k") * F.col("n")).alias("sk"),
+        F.sum(F.col("k") * F.col("k") * F.col("n")).alias("skk"),
+        F.max("k").alias("kmax"),
+    ).withColumn("lam", F.col("sk").cast("double") / F.col("n_orders"))
+
+    def w(lam: str, k: str) -> str:
+        return (
+            f"aggregate(sequence(1, {k}), CAST(1.0 AS DOUBLE),"
+            f" (acc, i) -> acc * (({lam}) / i))"
+        )
+
+    z = s.withColumn(
+        "zz",
+        F.expr(
+            f"aggregate(sequence(1, kmax), CAST(0.0 AS DOUBLE),"
+            f" (acc, kk) -> acc + {w('lam', 'kk')})"
+        ),
+    )
+    cells = obs.crossJoin(F.broadcast(z)).withColumn(
+        "expd", F.expr(f"n_orders * {w('lam', 'k')} / zz")
+    )
+    chi = (F.col("n") - F.col("expd")) * (F.col("n") - F.col("expd")) / F.col(
+        "expd"
+    )
+    wall = Window.partitionBy()
+    return cells.select(
+        "k",
+        F.col("n").alias("n_observed"),
+        F.round(F.col("expd"), 4).alias("n_expected"),
+        F.round(chi, 4).alias("chi2_term"),
+        F.round(F.sum(chi).over(wall), 4).alias("chi2_total"),
+        F.round(
+            (
+                F.col("skk").cast("double") / F.col("n_orders")
+                - F.col("lam") * F.col("lam")
+            )
+            / F.col("lam"),
+            6,
+        ).alias("dispersion_index"),
+    )

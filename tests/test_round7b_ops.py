@@ -739,3 +739,18 @@ def test_entropy_rate_is_bounded_and_weighted_mean(spark):
     assert min(r.entropy_bits for r in rows) <= rate <= max(
         r.entropy_bits for r in rows
     )
+
+
+def test_poisson_gof_expected_counts_sum_to_n(spark):
+    rows = registry.DEFERRED_QUERIES["basket_size_poisson_gof"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    n = sum(r.n_observed for r in rows)
+    # truncated fit on the observed support: expected masses cover the
+    # full 1..kmax range, so they sum to N up to rounding
+    assert abs(sum(r.n_expected for r in rows) - n) < 0.5
+    total = rows[0].chi2_total
+    assert all(r.chi2_total == total for r in rows)
+    assert abs(sum(r.chi2_term for r in rows) - total) < 0.05
+    assert rows[0].dispersion_index > 0
