@@ -4852,3 +4852,188 @@ def basket_size_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dispersion_index"),
     )
+
+
+@register(
+    "acctbal_revenue_spearman",
+    defer=True,
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_custkey AS cust,
+               CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal,
+               SUM(CAST(o.o_totalprice AS DECIMAL(16,2))) AS rev
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT cust,
+               2 * RANK() OVER (ORDER BY bal)
+                   + COUNT(*) OVER (PARTITION BY bal) - 1 AS rx,
+               2 * RANK() OVER (ORDER BY rev)
+                   + COUNT(*) OVER (PARTITION BY rev) - 1 AS ry
+        FROM cust
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+               SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy
+        FROM r
+    )
+    SELECT n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman_rho
+    FROM m
+    """,
+)
+def acctbal_revenue_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their lifetime order revenue — the robust (monotone, outlier-
+    immune) association screen next to feature_correlation_matrix's
+    Pearson: a strong Spearman with weak Pearson means the relation is
+    monotone but nonlinear, the standard cue to bin or transform the
+    feature before a linear model.
+
+    Determinism: tie-handled average ranks are carried DOUBLED
+    (2·rank + ties − 1) so they stay exact integers; all five moments
+    are exact DECIMAL sums; the correlation is one IEEE chain (cast,
+    sqrt, divide) over exact scalars — no float ranks, no float sums.
+
+    Scale shape: one fact aggregate to per-customer rows, two global
+    rank windows over the |customers|-bounded frame (at 100 TB use
+    approx rank binning — same ρ contract), one scalar moment fold."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "bal")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(16,2)")).alias("rev"))
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("bal"))
+        + F.count("*").over(Window.partitionBy("bal"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.orderBy("rev"))
+        + F.count("*").over(Window.partitionBy("rev"))
+        - 1
+    )
+    r = cust.select(rx.alias("rx"), ry.alias("ry"))
+    d38 = "decimal(38,0)"
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rx").cast(d38)).alias("sx"),
+        F.sum(F.col("ry").cast(d38)).alias("sy"),
+        F.sum(F.col("rx").cast(d38) * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx").cast(d38) * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast(d38) * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+@register(
+    "segment_priority_association",
+    defer=True,
+    oracle="""
+    WITH t AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cell AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+    rs AS (SELECT seg, SUM(n) AS nr FROM cell GROUP BY 1),
+    cs AS (SELECT pri, SUM(n) AS nc FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nn,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT pri) AS BIGINT) AS c
+            FROM cell),
+    chi AS (
+        SELECT SUM((CAST(cell.n AS DOUBLE)
+                    - CAST(rs.nr AS DOUBLE) * cs.nc / tot.nn)
+                   * (CAST(cell.n AS DOUBLE)
+                      - CAST(rs.nr AS DOUBLE) * cs.nc / tot.nn)
+                   / (CAST(rs.nr AS DOUBLE) * cs.nc / tot.nn)) AS chi2,
+               MAX(tot.nn) AS nn, MAX(tot.r) AS r, MAX(tot.c) AS c
+        FROM cell JOIN rs ON rs.seg = cell.seg
+        JOIN cs ON cs.pri = cell.pri CROSS JOIN tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(sqrt(chi2 / (nn * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def segment_priority_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between customer market segment and
+    order priority — the bounded-[0,1] effect size for two
+    categoricals (χ² alone grows with N, V doesn't), answering the
+    feature-selection question "does segment carry any signal about
+    priority, or are these independent dimensions?" before anyone
+    crosses them into a model.
+
+    Determinism: the contingency table, margins, and totals are exact
+    integers; each cell's expected count and χ² term is a fixed IEEE
+    chain over them, summed across a bounded (|segments|×|priorities|
+    = 25-cell) frame where Spark's partial aggregation cannot reorder
+    enough terms to matter — and the 25 doubles are in fact summed in
+    one partition after the broadcast joins; V is one sqrt/divide.
+
+    Scale shape: one fact pass to the 25-cell table; margins broadcast
+    back; everything after is scalar arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("pri")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    cell = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("seg", "pri")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rs = cell.groupBy("seg").agg(F.sum("n").alias("nr"))
+    cs = cell.groupBy("pri").agg(F.sum("n").alias("nc"))
+    tot = cell.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("seg").cast("bigint").alias("r"),
+        F.countDistinct("pri").cast("bigint").alias("c"),
+    )
+    j = (
+        cell.join(F.broadcast(rs), "seg")
+        .join(F.broadcast(cs), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    expd = F.col("nr").cast("double") * F.col("nc") / F.col("nn")
+    term = (F.col("n").cast("double") - expd) * (
+        F.col("n").cast("double") - expd
+    ) / expd
+    chi = j.agg(
+        F.sum(term).alias("chi2"),
+        F.max("nn").alias("nn"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    return chi.select(
+        F.col("nn").cast("bigint").alias("n_orders"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("nn") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

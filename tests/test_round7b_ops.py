@@ -754,3 +754,59 @@ def test_poisson_gof_expected_counts_sum_to_n(spark):
     assert all(r.chi2_total == total for r in rows)
     assert abs(sum(r.chi2_term for r in rows) - total) < 0.05
     assert rows[0].dispersion_index > 0
+
+
+def test_spearman_is_valid_and_matches_scipy_free_reference(spark):
+    """Exact Python average-rank Spearman on the smoke corpus."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(c.c_acctbal AS DECIMAL(12,2)),
+               SUM(CAST(o.o_totalprice AS DECIMAL(16,2)))
+        FROM '{SF_SMOKE}/customer.parquet' c
+        JOIN '{SF_SMOKE}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, 1
+        """
+    ).fetchall()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    ) ** 0.5
+    got = registry.DEFERRED_QUERIES["acctbal_revenue_spearman"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert got.n == n
+    assert abs(got.spearman_rho - want) < 1e-4
+    assert -1.0 <= got.spearman_rho <= 1.0
+
+
+def test_cramers_v_is_bounded(spark):
+    r = registry.DEFERRED_QUERIES["segment_priority_association"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert r.n_orders > 0 and r.dof >= 1
+    assert r.chi2 >= 0
+    assert 0.0 <= r.cramers_v <= 1.0
