@@ -2754,3 +2754,114 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ccnet_bucket"),
     )
+
+
+@register(
+    "quality_concentration_curve",
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, n_chars, tok, COUNT(*) AS cnt
+            FROM t GROUP BY 1, 2, 3),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM vocab),
+    contrib AS (
+        SELECT tok, CAST(FLOOR(log10(CAST(n AS DOUBLE) / tot.total)
+                               * 1000000.0) AS BIGINT) AS cq
+        FROM vocab, tot
+    ),
+    scored AS (
+        SELECT d.doc_id, MAX(d.n_chars) AS n_chars,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(d.cnt * c.cq) AS BIGINT) AS score_q
+        FROM dtc d JOIN contrib c ON c.tok = d.tok
+        GROUP BY 1
+    ),
+    deciled AS (
+        SELECT *, NTILE(10) OVER (
+                   ORDER BY CAST(score_q AS DOUBLE) / n_tokens DESC, doc_id)
+                   AS decile
+        FROM scored
+    ),
+    g AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM deciled GROUP BY 1
+    )
+    SELECT decile, n_docs, n_chars,
+           ROUND(CAST(SUM(n_chars) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / SUM(n_chars) OVER (), 6)
+               AS cum_char_share
+    FROM g
+    """,
+)
+def quality_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-concentration (Lorenz) curve of the corpus: documents
+    ranked into fluency deciles by mean unigram log-probability (the
+    ccnet_perplexity_buckets score, decile-resolution), with the
+    CUMULATIVE character share captured from the most-fluent decile
+    down — the curve that answers "if curation keeps only the top-k%
+    by quality, how much of the corpus volume survives?", i.e. the
+    budget consequence of every head/middle/tail policy before
+    committing to one.
+
+    Determinism: the ccnet discipline end to end — vocabulary-level
+    1e-6-quantized log contributions, exact integer per-doc scores,
+    NTILE over (bit-identical double, doc_id); char tallies exact;
+    the running share is one IEEE divide of exact integers per row.
+
+    Scale shape: same bounded frames as ccnet_perplexity_buckets plus
+    one 10-row running-sum window."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "n_chars", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    dtc = toks.groupBy("doc_id", "n_chars", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    total = float(vocab.agg(F.sum("n")).first()[0])
+    contrib = vocab.select(
+        "tok",
+        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
+        .cast("bigint")
+        .alias("cq"),
+    )
+    scored = (
+        dtc.join(F.broadcast(contrib), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
+        )
+    )
+    mean_q = F.col("score_q").cast("double") / F.col("n_tokens")
+    deciled = scored.select(
+        "n_chars",
+        F.ntile(10).over(Window.orderBy(F.desc(mean_q), "doc_id")).alias(
+            "decile"
+        ),
+    )
+    g = deciled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return g.select(
+        "decile",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.sum("n_chars").over(wc).cast("double")
+            / F.sum("n_chars").over(wall),
+            6,
+        ).alias("cum_char_share"),
+    )

@@ -89,6 +89,7 @@ ORACLES: dict[str, str] = {}
 #   - basket_size_poisson_gof (round 7 overflow)
 #   - acctbal_revenue_spearman (round 7 overflow)
 #   - segment_priority_association (round 7 overflow)
+#   - quality_concentration_curve (round 7 overflow)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -134,12 +135,12 @@ _loaded = False
 #: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
 #: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
 #: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2) fill
-#: ``_PROMOTED`` (above) with the 60 promotable round-7 deferred
+#: ``_PROMOTED`` (above) with the 61 promotable round-7 deferred
 #: names (the overflow list above MINUS the environment-gated
 #: ``stream_tws_purchase_stats``) — promotion is data-driven, NO
 #: decorator edits — and rebuild ``_FRONT`` with those names at the
 #: head (all have 3-scale local parity; the window holds 50, so run
-#: it over two rounds: 60 > 50 − changed-query re-checks means pick
+#: it over two rounds: 61 > 50 − changed-query re-checks means pick
 #: ~45 now, leave the rest deferred); (3) delete the promoted names
 #: from the overflow comment list.
 _FRONT: tuple[str, ...] = (

@@ -810,3 +810,18 @@ def test_cramers_v_is_bounded(spark):
     assert r.n_orders > 0 and r.dof >= 1
     assert r.chi2 >= 0
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_quality_concentration_curve_is_monotone_to_one(spark):
+    rows = sorted(
+        registry.DEFERRED_QUERIES["quality_concentration_curve"](
+            spark, SF_SMOKE
+        ).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_char_share for r in rows]
+    assert shares == sorted(shares)  # cumulative => monotone
+    assert abs(shares[-1] - 1.0) < 1e-6
+    sizes = sorted(r.n_docs for r in rows)
+    assert sizes[-1] - sizes[0] <= 1  # NTILE equal-frequency
