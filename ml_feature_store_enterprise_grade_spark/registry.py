@@ -29,67 +29,22 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
-#   - doc_winnowing_matches (round 7 overflow)
-#   - user_activity_entropy (round 7 overflow)
-#   - acctbal_gini_by_segment (round 7 overflow)
-#   - monthly_revenue_gap_fill (round 7 overflow)
-#   - part_name_fuzzy_links (round 7 overflow)
-#   - supplier_acctbal_ntile (round 7 overflow)
-#   - revenue_seasonal_decomposition (round 7 overflow)
-#   - part_price_size_skyline (round 7 overflow)
-#   - user_value_locf_interpolation (round 7 overflow)
-#   - embedding_kmeans (round 7 overflow)
-#   - event_daily_autocorrelation (round 7 overflow)
-#   - revenue_ewma_trend (round 7 overflow)
-#   - concurrent_sessions_daily (round 7 overflow)
-#   - benford_digit_audit (round 7 overflow)
-#   - item_kcore_membership (round 7 overflow)
-#   - item_label_propagation (round 7 overflow)
-#   - session_survival_curve (round 7 overflow)
-#   - pit_nearest_join (round 7 overflow)
-#   - ab_assignment_srm_audit (round 7 overflow)
-#   - revenue_changepoint_scan (round 7 overflow)
-#   - part_revenue_abc_classes (round 7 overflow)
-#   - revenue_trend_regression (round 7 overflow)
-#   - embedding_top_eigenvector (round 7 overflow)
-#   - doc_rake_keyphrases (round 7 overflow)
-#   - rec_popularity_ndcg (round 7 overflow)
-#   - user_activity_streaks (round 7 overflow)
-#   - vocab_zipf_fit (round 7 overflow)
-#   - revenue_mann_kendall (round 7 overflow)
-#   - daily_revenue_runs_test (round 7 overflow)
-#   - discount_quantity_elasticity (round 7 overflow)
-#   - cohort_ltv_curve (round 7 overflow)
-#   - supply_concentration_hhi (round 7 overflow)
-#   - doc_shard_rendezvous (round 7 overflow)
-#   - item_ra_link_prediction (round 7 overflow)
-#   - daily_revenue_sax (round 7 overflow)
-#   - event_value_quantile_normalization (round 7 overflow)
-#   - embedding_jl_distortion (round 7 overflow)
-#   - stream_stream_left_outer_join (round 7 overflow)
-#   - customer_segment_migration (round 7 overflow)
-#   - bpe_merge_learning (round 7 overflow)
-#   - source_ablation_report (round 7 overflow)
-#   - corpus_lexical_drift (round 7 overflow)
-#   - stream_dedup_within_watermark (round 7 overflow)
-#   - embedding_centroid_drift (round 7 overflow)
-#   - phrase_search_topdocs (round 7 overflow)
-#   - bitemporal_customer_features (round 7 overflow)
-#   - doc_language_purity (round 7 overflow)
-#   - top_orders_diversified (round 7 overflow)
-#   - hard_negative_pairs (round 7 overflow)
-#   - dsir_importance_weights (round 7 overflow)
-#   - ccnet_perplexity_buckets (round 7 overflow)
-#   - funnel_conversion_ztest (round 7 overflow)
-#   - robust_order_value_stats (round 7 overflow)
-#   - cobuy_edge_churn (round 7 overflow)
-#   - cobuy_degree_assortativity (round 7 overflow)
-#   - dup_cluster_language_purity (round 7 overflow)
-#   - markov_entropy_rate (round 7 overflow)
-#   - basket_size_poisson_gof (round 7 overflow)
-#   - acctbal_revenue_spearman (round 7 overflow)
-#   - segment_priority_association (round 7 overflow)
-#   - quality_concentration_curve (round 7 overflow)
+#   - part_name_fuzzy_links (round 9 queue)
+#   - supplier_acctbal_ntile (round 9 queue)
+#   - user_value_locf_interpolation (round 9 queue)
+#   - event_value_quantile_normalization (round 9 queue)
+#   - acctbal_gini_by_segment (round 9 queue)
+#   - monthly_revenue_gap_fill (round 9 queue)
+#   - revenue_ewma_trend (round 9 queue)
+#   - user_activity_streaks (round 9 queue)
+#   - daily_revenue_runs_test (round 9 queue)
+#   - cohort_ltv_curve (round 9 queue)
+#   - item_ra_link_prediction (round 9 queue)
+#   - daily_revenue_sax (round 9 queue)
+#   - cobuy_edge_churn (round 9 queue)
+#   - markov_entropy_rate (round 9 queue)
+#   - segment_priority_association (round 9 queue)
+#   - vocab_zipf_fit (round 9 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -101,7 +56,31 @@ DEFERRED_ORACLES: dict[str, str] = {}
 #: ``_FRONT`` (or be driver-checked) — the existing never-checked
 #: guard enforces that automatically; stale names are caught by
 #: tests/test_registry.py::test_promoted_names_are_registered.
-_PROMOTED: frozenset[str] = frozenset()
+_PROMOTED: frozenset[str] = frozenset((
+    "top_orders_diversified", "pit_nearest_join",
+    "bitemporal_customer_features", "user_activity_entropy",
+    "revenue_seasonal_decomposition", "part_price_size_skyline",
+    "event_daily_autocorrelation", "concurrent_sessions_daily",
+    "item_kcore_membership", "item_label_propagation",
+    "session_survival_curve", "revenue_changepoint_scan",
+    "part_revenue_abc_classes", "revenue_trend_regression",
+    "rec_popularity_ndcg", "revenue_mann_kendall",
+    "discount_quantity_elasticity", "supply_concentration_hhi",
+    "customer_segment_migration", "funnel_conversion_ztest",
+    "robust_order_value_stats", "cobuy_degree_assortativity",
+    "basket_size_poisson_gof", "acctbal_revenue_spearman",
+    "benford_digit_audit", "ab_assignment_srm_audit",
+    "doc_shard_rendezvous", "doc_winnowing_matches",
+    "doc_rake_keyphrases", "bpe_merge_learning",
+    "source_ablation_report", "corpus_lexical_drift",
+    "phrase_search_topdocs", "doc_language_purity",
+    "dsir_importance_weights", "ccnet_perplexity_buckets",
+    "quality_concentration_curve", "hard_negative_pairs",
+    "dup_cluster_language_purity", "embedding_kmeans",
+    "embedding_top_eigenvector", "embedding_jl_distortion",
+    "embedding_centroid_drift", "stream_dedup_within_watermark",
+    "stream_stream_left_outer_join",
+))
 
 _OPERATOR_MODULES = (
     "ml_feature_store_enterprise_grade_spark.operators.feature_agg",
@@ -144,67 +123,56 @@ _loaded = False
 #: ~45 now, leave the rest deferred); (3) delete the promoted names
 #: from the overflow comment list.
 _FRONT: tuple[str, ...] = (
-    # --- Round 7 window (VERDICT r6 item 1) ---
-    # (a) the 10 round-6 queries the driver has never checked —
-    # registered last round without a window slot (the process miss
-    # tests/test_registry.py::test_driver_unchecked_queries_are_in_the_window
-    # caught); they go first.
-    "item_triangle_census",
-    "stratified_kfold_plan",
-    "forecast_discount_revenue",
-    "late_shipment_priority",
-    "part_supplier_variety",
-    "excess_stock_suppliers",
-    "nation_vip_roster",
-    "nation_top_customers_lateral",
-    "event_value_percentile_disc",
-    "doc_length_mad_outliers",
-    # (c) new round-7 queries — inserted here as they land; overflow
-    # beyond the 50-slot window MUST use register(defer=True).
-    "brand_bracket_revenue",
-    "monthly_revenue_momentum",
-    "local_supply_share",
-    "order_value_zscore_outliers",
-    "doc_token_entropy",
-    "doc_winnowing_fingerprints",
-    "embedding_pq_codes",
-    "stream_event_type_share",
-    # (d) rotation: the 32 oldest greens (last driver row r2) — their
-    # modules (feature_agg, asof, projection, encoding, analytics,
-    # drift, quality, text, similarity, streaming) have all churned
-    # materially across rounds 3-6, so they re-earn their rows.
-    "user_sliding_features_rollup",
-    "user_primary_event_type",
-    "pit_label_join",
-    "event_props_struct",
-    "user_rolling_7d_features",
-    "feature_hash_cross",
-    "dataset_split_assignment",
-    "temporal_split_embargo",
-    "feature_scaling",
-    "feature_binning_quantile",
-    "session_funnel",
-    "user_recency_features",
-    "cohort_retention",
-    "scd2_activity_history",
-    "activity_band_interval_join",
-    "session_path_markov",
-    "drift_report_multi_feature",
-    "feature_value_histogram",
-    "corpus_contamination",
-    "corpus_sampling_plan",
-    "doc_repetition_stats",
-    "corpus_top_bigrams",
-    "corpus_bigram_pmi",
-    "doc_tfidf_top_terms",
-    "pii_scrub",
-    "embedding_quantization_error",
-    "embedding_norm_stats",
-    "session_windows",
-    "stream_dedup",
-    "stream_static_enrichment",
-    "stream_stream_interval_join",
-    "stream_stateful_running_totals",
+    # --- Round 8 window: the 45 promoted round-7 deferred queries
+    # (VERDICT r7 item 1) — every one locally parity-green at 3
+    # scales, now earning its first driver CORRECTNESS row.  5 of
+    # the 50 window slots stay free for new round-8 queries.
+    "top_orders_diversified",
+    "pit_nearest_join",
+    "bitemporal_customer_features",
+    "user_activity_entropy",
+    "revenue_seasonal_decomposition",
+    "part_price_size_skyline",
+    "event_daily_autocorrelation",
+    "concurrent_sessions_daily",
+    "item_kcore_membership",
+    "item_label_propagation",
+    "session_survival_curve",
+    "revenue_changepoint_scan",
+    "part_revenue_abc_classes",
+    "revenue_trend_regression",
+    "rec_popularity_ndcg",
+    "revenue_mann_kendall",
+    "discount_quantity_elasticity",
+    "supply_concentration_hhi",
+    "customer_segment_migration",
+    "funnel_conversion_ztest",
+    "robust_order_value_stats",
+    "cobuy_degree_assortativity",
+    "basket_size_poisson_gof",
+    "acctbal_revenue_spearman",
+    "benford_digit_audit",
+    "ab_assignment_srm_audit",
+    "doc_shard_rendezvous",
+    "doc_winnowing_matches",
+    "doc_rake_keyphrases",
+    "bpe_merge_learning",
+    "source_ablation_report",
+    "corpus_lexical_drift",
+    "phrase_search_topdocs",
+    "doc_language_purity",
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "quality_concentration_curve",
+    "hard_negative_pairs",
+    "dup_cluster_language_purity",
+    "embedding_kmeans",
+    "embedding_top_eigenvector",
+    "embedding_jl_distortion",
+    "embedding_centroid_drift",
+    "stream_dedup_within_watermark",
+    "stream_stream_left_outer_join",
+    # (new round-8 queries land here; overflow uses defer=True)
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -218,52 +186,58 @@ _FRONT: tuple[str, ...] = (
 _DRIVER_CHECKED: frozenset[str] = frozenset((
     "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
     "ann_ivf_topk", "bloom_prejoin_prune", "bm25_search_topk",
-    "calendar_features", "cdc_merge_upsert", "cohort_retention",
-    "context_length_fit", "conversion_attribution", "corpus_bigram_pmi",
-    "corpus_contamination", "corpus_data_card", "corpus_dedup_pipeline",
-    "corpus_lang_stats", "corpus_mixture_weights", "corpus_ngram_novelty",
-    "corpus_quality_filter", "corpus_sampling_plan", "corpus_top_bigrams",
-    "countmin_heavy_hitters", "crossdoc_span_heavy_hitters", "crossdoc_span_trim",
-    "customer_order_distribution", "customers_without_orders", "daily_event_type_pivot",
-    "dataset_split_assignment", "dedup_clusters", "dedup_crossdoc_spans",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_rate_by_lang", "dedup_simhash",
-    "dedup_simhash_pairs", "discounted_bracket_revenue", "doc_bigram_logprob",
-    "doc_chunking_plan", "doc_fingerprint", "doc_prefix_cluster_stats",
-    "doc_repetition_stats", "doc_text_stats", "doc_tfidf_top_terms",
-    "doc_unigram_logprob", "drift_js_divergence", "drift_ks_click_vs_view",
-    "drift_psi_multi_feature", "drift_report_multi_feature", "dup_cluster_size_histogram",
-    "duplicate_key_check", "embedding_covariance", "embedding_dim_stats",
-    "embedding_label_confusion", "embedding_neardup", "embedding_norm_stats",
-    "embedding_quantization_error", "embedding_truncation_audit", "event_code_projection",
-    "event_customer_enrichment", "event_customer_overlap", "event_props_struct",
-    "event_props_variant", "event_value_percentiles", "feature_backfill_plan",
-    "feature_binning_quantile", "feature_binning_scalable", "feature_correlation_matrix",
-    "feature_coverage", "feature_freshness", "feature_hash_cross",
-    "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
-    "feature_value_histogram", "file_skipping_stats", "gdpr_deletion_audit",
-    "histogram_quantile_rollup", "hll_portable_distinct_rollup", "idle_rich_customers",
-    "important_parts_share", "incremental_feature_update", "inverted_index_postings",
-    "item_cooccurrence_lift", "item_pagerank", "k_anonymity_audit",
+    "brand_bracket_revenue", "calendar_features", "cdc_merge_upsert",
+    "cohort_retention", "context_length_fit", "conversion_attribution",
+    "corpus_bigram_pmi", "corpus_contamination", "corpus_data_card",
+    "corpus_dedup_pipeline", "corpus_lang_stats", "corpus_mixture_weights",
+    "corpus_ngram_novelty", "corpus_quality_filter", "corpus_sampling_plan",
+    "corpus_top_bigrams", "countmin_heavy_hitters", "crossdoc_span_heavy_hitters",
+    "crossdoc_span_trim", "customer_order_distribution", "customers_without_orders",
+    "daily_event_type_pivot", "dataset_split_assignment", "dedup_clusters",
+    "dedup_crossdoc_spans", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_by_lang",
+    "dedup_simhash", "dedup_simhash_pairs", "discounted_bracket_revenue",
+    "doc_bigram_logprob", "doc_chunking_plan", "doc_fingerprint",
+    "doc_length_mad_outliers", "doc_prefix_cluster_stats", "doc_repetition_stats",
+    "doc_text_stats", "doc_tfidf_top_terms", "doc_token_entropy",
+    "doc_unigram_logprob", "doc_winnowing_fingerprints", "drift_js_divergence",
+    "drift_ks_click_vs_view", "drift_psi_multi_feature", "drift_report_multi_feature",
+    "dup_cluster_size_histogram", "duplicate_key_check", "embedding_covariance",
+    "embedding_dim_stats", "embedding_label_confusion", "embedding_neardup",
+    "embedding_norm_stats", "embedding_pq_codes", "embedding_quantization_error",
+    "embedding_truncation_audit", "event_code_projection", "event_customer_enrichment",
+    "event_customer_overlap", "event_props_struct", "event_props_variant",
+    "event_value_percentile_disc", "event_value_percentiles", "excess_stock_suppliers",
+    "feature_backfill_plan", "feature_binning_quantile", "feature_binning_scalable",
+    "feature_correlation_matrix", "feature_coverage", "feature_freshness",
+    "feature_hash_cross", "feature_scaling", "feature_summary_stats",
+    "feature_unpivot_long", "feature_value_histogram", "file_skipping_stats",
+    "forecast_discount_revenue", "gdpr_deletion_audit", "histogram_quantile_rollup",
+    "hll_portable_distinct_rollup", "idle_rich_customers", "important_parts_share",
+    "incremental_feature_update", "inverted_index_postings", "item_cooccurrence_lift",
+    "item_pagerank", "item_triangle_census", "k_anonymity_audit",
     "kmv_audience_overlap", "l_diversity_audit", "lang_id_confusion",
-    "large_volume_customers", "late_arrival_audit", "latest_feature_snapshot",
-    "lsh_tuning_report", "min_price_supplier_region", "multimodal_decode_features",
+    "large_volume_customers", "late_arrival_audit", "late_shipment_priority",
+    "latest_feature_snapshot", "local_supply_share", "lsh_tuning_report",
+    "min_price_supplier_region", "monthly_revenue_momentum", "multimodal_decode_features",
     "multimodal_frame_dedup", "multimodal_frame_sample", "multimodal_metadata",
     "multimodal_resize", "multimodal_sidecar_kv", "nation_market_share",
-    "nation_pair_trade", "negative_sample_pairs", "online_feature_lookup",
-    "order_reconciliation_audit", "partition_compaction_plan", "percentile_rank_features",
-    "pii_scrub", "pit_asof_join", "pit_label_join",
-    "pit_multi_view_join", "pricing_summary", "priority_order_counts",
-    "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
-    "purchase_interarrival_stats", "pyds_jsonl_roundtrip", "quality_expectation_suite",
-    "region_revenue", "returned_items_revenue", "revenue_grouping_sets",
-    "revenue_rollup_cube", "rfm_segmentation", "rrf_hybrid_topk",
-    "scd2_activity_history", "segment_dedup", "semantic_dedup",
-    "sequence_packing_plan", "session_funnel", "session_path_markov",
-    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
-    "skew_diagnostics", "small_quantity_parts", "snapshot_diff_audit",
-    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
-    "stream_dedup", "stream_distinct_sketch", "stream_drift_monitor",
+    "nation_pair_trade", "nation_top_customers_lateral", "nation_vip_roster",
+    "negative_sample_pairs", "online_feature_lookup", "order_reconciliation_audit",
+    "order_value_zscore_outliers", "part_supplier_variety", "partition_compaction_plan",
+    "percentile_rank_features", "pii_scrub", "pit_asof_join",
+    "pit_label_join", "pit_multi_view_join", "pricing_summary",
+    "priority_order_counts", "product_type_profit", "profile_distribution_stats",
+    "promo_revenue_share", "purchase_interarrival_stats", "pyds_jsonl_roundtrip",
+    "quality_expectation_suite", "region_revenue", "returned_items_revenue",
+    "revenue_grouping_sets", "revenue_rollup_cube", "rfm_segmentation",
+    "rrf_hybrid_topk", "scd2_activity_history", "segment_dedup",
+    "semantic_dedup", "sequence_packing_plan", "session_funnel",
+    "session_path_markov", "session_windows", "shingle_containment_pairs",
+    "sketch_distinct_users_rollup", "skew_diagnostics", "small_quantity_parts",
+    "snapshot_diff_audit", "split_leakage_audit", "split_neardup_leakage",
+    "stratified_event_sample", "stratified_kfold_plan", "stream_dedup",
+    "stream_distinct_sketch", "stream_drift_monitor", "stream_event_type_share",
     "stream_hourly_features", "stream_online_materialize", "stream_quality_monitor",
     "stream_session_windows", "stream_sliding_features", "stream_stateful_running_totals",
     "stream_static_enrichment", "stream_stream_interval_join", "stream_topk_heavy_hitters",
