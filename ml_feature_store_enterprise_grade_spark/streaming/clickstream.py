@@ -82,12 +82,24 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+#: (src_dir, size, mtime_ns) -> schema.  A schema read is a Spark
+#: footer job (~0.5 s of fixed overhead); queries that build two
+#: streams over the same staged dir (stream-stream joins) would pay
+#: it twice per run without this.  Keyed on the staged file's
+#: identity so testdata regeneration between rounds invalidates it.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
 def events_raw_schema(spark: SparkSession, src_dir: str) -> T.StructType:
     """Explicit stream schema (never infer on a stream source), taken
     from the staged parquet's own footer so the replay matches the
     physical encoding the driver generated (int64-nanos ``ts`` in
     older testdata, timestamp[us] in newer)."""
-    return spark.read.parquet(src_dir).schema
+    st = os.stat(os.path.join(src_dir, "events.parquet"))
+    key = (src_dir, st.st_size, st.st_mtime_ns)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(src_dir).schema
+    return _SCHEMA_CACHE[key]
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,21 +144,43 @@ def windowed_features(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame, name: str, confs: dict[str, str] | None = None
+) -> DataFrame:
     """Execute a streaming frame to completion with availableNow into
-    a memory sink; returns the sink table as a batch DataFrame."""
+    a memory sink; returns the sink table as a batch DataFrame.
+
+    ``confs`` are session confs scoped to the stream's lifetime
+    (set before ``start()``, restored after termination) — the knobs
+    that bind at query start, like ``spark.sql.shuffle.partitions``
+    (= number of state-store instances) and the state-store provider
+    class.  Stateful queries with heavy per-instance commit cost
+    (stream-stream joins keep 4 state stores per partition) pass a
+    lower partition count + RocksDB here without disturbing the
+    session's batch-side settings."""
     spark = result.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{qname}")
-    q = (
-        result.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    saved: dict[str, str | None] = {}
+    for k, v in (confs or {}).items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        q = (
+            result.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     # The memory sink holds the results; the per-run checkpoint has no
     # further use (query names are unique) — don't leak one dir per call.
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -377,7 +377,21 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "leftOuter",
     ).select("user_id", "value")
-    out = run_available_now(pairs, "stream_stream_left_outer_join")
+    # Stream-stream joins keep 4 state stores per shuffle partition;
+    # at this state size 32 instances are pure commit overhead.  8
+    # partitions + RocksDB measured 8.2s -> ~6.5s at sf0.1 (the rest
+    # is the mandatory no-data finalization micro-batch that emits
+    # watermark-expired unmatched clicks — machinery, not config).
+    out = run_available_now(
+        pairs,
+        "stream_stream_left_outer_join",
+        confs={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider",
+        },
+    )
     return out.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.count("value").cast("bigint").alias("n_matched"),
