@@ -111,6 +111,29 @@ _loaded = False
 #: (a) queries the driver has never checked, (b) queries whose
 #: semantics changed this round, and (c) newly added queries first;
 #: long-stable greens rotate to the tail.
+#:
+#: ROTATION POLICY (round math, VERDICT r7 item 8).  With ~256
+#: registered queries and a 50-row window, a full driver
+#: re-verification cycle takes ceil(256/50) ≈ 6 rounds if every slot
+#: rotated — but slots are shared with never-checked/changed/new
+#: names, which ALWAYS win a slot (correctness of something unproven
+#: beats re-proving something stable).  So the cadence is:
+#:   priority 1 — never-checked driver-visible names (must be 100%
+#:                of them; the register() guard enforces it);
+#:   priority 2 — names whose semantics or implementation changed
+#:                this round (their old green row is stale evidence);
+#:   priority 3 — remaining slots go to the OLDEST greens by
+#:                last-checked round (track via the per-round
+#:                CORRECTNESS files; tools/update_checked_names.py
+#:                prints which _FRONT entries are rotatable).
+#: Every query is ALSO swept locally per round by
+#: tests/test_oracle_parity.py and tools/parity.py at up to 3 scales
+#: — the driver row is independent confirmation, not the only
+#: evidence, which is what makes a ~6-round driver cadence sound.
+#: The headline bench (bench.py) is decoupled from this rotation: it
+#: keeps one representative per operator family, so dropping a
+#: long-stable green from the WINDOW never drops its family from the
+#: bench trend.
 #: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
 #: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
 #: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2) fill
