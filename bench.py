@@ -136,6 +136,15 @@ BENCH_QUERIES = (
     "bpe_merge_learning",
     "bitemporal_customer_features",
     "dsir_importance_weights",
+    # round 8 — one representative per new class: privacy-bounded
+    # aggregation, community quality over the memoized LPA labels,
+    # broadcast margin mining, streaming PIT enrichment, and the
+    # audio mapInPandas kernel.
+    "dp_contribution_bounding",
+    "graph_modularity",
+    "embedding_bitext_margin",
+    "stream_asof_enrichment",
+    "multimodal_audio_energy",
 )
 
 

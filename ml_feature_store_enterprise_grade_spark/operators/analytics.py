@@ -2513,7 +2513,11 @@ _LPA_ROUNDS = 5
 _LPA_MIN_SUPPORT = 2
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte() -> str:
+    """Shared WITH-body: co-buy graph + the {R} synchronized LPA
+    rounds, ending at ``l{R}`` = (item_id, label).  Used by both the
+    community roster oracle and the modularity oracle so the two
+    queries certify the SAME label assignment."""
     rounds = []
     for i in range(1, _LPA_ROUNDS + 1):
         rounds.append(
@@ -2529,10 +2533,8 @@ def _lpa_oracle() -> str:
         GROUP BY 1
     )"""
         )
-    R = _LPA_ROUNDS
     rounds_sql = ",\n    ".join(rounds)
-    return f"""
-    WITH basket AS (
+    return f"""basket AS (
         SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
         FROM lineitem
     ),
@@ -2549,12 +2551,17 @@ def _lpa_oracle() -> str:
         SELECT item_b AS src, item_a AS dst FROM pair
     ),
     l0 AS MATERIALIZED (SELECT DISTINCT src AS item_id, src AS label FROM sym),
-    {rounds_sql}
+    {rounds_sql}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    WITH {_lpa_cte()}
     SELECT label AS community,
            COUNT(*) AS n_members,
            MIN(item_id) AS min_item,
            MAX(item_id) AS max_item
-    FROM l{R}
+    FROM l{_LPA_ROUNDS}
     GROUP BY 1
     """
 
@@ -2578,6 +2585,28 @@ def item_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side join, reduces per-(node, label) counts partial-first,
     and takes the deterministic mode as a hash aggregate, with
     ``localCheckpoint`` truncating lineage."""
+    _, lab = _lpa_graph_labels(spark, sf_dir)
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("item_id").alias("min_item"),
+        F.max("item_id").alias("max_item"),
+    )
+
+
+#: (applicationId, sf_dir) -> (cached symmetric edge list, final LPA
+#: label frame).  Same cross-query memoization as dedup's
+#: _LABEL_CACHE: the roster query and the modularity query certify
+#: the SAME propagation, so the 5 rounds run once per session.
+_LPA_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _lpa_graph_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _LPA_CACHE.get(key)
+    if cached is not None:
+        return cached
     pair = (
         cobuy_pair_census(spark, sf_dir)
         .filter(F.col("n_ab") >= _LPA_MIN_SUPPORT)
@@ -2611,17 +2640,124 @@ def item_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("item_id"), F.col("m.v").alias("label"))
             .localCheckpoint()
         )
-    out = (
-        lab.groupBy(F.col("label").alias("community"))
-        .agg(
-            F.count("*").alias("n_members"),
-            F.min("item_id").alias("min_item"),
-            F.max("item_id").alias("max_item"),
-        )
-        .localCheckpoint()
+    _LPA_CACHE[key] = (sym, lab)
+    return sym, lab
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_lpa_cte()},
+    deg AS (SELECT src AS item_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    twom AS (SELECT COUNT(*) AS m2 FROM sym),
+    internal AS (
+        SELECT a.label AS community, COUNT(*) AS e_in
+        FROM sym e
+        JOIN l{_LPA_ROUNDS} a ON e.src = a.item_id
+        JOIN l{_LPA_ROUNDS} b ON e.dst = b.item_id
+        WHERE a.label = b.label
+        GROUP BY 1
+    ),
+    comm AS (
+        SELECT l.label AS community,
+               COUNT(*) AS n_members,
+               SUM(d.deg) AS degree_sum
+        FROM l{_LPA_ROUNDS} l JOIN deg d ON l.item_id = d.item_id
+        GROUP BY 1
+    ),
+    per AS (
+        SELECT c.community, c.n_members, c.degree_sum,
+               COALESCE(i.e_in, 0) AS e_in
+        FROM comm c LEFT JOIN internal i ON c.community = i.community
+    ),
+    q AS (
+        SELECT SUM(t.m2 * p.e_in - p.degree_sum * p.degree_sum) AS qnum,
+               MAX(t.m2) AS m2
+        FROM per p CROSS JOIN twom t
     )
-    sym.unpersist()
-    return out
+    SELECT p.community,
+           CAST(p.n_members AS BIGINT) AS n_members,
+           CAST(p.e_in // 2 AS BIGINT) AS internal_edges,
+           CAST(p.degree_sum AS BIGINT) AS degree_sum,
+           ROUND(CAST(t.m2 * p.e_in - p.degree_sum * p.degree_sum AS DOUBLE)
+                 / CAST(t.m2 * t.m2 AS DOUBLE), 6) AS modularity_term,
+           ROUND(CAST(q.qnum AS DOUBLE) / CAST(q.m2 * q.m2 AS DOUBLE), 6)
+               AS modularity
+    FROM per p CROSS JOIN twom t CROSS JOIN q
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score
+    that says whether [[item_label_propagation]]'s partition is
+    structure or noise (Newman & Girvan 2004): Q = Σ_c (e_c/2m −
+    (d_c/2m)²) over communities c, with e_c twice the internal edge
+    count, d_c the member degree sum, 2m the directed edge count.
+    Per community: member count, internal edges, degree sum, and the
+    community's additive Q term; every row also carries the global Q.
+    Exactness: both engines form the INTEGER numerator 2m·e_c − d_c²
+    per community (sums of integers — shuffle-order-proof) and divide
+    by (2m)² once at emission, so the rounded doubles agree
+    bit-for-bit.  At 100 TB graph scale d_c² needs DECIMAL instead of
+    BIGINT once a degree sum passes ~3e9 — the switch is one cast.
+
+    Scale shape: reuses the per-(session, sf) memoized LPA labels and
+    cached edge list (the 5 propagation rounds run once, not per
+    query); the label frame broadcasts into the edge scan twice (both
+    endpoints), internal-edge and degree-sum tallies are map-side
+    partial hash aggregates, and 2m attaches as a broadcast 1-row
+    frame — zero wide shuffles beyond the per-community aggregate."""
+    sym, lab = _lpa_graph_labels(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("item_id")).agg(F.count("*").alias("deg"))
+    twom = sym.agg(F.count("*").alias("m2"))
+    internal = (
+        sym.join(
+            F.broadcast(
+                lab.select(
+                    F.col("item_id").alias("src"), F.col("label").alias("sl")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("item_id").alias("dst"), F.col("label").alias("dl")
+                )
+            ),
+            "dst",
+        )
+        .filter(F.col("sl") == F.col("dl"))
+        .groupBy(F.col("sl").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    comm = (
+        lab.join(F.broadcast(deg), "item_id")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"), F.sum("deg").alias("degree_sum"))
+    )
+    per = (
+        comm.join(internal, "community", "left")
+        .fillna(0, subset=["e_in"])
+        .crossJoin(F.broadcast(twom))
+        .withColumn(
+            "qterm", F.col("m2") * F.col("e_in") - F.col("degree_sum") * F.col("degree_sum")
+        )
+    )
+    q = per.agg(F.sum("qterm").alias("qnum"), F.max("m2").alias("m2g"))
+    return per.crossJoin(F.broadcast(q)).select(
+        "community",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.expr("e_in div 2").cast("bigint").alias("internal_edges"),
+        F.col("degree_sum").cast("bigint").alias("degree_sum"),
+        F.round(
+            F.col("qterm").cast("double") / (F.col("m2") * F.col("m2")).cast("double"),
+            6,
+        ).alias("modularity_term"),
+        F.round(
+            F.col("qnum").cast("double") / (F.col("m2g") * F.col("m2g")).cast("double"),
+            6,
+        ).alias("modularity"),
+    )
 
 
 @register(

@@ -603,3 +603,150 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", F.md5("thumbnail").alias("thumb_md5")
     )
+
+
+# --- Audio: PCM frame features ---------------------------------------
+
+#: PCM8 fixture geometry: 768 unsigned 8-bit samples per clip (the
+#: same md5-chain byte stream the PPM fixture uses, minus the image
+#: header), framed as 12 windows × 64 samples.  Sample values are
+#: ASCII codes of hex digits — range [48, 102]; the zero-crossing
+#: midpoint 75 sits mid-range so crossings actually occur.
+_PCM_SAMPLES = _PPM_W * _PPM_H * 3
+_PCM_FRAME = 64
+_PCM_N_FRAMES = _PCM_SAMPLES // _PCM_FRAME
+_PCM_MID = 75
+
+
+def pcm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rendered as raw PCM8 audio clips: payload = 768
+    unsigned 8-bit samples (md5-chain bytes of the text — the audio
+    twin of :func:`ppm_documents`), with typed sidecar metadata.
+    Pure Catalyst fixture generation, same as the image path."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hexes = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(f"#{i}"))) for i in range(_PPM_REPS)]
+    )
+    return d.select(
+        "doc_id",
+        F.encode(hexes, "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio/x-raw-pcm8").alias("mime"),
+            F.lit(_PCM_SAMPLES).alias("n_samples"),
+            F.lit(8000).alias("sample_rate_hz"),
+        ).alias("meta"),
+    )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched PCM frame featurizer: decode the raw byte
+    payload worker-side (numpy ``frombuffer`` — a REAL binary decode,
+    the audio analogue of the PPM parser), frame it, and emit exact
+    integer per-frame features: energy numerator Σx², peak, and
+    midpoint zero-crossing count.  Integer outputs keep the kernel
+    bit-checkable; doubles (RMS) are derived at projection time."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, sumsq, peaks, zcs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                x = x[: _PCM_N_FRAMES * _PCM_FRAME].reshape(
+                    _PCM_N_FRAMES, _PCM_FRAME
+                )
+                above = x >= _PCM_MID
+                ids.extend([doc_id] * _PCM_N_FRAMES)
+                frames.extend(range(_PCM_N_FRAMES))
+                sumsq.extend((x * x).sum(axis=1).tolist())
+                peaks.extend(x.max(axis=1).tolist())
+                zcs.extend((above[:, 1:] != above[:, :-1]).sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame": pd.array(frames, dtype="int32"),
+                    "sum_sq": sumsq,
+                    "peak": pd.array(peaks, dtype="int32"),
+                    "zero_crossings": pd.array(zcs, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _AUDIO_SCHEMA)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH hx AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, hex, f.f AS frame,
+               list_transform(generate_series(0, {_PCM_FRAME - 1}),
+                   t -> ascii(substring(hex, f.f * {_PCM_FRAME} + t + 1, 1))
+               ) AS sl
+        FROM hx CROSS JOIN (
+            SELECT unnest(generate_series(0, {_PCM_N_FRAMES - 1})) AS f
+        ) f
+    )
+    SELECT doc_id,
+           CAST(frame AS INTEGER) AS frame,
+           CAST(list_sum(list_transform(sl, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(sl) AS INTEGER) AS peak,
+           CAST(list_sum(list_transform(generate_series(1, {_PCM_FRAME - 1}),
+               t -> CASE WHEN (sl[t + 1] >= {_PCM_MID}) <> (sl[t] >= {_PCM_MID})
+                         THEN 1 ELSE 0 END)) AS INTEGER) AS zero_crossings,
+           ROUND(sqrt(CAST(list_sum(list_transform(sl, x -> x * x)) AS DOUBLE)
+                      / {_PCM_FRAME}), 6) AS rms
+    FROM fr
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads — the
+    modality verb (decode → frame → featurize) the image queries
+    don't cover: each PCM8 clip is decoded worker-side and framed
+    into {n} windows of {w} samples; per frame the kernel emits the
+    exact integer energy numerator Σx², the peak amplitude, and the
+    midpoint zero-crossing count (the classic cheap voiced/unvoiced
+    discriminator), plus RMS derived at projection time.  The oracle
+    recomputes every frame closed-form from the fixture's generative
+    definition — a green row proves the byte-level decode → frame →
+    feature pipeline end-to-end, the same contract as
+    [[multimodal_decode_features]].
+
+    Exactness: all aggregates are integers from the kernel; RMS is
+    one sqrt of an exact-integer-derived double (sqrt is correctly
+    rounded under IEEE-754, so both engines agree bit-for-bit).
+
+    Scale: frames explode 12× map-side inside the Arrow kernel (no
+    Spark-side explode of raw payloads); per-batch memory is capped
+    by the Arrow batch size exactly as the image kernels; at 100 TB
+    the same kernel body takes real codecs (soundfile/ffmpeg) behind
+    the guarded-import slot."""
+    feats = audio_frame_features(pcm_documents(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "frame",
+        "sum_sq",
+        "peak",
+        "zero_crossings",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.lit(_PCM_FRAME)), 6
+        ).alias("rms"),
+    )
+
+
+multimodal_audio_energy.__doc__ = multimodal_audio_energy.__doc__.format(
+    n=_PCM_N_FRAMES, w=_PCM_FRAME
+)

@@ -892,3 +892,89 @@ def ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conv_rate"),
     )
+
+
+#: Per-user daily contribution cap for the DP bounding audit.  Sits
+#: at ~p85 of the per-user-day purchase totals so the clipped path is
+#: genuinely exercised (an unreachable cap audits nothing).
+_DP_CAP = "100.00"
+
+
+@register(
+    "dp_contribution_bounding",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id,
+               SUM(CAST(value AS DECIMAL(12,2))) AS contrib
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(contrib), 2) AS DOUBLE) AS raw_sum,
+           CAST(ROUND(SUM(LEAST(contrib, CAST({_DP_CAP} AS DECIMAL(12,2)))), 2)
+               AS DOUBLE) AS bounded_sum,
+           CAST(SUM(CASE WHEN contrib > {_DP_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           ROUND(CAST(SUM(CASE WHEN contrib > {_DP_CAP} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS clipped_share,
+           CAST(ROUND(SUM(contrib)
+                      - SUM(LEAST(contrib, CAST({_DP_CAP} AS DECIMAL(12,2)))), 2)
+               AS DOUBLE) AS clip_bias,
+           CAST({_DP_CAP} AS DOUBLE) AS l1_sensitivity
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy contribution bounding audit — the
+    preprocessing step every user-level-DP aggregate release needs
+    (Wilson et al. 2020, "Differentially Private SQL with Bounded
+    User Contribution"): cap each user's per-day contribution at
+    ``_DP_CAP`` so the day-level sum has a known L1 sensitivity, and
+    report what the cap costs.  Per day: raw vs bounded sum, users
+    clipped, clipped share, and the bias the clamp introduces — the
+    numbers that pick the cap in a privacy/utility trade-off (the
+    noise scale a Laplace mechanism would add is sensitivity/ε; the
+    clamp bias is the deterministic side of that trade).  The noise
+    draw itself is out of scope by design — it is random, and every
+    released number here is the EXACT pre-noise accounting both
+    engines can agree on.
+
+    Privacy family: [[k_anonymity_audit]], [[l_diversity_audit]],
+    ``pii_scrub``, ``gdpr_deletion_audit``.
+
+    Scale: two hash aggregates — (day, user) then day — both with
+    map-side partial aggregation over exact DECIMAL; no windows, no
+    joins, no skew exposure beyond genuine hot days (and the first
+    groupBy key composes user_id, which spreads them)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    cap = F.lit(_DP_CAP).cast("decimal(12,2)")
+    per_user = e.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("contrib"))
+    return per_user.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("contrib"), 2).cast("double").alias("raw_sum"),
+        F.round(F.sum(F.least(F.col("contrib"), cap)), 2)
+        .cast("double")
+        .alias("bounded_sum"),
+        F.sum(F.when(F.col("contrib") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.round(
+            F.sum(F.when(F.col("contrib") > cap, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("clipped_share"),
+        F.round(
+            F.sum("contrib") - F.sum(F.least(F.col("contrib"), cap)), 2
+        )
+        .cast("double")
+        .alias("clip_bias"),
+        F.lit(float(_DP_CAP)).alias("l1_sensitivity"),
+    )

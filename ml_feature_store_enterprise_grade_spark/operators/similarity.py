@@ -2358,3 +2358,144 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cur_centroid_norm"),
         )
     )
+
+
+#: Margin-mining neighborhood size.  4 keeps the avg-of-k division
+#: exact: margin = 2·cos / ((sum_x + sum_y)/(2·4)) = 8·cos /
+#: (sum_x + sum_y), so both engines divide the SAME exact integers /
+#: decimals once, at emission.
+_MARGIN_K = 4
+_MARGIN_BATCH = 2 * _N_QUERIES
+
+
+@register(
+    "embedding_bitext_margin",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+               WHERE label % 2 = 0 AND vec_id < {_MARGIN_BATCH}),
+    b AS (SELECT vec_id AS y_id, embedding AS ye FROM embeddings
+          WHERE label % 2 = 1),
+    p AS MATERIALIZED (
+        SELECT x_id, y_id, CAST(ROUND(c, 6) AS DECIMAL(10,6)) AS cos
+        FROM (SELECT a.x_id, b.y_id,
+                     {_cosine_sql("a.xe", "b.ye")} AS c
+              FROM a CROSS JOIN b)
+    ),
+    ka AS (SELECT x_id, SUM(cos) AS sum_x FROM (
+        SELECT x_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY x_id ORDER BY cos DESC, y_id) AS rn FROM p)
+        WHERE rn <= {_MARGIN_K} GROUP BY 1),
+    kb AS (SELECT y_id, SUM(cos) AS sum_y FROM (
+        SELECT y_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY y_id ORDER BY cos DESC, x_id) AS rn FROM p)
+        WHERE rn <= {_MARGIN_K} GROUP BY 1),
+    m AS (
+        SELECT p.x_id, p.y_id, p.cos,
+               CAST(8 * p.cos AS DOUBLE)
+                   / CAST(ka.sum_x + kb.sum_y AS DOUBLE) AS mr
+        FROM p JOIN ka USING (x_id) JOIN kb USING (y_id)
+    ),
+    fx AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY x_id ORDER BY mr DESC, y_id) AS rx FROM m),
+    fy AS (SELECT x_id, y_id, ROW_NUMBER() OVER (
+               PARTITION BY y_id ORDER BY mr DESC, x_id) AS ry FROM m)
+    SELECT fx.x_id, fx.y_id,
+           CAST(fx.cos AS DOUBLE) AS cosine_sim,
+           FLOOR(fx.mr * 1000000 + 0.5) / 1000000 AS margin,
+           (fy.ry = 1) AS is_mutual
+    FROM fx JOIN fy ON fx.x_id = fy.x_id AND fx.y_id = fy.y_id
+    WHERE fx.rx = 1
+    """,
+)
+def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix bitext-mining criterion): for a batch of
+    "source-side" vectors (even labels, vec_id < {batch}) against the
+    full "target side" (odd labels), score each candidate pair by the
+    RATIO margin — cos(x,y) normalized by the mean cosine of each
+    endpoint's {k} nearest neighbors — and emit each source's best
+    target with its margin and a mutual-best flag.  Margin scoring is
+    what separates a genuinely aligned pair from a hub vector that is
+    everyone's neighbor; raw-cosine top-1 mining drowns in hubs.
+
+    Cross-engine exactness: cosines are rounded to 6 dp ONCE and
+    carried as DECIMAL(10,6); the k-neighbor sums are exact decimal
+    sums of those; the margin is a single double division of
+    identical exact operands (×8 instead of /4 keeps it one
+    division), emitted via the engine-identical floor(x·1e6+0.5)
+    ladder; all ranking keys are (exact value, id) pairs.
+
+    Scale shape: the *batch* form — the query block broadcasts
+    against the target corpus exactly like [[ann_cosine_topk]], so
+    there is no all-pairs join; at 100 TB the cos table's candidate
+    generation swaps to the persisted IVF shortlist
+    (``VectorIndex.search``) with margin rescoring on the shortlist,
+    which is precisely how CCMatrix runs at web scale (the exact
+    batch form here is the oracle-checkable twin).  The k-NN sums
+    and best-match elections are bounded windows over per-query
+    partitions of the slim (x, y, cos) frame."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = with_norm(
+        emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < _MARGIN_BATCH))
+    ).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    b = with_norm(emb.filter(F.col("label") % 2 == 1)).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    p = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "x_id",
+            "y_id",
+            F.round(_dot(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn")), 6)
+            .cast("decimal(10,6)")
+            .alias("cos"),
+        )
+        .cache()
+    )
+    p.count()
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos"), F.asc("x_id"))
+    ka = (
+        p.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _MARGIN_K)
+        .groupBy("x_id")
+        .agg(F.sum("cos").alias("sum_x"))
+    )
+    kb = (
+        p.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _MARGIN_K)
+        .groupBy("y_id")
+        .agg(F.sum("cos").alias("sum_y"))
+    )
+    m = (
+        p.join(F.broadcast(ka), "x_id")
+        .join(F.broadcast(kb), "y_id")
+        .withColumn(
+            "mr",
+            (F.lit(8) * F.col("cos")).cast("double")
+            / (F.col("sum_x") + F.col("sum_y")).cast("double"),
+        )
+    )
+    mx = Window.partitionBy("x_id").orderBy(F.desc("mr"), F.asc("y_id"))
+    my = Window.partitionBy("y_id").orderBy(F.desc("mr"), F.asc("x_id"))
+    ranked = m.withColumn("rx", F.row_number().over(mx)).withColumn(
+        "ry", F.row_number().over(my)
+    )
+    return ranked.filter(F.col("rx") == 1).select(
+        "x_id",
+        "y_id",
+        F.col("cos").cast("double").alias("cosine_sim"),
+        (F.floor(F.col("mr") * 1000000 + F.lit(0.5)) / 1000000).alias("margin"),
+        (F.col("ry") == 1).alias("is_mutual"),
+    )
+
+
+embedding_bitext_margin.__doc__ = embedding_bitext_margin.__doc__.format(
+    batch=_MARGIN_BATCH, k=_MARGIN_K
+)

@@ -134,17 +134,19 @@ _loaded = False
 #: keeps one representative per operator family, so dropping a
 #: long-stable green from the WINDOW never drops its family from the
 #: bench trend.
-#: ROUND-8 REBUILD CHECKLIST (do this first next round): (1) run
-#: ``python tools/update_checked_names.py`` against CORRECTNESS_r07 to
-#: fold the 18 round-7 window rows into ``_DRIVER_CHECKED``; (2) fill
-#: ``_PROMOTED`` (above) with the 61 promotable round-7 deferred
-#: names (the overflow list above MINUS the environment-gated
-#: ``stream_tws_purchase_stats``) — promotion is data-driven, NO
-#: decorator edits — and rebuild ``_FRONT`` with those names at the
-#: head (all have 3-scale local parity; the window holds 50, so run
-#: it over two rounds: 61 > 50 − changed-query re-checks means pick
-#: ~45 now, leave the rest deferred); (3) delete the promoted names
-#: from the overflow comment list.
+#: ROUND-9 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` to fold the 50 round-8
+#: window rows (45 promoted + 5 new) into ``_DRIVER_CHECKED``; (2)
+#: ADD the 16 round-9-queue names from the overflow comment above to
+#: ``_PROMOTED`` (keep the round-8 names in the set — they are what
+#: keeps those registrations un-deferred) and rebuild ``_FRONT`` with
+#: the 16 at the head; (3) delete them from the overflow comment;
+#: (4) the remaining ~34 slots go to new round-9 queries then the
+#: OLDEST driver greens per the rotation policy above (run the tool —
+#: it prints which _FRONT entries are rotatable).  After this round
+#: the deferred queue is EMPTY except env-gated
+#: ``stream_tws_purchase_stats``: every registered query will have a
+#: driver row or a slot in the r9 window.
 _FRONT: tuple[str, ...] = (
     # --- Round 8 window: the 45 promoted round-7 deferred queries
     # (VERDICT r7 item 1) — every one locally parity-green at 3
@@ -196,6 +198,11 @@ _FRONT: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_stream_left_outer_join",
     # (new round-8 queries land here; overflow uses defer=True)
+    "dp_contribution_bounding",
+    "graph_modularity",
+    "embedding_bitext_margin",
+    "stream_asof_enrichment",
+    "multimodal_audio_energy",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -273,6 +280,16 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "user_wow_delta_features", "vocab_oov_rate", "volume_anomaly_days",
     "waiting_supplier_audit", "weighted_systematic_sample", "zorder_layout_plan",
 ))
+
+
+def any_query(name: str) -> QueryFn:
+    """Registered callable by name, driver-visible OR deferred — the
+    promotion-proof lookup (a deferred query may be promoted to the
+    driver surface in a later round via ``_PROMOTED`` without its
+    tests or callers changing)."""
+    if name in QUERIES:
+        return QUERIES[name]
+    return DEFERRED_QUERIES[name]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -95,8 +95,12 @@ def events_raw_schema(spark: SparkSession, src_dir: str) -> T.StructType:
     from the staged parquet's own footer so the replay matches the
     physical encoding the driver generated (int64-nanos ``ts`` in
     older testdata, timestamp[us] in newer)."""
-    st = os.stat(os.path.join(src_dir, "events.parquet"))
-    key = (src_dir, st.st_size, st.st_mtime_ns)
+    files = tuple(
+        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+        for e in sorted(os.scandir(src_dir), key=lambda e: e.name)
+        if e.is_file()
+    )
+    key = (src_dir, files)
     if key not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[key] = spark.read.parquet(src_dir).schema
     return _SCHEMA_CACHE[key]

@@ -406,3 +406,155 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("matched_value"),
     )
+
+
+@register(
+    "stream_asof_enrichment",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS feature_timestamp,
+               COUNT(*) AS f_total_events,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS f_click_count,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END), 2) AS f_total_revenue
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    j AS (
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               f.feature_timestamp, f.f_total_events, f.f_click_count,
+               f.f_total_revenue,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY f.feature_timestamp DESC NULLS LAST
+               ) AS rn
+        FROM e LEFT JOIN f
+          ON e.user_id = f.user_id AND f.feature_timestamp <= e.ts
+    )
+    SELECT event_id, user_id, ts, event_type,
+           feature_timestamp,
+           CAST(f_total_events AS BIGINT) AS f_total_events,
+           CAST(f_click_count AS BIGINT) AS f_click_count,
+           CAST(f_total_revenue AS DOUBLE) AS f_total_revenue
+    FROM j WHERE rn = 1
+    """,
+)
+def stream_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the serving-side twin of
+    the batch PIT join (J1): every incoming event is enriched with
+    the FRESHEST feature row whose ``feature_timestamp`` (hourly
+    window close) precedes the event — never a window still open at
+    event time, the same leakage rule ``pit_asof_join`` enforces for
+    training.  This is the shape online inference actually runs:
+    features materialize on a cadence, events arrive continuously,
+    and each event must see exactly the feature version a
+    training-set replay would have seen (Feast's
+    get_online_features-at-event-time semantics, re-expressed as a
+    stream transform).
+
+    Mechanics: the feature frame is static per run (re-read per
+    micro-batch in production via a snapshot pointer —
+    [[latest_feature_snapshot]]); each micro-batch does a broadcast
+    backward as-of join in ``foreachBatch`` — the hash-agg
+    ``max_by``-struct election, no window sort — and appends to a
+    parquet sink.  STATELESS per batch (the as-of is against a
+    static side, not stream state), so the result is
+    batch-equivalent under any micro-batch split, watermark-free;
+    events before their user's first closed window keep NULL
+    features (LEFT semantics) rather than leaking the open window.
+
+    Scale: per batch it is one broadcast hash join probe per event
+    against the (users × hours, pre-aggregated) feature frame plus a
+    hash aggregate keyed by event — no shuffle of the stream beyond
+    the aggregate, no state store.  If the feature frame outgrows
+    broadcast at 100 TB, the same foreachBatch body switches to a
+    bucketed sort-merge as-of — the batch operator's documented
+    path."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    feats = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("f_total_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "f_click_count"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("f_total_revenue"),
+        )
+        .select(
+            F.col("user_id").alias("f_user_id"),
+            F.col("w.end").alias("feature_timestamp"),
+            "f_total_events",
+            "f_click_count",
+            "f_total_revenue",
+        )
+        .localCheckpoint()
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"asof_enrich_{uuid.uuid4().hex[:8]}"
+    )
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        j = batch_df.join(
+            F.broadcast(feats),
+            (batch_df["user_id"] == feats["f_user_id"])
+            & (feats["feature_timestamp"] <= batch_df["ts"]),
+            "left",
+        )
+        latest = (
+            j.groupBy("event_id", "user_id", "ts", "event_type")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "feature_timestamp",
+                        "f_total_events",
+                        "f_click_count",
+                        "f_total_revenue",
+                    ),
+                    "feature_timestamp",
+                ).alias("f")
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                "event_type",
+                F.col("f.feature_timestamp").alias("feature_timestamp"),
+                F.col("f.f_total_events").cast("bigint").alias("f_total_events"),
+                F.col("f.f_click_count").cast("bigint").alias("f_click_count"),
+                F.col("f.f_total_revenue").cast("double").alias("f_total_revenue"),
+            )
+        )
+        latest.write.mode("append").parquet(out_dir)
+
+    ev = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    qname = f"stream_asof_enrichment_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{qname}")
+    q = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)

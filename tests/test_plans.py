@@ -366,7 +366,7 @@ def test_local_supply_share_single_pass(spark):
 
 
 def plan_of_deferred(spark, name: str) -> str:
-    df = registry.DEFERRED_QUERIES[name](spark, SF_SMOKE)
+    df = registry.any_query(name)(spark, SF_SMOKE)
     df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -446,3 +446,42 @@ def test_srm_audit_broadcasts_everything_small(spark):
     shuffle join in the plan."""
     plan = plan_of_deferred(spark, "ab_assignment_srm_audit")
     assert "SortMergeJoin" not in plan
+
+
+# --- round 8 ---------------------------------------------------------
+
+
+def test_dp_bounding_is_two_hash_aggregates(spark):
+    """The bounding audit must be pure hash aggregation — no joins,
+    no windows, no exchange beyond the two aggregate shuffles."""
+    plan = plan_of(spark, "dp_contribution_bounding")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_bitext_margin_broadcasts_query_batch(spark):
+    """The A×B cosine table must come from a BROADCAST nested-loop of
+    the bounded query batch — never a CartesianProduct (the all-pairs
+    shape the operator is specifically designed to avoid)."""
+    plan = plan_of(spark, "embedding_bitext_margin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_graph_modularity_no_cartesian_and_broadcast_labels(spark):
+    """Labels attach to the edge scan via broadcast; the only
+    non-broadcast shuffles are the per-community hash aggregates."""
+    plan = plan_of(spark, "graph_modularity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_audio_energy_stays_arrow_batched(spark):
+    """One Python kernel (mapInPandas), no per-row UDF, no joins —
+    the decode pipeline is a straight map over payload batches."""
+    plan = plan_of(spark, "multimodal_audio_energy")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

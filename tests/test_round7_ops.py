@@ -81,7 +81,7 @@ def test_nearest_asof_matches_reference(spark, tol_hours, entities, features):
 
 
 def test_kcore_members_meet_degree_bound(spark):
-    rows = registry.DEFERRED_QUERIES["item_kcore_membership"](
+    rows = registry.any_query("item_kcore_membership")(
         spark, SF_SMOKE
     ).collect()
     assert rows, "smoke corpus should have a non-empty 3-core"
@@ -91,7 +91,7 @@ def test_kcore_members_meet_degree_bound(spark):
 
 
 def test_lpa_communities_partition_the_node_set(spark):
-    rows = registry.DEFERRED_QUERIES["item_label_propagation"](
+    rows = registry.any_query("item_label_propagation")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -130,7 +130,7 @@ def test_lpa_communities_partition_the_node_set(spark):
 
 def test_survival_curve_is_monotone(spark):
     rows = (
-        registry.DEFERRED_QUERIES["session_survival_curve"](spark, SF_SMOKE)
+        registry.any_query("session_survival_curve")(spark, SF_SMOKE)
         .orderBy("duration_min")
         .collect()
     )
@@ -146,7 +146,7 @@ def test_survival_curve_is_monotone(spark):
 
 
 def test_srm_audit_accepts_the_null_hypothesis(spark):
-    rows = registry.DEFERRED_QUERIES["ab_assignment_srm_audit"](
+    rows = registry.any_query("ab_assignment_srm_audit")(
         spark, SF_SMOKE
     ).collect()
     assert {r.arm for r in rows} == {"control", "treat_a", "treat_b"}
@@ -157,7 +157,7 @@ def test_srm_audit_accepts_the_null_hypothesis(spark):
 
 def test_rake_ranking_is_dense_and_positive(spark):
     rows = (
-        registry.DEFERRED_QUERIES["doc_rake_keyphrases"](spark, SF_SMOKE)
+        registry.any_query("doc_rake_keyphrases")(spark, SF_SMOKE)
         .orderBy("rank")
         .collect()
     )
@@ -169,7 +169,7 @@ def test_rake_ranking_is_dense_and_positive(spark):
 
 
 def test_ndcg_metrics_are_proper_fractions(spark):
-    rows = registry.DEFERRED_QUERIES["rec_popularity_ndcg"](
+    rows = registry.any_query("rec_popularity_ndcg")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -183,7 +183,7 @@ def test_ndcg_metrics_are_proper_fractions(spark):
 
 
 def test_streak_ordering_invariants(spark):
-    rows = registry.DEFERRED_QUERIES["user_activity_streaks"](
+    rows = registry.any_query("user_activity_streaks")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -194,7 +194,7 @@ def test_streak_ordering_invariants(spark):
 
 
 def test_abc_classes_partition_revenue(spark):
-    rows = registry.DEFERRED_QUERIES["part_revenue_abc_classes"](
+    rows = registry.any_query("part_revenue_abc_classes")(
         spark, SF_SMOKE
     ).collect()
     got = {r.abc: r for r in rows}
@@ -214,7 +214,7 @@ def test_abc_classes_partition_revenue(spark):
 
 def test_changepoint_scan_splits_cover_series(spark):
     rows = (
-        registry.DEFERRED_QUERIES["revenue_changepoint_scan"](spark, SF_SMOKE)
+        registry.any_query("revenue_changepoint_scan")(spark, SF_SMOKE)
         .orderBy("rank")
         .collect()
     )

@@ -49,7 +49,7 @@ def test_rendezvous_census_matches_python_reference(spark):
         agg[1] += n_chars
     got = {
         r.shard: [r.n_docs, r.n_chars_total]
-        for r in registry.DEFERRED_QUERIES["doc_shard_rendezvous"](
+        for r in registry.any_query("doc_shard_rendezvous")(
             spark, SF_SMOKE
         ).collect()
     }
@@ -82,7 +82,7 @@ def test_rendezvous_minimal_movement_on_shard_removal():
 
 
 def test_ra_predictions_are_nonadjacent_and_ranked(spark):
-    df = registry.DEFERRED_QUERIES["item_ra_link_prediction"](spark, SF_SMOKE)
+    df = registry.any_query("item_ra_link_prediction")(spark, SF_SMOKE)
     rows = df.collect()
     assert rows, "prediction set must be non-vacuous on the smoke corpus"
     scores = [r.ra_score for r in rows]
@@ -111,7 +111,7 @@ def test_ra_predictions_are_nonadjacent_and_ranked(spark):
 
 
 def test_sax_symbols_are_rank_monotone_quartiles(spark):
-    rows = registry.DEFERRED_QUERIES["daily_revenue_sax"](
+    rows = registry.any_query("daily_revenue_sax")(
         spark, SF_SMOKE
     ).collect()
     by_sym: dict[str, list[float]] = {}
@@ -127,7 +127,7 @@ def test_sax_symbols_are_rank_monotone_quartiles(spark):
 
 
 def test_quantile_normalization_unifies_distributions(spark):
-    rows = registry.DEFERRED_QUERIES["event_value_quantile_normalization"](
+    rows = registry.any_query("event_value_quantile_normalization")(
         spark, SF_SMOKE
     ).collect()
     # (1) after normalization every event type carries the IDENTICAL
@@ -152,7 +152,7 @@ def test_quantile_normalization_unifies_distributions(spark):
 
 
 def test_jl_distortion_is_near_unity(spark):
-    rows = registry.DEFERRED_QUERIES["embedding_jl_distortion"](
+    rows = registry.any_query("embedding_jl_distortion")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -177,7 +177,7 @@ def test_left_outer_join_withholds_watermark_tail(spark):
 
     got = {
         r.user_id: (r.n_rows, r.n_matched)
-        for r in registry.DEFERRED_QUERIES["stream_stream_left_outer_join"](
+        for r in registry.any_query("stream_stream_left_outer_join")(
             spark, SF_SMOKE
         ).collect()
     }
@@ -217,7 +217,7 @@ def test_left_outer_join_withholds_watermark_tail(spark):
 
 
 def test_segment_migration_matrix_is_consistent(spark):
-    rows = registry.DEFERRED_QUERIES["customer_segment_migration"](
+    rows = registry.any_query("customer_segment_migration")(
         spark, SF_SMOKE
     ).collect()
     total = sum(r.n_customers for r in rows)
@@ -292,7 +292,7 @@ def test_bpe_merges_match_python_reference(spark):
     want = _python_bpe(texts, _BPE_MERGES)
     got = [
         (r.merge_rank, r.pair, r.merged, r.pair_count)
-        for r in registry.DEFERRED_QUERIES["bpe_merge_learning"](
+        for r in registry.any_query("bpe_merge_learning")(
             spark, SF_SMOKE
         )
         .orderBy("merge_rank")
@@ -304,7 +304,7 @@ def test_bpe_merges_match_python_reference(spark):
 
 
 def test_source_ablation_shares_and_bounds(spark):
-    rows = registry.DEFERRED_QUERIES["source_ablation_report"](
+    rows = registry.any_query("source_ablation_report")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -320,7 +320,7 @@ def test_source_ablation_shares_and_bounds(spark):
 
 
 def test_lexical_drift_is_bounded_and_symmetric_smoke(spark):
-    rows = registry.DEFERRED_QUERIES["corpus_lexical_drift"](
+    rows = registry.any_query("corpus_lexical_drift")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -336,7 +336,7 @@ def test_centroid_drift_cosine_bounds_and_identity(spark):
     """Cosines in [-1, 1]; and on a label-coherent corpus the two
     halves of one label must agree far better than random (> 0).
     Identity check: feeding the SAME half twice must give cosine 1."""
-    rows = registry.DEFERRED_QUERIES["embedding_centroid_drift"](
+    rows = registry.any_query("embedding_centroid_drift")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -360,7 +360,7 @@ def test_phrase_search_hits_contain_the_phrase(spark):
         .execute(f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'")
         .fetchall()
     }
-    rows = registry.DEFERRED_QUERIES["phrase_search_topdocs"](
+    rows = registry.any_query("phrase_search_topdocs")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -425,7 +425,7 @@ def test_bitemporal_features_respect_both_time_axes(spark):
             want[k] = (n, float(rev))
     got = {
         r.o_orderkey: (r.prior_known_orders, r.prior_known_revenue)
-        for r in registry.DEFERRED_QUERIES["bitemporal_customer_features"](
+        for r in registry.any_query("bitemporal_customer_features")(
             spark, SF_SMOKE
         ).collect()
     }
@@ -434,7 +434,7 @@ def test_bitemporal_features_respect_both_time_axes(spark):
 
 
 def test_language_purity_flags_are_consistent(spark):
-    rows = registry.DEFERRED_QUERIES["doc_language_purity"](
+    rows = registry.any_query("doc_language_purity")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -467,7 +467,7 @@ def test_diversified_topk_matches_python_reference(spark):
         capped += [(k, c, p) for k, p in lst[:2]]
     capped.sort(key=lambda r: (-r[2], r[0]))
     want = [(k, c, float(p)) for k, c, p in capped[:20]]
-    rows = registry.DEFERRED_QUERIES["top_orders_diversified"](
+    rows = registry.any_query("top_orders_diversified")(
         spark, SF_SMOKE
     ).collect()
     got = [(r.o_orderkey, r.o_custkey, r.o_totalprice) for r in rows]
@@ -482,7 +482,7 @@ def test_hard_negatives_live_in_the_similar_but_distinct_band(spark):
     so the result there is legitimately empty)."""
     from tests.conftest import SF_ORACLE
 
-    rows = registry.DEFERRED_QUERIES["hard_negative_pairs"](
+    rows = registry.any_query("hard_negative_pairs")(
         spark, SF_ORACLE
     ).collect()
     assert rows, "sf0.01 must yield hard negatives"
@@ -497,7 +497,7 @@ def test_dsir_scores_favor_the_target_language(spark):
     """The defining property of importance resampling: documents from
     the target domain (en) must score higher on average than the rest,
     and the selected flag must equal score > 0."""
-    rows = registry.DEFERRED_QUERIES["dsir_importance_weights"](
+    rows = registry.any_query("dsir_importance_weights")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -512,7 +512,7 @@ def test_dsir_scores_favor_the_target_language(spark):
 def test_ccnet_buckets_are_equal_terciles_ordered_by_fluency(spark):
     from collections import Counter, defaultdict
 
-    rows = registry.DEFERRED_QUERIES["ccnet_perplexity_buckets"](
+    rows = registry.any_query("ccnet_perplexity_buckets")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -531,7 +531,7 @@ def test_ccnet_buckets_are_equal_terciles_ordered_by_fluency(spark):
 
 
 def test_funnel_ztest_rates_and_flags_are_consistent(spark):
-    rows = registry.DEFERRED_QUERIES["funnel_conversion_ztest"](
+    rows = registry.any_query("funnel_conversion_ztest")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -548,7 +548,7 @@ def test_funnel_ztest_rates_and_flags_are_consistent(spark):
 
 
 def test_trimmed_mean_is_between_bounds_and_trims_ten_percent(spark):
-    rows = registry.DEFERRED_QUERIES["robust_order_value_stats"](
+    rows = registry.any_query("robust_order_value_stats")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -560,7 +560,7 @@ def test_trimmed_mean_is_between_bounds_and_trims_ten_percent(spark):
 
 
 def test_edge_churn_shares_sum_to_one_and_cover_fates(spark):
-    rows = registry.DEFERRED_QUERIES["cobuy_edge_churn"](
+    rows = registry.any_query("cobuy_edge_churn")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -570,7 +570,7 @@ def test_edge_churn_shares_sum_to_one_and_cover_fates(spark):
 
 
 def test_assortativity_is_a_valid_correlation(spark):
-    rows = registry.DEFERRED_QUERIES["cobuy_degree_assortativity"](
+    rows = registry.any_query("cobuy_degree_assortativity")(
         spark, SF_SMOKE
     ).collect()
     assert len(rows) == 1
@@ -580,7 +580,7 @@ def test_assortativity_is_a_valid_correlation(spark):
 
 
 def test_cluster_language_purity_tallies_are_consistent(spark):
-    rows = registry.DEFERRED_QUERIES["dup_cluster_language_purity"](
+    rows = registry.any_query("dup_cluster_language_purity")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -665,7 +665,7 @@ def test_ra_link_prediction_matches_python_reference_on_random_baskets(
     try:
         got = [
             (r.item_a, r.item_b, r.n_common, r.ra_score)
-            for r in registry.DEFERRED_QUERIES["item_ra_link_prediction"](
+            for r in registry.any_query("item_ra_link_prediction")(
                 spark, str(d)
             ).collect()
         ]
@@ -709,7 +709,7 @@ def test_bpe_matches_python_reference_on_random_corpora(
     want = _python_bpe([text], _BPE_MERGES)
     got = [
         (r.merge_rank, r.pair, r.merged, r.pair_count)
-        for r in registry.DEFERRED_QUERIES["bpe_merge_learning"](
+        for r in registry.any_query("bpe_merge_learning")(
             spark, str(d)
         )
         .orderBy("merge_rank")
@@ -721,7 +721,7 @@ def test_bpe_matches_python_reference_on_random_corpora(
 def test_entropy_rate_is_bounded_and_weighted_mean(spark):
     import math
 
-    rows = registry.DEFERRED_QUERIES["markov_entropy_rate"](
+    rows = registry.any_query("markov_entropy_rate")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -742,7 +742,7 @@ def test_entropy_rate_is_bounded_and_weighted_mean(spark):
 
 
 def test_poisson_gof_expected_counts_sum_to_n(spark):
-    rows = registry.DEFERRED_QUERIES["basket_size_poisson_gof"](
+    rows = registry.any_query("basket_size_poisson_gof")(
         spark, SF_SMOKE
     ).collect()
     assert rows
@@ -795,7 +795,7 @@ def test_spearman_is_valid_and_matches_scipy_free_reference(spark):
     want = (n * sxy - sx * sy) / (
         (n * sxx - sx * sx) * (n * syy - sy * sy)
     ) ** 0.5
-    got = registry.DEFERRED_QUERIES["acctbal_revenue_spearman"](
+    got = registry.any_query("acctbal_revenue_spearman")(
         spark, SF_SMOKE
     ).collect()[0]
     assert got.n == n
@@ -804,7 +804,7 @@ def test_spearman_is_valid_and_matches_scipy_free_reference(spark):
 
 
 def test_cramers_v_is_bounded(spark):
-    r = registry.DEFERRED_QUERIES["segment_priority_association"](
+    r = registry.any_query("segment_priority_association")(
         spark, SF_SMOKE
     ).collect()[0]
     assert r.n_orders > 0 and r.dof >= 1
@@ -814,7 +814,7 @@ def test_cramers_v_is_bounded(spark):
 
 def test_quality_concentration_curve_is_monotone_to_one(spark):
     rows = sorted(
-        registry.DEFERRED_QUERIES["quality_concentration_curve"](
+        registry.any_query("quality_concentration_curve")(
             spark, SF_SMOKE
         ).collect(),
         key=lambda r: r.decile,
