@@ -141,6 +141,14 @@ QUERIES = (
     "hard_negative_pairs",
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    # round 8: privacy bounding (pure hash aggs), modularity (broadcast
+    # labels over cached edges), margin mining (broadcast batch, no
+    # all-pairs), streaming PIT enrichment (foreachBatch as-of), audio
+    # kernel (MapInPandas, no BatchEvalPython)
+    "dp_contribution_bounding",
+    "graph_modularity",
+    "embedding_bitext_margin",
+    "multimodal_audio_energy",
 )
 
 
