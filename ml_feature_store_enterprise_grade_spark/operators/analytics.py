@@ -5173,3 +5173,113 @@ def segment_priority_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "returnflag_anova_ftest",
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS q
+        FROM lineitem
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS DOUBLE) AS ts,
+               CAST(SUM(q) AS DOUBLE) AS tq,
+               list_sum(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                             ORDER BY l_returnflag)) AS ssbsum
+        FROM g
+    ),
+    f AS (
+        SELECT nn, k,
+               ssbsum - ts * ts / nn AS ssb,
+               tq - ts * ts / nn AS sst
+        FROM t
+    )
+    SELECT g.l_returnflag,
+           CAST(g.n AS BIGINT) AS n,
+           ROUND(CAST(g.s AS DOUBLE) / g.n, 2) AS mean_price,
+           CAST(f.k - 1 AS BIGINT) AS df_between,
+           CAST(f.nn - f.k AS BIGINT) AS df_within,
+           ROUND((f.ssb / (f.k - 1)) / ((f.sst - f.ssb) / (f.nn - f.k)), 4)
+               AS f_stat,
+           ROUND(f.ssb / f.sst, 6) AS eta_squared
+    FROM g CROSS JOIN f
+    """,
+)
+def returnflag_anova_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of line-item price across return flags —
+    does return status explain any price variance?  Completes the
+    classical-test battery (z-test, chi-square SRM, KS, Spearman,
+    Mann-Kendall, runs test) with the k-group mean comparison.  Per
+    flag: n and mean; every row carries the global F, its degrees of
+    freedom, and eta-squared (SSB/SST, the effect size — an F alone
+    overstates tiny effects at large N, which is exactly the 100 TB
+    failure mode of significance tests).
+
+    Exactness: group moments (n, Σx, Σx²) accumulate in DECIMAL —
+    shuffle-order-proof; the sums-of-squares identity SSB =
+    Σ S_g²/n_g − S²/N needs per-group DOUBLE terms, whose k-way sum
+    is made order-deterministic by folding the group list in
+    return-flag order (``list_sum(list(... ORDER BY))`` / sorted-array
+    ``aggregate`` — the Theil-Sen discipline), so both engines add
+    the same doubles in the same order.
+
+    Scale: one map-side-partial hash aggregate over the fact table to
+    7 group rows; everything after is driver-trivial broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", money(F.col("l_extendedprice")).alias("x")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s").cast("double").alias("ts"),
+        F.sum("q").cast("double").alias("tq"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_returnflag").alias("m"),
+                        (
+                            F.col("s").cast("double")
+                            * F.col("s").cast("double")
+                            / F.col("n")
+                        ).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("ssbsum"),
+    )
+    f = t.select(
+        "nn",
+        "k",
+        (F.col("ssbsum") - F.col("ts") * F.col("ts") / F.col("nn")).alias("ssb"),
+        (F.col("tq") - F.col("ts") * F.col("ts") / F.col("nn")).alias("sst"),
+    )
+    return g.crossJoin(F.broadcast(f)).select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s").cast("double") / F.col("n"), 2).alias("mean_price"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / ((F.col("sst") - F.col("ssb")) / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
+    )

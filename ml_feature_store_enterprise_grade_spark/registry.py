@@ -45,6 +45,8 @@ ORACLES: dict[str, str] = {}
 #   - markov_entropy_rate (round 9 queue)
 #   - segment_priority_association (round 9 queue)
 #   - vocab_zipf_fit (round 9 queue)
+#   - returnflag_anova_ftest (round 9 queue)
+#   - feature_information_gain (round 9 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -181,3 +181,58 @@ def test_audio_rms_consistent_with_sum_sq(spark):
     rows = _q("multimodal_audio_energy")(spark, SF_SMOKE).limit(50).collect()
     for r in rows:
         assert abs(r.rms - round(float(np.sqrt(r.sum_sq / 64.0)), 6)) < 1e-9
+
+
+# --- returnflag_anova_ftest (deferred, round-9 queue) ----------------
+
+
+def test_anova_partition_identity(spark):
+    """SSB + SSW = SST and eta² ∈ [0, 1]; F non-negative with the
+    right degrees of freedom for 3 groups."""
+    rows = _q("returnflag_anova_ftest")(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    r = rows[0]
+    assert all(x.f_stat == r.f_stat for x in rows)
+    assert r.df_between == 2
+    assert r.df_within == sum(x.n for x in rows) - 3
+    assert r.f_stat >= 0
+    assert 0.0 <= r.eta_squared <= 1.0
+
+
+def test_anova_matches_numpy(spark):
+    import duckdb
+
+    vals = duckdb.connect().execute(
+        f"SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) "
+        f"FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    groups: dict[str, list[float]] = {}
+    for flag, v in vals:
+        groups.setdefault(flag, []).append(round(v, 2))
+    gm = [np.array(v) for v in groups.values()]
+    allv = np.concatenate(gm)
+    sst = ((allv - allv.mean()) ** 2).sum()
+    ssb = sum(len(g) * (g.mean() - allv.mean()) ** 2 for g in gm)
+    k, n = len(gm), len(allv)
+    f_ref = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    r = _q("returnflag_anova_ftest")(spark, SF_SMOKE).collect()[0]
+    assert abs(r.f_stat - f_ref) < max(1e-3, 1e-4 * abs(f_ref))
+
+
+# --- feature_information_gain (deferred, round-9 queue) --------------
+
+
+def test_information_gain_bounds_and_ranking(spark):
+    rows = {r.feature: r for r in _q("feature_information_gain")(
+        spark, SF_SMOKE
+    ).collect()}
+    assert set(rows) == {"segment", "nation", "bal_band"}
+    for r in rows.values():
+        # IG is bounded by the label entropy and non-negative
+        # (up to the 4dp emission rounding).
+        assert -1e-4 <= r.info_gain <= r.h_label + 1e-4
+        assert r.h_label_given_bin <= r.h_label + 1e-4
+        assert r.gain_ratio is None or r.gain_ratio >= -1e-4
+    # identity: h_label - h_label_given_bin == info_gain (4dp).
+    for r in rows.values():
+        assert abs((r.h_label - r.h_label_given_bin) - r.info_gain) < 2e-4
