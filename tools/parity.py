@@ -1,4 +1,4 @@
-"""Fast local parity sweep: python tools/parity.py [sf_dir] [query ...]
+"""Fast local parity sweep: python tools/parity.py [sf_dir] [query ...] [--vanilla] [--window]
 
 ``--vanilla`` runs the sweep on a BARE SparkSession (none of the
 engine's session confs), replicating the verify driver's environment
@@ -19,9 +19,19 @@ from ml_feature_store_enterprise_grade_spark.testing import run_parity
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    args = [a for a in args if a != "--vanilla"]
+    window = "--window" in args
+    args = [a for a in args if a not in ("--vanilla", "--window")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     only = [a for a in args if "/" not in a] or None
+    if window:
+        # Dry-run of the verify driver's check: exactly the FIRST 50
+        # driver-visible queries, in window order.  Run with --vanilla
+        # at sf0.01 before a round ends to see what CORRECTNESS_r{N}
+        # will contain.
+        from ml_feature_store_enterprise_grade_spark import registry
+
+        registry.load_all()
+        only = list(registry.queries())[:50]
     if vanilla:
         from pyspark.sql import SparkSession
 
