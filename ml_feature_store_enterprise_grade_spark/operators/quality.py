@@ -978,3 +978,144 @@ def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clip_bias"),
         F.lit(float(_DP_CAP)).alias("l1_sensitivity"),
     )
+
+
+@register(
+    "online_offline_skew_audit",
+    defer=True,
+    oracle="""
+    WITH t AS (
+        SELECT date_trunc('hour', MAX(ts)) AS t2,
+               date_trunc('hour', MAX(ts)) - INTERVAL 6 HOURS AS t1
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               COUNT(*) FILTER (WHERE e.ts <= t.t1) AS ev1,
+               COUNT(*) FILTER (WHERE e.ts <= t.t2) AS ev2,
+               COALESCE(SUM(CAST(e.value AS DECIMAL(12,2)))
+                   FILTER (WHERE e.event_type = 'purchase' AND e.ts <= t.t1),
+                   CAST(0 AS DECIMAL(12,2))) AS rev1,
+               COALESCE(SUM(CAST(e.value AS DECIMAL(12,2)))
+                   FILTER (WHERE e.event_type = 'purchase' AND e.ts <= t.t2),
+                   CAST(0 AS DECIMAL(12,2))) AS rev2
+        FROM events e CROSS JOIN t
+        WHERE e.user_id IS NOT NULL AND e.ts <= t.t2
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT 'total_events' AS feature,
+               CAST(ev1 AS DECIMAL(12,2)) AS v1,
+               CAST(ev2 AS DECIMAL(12,2)) AS v2,
+               ev1 = 0 AS is_new
+        FROM per_user
+        UNION ALL
+        SELECT 'total_revenue', rev1, rev2, ev1 = 0 FROM per_user
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_entities,
+           CAST(SUM(CASE WHEN v1 <> v2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           ROUND(CAST(SUM(CASE WHEN v1 <> v2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS changed_share,
+           CAST(ROUND(MAX(ABS(v2 - v1)), 2) AS DOUBLE) AS max_abs_delta,
+           CAST(ROUND(SUM(ABS(v2 - v1)), 2) AS DOUBLE) AS total_drift
+    FROM u
+    GROUP BY 1
+    """,
+)
+def online_offline_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training–serving skew probe — THE feature-store consistency
+    audit (Feast's core operational risk): diff the feature values an
+    online store frozen at watermark T1 would serve against the
+    offline recomputation at T2 = T1 + 6 h, per feature.  Reports
+    entity coverage, entities whose value changed in (T1, T2]
+    (= stale online reads), new entities the frozen snapshot cannot
+    serve at all, the worst-case and total absolute drift.  A serving
+    stack alerts on these numbers to decide materialization cadence;
+    a zero-row diff is what [[incremental_feature_update]]'s
+    convergence gate proves for the incremental path.
+
+    Watermarks are DERIVED from the data (hour-floored max event
+    time) so the audit is deterministic and replayable on any slice —
+    the reference's current_timestamp-based freshness check is the
+    non-replayable form (P6 policy, SURVEY Appendix).
+
+    Exactness: both feature versions accumulate in one conditional
+    hash aggregate over exact DECIMAL / BIGINT; deltas and shares are
+    exact until the single rounded emission.
+
+    Scale: ONE scan of the fact table (both watermarks are
+    conditional aggregates in the same pass — never two scans diffed
+    by join), one user-keyed hash aggregate, then a 2× map-side
+    unpivot of the 150-row-per-sf entity frame and a 2-row rollup."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = e.agg(
+        F.date_trunc("hour", F.max("ts")).alias("t2"),
+        (F.date_trunc("hour", F.max("ts")) - F.expr("INTERVAL 6 HOURS")).alias(
+            "t1"
+        ),
+    )
+    dec0 = F.lit("0").cast("decimal(12,2)")
+    per_user = (
+        e.crossJoin(F.broadcast(t))
+        .filter(F.col("ts") <= F.col("t2"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") <= F.col("t1"), 1).otherwise(0)).alias(
+                "ev1"
+            ),
+            F.count("*").alias("ev2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") <= F.col("t1")),
+                        F.col("value").cast("decimal(12,2)"),
+                    )
+                ),
+                dec0,
+            ).alias("rev1"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(12,2)"),
+                    )
+                ),
+                dec0,
+            ).alias("rev2"),
+        )
+    )
+    u = per_user.select(
+        F.expr(
+            "stack(2, "
+            "'total_events', CAST(ev1 AS DECIMAL(22,2)), CAST(ev2 AS DECIMAL(22,2)), "
+            "'total_revenue', rev1, rev2) AS (feature, v1, v2)"
+        ),
+        (F.col("ev1") == 0).alias("is_new"),
+    )
+    return u.groupBy("feature").agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_entities"),
+        F.sum(F.when(F.col("v1") != F.col("v2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.round(
+            F.sum(F.when(F.col("v1") != F.col("v2"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("changed_share"),
+        F.round(F.max(F.abs(F.col("v2") - F.col("v1"))), 2)
+        .cast("double")
+        .alias("max_abs_delta"),
+        F.round(F.sum(F.abs(F.col("v2") - F.col("v1"))), 2)
+        .cast("double")
+        .alias("total_drift"),
+    )

@@ -47,6 +47,7 @@ ORACLES: dict[str, str] = {}
 #   - vocab_zipf_fit (round 9 queue)
 #   - returnflag_anova_ftest (round 9 queue)
 #   - feature_information_gain (round 9 queue)
+#   - online_offline_skew_audit (round 9 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

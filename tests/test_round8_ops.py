@@ -236,3 +236,27 @@ def test_information_gain_bounds_and_ranking(spark):
     # identity: h_label - h_label_given_bin == info_gain (4dp).
     for r in rows.values():
         assert abs((r.h_label - r.h_label_given_bin) - r.info_gain) < 2e-4
+
+
+# --- online_offline_skew_audit (deferred, round-9 queue) -------------
+
+
+def test_skew_audit_consistency(spark):
+    rows = {r.feature: r for r in _q("online_offline_skew_audit")(
+        spark, SF_SMOKE
+    ).collect()}
+    assert set(rows) == {"total_events", "total_revenue"}
+    ev, rev = rows["total_events"], rows["total_revenue"]
+    # the two features audit the same entity universe.
+    assert ev.n_entities == rev.n_entities
+    assert ev.n_new_entities == rev.n_new_entities
+    for r in rows.values():
+        assert 0 <= r.n_new_entities <= r.n_changed <= r.n_entities
+        assert abs(r.changed_share - round(r.n_changed / r.n_entities, 6)) < 1e-9
+        assert r.max_abs_delta <= r.total_drift + 1e-9
+        # something happened in the last 6 hours of a month of data.
+        assert r.n_changed > 0
+    # an entity whose event count changed is exactly an entity with
+    # events in (T1, T2]; its revenue may or may not change, so the
+    # event-count feature bounds the revenue feature from above.
+    assert rev.n_changed <= ev.n_changed
