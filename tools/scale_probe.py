@@ -1,0 +1,174 @@
+"""Scale probe: measure the engine's scale-path operators on a
+synthetically amplified events table and record rows/sec — the
+empirical side of the "would this plan survive 100×?" question.
+
+Amplification: each sf0.1 event is replicated K times with a
+per-replica (user_id, ts) jitter, preserving the generator's key
+skew and time distribution while multiplying volume (K=100 →
+10M events, written once to /tmp as real parquet so scans, pushdown,
+and shuffle sizing behave like a real table, not an in-memory
+relation).
+
+Probes (one per scale-promise):
+* ``hourly``        — the flagship tumbling aggregate (map-side
+                      partial combine promise).
+* ``sliding_direct``— 1h/10min sliding window, the 6×-explode form.
+* ``sliding_rollup``— the two-level rollup that shuffles pre-
+                      aggregated buckets; its speedup over direct IS
+                      the scale path's measured payoff.
+* ``asof``          — PIT as-of join of the amplified events against
+                      per-user feature snapshots (max_by hash-agg
+                      form, no window sort).
+* ``exact_dedup``   — sha2 hash-aggregate dedup over the amplified
+                      frame (embarrassingly parallel promise).
+
+Output: one JSON line per probe + a summary line
+(``SCALE_r{N}.json`` material).  Run: python tools/scale_probe.py
+[K] (default 100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from ml_feature_store_enterprise_grade_spark.functions.scalar import money
+from ml_feature_store_enterprise_grade_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplified_events_dir(spark, k: int) -> str:
+    out = os.path.join("/tmp", f"scale_probe_events_x{k}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, SF_DIR, "events")
+    amp = (
+        e.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("event_id") * k + F.col("r")).alias("event_id"),
+            # jitter inside ±5 min keeps the hourly/sliding window
+            # population realistic instead of k-fold stacked points.
+            (
+                F.col("ts")
+                + F.make_interval(secs=(F.col("r") * 37 % 600) - 300)
+            ).alias("ts"),
+            # replicas cycle over a 10× user universe: volume AND
+            # cardinality grow, as they would in production.
+            (F.col("user_id") + (F.col("r") % 10) * 100000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    amp.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark("scale_probe", cpus=32)
+    t0 = time.time()
+    src = amplified_events_dir(spark, k)
+    gen_s = round(time.time() - t0, 1)
+    ev = spark.read.parquet(src)
+    n = ev.count()
+    print(json.dumps({"probe": "generate", "rows": n, "sec": gen_s}))
+
+    base = ev.filter(F.col("user_id").isNotNull())
+
+    def timed(name, df):
+        t = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t, 2)
+        print(
+            json.dumps(
+                {"probe": name, "rows_in": n, "sec": sec,
+                 "mrows_per_sec": round(n / sec / 1e6, 2)}
+            ),
+            flush=True,
+        )
+        return sec
+
+    hourly = base.groupBy(
+        "user_id", F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.count("*").alias("total_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                  .otherwise(0.0)), 2
+        ).alias("total_revenue"),
+    )
+    t_hourly = timed("hourly", hourly)
+
+    direct = base.groupBy(
+        "user_id", F.window("ts", "1 hour", "10 minutes").alias("w")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    t_direct = timed("sliding_direct", direct)
+
+    buckets = (
+        base.groupBy("user_id", F.window("ts", "10 minutes").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum(money(F.col("value"))).alias("v"))
+        .select("user_id", F.col("b.start").alias("sb"), "n", "v")
+    )
+    rollup = (
+        buckets.select(
+            "user_id", "sb", "n", "v",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("kk"),
+        )
+        .select(
+            "user_id",
+            (F.col("sb") - F.expr("make_interval(0,0,0,0,0,kk*10,0)")).alias("ws"),
+            "n", "v",
+        )
+        .groupBy("user_id", "ws")
+        .agg(F.sum("n").alias("n"),
+             F.round(F.sum("v"), 2).cast("double").alias("v"))
+    )
+    t_rollup = timed("sliding_rollup", rollup)
+
+    feats = base.groupBy("user_id").agg(
+        F.max("ts").alias("feature_ts"), F.count("*").alias("f_n")
+    )
+    asof = (
+        base.join(F.broadcast(feats.withColumnRenamed("user_id", "f_uid")),
+                  (F.col("user_id") == F.col("f_uid"))
+                  & (F.col("feature_ts") <= F.col("ts")), "left")
+        .groupBy("event_id")
+        .agg(F.max_by(F.struct("feature_ts", "f_n"), "feature_ts").alias("f"))
+    )
+    t_asof = timed("asof", asof)
+
+    dedup = base.groupBy(
+        F.sha2(F.concat_ws("|", "user_id", "event_type",
+                           F.col("value").cast("string")), 256).alias("h")
+    ).agg(F.count("*").alias("copies"), F.min("event_id").alias("keep"))
+    t_dedup = timed("exact_dedup", dedup)
+
+    print(json.dumps({
+        "metric": "scale probe",
+        "k": k,
+        "rows": n,
+        "gen_sec": gen_s,
+        "hourly_sec": t_hourly,
+        "sliding_direct_sec": t_direct,
+        "sliding_rollup_sec": t_rollup,
+        "rollup_speedup": round(t_direct / t_rollup, 2),
+        "asof_sec": t_asof,
+        "exact_dedup_sec": t_dedup,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
