@@ -1119,3 +1119,146 @@ def online_offline_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_drift"),
     )
+
+
+@register(
+    "cross_table_consistency_audit",
+    defer=True,
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders.o_custkey -> customer' AS check_name,
+               (SELECT COUNT(*) FROM orders) AS n_checked,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS n_violations
+        UNION ALL
+        SELECT 'lineitem.l_orderkey -> orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'events.user_id -> customer',
+               (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+               (SELECT COUNT(*) FROM events e
+                WHERE e.user_id IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id))
+        UNION ALL
+        SELECT 'customer without any order (informational)',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey))
+        UNION ALL
+        SELECT 'lineitem.l_shipdate >= orders.o_orderdate',
+               (SELECT COUNT(*) FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey),
+               (SELECT COUNT(*) FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate < o.o_orderdate)
+    )
+    SELECT check_name,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           ROUND(CAST(n_violations AS DOUBLE) / NULLIF(n_checked, 0), 6)
+               AS violation_share,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style cross-table consistency pack — the relationship
+    tests the single-table GE suite ([[quality_expectation_suite]])
+    cannot express: four FK orphan gates (orders→customer,
+    lineitem→orders, lineitem→part, events→customer), the
+    childless-parent tally, and a cross-table TEMPORAL rule
+    (l_shipdate ≥ o_orderdate).  On the driver's testdata the FK
+    edges are clean but the temporal gate is genuinely red — ~49% of
+    lineitems "ship" before their order date (the generator draws the
+    two dates independently), which is exactly the class of silent
+    upstream bug this audit exists to surface before a feature
+    derives lead-times from those columns.
+
+    Scale: each FK gate is one LEFT ANTI-shaped aggregate (the probe
+    side scans once; parent key sets broadcast when small, shuffle
+    otherwise — Catalyst's choice); the temporal gate is the
+    fact-to-fact equi-join the engine already optimizes.  Checks
+    evaluate independently and union a 6-row report — at 100 TB you
+    run the pack per partition-day and trend the shares."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def gate(name, child, key, parent, pkey):
+        """One-row lazy gate: total probes + LEFT-join orphan tally —
+        never a driver-side count; the six gates union into one plan."""
+        p = parent.withColumnRenamed(pkey, "__pk").distinct()
+        return (
+            child.join(p, child[key] == F.col("__pk"), "left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count("*").cast("long").alias("n_checked"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+
+    temporal = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        ).agg(
+            F.lit("lineitem.l_shipdate >= orders.o_orderdate").alias("check_name"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    out = (
+        gate("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey")
+        .unionAll(
+            gate(
+                "lineitem.l_orderkey -> orders",
+                li,
+                "l_orderkey",
+                orders.select("o_orderkey"),
+                "o_orderkey",
+            )
+        )
+        .unionAll(gate("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(gate("events.user_id -> customer", ev, "user_id", cust, "c_custkey"))
+        .unionAll(
+            gate(
+                "customer without any order (informational)",
+                cust,
+                "c_custkey",
+                orders.select("o_custkey"),
+                "o_custkey",
+            )
+        )
+        .unionAll(temporal)
+    )
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double")
+            / F.nullif(F.col("n_checked"), F.lit(0)).cast("double"),
+            6,
+        ).alias("violation_share"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

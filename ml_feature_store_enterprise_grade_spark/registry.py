@@ -48,6 +48,7 @@ ORACLES: dict[str, str] = {}
 #   - returnflag_anova_ftest (round 9 queue)
 #   - feature_information_gain (round 9 queue)
 #   - online_offline_skew_audit (round 9 queue)
+#   - cross_table_consistency_audit (round 9 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

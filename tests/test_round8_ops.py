@@ -260,3 +260,28 @@ def test_skew_audit_consistency(spark):
     # events in (T1, T2]; its revenue may or may not change, so the
     # event-count feature bounds the revenue feature from above.
     assert rev.n_changed <= ev.n_changed
+
+
+# --- cross_table_consistency_audit (deferred, round-9 queue) ---------
+
+
+def test_consistency_audit_gates(spark):
+    rows = {r.check_name: r for r in _q("cross_table_consistency_audit")(
+        spark, SF_SMOKE
+    ).collect()}
+    assert len(rows) == 6
+    # the four FK edges are clean on the generator's data...
+    for name in [
+        "orders.o_custkey -> customer",
+        "lineitem.l_orderkey -> orders",
+        "lineitem.l_partkey -> part",
+        "events.user_id -> customer",
+    ]:
+        assert rows[name].passed and rows[name].n_violations == 0
+    # ...but the temporal gate is genuinely red: the generator draws
+    # l_shipdate and o_orderdate independently.
+    t = rows["lineitem.l_shipdate >= orders.o_orderdate"]
+    assert not t.passed and t.n_violations > 0
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+        assert r.passed == (r.n_violations == 0)
