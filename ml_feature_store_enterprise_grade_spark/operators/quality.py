@@ -1163,6 +1163,21 @@ def online_offline_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM lineitem l JOIN orders o
                   ON l.l_orderkey = o.o_orderkey
                 WHERE l.l_shipdate < o.o_orderdate)
+        UNION ALL
+        SELECT 'orders.o_orderstatus consistent with lineitem.l_linestatus',
+               (SELECT COUNT(*) FROM (
+                    SELECT o.o_orderkey FROM orders o
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                    GROUP BY 1)),
+               (SELECT COUNT(*) FROM (
+                    SELECT o.o_orderkey, o.o_orderstatus,
+                           COUNT(*) AS n,
+                           SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END) AS nf
+                    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                    GROUP BY 1, 2)
+                WHERE (o_orderstatus = 'F' AND nf <> n)
+                   OR (o_orderstatus = 'O' AND nf <> 0)
+                   OR (o_orderstatus = 'P' AND (nf = 0 OR nf = n)))
     )
     SELECT check_name,
            CAST(n_checked AS BIGINT) AS n_checked,
@@ -1178,8 +1193,9 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     tests the single-table GE suite ([[quality_expectation_suite]])
     cannot express: four FK orphan gates (orders→customer,
     lineitem→orders, lineitem→part, events→customer), the
-    childless-parent tally, and a cross-table TEMPORAL rule
-    (l_shipdate ≥ o_orderdate).  On the driver's testdata the FK
+    childless-parent tally, a cross-table TEMPORAL rule
+    (l_shipdate ≥ o_orderdate), and the order/lineitem STATUS
+    state-machine rule (F→all lines final, O→none, P→mixed).  On the driver's testdata the FK
     edges are clean but the temporal gate is genuinely red — ~49% of
     lineitems "ship" before their order date (the generator draws the
     two dates independently), which is exactly the class of silent
@@ -1227,6 +1243,35 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_violations"),
         )
     )
+    per_order = (
+        li.select("l_orderkey", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
+                "nf"
+            ),
+        )
+    )
+    bad = (
+        ((F.col("o_orderstatus") == "F") & (F.col("nf") != F.col("n")))
+        | ((F.col("o_orderstatus") == "O") & (F.col("nf") != 0))
+        | (
+            (F.col("o_orderstatus") == "P")
+            & ((F.col("nf") == 0) | (F.col("nf") == F.col("n")))
+        )
+    )
+    status = per_order.agg(
+        F.lit(
+            "orders.o_orderstatus consistent with lineitem.l_linestatus"
+        ).alias("check_name"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
+    )
     out = (
         gate("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey")
         .unionAll(
@@ -1250,6 +1295,7 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         .unionAll(temporal)
+        .unionAll(status)
     )
     return out.select(
         "check_name",

@@ -269,7 +269,7 @@ def test_consistency_audit_gates(spark):
     rows = {r.check_name: r for r in _q("cross_table_consistency_audit")(
         spark, SF_SMOKE
     ).collect()}
-    assert len(rows) == 6
+    assert len(rows) == 7
     # the four FK edges are clean on the generator's data...
     for name in [
         "orders.o_custkey -> customer",
@@ -282,6 +282,8 @@ def test_consistency_audit_gates(spark):
     # l_shipdate and o_orderdate independently.
     t = rows["lineitem.l_shipdate >= orders.o_orderdate"]
     assert not t.passed and t.n_violations > 0
+    st = rows["orders.o_orderstatus consistent with lineitem.l_linestatus"]
+    assert not st.passed and st.n_violations > 0
     for r in rows.values():
         assert 0 <= r.n_violations <= r.n_checked
         assert r.passed == (r.n_violations == 0)
