@@ -485,3 +485,38 @@ def test_audio_energy_stays_arrow_batched(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_anova_single_aggregate_no_cartesian(spark):
+    """Group moments reduce the fact table to 3 rows; the only joins
+    are 1-row broadcast attachments of the F frame."""
+    plan = plan_of_deferred(spark, "returnflag_anova_ftest")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_information_gain_no_wide_joins(spark):
+    plan = plan_of_deferred(spark, "feature_information_gain")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # stack unpivot must stay map-side: no Python eval anywhere.
+    assert "BatchEvalPython" not in plan
+
+
+def test_skew_audit_is_one_scan(spark):
+    """Both watermarks are conditional aggregates in ONE pass — the
+    plan must scan events once (plus the 1-row watermark subquery),
+    never diff two scans through a join."""
+    plan = plan_of_deferred(spark, "online_offline_skew_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the watermark-attach broadcast, no equi-join of scans
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_consistency_audit_all_broadcast_gates(spark):
+    plan = plan_of_deferred(spark, "cross_table_consistency_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
