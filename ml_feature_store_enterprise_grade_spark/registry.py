@@ -141,11 +141,11 @@ _loaded = False
 #: ROUND-9 REBUILD CHECKLIST (do this first next round): (1) run
 #: ``python tools/update_checked_names.py`` to fold the 50 round-8
 #: window rows (45 promoted + 5 new) into ``_DRIVER_CHECKED``; (2)
-#: ADD the 19 round-9-queue names from the overflow comment above to
+#: ADD the 20 round-9-queue names from the overflow comment above to
 #: ``_PROMOTED`` (keep the round-8 names in the set — they are what
 #: keeps those registrations un-deferred) and rebuild ``_FRONT`` with
-#: the 19 at the head; (3) delete them from the overflow comment;
-#: (4) the remaining ~31 slots go to new round-9 queries then the
+#: the 20 at the head; (3) delete them from the overflow comment;
+#: (4) the remaining ~30 slots go to new round-9 queries then the
 #: OLDEST driver greens per the rotation policy above (run the tool —
 #: it prints which _FRONT entries are rotatable).  After this round
 #: the deferred queue is EMPTY except env-gated
