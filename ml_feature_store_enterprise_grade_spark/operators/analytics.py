@@ -5237,11 +5237,14 @@ def returnflag_anova_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", money(F.col("l_extendedprice")).alias("x")
     )
+    # 3-row frame materialized once (localCheckpoint) so the two
+    # consumers below don't each rescan the fact table — the single
+    # fact-table pass the docstring promises.
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("q"),
-    )
+    ).localCheckpoint()
     t = g.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.count("*").cast("bigint").alias("k"),

@@ -1206,7 +1206,7 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     side scans once; parent key sets broadcast when small, shuffle
     otherwise — Catalyst's choice); the temporal gate is the
     fact-to-fact equi-join the engine already optimizes.  Checks
-    evaluate independently and union a 6-row report — at 100 TB you
+    evaluate independently and union a 7-row report — at 100 TB you
     run the pack per partition-day and trend the shares."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")

@@ -2456,9 +2456,12 @@ def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(10,6)")
             .alias("cos"),
         )
-        .cache()
+        # localCheckpoint (eager): materialized once, lineage-free, and
+        # released by the ContextCleaner when the frame is GC'd — unlike
+        # cache(), repeated invocations don't pin cross-product tables
+        # in the CacheManager for the session lifetime.
+        .localCheckpoint()
     )
-    p.count()
     wx = Window.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.desc("cos"), F.asc("x_id"))
     ka = (

@@ -20,8 +20,7 @@ from tests.conftest import SF_SMOKE
 registry.load_all()
 
 
-def _q(name):
-    return registry.QUERIES.get(name) or registry.DEFERRED_QUERIES[name]
+_q = registry.any_query
 
 
 # --- dp_contribution_bounding ---------------------------------------
@@ -87,8 +86,16 @@ def test_bitext_margin_one_best_per_source(spark):
     assert rows
     xs = [r.x_id for r in rows]
     assert len(xs) == len(set(xs)), "exactly one best match per source"
+    import duckdb
+
+    labels = dict(
+        duckdb.connect()
+        .execute(f"SELECT vec_id, label FROM '{SF_SMOKE}/embeddings.parquet'")
+        .fetchall()
+    )
     for r in rows:
-        assert r.x_id % 2 != r.y_id % 2 or True  # ids carry no side info
+        # sides are defined by label parity: sources even, targets odd.
+        assert labels[r.x_id] % 2 == 0 and labels[r.y_id] % 2 == 1
         assert -1.0 <= r.cosine_sim <= 1.0
         assert r.margin > 0
 
@@ -251,11 +258,17 @@ def test_skew_audit_consistency(spark):
     assert ev.n_entities == rev.n_entities
     assert ev.n_new_entities == rev.n_new_entities
     for r in rows.values():
-        assert 0 <= r.n_new_entities <= r.n_changed <= r.n_entities
+        assert 0 <= r.n_new_entities <= r.n_entities
+        assert 0 <= r.n_changed <= r.n_entities
         assert abs(r.changed_share - round(r.n_changed / r.n_entities, 6)) < 1e-9
         assert r.max_abs_delta <= r.total_drift + 1e-9
         # something happened in the last 6 hours of a month of data.
         assert r.n_changed > 0
+    # structurally, only for the EVENT-COUNT feature: a new entity has
+    # ev1 = 0 < ev2, so it is necessarily counted as changed.  (A new
+    # entity with no purchases has rev1 = rev2 = 0 — unchanged revenue
+    # — so the same bound does NOT hold for total_revenue.)
+    assert ev.n_new_entities <= ev.n_changed
     # an entity whose event count changed is exactly an entity with
     # events in (T1, T2]; its revenue may or may not change, so the
     # event-count feature bounds the revenue feature from above.

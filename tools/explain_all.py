@@ -143,8 +143,13 @@ QUERIES = (
     "ccnet_perplexity_buckets",
     # round 8: privacy bounding (pure hash aggs), modularity (broadcast
     # labels over cached edges), margin mining (broadcast batch, no
-    # all-pairs), streaming PIT enrichment (foreachBatch as-of), audio
-    # kernel (MapInPandas, no BatchEvalPython)
+    # all-pairs), audio kernel (MapInPandas, no BatchEvalPython).
+    # stream_asof_enrichment is absent by design: its returned frame
+    # is a parquet read-back of the foreachBatch sink, so the batch
+    # plan here would show only the scan; its PIT semantics are
+    # pinned by tests/test_round8_ops.py (never-leaks-open-window +
+    # full-coverage) and its per-batch join is an explicit
+    # F.broadcast in the foreachBatch body.
     "dp_contribution_bounding",
     "graph_modularity",
     "embedding_bitext_margin",

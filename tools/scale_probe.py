@@ -47,7 +47,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def amplified_events_dir(spark, k: int) -> str:
-    out = os.path.join("/tmp", f"scale_probe_events_x{k}")
+    tag = SF_DIR.strip("/").replace("/", "_")
+    out = os.path.join("/tmp", f"scale_probe_{tag}_x{k}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
