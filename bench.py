@@ -145,6 +145,13 @@ BENCH_QUERIES = (
     "embedding_bitext_margin",
     "stream_asof_enrichment",
     "multimodal_audio_energy",
+    # round 8b (round-9-queue deferred, benchmarkable): classical-test
+    # battery completion, supervised feature relevance, the two
+    # feature-store/dbt audits.
+    "returnflag_anova_ftest",
+    "feature_information_gain",
+    "online_offline_skew_audit",
+    "cross_table_consistency_audit",
 )
 
 
