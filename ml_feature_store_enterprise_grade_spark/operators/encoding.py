@@ -686,7 +686,8 @@ def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> Data
     ),
     cnt AS (SELECT feature, bin, y, COUNT(*) AS c FROM u GROUP BY 1, 2, 3),
     per_bin AS (
-        SELECT feature, bin, SUM(c) AS nb, SUM(c * ln(c)) AS clnc
+        SELECT feature, bin, SUM(c) AS nb,
+               SUM(c * CAST(FLOOR(ln(c) * 1000000) AS BIGINT)) AS clnc
         FROM cnt GROUP BY 1, 2
     ),
     per_y AS (SELECT feature, y, SUM(c) AS cy FROM cnt GROUP BY 1, 2),
@@ -694,18 +695,22 @@ def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> Data
         SELECT feature,
                COUNT(*) AS n_bins,
                SUM(nb) AS n,
-               SUM(nb * ln(nb)) AS b,
+               SUM(nb * CAST(FLOOR(ln(nb) * 1000000) AS BIGINT)) AS b,
                SUM(clnc) AS a
         FROM per_bin GROUP BY 1
     ),
-    fy AS (SELECT feature, SUM(cy * ln(cy)) AS cc FROM per_y GROUP BY 1)
+    fy AS (SELECT feature,
+                  SUM(cy * CAST(FLOOR(ln(cy) * 1000000) AS BIGINT)) AS cc
+           FROM per_y GROUP BY 1)
     SELECT f.feature,
            CAST(f.n_bins AS BIGINT) AS n_bins,
-           ROUND(ln(f.n) - fy.cc / f.n, 4) AS h_label,
-           ROUND((f.b - f.a) / f.n, 4) AS h_label_given_bin,
-           ROUND(ln(f.n) - (fy.cc + f.b - f.a) / f.n, 4) AS info_gain,
-           ROUND((ln(f.n) - (fy.cc + f.b - f.a) / f.n)
-                 / NULLIF(ln(f.n) - f.b / f.n, 0), 4) AS gain_ratio
+           ROUND(ln(f.n) - fy.cc / (f.n * 1000000.0), 4) AS h_label,
+           ROUND((f.b - f.a) / (f.n * 1000000.0), 4) AS h_label_given_bin,
+           ROUND(ln(f.n) - (fy.cc + f.b - f.a) / (f.n * 1000000.0), 4)
+               AS info_gain,
+           ROUND((ln(f.n) - (fy.cc + f.b - f.a) / (f.n * 1000000.0))
+                 / NULLIF(ln(f.n) - f.b / (f.n * 1000000.0), 0), 4)
+               AS gain_ratio
     FROM f JOIN fy USING (feature)
     """,
 )
@@ -720,8 +725,10 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality; nation's 25 bins would beat segment's 5 for free).
 
     Exactness discipline: all entropies use the exact-count identity
-    H = ln N − (Σ c·ln c)/N over integer counts (the
-    [[doc_token_entropy]] idiom), emitted at 4 dp; the balance bands
+    H = ln N − (Σ c·ln c)/N with the logs QUANTIZED at the leaf
+    (floor(ln(c)·1e6) per count, the [[vocab_zipf_fit]] idiom) so
+    every cross-row sum is exact-integer and shuffle-order-proof,
+    emitted at 4 dp; the balance bands
     are FIXED-WIDTH (floor(bal/2000) — identical IEEE division both
     engines), deliberately not quantile bins: NTILE over all
     customers is a global sort, the exact scale-killer
@@ -751,35 +758,39 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "y",
     )
+    lnq = lambda c: F.floor(F.log(c.cast("double")) * 1000000.0).cast(  # noqa: E731
+        "bigint"
+    )
     cnt = u.groupBy("feature", "bin", "y").agg(F.count("*").alias("c"))
     per_bin = cnt.groupBy("feature", "bin").agg(
         F.sum("c").alias("nb"),
-        F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+        F.sum(F.col("c") * lnq(F.col("c"))).alias("clnc"),
     )
     per_y = cnt.groupBy("feature", "y").agg(F.sum("c").alias("cy"))
     f = per_bin.groupBy("feature").agg(
         F.count("*").cast("bigint").alias("n_bins"),
         F.sum("nb").alias("n"),
-        F.sum(F.col("nb") * F.log(F.col("nb"))).alias("b"),
+        F.sum(F.col("nb") * lnq(F.col("nb"))).alias("b"),
         F.sum("clnc").alias("a"),
     )
     fy = per_y.groupBy("feature").agg(
-        F.sum(F.col("cy") * F.log(F.col("cy"))).alias("cc")
+        F.sum(F.col("cy") * lnq(F.col("cy"))).alias("cc")
     )
     j = f.join(fy, "feature")
-    ig = F.log(F.col("n")) - (F.col("cc") + F.col("b") - F.col("a")) / F.col("n")
+    scale = F.col("n") * 1000000.0
+    ig = F.log(F.col("n")) - (F.col("cc") + F.col("b") - F.col("a")) / scale
     return j.select(
         "feature",
         "n_bins",
-        F.round(F.log(F.col("n")) - F.col("cc") / F.col("n"), 4).alias("h_label"),
-        F.round((F.col("b") - F.col("a")) / F.col("n"), 4).alias(
+        F.round(F.log(F.col("n")) - F.col("cc") / scale, 4).alias("h_label"),
+        F.round((F.col("b") - F.col("a")) / scale, 4).alias(
             "h_label_given_bin"
         ),
         F.round(ig, 4).alias("info_gain"),
         F.round(
             ig
             / F.nullif(
-                F.log(F.col("n")) - F.col("b") / F.col("n"), F.lit(0.0)
+                F.log(F.col("n")) - F.col("b") / scale, F.lit(0.0)
             ),
             4,
         ).alias("gain_ratio"),
