@@ -1178,6 +1178,16 @@ def online_offline_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE (o_orderstatus = 'F' AND nf <> n)
                    OR (o_orderstatus = 'O' AND nf <> 0)
                    OR (o_orderstatus = 'P' AND (nf = 0 OR nf = n)))
+        UNION ALL
+        SELECT 'lineitem.l_linenumber contiguous 1..n per order',
+               (SELECT COUNT(*) FROM (
+                    SELECT l_orderkey FROM lineitem GROUP BY 1)),
+               (SELECT COUNT(*) FROM (
+                    SELECT l_orderkey, COUNT(*) AS n,
+                           MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+                           COUNT(DISTINCT l_linenumber) AS nd
+                    FROM lineitem GROUP BY 1)
+                WHERE mn <> 1 OR mx <> n OR nd <> n)
     )
     SELECT check_name,
            CAST(n_checked AS BIGINT) AS n_checked,
@@ -1194,8 +1204,10 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     cannot express: four FK orphan gates (orders→customer,
     lineitem→orders, lineitem→part, events→customer), the
     childless-parent tally, a cross-table TEMPORAL rule
-    (l_shipdate ≥ o_orderdate), and the order/lineitem STATUS
-    state-machine rule (F→all lines final, O→none, P→mixed).  On the driver's testdata the FK
+    (l_shipdate ≥ o_orderdate), the order/lineitem STATUS
+    state-machine rule (F→all lines final, O→none, P→mixed), and the
+    SEQUENCE-completeness rule (l_linenumber contiguous 1..n per
+    order — the dbt "sequential values" test).  On the driver's testdata the FK
     edges are clean but the temporal gate is genuinely red — ~49% of
     lineitems "ship" before their order date (the generator draws the
     two dates independently), which is exactly the class of silent
@@ -1206,7 +1218,7 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     side scans once; parent key sets broadcast when small, shuffle
     otherwise — Catalyst's choice); the temporal gate is the
     fact-to-fact equi-join the engine already optimizes.  Checks
-    evaluate independently and union a 7-row report — at 100 TB you
+    evaluate independently and union an 8-row report — at 100 TB you
     run the pack per partition-day and trend the shares."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
@@ -1272,6 +1284,28 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_checked"),
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
     )
+    per_lines = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.countDistinct("l_linenumber").alias("nd"),
+    )
+    lineno = per_lines.agg(
+        F.lit("lineitem.l_linenumber contiguous 1..n per order").alias(
+            "check_name"
+        ),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("mn") != 1)
+                | (F.col("mx") != F.col("n"))
+                | (F.col("nd") != F.col("n")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
     out = (
         gate("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey")
         .unionAll(
@@ -1296,6 +1330,7 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .unionAll(temporal)
         .unionAll(status)
+        .unionAll(lineno)
     )
     return out.select(
         "check_name",

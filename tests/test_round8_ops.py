@@ -282,7 +282,7 @@ def test_consistency_audit_gates(spark):
     rows = {r.check_name: r for r in _q("cross_table_consistency_audit")(
         spark, SF_SMOKE
     ).collect()}
-    assert len(rows) == 7
+    assert len(rows) == 8
     # the four FK edges are clean on the generator's data...
     for name in [
         "orders.o_custkey -> customer",
@@ -297,6 +297,8 @@ def test_consistency_audit_gates(spark):
     assert not t.passed and t.n_violations > 0
     st = rows["orders.o_orderstatus consistent with lineitem.l_linestatus"]
     assert not st.passed and st.n_violations > 0
+    ln = rows["lineitem.l_linenumber contiguous 1..n per order"]
+    assert not ln.passed and ln.n_violations > 0
     for r in rows.values():
         assert 0 <= r.n_violations <= r.n_checked
         assert r.passed == (r.n_violations == 0)
