@@ -145,13 +145,25 @@ BENCH_QUERIES = (
     "embedding_bitext_margin",
     "stream_asof_enrichment",
     "multimodal_audio_energy",
-    # round 8b (round-9-queue deferred, benchmarkable): classical-test
-    # battery completion, supervised feature relevance, the two
-    # feature-store/dbt audits.
+    # round 8b (promoted to the driver window in round 9):
+    # classical-test battery completion, supervised feature
+    # relevance, the two feature-store/dbt audits.
     "returnflag_anova_ftest",
     "feature_information_gain",
     "online_offline_skew_audit",
     "cross_table_consistency_audit",
+    # round 9 — one representative per new class: rank-based
+    # two-sample testing (bucketed rank prefix sums), variance-ratio
+    # horizon analysis, external cluster validity over the memoized
+    # Lloyd fit, Dunning-LLR collocation mining, the wordlist safety
+    # scan, and the PIT staleness audit (broadcast as-of + discrete
+    # percentiles).
+    "event_value_mann_whitney",
+    "daily_revenue_variance_ratio",
+    "embedding_cluster_label_ari",
+    "corpus_bigram_llr",
+    "doc_blocklist_filter",
+    "pit_staleness_audit",
 )
 
 

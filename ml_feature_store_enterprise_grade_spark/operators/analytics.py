@@ -2680,8 +2680,8 @@ def _lpa_graph_labels(
            CAST(p.e_in // 2 AS BIGINT) AS internal_edges,
            CAST(p.degree_sum AS BIGINT) AS degree_sum,
            ROUND(CAST(t.m2 * p.e_in - p.degree_sum * p.degree_sum AS DOUBLE)
-                 / CAST(t.m2 * t.m2 AS DOUBLE), 6) AS modularity_term,
-           ROUND(CAST(q.qnum AS DOUBLE) / CAST(q.m2 * q.m2 AS DOUBLE), 6)
+                 / CAST(t.m2 * t.m2 AS DOUBLE), 6) + 0 AS modularity_term,
+           ROUND(CAST(q.qnum AS DOUBLE) / CAST(q.m2 * q.m2 AS DOUBLE), 6) + 0
                AS modularity
     FROM per p CROSS JOIN twom t CROSS JOIN q
     """,
@@ -2697,7 +2697,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: both engines form the INTEGER numerator 2m·e_c − d_c²
     per community (sums of integers — shuffle-order-proof) and divide
     by (2m)² once at emission, so the rounded doubles agree
-    bit-for-bit.  At 100 TB graph scale d_c² needs DECIMAL instead of
+    bit-for-bit; both emissions add ``+ 0`` after ROUND because a
+    tiny-negative qterm rounds to −0.0 in DuckDB but +0.0 in Spark
+    (IEEE −0.0 + 0.0 = +0.0) and the driver hash is signed-zero
+    strict.  At 100 TB graph scale d_c² needs DECIMAL instead of
     BIGINT once a degree sum passes ~3e9 — the switch is one cast.
 
     Scale shape: reuses the per-(session, sf) memoized LPA labels and
@@ -2749,13 +2752,21 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("bigint").alias("n_members"),
         F.expr("e_in div 2").cast("bigint").alias("internal_edges"),
         F.col("degree_sum").cast("bigint").alias("degree_sum"),
-        F.round(
-            F.col("qterm").cast("double") / (F.col("m2") * F.col("m2")).cast("double"),
-            6,
+        (
+            F.round(
+                F.col("qterm").cast("double")
+                / (F.col("m2") * F.col("m2")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("modularity_term"),
-        F.round(
-            F.col("qnum").cast("double") / (F.col("m2g") * F.col("m2g")).cast("double"),
-            6,
+        (
+            F.round(
+                F.col("qnum").cast("double")
+                / (F.col("m2g") * F.col("m2g")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("modularity"),
     )
 
@@ -5286,3 +5297,131 @@ def returnflag_anova_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
     )
+
+
+#: Variance-ratio aggregation period (trading-week horizon).
+_VR_Q = 5
+
+
+@register(
+    "daily_revenue_variance_ratio",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS y
+        FROM orders GROUP BY 1
+    ),
+    x AS (
+        -- DECIMAL(19,4): widths 19-38 run on int128 in DuckDB, so the
+        -- x*x product below cannot overflow the int64 fast path (the
+        -- Spark side keeps (18,4) — identical VALUES, wider storage)
+        SELECT CAST(y - LAG(y) OVER (ORDER BY day) AS DECIMAL(19,4)) AS x1,
+               CAST(y - LAG(y, {_VR_Q}) OVER (ORDER BY day)
+                    AS DECIMAL(19,4)) AS xq
+        FROM d
+    ),
+    s AS (
+        SELECT COUNT(x1) AS n, SUM(x1) AS sx, SUM(x1 * x1) AS sxx,
+               COUNT(xq) AS nq, SUM(xq) AS sw, SUM(xq * xq) AS sww
+        FROM x
+    ),
+    v AS (
+        SELECT n, nq,
+               (CAST(nq AS DOUBLE) * CAST(sww AS DOUBLE)
+                - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                   / (CAST(nq AS DOUBLE) * (nq - 1.0)) AS var_q,
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (n - 1.0)) AS var_1
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_diffs,
+           CAST(nq AS BIGINT) AS n_qdiffs,
+           {_VR_Q} AS q,
+           FLOOR(var_q / ({_VR_Q}.0 * var_1) * 1000000.0 + 0.5)
+               / 1000000.0 AS variance_ratio,
+           FLOOR((var_q / ({_VR_Q}.0 * var_1) - 1.0)
+                 / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                        / (3.0 * {_VR_Q} * n))
+                 * 10000.0 + 0.5) / 10000.0 AS z_score,
+           ABS((var_q / ({_VR_Q}.0 * var_1) - 1.0)
+               / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                      / (3.0 * {_VR_Q} * n))) >= 1.96
+               AS random_walk_rejected
+    FROM v
+    """,
+)
+def daily_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q={q}) on the daily revenue
+    series: is the series a random walk (VR≈1), mean-reverting
+    (VR<1), or trending/persistent (VR>1)?  VR(q) compares the
+    variance of OVERLAPPING q-period changes with q times the
+    1-period variance; the homoskedastic z uses the asymptotic
+    variance 2(2q−1)(q−1)/(3q·n).  Fourth leg of the trend battery
+    after OLS slope, Mann-Kendall and the runs test — the one that
+    measures the HORIZON structure of persistence rather than its
+    direction or sign pattern.
+
+    Determinism: the q-period change telescopes to y_t − y_{{t−q}}, so
+    both horizons are single LAG diffs of exact DECIMAL daily sums;
+    Σx, Σx² are exact DECIMAL aggregates (shuffle-order proof), and
+    the variance ratio and z are a fixed IEEE op sequence over their
+    individually-exact double conversions, emitted with the
+    floor(x·scale+0.5)/scale ladder (sign-safe where ROUND is not —
+    VR−1 and z legitimately straddle zero).  Series positions are the
+    ordered days PRESENT (positional, not calendar-gapped), same
+    ordering both engines.
+
+    Scale shape: one partial aggregate collapses orders to the
+    calendar-bounded daily frame; the two LAG windows and the final
+    single-row fold run over that frame only (the repo-standard
+    day-series pattern — at a 100 TB multi-series extension the
+    window partitions by series key)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y")
+    )
+    w = Window.orderBy("day")
+    x = d.select(
+        (F.col("y") - F.lag("y").over(w)).cast("decimal(18,4)").alias("x1"),
+        (F.col("y") - F.lag("y", _VR_Q).over(w))
+        .cast("decimal(18,4)")
+        .alias("xq"),
+    )
+    s = x.agg(
+        F.count("x1").alias("n"),
+        F.sum("x1").alias("sx"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sxx"),
+        F.count("xq").alias("nq"),
+        F.sum("xq").alias("sw"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sww"),
+    )
+    var_q = (
+        F.col("nq").cast("double") * F.col("sww").cast("double")
+        - F.col("sw").cast("double") * F.col("sw").cast("double")
+    ) / (F.col("nq").cast("double") * (F.col("nq") - 1.0))
+    var_1 = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1.0))
+    vr = var_q / (float(_VR_Q) * var_1)
+    z = (vr - 1.0) / F.sqrt(
+        2.0
+        * (2 * _VR_Q - 1)
+        * (_VR_Q - 1)
+        / (3.0 * _VR_Q * F.col("n"))
+    )
+    emit = lambda c, sc: F.floor(c * sc + 0.5) / sc  # noqa: E731
+    return s.select(
+        F.col("n").cast("bigint").alias("n_diffs"),
+        F.col("nq").cast("bigint").alias("n_qdiffs"),
+        F.lit(_VR_Q).alias("q"),
+        emit(vr, 1000000.0).alias("variance_ratio"),
+        emit(z, 10000.0).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("random_walk_rejected"),
+    )
+
+
+daily_revenue_variance_ratio.__doc__ = daily_revenue_variance_ratio.__doc__.format(
+    q=_VR_Q
+)

@@ -1038,3 +1038,118 @@ def bitemporal_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("prior_known_revenue"),
     )
+
+
+#: Staleness budget for served features (seconds): a lookup whose
+#: as-of feature row closed more than a day before the event is
+#: "beyond TTL" in the audit.
+_STALENESS_TTL_SEC = 86400
+
+
+@register(
+    "pit_staleness_audit",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS fts
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    j AS (
+        SELECT e.event_id, e.event_type,
+               date_diff('second', f.fts, e.ts) AS st,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY f.fts DESC NULLS LAST
+               ) AS rn
+        FROM e LEFT JOIN f
+          ON e.user_id = f.user_id AND f.fts <= e.ts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(st) AS BIGINT) AS n_matched,
+           CAST(quantile_disc(st, 0.5) AS BIGINT) AS p50_staleness_sec,
+           CAST(quantile_disc(st, 0.95) AS BIGINT) AS p95_staleness_sec,
+           CAST(MAX(st) AS BIGINT) AS max_staleness_sec,
+           ROUND(CAST(SUM(CASE WHEN st > {_STALENESS_TTL_SEC}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS beyond_ttl_share
+    FROM j WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def pit_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-staleness audit of the point-in-time join: for every
+    event, how OLD was the freshest feature row the as-of rule was
+    allowed to see (event time minus the hourly window close it
+    joined to)?  Per event type: match coverage, exact p50/p95/max
+    staleness in seconds, and the share of lookups beyond the
+    1-day TTL budget.  This is the serving-SLA twin of
+    [[pit_asof_join]] — correctness says "never read the future",
+    this audit says how far in the past the features actually were
+    (the number an online store's freshness alert pages on, and the
+    train-serve gap [[online_offline_skew_audit]] assumes bounded).
+
+    Exactness: staleness is an exact integer second difference;
+    percentiles are DISCRETE (an actual element, identical element
+    both engines — no interpolation float); the TTL share is one
+    divide of exact counts.  Unmatched events (before their user's
+    first closed window) stay NULL and are excluded from the
+    staleness order statistics but counted in coverage.
+
+    Scale shape: the feature frame is users × active hours
+    (pre-aggregated, far smaller than the event stream) and
+    broadcasts; the as-of election is a hash-agg MAX (only the
+    timestamp is needed, no payload struct) keyed by event — no
+    window sort over events; the
+    per-type summary is a second bounded aggregate.  If the feature
+    frame outgrows broadcast, the documented bucketed sort-merge
+    as-of path applies unchanged."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    f = ev.groupBy(
+        "user_id",
+        (
+            F.date_trunc("hour", F.col("ts"))
+            + F.expr("INTERVAL 1 HOUR")
+        ).alias("fts"),
+    ).agg(F.lit(1).alias("one"))
+    j = ev.join(
+        F.broadcast(f.select(F.col("user_id").alias("f_user_id"), "fts")),
+        (ev["user_id"] == F.col("f_user_id")) & (F.col("fts") <= ev["ts"]),
+        "left",
+    )
+    latest = j.groupBy("event_id", "event_type", "ts").agg(
+        F.max("fts").alias("fts")
+    )
+    st = latest.select(
+        "event_type",
+        (
+            F.col("ts").cast("long") - F.col("fts").cast("long")
+        ).alias("st"),
+    )
+    return st.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("st").cast("bigint").alias("n_matched"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY st)")
+        .cast("bigint")
+        .alias("p50_staleness_sec"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY st)")
+        .cast("bigint")
+        .alias("p95_staleness_sec"),
+        F.max("st").cast("bigint").alias("max_staleness_sec"),
+        F.round(
+            F.sum(
+                F.when(F.col("st") > _STALENESS_TTL_SEC, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("beyond_ttl_share"),
+    )

@@ -582,7 +582,8 @@ p AS (
 )
 SELECT feature,
        ROUND(SUM(0.5 * p_ref * log2(p_ref / ((p_ref + p_cur) / 2))
-               + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2))), 6) AS js_divergence,
+               + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2))), 6) + 0
+           AS js_divergence,
        SUM(0.5 * p_ref * log2(p_ref / ((p_ref + p_cur) / 2))
          + 0.5 * p_cur * log2(p_cur / ((p_ref + p_cur) / 2))) >= 0.1 AS shifted
 FROM p
@@ -646,7 +647,11 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_cur"
     ) * F.log2(F.col("p_cur") / m)
     return p.groupBy("feature").agg(
-        F.round(F.sum(term), 6).alias("js_divergence"),
+        # + 0.0 after ROUND: JS is mathematically >= 0 but the float
+        # term sum can land a hair below zero when true JS ~ 0, and
+        # ROUND(tiny_negative) is -0.0 in DuckDB vs +0.0 in Spark
+        # (driver hash is signed-zero strict).
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("js_divergence"),
         (F.sum(term) >= 0.1).alias("shifted"),
     )
 
@@ -719,4 +724,163 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("robust_z"),
             (F.abs(z) > _MAD_Z_THRESH).alias("is_anomaly"),
         )
+    )
+
+
+@register(
+    "event_value_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value AS x
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    tx AS (SELECT x, COUNT(*) AS cx FROM s GROUP BY 1),
+    rk AS (
+        SELECT x, cx,
+               COALESCE(SUM(cx) OVER (
+                   ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cl
+        FROM tx
+    ),
+    v AS (SELECT event_type, x, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    g AS (
+        SELECT v.event_type,
+               SUM(v.c) AS n_g,
+               SUM(v.c * (2 * rk.cl + rk.cx + 1)) AS r2
+        FROM v JOIN rk USING (x) GROUP BY 1
+    ),
+    t AS (SELECT SUM(cx) AS n, SUM(cx * cx * cx - cx) AS tie FROM tx),
+    zc AS (
+        SELECT g.event_type, g.n_g, t.n, g.r2, t.tie,
+               g.r2 - g.n_g * (g.n_g + 1) - g.n_g * (t.n - g.n_g) AS num2,
+               CAST(g.n_g AS DOUBLE) * (t.n - g.n_g) / 12.0
+                   * ((t.n + 1) - CAST(t.tie AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * (t.n - 1))) AS sigma2
+        FROM g CROSS JOIN t
+    )
+    SELECT event_type,
+           CAST(n_g AS BIGINT) AS n_type,
+           CAST(n - n_g AS BIGINT) AS n_rest,
+           CAST(r2 - n_g * (n_g + 1) AS DOUBLE) / 2 AS u_stat,
+           FLOOR(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))
+                 * 10000.0 + 0.5) / 10000.0 AS z_score,
+           ABS(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))) >= 1.96
+               AS significant
+    FROM zc
+    """,
+)
+def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) one-vs-rest test per event
+    type over ``value`` — the nonparametric member of the drift/test
+    toolbox next to KS (max ECDF gap), PSI/JS (binned divergence) and
+    the ANOVA F (parametric means): does this event type's value
+    distribution stochastically dominate the rest?  Per type: sample
+    sizes, the exact tie-corrected U statistic, and the normal-
+    approximation z (no continuity correction; tie-corrected
+    variance).
+
+    Exactness: doubled average ranks are INTEGERS — for a tied value
+    x, 2·avgrank(x) = 2·cum_less(x) + cnt(x) + 1 — so the rank sum
+    R2 = Σ c·(2·cl + cx + 1), the tie term Σ(t³−t), and the z
+    numerator 2·(U−μ) are exact integer aggregates (shuffle-order
+    proof); the variance and z are then a FIXED sequence of IEEE
+    ops on exact-integer-valued doubles, written identically in both
+    engines, with the floor(x·1e4+0.5)/1e4 ladder at emission (sign
+    safe where ROUND is not).  At ~1e12 rows R2 ~ N² outgrows BIGINT
+    — the documented switch is DECIMAL(38,0) on the three integer
+    aggregates.
+
+    Scale shape: one (x,type) hash aggregate with map-side combine;
+    the exclusive prefix sum over DISTINCT values reuses the KS
+    bucketed two-pass (per-bucket offsets over ≤1024 rows + within-
+    bucket windows — no global single-partition sort); everything
+    downstream is a ≤|types|-row frame."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", F.col("value").alias("x"))
+    )
+    tx = s.groupBy("x").agg(F.count("*").alias("cx"))
+    lo, hi = tx.agg(F.min("x"), F.max("x")).first()
+    if lo is None or lo == hi:
+        bucketed = tx.withColumn("b", F.lit(0))
+    else:
+        span = float(hi) - float(lo)
+        bucketed = tx.withColumn(
+            "b",
+            F.least(
+                F.lit(_KS_BUCKETS - 1),
+                F.floor(
+                    (F.col("x") - F.lit(float(lo))) / span * _KS_BUCKETS
+                ).cast("int"),
+            ),
+        )
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.sum("cx").alias("tb"))
+        .select(
+            "b", F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob")
+        )
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = bucketed.join(F.broadcast(offsets), "b").select(
+        "x",
+        "cx",
+        (F.col("ob") + F.coalesce(F.sum("cx").over(w_in), F.lit(0))).alias(
+            "cl"
+        ),
+    )
+    v = s.groupBy("event_type", "x").agg(F.count("*").alias("c"))
+    g = v.join(rk, "x").groupBy("event_type").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(
+            F.col("c") * (2 * F.col("cl") + F.col("cx") + 1)
+        ).alias("r2"),
+    )
+    t = tx.agg(
+        F.sum("cx").alias("n"),
+        F.sum(
+            F.col("cx") * F.col("cx") * F.col("cx") - F.col("cx")
+        ).alias("tie"),
+    )
+    zc = g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_g",
+        "n",
+        (
+            F.col("r2")
+            - F.col("n_g") * (F.col("n_g") + 1)
+            - F.col("n_g") * (F.col("n") - F.col("n_g"))
+        ).alias("num2"),
+        (
+            F.col("n_g").cast("double")
+            * (F.col("n") - F.col("n_g"))
+            / 12.0
+            * (
+                (F.col("n") + 1)
+                - F.col("tie").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+        ).alias("sigma2"),
+        (F.col("r2") - F.col("n_g") * (F.col("n_g") + 1)).alias("u2"),
+    )
+    z = F.col("num2").cast("double") / (2 * F.sqrt(F.col("sigma2")))
+    return zc.select(
+        "event_type",
+        F.col("n_g").cast("bigint").alias("n_type"),
+        (F.col("n") - F.col("n_g")).cast("bigint").alias("n_rest"),
+        (F.col("u2").cast("double") / 2).alias("u_stat"),
+        (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant"),
     )

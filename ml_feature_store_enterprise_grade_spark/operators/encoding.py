@@ -705,11 +705,12 @@ def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> Data
     SELECT f.feature,
            CAST(f.n_bins AS BIGINT) AS n_bins,
            ROUND(ln(f.n) - fy.cc / (f.n * 1000000.0), 4) AS h_label,
-           ROUND((f.b - f.a) / (f.n * 1000000.0), 4) AS h_label_given_bin,
-           ROUND(ln(f.n) - (fy.cc + f.b - f.a) / (f.n * 1000000.0), 4)
+           ROUND((f.b - f.a) / (f.n * 1000000.0), 4) + 0
+               AS h_label_given_bin,
+           ROUND(ln(f.n) - (fy.cc + f.b - f.a) / (f.n * 1000000.0), 4) + 0
                AS info_gain,
            ROUND((ln(f.n) - (fy.cc + f.b - f.a) / (f.n * 1000000.0))
-                 / NULLIF(ln(f.n) - f.b / (f.n * 1000000.0), 0), 4)
+                 / NULLIF(ln(f.n) - f.b / (f.n * 1000000.0), 0), 4) + 0
                AS gain_ratio
     FROM f JOIN fy USING (feature)
     """,
@@ -728,7 +729,10 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = ln N − (Σ c·ln c)/N with the logs QUANTIZED at the leaf
     (floor(ln(c)·1e6) per count, the [[vocab_zipf_fit]] idiom) so
     every cross-row sum is exact-integer and shuffle-order-proof,
-    emitted at 4 dp; the balance bands
+    emitted at 4 dp with ``+ 0`` after every ROUND whose argument is
+    a difference of quantized logs (mathematically ≥0 but can land a
+    hair below zero → DuckDB rounds to −0.0, Spark to +0.0, and the
+    driver hash is signed-zero strict); the balance bands
     are FIXED-WIDTH (floor(bal/2000) — identical IEEE division both
     engines), deliberately not quantile bins: NTILE over all
     customers is a global sort, the exact scale-killer
@@ -783,15 +787,18 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         "n_bins",
         F.round(F.log(F.col("n")) - F.col("cc") / scale, 4).alias("h_label"),
-        F.round((F.col("b") - F.col("a")) / scale, 4).alias(
+        (F.round((F.col("b") - F.col("a")) / scale, 4) + F.lit(0.0)).alias(
             "h_label_given_bin"
         ),
-        F.round(ig, 4).alias("info_gain"),
-        F.round(
-            ig
-            / F.nullif(
-                F.log(F.col("n")) - F.col("b") / scale, F.lit(0.0)
-            ),
-            4,
+        (F.round(ig, 4) + F.lit(0.0)).alias("info_gain"),
+        (
+            F.round(
+                ig
+                / F.nullif(
+                    F.log(F.col("n")) - F.col("b") / scale, F.lit(0.0)
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("gain_ratio"),
     )

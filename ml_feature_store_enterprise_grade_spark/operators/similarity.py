@@ -1638,7 +1638,10 @@ _KM_ITERS = 3
 _KM_SEED = 7
 
 
-def _km_oracle() -> str:
+def _km_assign_ctes() -> list[str]:
+    """The DuckDB twin of :func:`_km_final_assignments` as a WITH-list
+    ending at ``a{_KM_ITERS}`` (vec_id → assignment struct) — shared
+    by the kmeans and ARI oracles."""
     from ..functions import PORTABLE_HASH64_SQL
 
     h = PORTABLE_HASH64_SQL("CAST(vec_id AS VARCHAR)", _KM_SEED)
@@ -1694,6 +1697,11 @@ def _km_oracle() -> str:
         GROUP BY 1, 2
     )"""
         )
+    return ctes
+
+
+def _km_oracle() -> str:
+    ctes = _km_assign_ctes()
     T = _KM_ITERS
     return f"""
     WITH {",".join(ctes)},
@@ -1738,6 +1746,81 @@ def _km_oracle() -> str:
                  * 1000000.0 + 0.5) / 1000000.0 AS inertia
     FROM stats st JOIN dims USING (cid) JOIN md USING (cid)
     """
+
+
+_KM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic Lloyd fit shared by [[embedding_kmeans]] and
+    [[embedding_cluster_label_ari]]: runs the seed election and the
+    ``_KM_ITERS − 1`` exact-arithmetic update rounds, returning the
+    FINAL assignment frame ``(vec_id, label, qv, cid, dn, n_src)``
+    (memoized per (application, sf_dir) — the iteration's bounded
+    k·d-row collects run once, not per query)."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _KM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("qv"),
+    ).cache()
+
+    seed_rows = (
+        base.select(
+            "vec_id",
+            "qv",
+            portable_hash64(F.col("vec_id").cast("string"), _KM_SEED).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents = [
+        (cid, [int(q) for q in r["qv"]], 1) for cid, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(_KM_ITERS - 1):
+        assigned = base.select(
+            "vec_id", "qv", _km_assign(cents)["cid"].alias("cid")
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        ns: dict[int, int] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
+            ns[r["cid"]] = int(r["n"])
+        cents = [
+            (cid, [sums[p] for p in sorted(sums)], ns[cid])
+            for cid, sums in sorted(by_cid.items())
+        ]
+
+    a = base.select("vec_id", "label", "qv", _km_assign(cents).alias("m")).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dn").alias("dn"),
+        F.col("m.n").alias("n_src"),
+    )
+    _KM_CACHE[key] = a
+    return a
 
 
 def _km_assign(cents: list[tuple[int, list[int], int]]) -> Column:
@@ -1804,61 +1887,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerators would outgrow DECIMAL(38); the production path then
     divides first in doubles (MLlib semantics) and this query remains
     the small-SF determinism harness — noted, not hidden."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    base = emb.select(
-        "vec_id",
-        "label",
-        F.expr(
-            "transform(embedding, x ->"
-            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-        ).alias("qv"),
-    ).cache()
-
-    seed_rows = (
-        base.select(
-            "vec_id",
-            "qv",
-            portable_hash64(F.col("vec_id").cast("string"), _KM_SEED).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(_KM_K)
-        .collect()
-    )
-    cents = [
-        (cid, [int(q) for q in r["qv"]], 1) for cid, r in enumerate(seed_rows)
-    ]
-
-    for _ in range(_KM_ITERS - 1):
-        assigned = base.select(
-            "vec_id", "qv", _km_assign(cents)["cid"].alias("cid")
-        )
-        rows = (
-            assigned.select("cid", F.posexplode("qv").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
-        by_cid: dict[int, dict[int, int]] = {}
-        ns: dict[int, int] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
-            ns[r["cid"]] = int(r["n"])
-        cents = [
-            (cid, [sums[p] for p in sorted(sums)], ns[cid])
-            for cid, sums in sorted(by_cid.items())
-        ]
-
-    a = base.select("vec_id", "label", "qv", _km_assign(cents).alias("m")).select(
-        "vec_id",
-        "label",
-        "qv",
-        F.col("m.cid").alias("cid"),
-        F.col("m.dn").alias("dn"),
-        F.col("m.n").alias("n_src"),
-    )
+    a = _km_final_assignments(spark, sf_dir)
     stats = a.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.sum("dn").alias("dn_sum"),
@@ -2502,3 +2531,113 @@ def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_bitext_margin.__doc__ = embedding_bitext_margin.__doc__.format(
     batch=_MARGIN_BATCH, k=_MARGIN_K
 )
+
+
+def _ari_oracle() -> str:
+    ctes = _km_assign_ctes()
+    T = _KM_ITERS
+    return f"""
+    WITH {",".join(ctes)},
+    ct AS (
+        SELECT struct_extract(a.m, 'cid') AS cid, e.label,
+               COUNT(*) AS nij
+        FROM a{T} a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    ai AS (SELECT cid, SUM(nij) AS na FROM ct GROUP BY 1),
+    bj AS (SELECT label, SUM(nij) AS nb FROM ct GROUP BY 1),
+    s AS (
+        SELECT (SELECT SUM((nij * (nij - 1)) // 2) FROM ct) AS sidx,
+               (SELECT SUM((na * (na - 1)) // 2) FROM ai) AS sa,
+               (SELECT SUM((nb * (nb - 1)) // 2) FROM bj) AS sb,
+               (SELECT SUM(nij) FROM ct) AS n,
+               (SELECT COUNT(*) FROM ai) AS k,
+               (SELECT COUNT(*) FROM bj) AS nl
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(k AS BIGINT) AS n_clusters,
+           CAST(nl AS BIGINT) AS n_labels,
+           CAST(sidx AS BIGINT) AS pair_agree_index,
+           FLOOR(CAST((n * (n - 1)) // 2 + 2 * sidx - sa - sb AS DOUBLE)
+                 / ((n * (n - 1)) // 2) * 1000000.0 + 0.5) / 1000000.0
+               AS rand_index,
+           FLOOR(CAST(sa AS DOUBLE) * sb / ((n * (n - 1)) // 2)
+                 * 1000000.0 + 0.5) / 1000000.0 AS expected_index,
+           FLOOR((CAST(sidx AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * sb / ((n * (n - 1)) // 2))
+                 / NULLIF((sa + sb) / 2.0
+                          - CAST(sa AS DOUBLE) * sb / ((n * (n - 1)) // 2),
+                          0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS adjusted_rand
+    FROM s
+    """
+
+
+@register("embedding_cluster_label_ari", oracle=_ari_oracle())
+def embedding_cluster_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validity of the deterministic Lloyd fit:
+    Rand index, its chance expectation, and the Adjusted Rand Index
+    (Hubert & Arabie 1985) between [[embedding_kmeans]]'s final
+    assignment and the ground-truth ``label`` column — the
+    one-number answer to "did the clusters recover the labels better
+    than chance?" that purity (majority share) cannot give, because
+    purity inflates as k grows.
+
+    Exactness: every ingredient is an exact integer — the
+    contingency counts n_ij, the pair tallies ΣC(n_ij,2), ΣC(a_i,2),
+    ΣC(b_j,2) (products of consecutive integers, integer-halved) —
+    and the three emitted ratios are fixed IEEE op sequences over
+    their exact double conversions with the sign-safe
+    floor(x·1e6+0.5)/1e6 ladder (ARI legitimately straddles zero, so
+    plain ROUND would hit the DuckDB −0.0 / Spark +0.0 divergence).
+    At ~1e10 vectors the pair tallies outgrow BIGINT — the documented
+    switch is DECIMAL(38,0) on the three pair sums.
+
+    Scale shape: reuses the memoized assignment frame (the Lloyd
+    rounds run once per session, broadcast-centroid map-side, no
+    corpus shuffle); the contingency table is one hash aggregate
+    bounded by k·|labels| rows, and everything downstream folds that
+    tiny frame."""
+    a = _km_final_assignments(spark, sf_dir)
+    ct = a.groupBy("cid", "label").agg(F.count("*").alias("nij"))
+    sidx = ct.agg(
+        F.sum(F.expr("(nij * (nij - 1)) div 2")).alias("sidx"),
+        F.sum("nij").alias("n"),
+    )
+    sa_k = (
+        ct.groupBy("cid")
+        .agg(F.sum("nij").alias("na"))
+        .agg(
+            F.sum(F.expr("(na * (na - 1)) div 2")).alias("sa"),
+            F.count("*").alias("k"),
+        )
+    )
+    sb_l = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("nb"))
+        .agg(
+            F.sum(F.expr("(nb * (nb - 1)) div 2")).alias("sb"),
+            F.count("*").alias("nl"),
+        )
+    )
+    s = sidx.crossJoin(F.broadcast(sa_k)).crossJoin(F.broadcast(sb_l))
+    c2 = F.expr("(n * (n - 1)) div 2")
+    expected = F.col("sa").cast("double") * F.col("sb") / c2
+    emit = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return s.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("k").cast("bigint").alias("n_clusters"),
+        F.col("nl").cast("bigint").alias("n_labels"),
+        F.col("sidx").cast("bigint").alias("pair_agree_index"),
+        emit(
+            (c2 + 2 * F.col("sidx") - F.col("sa") - F.col("sb")).cast("double")
+            / c2
+        ).alias("rand_index"),
+        emit(expected).alias("expected_index"),
+        emit(
+            (F.col("sidx").cast("double") - expected)
+            / F.nullif(
+                (F.col("sa") + F.col("sb")) / 2.0 - expected, F.lit(0.0)
+            )
+        ).alias("adjusted_rand"),
+    )

@@ -2235,7 +2235,7 @@ _LEX_EPS = 1e-06
     SELECT lang,
            CAST(MAX(t_ref) AS BIGINT) AS n_ref_tokens,
            CAST(MAX(t_cur) AS BIGINT) AS n_cur_tokens,
-           ROUND(SUM(tq) / 1000000000.0, 6) AS js_divergence,
+           ROUND(SUM(tq) / 1000000000.0, 6) + 0 AS js_divergence,
            SUM(tq) >= 100000000 AS shifted
     FROM q GROUP BY 1
     """,
@@ -2338,7 +2338,13 @@ def corpus_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("lang").agg(
         F.max("t_ref").cast("bigint").alias("n_ref_tokens"),
         F.max("t_cur").cast("bigint").alias("n_cur_tokens"),
-        F.round(F.sum("tq") / 1000000000.0, 6).alias("js_divergence"),
+        # + 0.0 after ROUND: per-word quantized JS terms can be
+        # negative, so a true-JS~0 language can sum to a small
+        # negative integer -> ROUND gives -0.0 in DuckDB vs +0.0 in
+        # Spark (driver hash is signed-zero strict).
+        (F.round(F.sum("tq") / 1000000000.0, 6) + F.lit(0.0)).alias(
+            "js_divergence"
+        ),
         (F.sum("tq") >= 100000000).alias("shifted"),
     )
 
@@ -2864,4 +2870,266 @@ def quality_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_chars").over(wall),
             6,
         ).alias("cum_char_share"),
+    )
+
+
+#: Minimum bigram count for the LLR collocation table (same rationale
+#: as the PMI threshold: rare pairs have unstable scores).
+_LLR_MIN_COUNT = 5
+#: Top collocations emitted by LLR rank.
+_LLR_TOP_K = 20
+
+
+@register(
+    "corpus_bigram_llr",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split({NORMALIZE_TEXT_SQL("text")}, ' ') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+        FROM t
+    ),
+    bc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               COUNT(*) AS k11
+        FROM bg GROUP BY 1, 2
+    ),
+    r AS (SELECT w1, SUM(k11) AS r1 FROM bc GROUP BY 1),
+    c AS (SELECT w2, SUM(k11) AS c1 FROM bc GROUP BY 1),
+    tot AS (SELECT SUM(k11) AS n FROM bc),
+    k AS (
+        SELECT bc.w1, bc.w2, bc.k11,
+               r.r1 - bc.k11 AS k12,
+               c.c1 - bc.k11 AS k21,
+               t.n - r.r1 - c.c1 + bc.k11 AS k22,
+               r.r1, c.c1, t.n
+        FROM bc JOIN r ON bc.w1 = r.w1 JOIN c ON bc.w2 = c.w2
+        CROSS JOIN tot t
+        WHERE bc.k11 >= {_LLR_MIN_COUNT}
+    ),
+    q AS (
+        SELECT w1, w2, k11,
+               2 * (k11 * CAST(FLOOR(ln(CAST(k11 AS DOUBLE)) * 1000000.0)
+                               AS BIGINT)
+                    + CASE WHEN k12 = 0 THEN 0 ELSE k12 *
+                        CAST(FLOOR(ln(CAST(k12 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) END
+                    + CASE WHEN k21 = 0 THEN 0 ELSE k21 *
+                        CAST(FLOOR(ln(CAST(k21 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) END
+                    + CASE WHEN k22 = 0 THEN 0 ELSE k22 *
+                        CAST(FLOOR(ln(CAST(k22 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) END
+                    + n * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0)
+                               AS BIGINT)
+                    - r1 * CAST(FLOOR(ln(CAST(r1 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                    - CASE WHEN n = r1 THEN 0 ELSE (n - r1) *
+                        CAST(FLOOR(ln(CAST(n - r1 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) END
+                    - c1 * CAST(FLOOR(ln(CAST(c1 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                    - CASE WHEN n = c1 THEN 0 ELSE (n - c1) *
+                        CAST(FLOOR(ln(CAST(n - c1 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) END) AS llr_q
+        FROM k
+    )
+    SELECT w1, w2, CAST(k11 AS BIGINT) AS n_ab,
+           FLOOR(CAST(llr_q AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+               / 10000.0 AS llr
+    FROM q
+    ORDER BY llr_q DESC, w1, w2
+    LIMIT {_LLR_TOP_K}
+    """,
+)
+def corpus_bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993): the
+    top-{k} adjacent word pairs by G² = 2·Σ k·ln(k·N/(R·C)) over the
+    2×2 contingency of (first word = w1) × (second word = w2) — the
+    collocation score that, unlike [[corpus_bigram_pmi]], does not
+    inflate for rare pairs, because it weights by evidence mass
+    rather than lift alone.  The standard phrase-mining ranker for
+    tokenizer/phrase-vocabulary construction.
+
+    Exactness: G² is evaluated through the xlogx identity
+    G² = 2·[S(k11)+S(k12)+S(k21)+S(k22)+S(N)−S(R1)−S(R2)−S(C1)−S(C2)]
+    with S(x)=x·ln x and S(0)=0 — every S argument is an EXACT
+    integer count, each ln is quantized at the leaf
+    (floor(ln(x)·1e6), the repo's lnq idiom), so the whole score is
+    an exact-integer sum (shuffle-order proof) and the top-k order is
+    total (llr_q desc, then words).  The quantized G² of a
+    chance-level pair can land a hair below zero, so emission uses
+    the sign-safe floor ladder, not ROUND.
+
+    Scale shape: one bigram hash aggregate with map-side combine into
+    a vocabulary²-bounded table; the margins R, C are re-aggregates
+    of THAT table (never a corpus rescan); N attaches as a 1-row
+    broadcast; top-k is TakeOrderedAndProject."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        _tokens(F.col("text")).alias("toks")
+    )
+    head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    tail = F.slice(F.col("toks"), 2, F.size("toks"))
+    bigrams = F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
+    bc = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("k11"))
+    )
+    r = bc.groupBy("w1").agg(F.sum("k11").alias("r1"))
+    c = bc.groupBy("w2").agg(F.sum("k11").alias("c1"))
+    tot = bc.agg(F.sum("k11").alias("n"))
+    k = (
+        bc.filter(F.col("k11") >= _LLR_MIN_COUNT)
+        .join(r, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias(
+                "k22"
+            ),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+
+    def s_of(col: F.Column) -> F.Column:
+        lnq = F.floor(F.log(col.cast("double")) * 1000000.0).cast("bigint")
+        return F.when(col == 0, F.lit(0).cast("bigint")).otherwise(col * lnq)
+
+    llr_q = 2 * (
+        s_of(F.col("k11"))
+        + s_of(F.col("k12"))
+        + s_of(F.col("k21"))
+        + s_of(F.col("k22"))
+        + s_of(F.col("n"))
+        - s_of(F.col("r1"))
+        - s_of(F.col("n") - F.col("r1"))
+        - s_of(F.col("c1"))
+        - s_of(F.col("n") - F.col("c1"))
+    )
+    return (
+        k.select(
+            "w1",
+            "w2",
+            F.col("k11").cast("bigint").alias("n_ab"),
+            llr_q.alias("llr_q"),
+        )
+        .orderBy(F.desc("llr_q"), F.asc("w1"), F.asc("w2"))
+        .limit(_LLR_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("llr_q").cast("double") / 1000000.0 * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("llr"),
+        )
+    )
+
+
+corpus_bigram_llr.__doc__ = corpus_bigram_llr.__doc__.format(k=_LLR_TOP_K)
+
+
+#: Blocklist membership: tokens whose portable hash (seed 11) falls in
+#: residue class 0 mod 13 — a deterministic stand-in for a safety/NSFW
+#: wordlist (no such list ships with the synthetic corpus; the residue
+#: class marks 2 of the 31 vocabulary words, measured sf0.01).
+_BLOCK_SEED = 11
+_BLOCK_MOD = 13
+#: A document is dropped when more than this share of its tokens are
+#: blocklisted (the C4-style "bad-words ratio" gate, not a single-hit
+#: kill switch — isolated hits in long documents survive).
+_BLOCK_MAX_RATIO = 0.08
+
+
+@register(
+    "doc_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang, source,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN {PORTABLE_HASH64_SQL("w", _BLOCK_SEED)}
+                             % {_BLOCK_MOD} = 0
+                        THEN 1 ELSE 0 END) AS n_blocked
+        FROM t GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_blocked AS BIGINT) AS n_blocked,
+           ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 6) AS blocked_ratio,
+           CAST(n_blocked AS DOUBLE) / n_tokens <= {_BLOCK_MAX_RATIO}
+               AS kept
+    FROM h
+    """,
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based safety filter — the C4/RefinedWeb "bad words"
+    gate a pretraining pipeline runs before quality scoring: per
+    document, the token count, blocklisted-token count, blocklist
+    ratio, and the keep/drop verdict (drop when more than 8% of
+    tokens are blocklisted, ``_BLOCK_MAX_RATIO`` — a ratio gate,
+    not single-hit, so one stray term in a long document does not
+    kill it).  The blocklist here is hash-defined (portable hash
+    residue class — a deterministic stand-in for the real wordlist,
+    which in production is a broadcast set; the plan shape is
+    identical either way: a map-side membership test, never a join
+    against the corpus).
+
+    Exactness: counts are exact integers; the ratio is one IEEE
+    divide of exact ints, rounded at 6 dp (nonnegative by
+    construction, so plain ROUND is sign-safe here); the verdict
+    compares the UNROUNDED ratio identically in both engines.
+
+    Scale shape: one pass — explode + hash predicate + per-doc hash
+    aggregate with map-side combine; no joins, no windows, no
+    broadcast needed.  At 100 TB this is the textbook
+    embarrassingly-parallel corpus scan; with a real wordlist the
+    membership test becomes a broadcast hash-set probe, same
+    single-scan shape."""
+    t = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(_tokens(F.col("text"))).alias("w"),
+    )
+    hit = (
+        (portable_hash64(F.col("w"), _BLOCK_SEED) % _BLOCK_MOD) == 0
+    ).cast("int")
+    h = t.groupBy("doc_id", "lang", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(hit).alias("n_blocked"),
+    )
+    ratio = F.col("n_blocked").cast("double") / F.col("n_tokens")
+    return h.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_blocked").cast("bigint").alias("n_blocked"),
+        F.round(ratio, 6).alias("blocked_ratio"),
+        (ratio <= _BLOCK_MAX_RATIO).alias("kept"),
     )

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import load_table
+from ..functions.scalar import MONEY, money
 from ..registry import register
 from .clickstream import WATERMARK, run_available_now, streaming_events
 
@@ -416,8 +417,9 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
                date_trunc('hour', ts) + INTERVAL 1 HOUR AS feature_timestamp,
                COUNT(*) AS f_total_events,
                COUNT(*) FILTER (WHERE event_type = 'click') AS f_click_count,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
-                              ELSE 0.0 END), 2) AS f_total_revenue
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS f_total_revenue
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY 1, 2
@@ -490,13 +492,13 @@ def stream_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
                 "f_click_count"
             ),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # DECIMAL(12,2) inside the SUM (the money() discipline):
+            # a raw DOUBLE sum is shuffle-order-sensitive and can flip
+            # the 2-dp rounding at a tie boundary between engines.
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", money(F.col("value"))
+                ).otherwise(F.lit(0).cast(MONEY))
             ).alias("f_total_revenue"),
         )
         .select(

