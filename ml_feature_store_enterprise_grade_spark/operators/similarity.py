@@ -25,6 +25,8 @@ of labels, same plan shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1227,9 +1229,7 @@ def _embedding_scatter_moments(
     """``(ut, sums, n)``: upper-triangle co-moments ``(di, dj, sxy)``
     with exact DECIMAL sums of guarded int64 products, per-dimension
     sums ``(dim, sx)`` as DECIMAL(38,0), and the vector count."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _EMB_MOMENTS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1749,6 +1749,19 @@ def _km_oracle() -> str:
 
 
 _KM_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Final-round centroid statistics (cid, element decimal-sums, count)
+#: memoized alongside the assignment frame — [[embedding_silhouette]]
+#: needs the full per-centroid distance set, not just the argmin.
+_KM_CENTS_CACHE: dict[tuple[str, str], list[tuple[int, list[int], int]]] = {}
+
+
+def _km_final_cents(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int], int]]:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _KM_CENTS_CACHE:
+        _km_final_assignments(spark, sf_dir)
+    return _KM_CENTS_CACHE[key]
 
 
 def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1758,9 +1771,7 @@ def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FINAL assignment frame ``(vec_id, label, qv, cid, dn, n_src)``
     (memoized per (application, sf_dir) — the iteration's bounded
     k·d-row collects run once, not per query)."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _KM_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1820,19 +1831,22 @@ def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n").alias("n_src"),
     )
     _KM_CACHE[key] = a
+    _KM_CENTS_CACHE[key] = cents
     return a
 
 
-def _km_assign(cents: list[tuple[int, list[int], int]]) -> Column:
-    """min(struct(dist, cid, dist_numerator, n_src)) over the centroid
-    set — the exact-arithmetic Lloyd assignment.
+def _km_dist_structs(
+    cents: list[tuple[int, list[int], int]],
+) -> list[Column]:
+    """One struct(dist, cid, dist_numerator, n_src) per centroid —
+    the exact-arithmetic distance set behind the Lloyd assignment.
 
     With centroid = s/(n*1e6) held as (decimal-sum s, count n), the
     squared distance to quantized vector x satisfies
     ``d2 = sum_pos (n*x - s)^2 / (n*1e6)^2``: the numerator is an
     exact integer (order-independent under any shuffle), and the one
     float divide at the end is the same IEEE operation in both
-    engines, so even near-tie assignments agree bit-for-bit."""
+    engines, so even near-tie comparisons agree bit-for-bit."""
     cands = []
     for cid, s_list, n in cents:
         s_arr = F.array(*[F.lit(int(s)) for s in s_list])
@@ -1855,7 +1869,13 @@ def _km_assign(cents: list[tuple[int, list[int], int]]) -> Column:
                 F.lit(n).cast("bigint").alias("n"),
             )
         )
-    return F.array_min(F.array(*cands))
+    return cands
+
+
+def _km_assign(cents: list[tuple[int, list[int], int]]) -> Column:
+    """min over :func:`_km_dist_structs` — the Lloyd assignment
+    (ties on distance break by centroid id in both engines)."""
+    return F.array_min(F.array(*_km_dist_structs(cents)))
 
 
 @register("embedding_kmeans", defer=True, oracle=_km_oracle())
@@ -2640,4 +2660,116 @@ def embedding_cluster_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("sa") + F.col("sb")) / 2.0 - expected, F.lit(0.0)
             )
         ).alias("adjusted_rand"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    ctes = _km_assign_ctes()
+    T = _KM_ITERS
+    d_expr = (
+        "CAST(d.dn AS DOUBLE) / ((CAST(d.n AS DOUBLE) * 1000000.0)"
+        " * (CAST(d.n AS DOUBLE) * 1000000.0))"
+    )
+    return f"""
+    WITH {",".join(ctes)},
+    sil AS (
+        SELECT d.vec_id,
+               struct_extract(a.m, 'cid') AS cid,
+               struct_extract(a.m, 'd') AS da,
+               MIN(CASE WHEN d.cid <> struct_extract(a.m, 'cid')
+                        THEN {d_expr} END) AS db
+        FROM d{T} d JOIN a{T} a ON a.vec_id = d.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    sq AS (
+        SELECT cid,
+               CAST(FLOOR(CASE WHEN GREATEST(sqrt(da), sqrt(db)) = 0
+                               THEN 0.0
+                               ELSE (sqrt(db) - sqrt(da))
+                                    / GREATEST(sqrt(da), sqrt(db)) END
+                          * 1000000000.0) AS BIGINT) AS sq
+        FROM sil
+    ),
+    g AS (
+        SELECT cid, COUNT(*) AS n, SUM(sq) AS ssq,
+               SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS nneg
+        FROM sq GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS tn, SUM(ssq) AS tssq FROM g)
+    SELECT CAST(g.cid AS INTEGER) AS cid,
+           CAST(g.n AS BIGINT) AS n_members,
+           FLOOR(CAST(g.ssq AS DOUBLE) / (g.n * 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette,
+           ROUND(CAST(g.nneg AS DOUBLE) / g.n, 6) AS misplaced_share,
+           FLOOR(CAST(t.tssq AS DOUBLE) / (t.tn * 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0
+               AS overall_mean_silhouette
+    FROM g CROSS JOIN t
+    """
+
+
+@register("embedding_silhouette", defer=True, oracle=_silhouette_oracle())
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette of the deterministic Lloyd
+    fit — the INTERNAL validity score next to
+    [[embedding_cluster_label_ari]]'s external one: per point,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1] (Hruschka et al.'s
+    centroid variant of Rousseeuw's silhouette — O(n·k), the form
+    that scales; the classic all-pairs form is O(n²) by definition).
+    Per cluster: size, mean silhouette, and the share of points with
+    negative s (closer to a rival centroid than their own — the
+    misassignment alarm); every row carries the corpus-wide mean.
+
+    Determinism: all k distances per point come from exact-integer
+    numerators over (decimal centroid sums, counts) — the
+    [[embedding_kmeans]] discipline — so a, b are bit-identical
+    doubles in both engines; sqrt is IEEE-correctly-rounded, s is a
+    fixed op sequence, and each s is quantized to floor(s·1e9)
+    BEFORE the per-cluster sum, making the means exact-integer
+    ratios (shuffle-order proof) emitted via the sign-safe floor
+    ladder (s legitimately straddles zero).
+
+    Scale shape: reuses the memoized assignment frame (Lloyd rounds
+    run once per session); the k-distance set is a map-side
+    broadcast-literal fold per point (no join, no shuffle of the
+    corpus); the only aggregates are the k-row cluster stats."""
+    a = _km_final_assignments(spark, sf_dir)
+    cents = _km_final_cents(spark, sf_dir)
+    arr = F.array(*_km_dist_structs(cents))
+    own_d = F.col("dn").cast("double") / (
+        (F.col("n_src").cast("double") * F.lit(1000000.0))
+        * (F.col("n_src").cast("double") * F.lit(1000000.0))
+    )
+    other_d = F.array_min(
+        F.filter(arr, lambda s: s["cid"] != F.col("cid"))
+    )["d"]
+    sil = a.select("cid", own_d.alias("da"), other_d.alias("db"))
+    a_e = F.sqrt(F.col("da"))
+    b_e = F.sqrt(F.col("db"))
+    s_val = F.when(F.greatest(a_e, b_e) == 0, F.lit(0.0)).otherwise(
+        (b_e - a_e) / F.greatest(a_e, b_e)
+    )
+    sq = sil.select(
+        "cid", F.floor(s_val * 1000000000.0).cast("bigint").alias("sq")
+    )
+    g = sq.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0)).alias("nneg"),
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("ssq").alias("tssq"))
+    emit = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n").cast("bigint").alias("n_members"),
+        emit(
+            F.col("ssq").cast("double") / (F.col("n") * 1000000000.0)
+        ).alias("mean_silhouette"),
+        F.round(F.col("nneg").cast("double") / F.col("n"), 6).alias(
+            "misplaced_share"
+        ),
+        emit(
+            F.col("tssq").cast("double") / (F.col("tn") * 1000000000.0)
+        ).alias("overall_mean_silhouette"),
     )

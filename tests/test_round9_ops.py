@@ -273,3 +273,45 @@ def test_staleness_bruteforce_single_user(spark):
         prior = [c for c in closes if c <= t]
         if prior:
             assert (t - max(prior)).total_seconds() >= 0
+
+
+# --- embedding_silhouette ----------------------------------------------
+
+
+def test_silhouette_matches_numpy(spark):
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        _km_final_assignments,
+        _km_final_cents,
+    )
+
+    rows = {
+        r.cid: r
+        for r in _q("embedding_silhouette")(spark, SF_SMOKE).collect()
+    }
+    a = _km_final_assignments(spark, SF_SMOKE).select("cid", "qv").toPandas()
+    x = np.array(a["qv"].tolist(), dtype=np.float64) / 1e6
+    cids = a["cid"].to_numpy()
+    uniq = np.unique(cids)
+    # silhouette measures against the ASSIGNMENT-TIME centroids (the
+    # same ones the argmin used), not post-assignment recomputed means
+    cents = {
+        cid: np.array(s_list, dtype=np.float64) / (n * 1e6)
+        for cid, s_list, n in _km_final_cents(spark, SF_SMOKE)
+    }
+    per_cluster: dict[int, list[float]] = {int(c): [] for c in uniq}
+    for i in range(len(x)):
+        own = int(cids[i])
+        da = float(np.linalg.norm(x[i] - cents[own]))
+        db = min(
+            float(np.linalg.norm(x[i] - cents[c])) for c in cents if c != own
+        )
+        m = max(da, db)
+        per_cluster[own].append(0.0 if m == 0 else (db - da) / m)
+    for c, vals in per_cluster.items():
+        assert abs(rows[c].mean_silhouette - float(np.mean(vals))) < 1e-4
+        assert rows[c].n_members == len(vals)
+        neg = sum(1 for v in vals if v < 0) / len(vals)
+        assert abs(rows[c].misplaced_share - neg) < 1e-9
+    allv = [v for vals in per_cluster.values() for v in vals]
+    any_row = next(iter(rows.values()))
+    assert abs(any_row.overall_mean_silhouette - float(np.mean(allv))) < 1e-4
