@@ -727,10 +727,12 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_value_mann_whitney",
-    oracle="""
-    WITH s AS (
+#: Shared rank-machinery CTEs (events.value, NaN-filtered): per-value
+#: counts, exclusive prefix ranks, per-group doubled rank sums r2 and
+#: the tie term — the base both rank tests (Mann-Whitney U and
+#: Kruskal-Wallis H) build on.  2·avgrank(x) = 2·cum_less + cnt + 1
+#: keeps every aggregate an exact integer.
+_RANK_CTES = """s AS (
         SELECT event_type, value AS x
         FROM events
         WHERE value IS NOT NULL AND NOT isnan(value)
@@ -751,52 +753,17 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(v.c * (2 * rk.cl + rk.cx + 1)) AS r2
         FROM v JOIN rk USING (x) GROUP BY 1
     ),
-    t AS (SELECT SUM(cx) AS n, SUM(cx * cx * cx - cx) AS tie FROM tx),
-    zc AS (
-        SELECT g.event_type, g.n_g, t.n, g.r2, t.tie,
-               g.r2 - g.n_g * (g.n_g + 1) - g.n_g * (t.n - g.n_g) AS num2,
-               CAST(g.n_g AS DOUBLE) * (t.n - g.n_g) / 12.0
-                   * ((t.n + 1) - CAST(t.tie AS DOUBLE)
-                      / (CAST(t.n AS DOUBLE) * (t.n - 1))) AS sigma2
-        FROM g CROSS JOIN t
-    )
-    SELECT event_type,
-           CAST(n_g AS BIGINT) AS n_type,
-           CAST(n - n_g AS BIGINT) AS n_rest,
-           CAST(r2 - n_g * (n_g + 1) AS DOUBLE) / 2 AS u_stat,
-           FLOOR(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))
-                 * 10000.0 + 0.5) / 10000.0 AS z_score,
-           ABS(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))) >= 1.96
-               AS significant
-    FROM zc
-    """,
-)
-def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) one-vs-rest test per event
-    type over ``value`` — the nonparametric member of the drift/test
-    toolbox next to KS (max ECDF gap), PSI/JS (binned divergence) and
-    the ANOVA F (parametric means): does this event type's value
-    distribution stochastically dominate the rest?  Per type: sample
-    sizes, the exact tie-corrected U statistic, and the normal-
-    approximation z (no continuity correction; tie-corrected
-    variance).
+    t AS (SELECT SUM(cx) AS n, SUM(cx * cx * cx - cx) AS tie FROM tx)"""
 
-    Exactness: doubled average ranks are INTEGERS — for a tied value
-    x, 2·avgrank(x) = 2·cum_less(x) + cnt(x) + 1 — so the rank sum
-    R2 = Σ c·(2·cl + cx + 1), the tie term Σ(t³−t), and the z
-    numerator 2·(U−μ) are exact integer aggregates (shuffle-order
-    proof); the variance and z are then a FIXED sequence of IEEE
-    ops on exact-integer-valued doubles, written identically in both
-    engines, with the floor(x·1e4+0.5)/1e4 ladder at emission (sign
-    safe where ROUND is not).  At ~1e12 rows R2 ~ N² outgrows BIGINT
-    — the documented switch is DECIMAL(38,0) on the three integer
-    aggregates.
 
-    Scale shape: one (x,type) hash aggregate with map-side combine;
-    the exclusive prefix sum over DISTINCT values reuses the KS
-    bucketed two-pass (per-bucket offsets over ≤1024 rows + within-
-    bucket windows — no global single-partition sort); everything
-    downstream is a ≤|types|-row frame."""
+def _event_value_rank_sums(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_RANK_CTES``: returns (g, t) — per-group exact
+    integer doubled rank sums (event_type, n_g, r2) and the global
+    (n, tie) totals.  The exclusive prefix sum over DISTINCT values
+    reuses the KS bucketed two-pass (per-bucket offsets over ≤1024
+    rows + within-bucket windows — no global single-partition sort)."""
     s = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
@@ -854,6 +821,59 @@ def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cx") * F.col("cx") * F.col("cx") - F.col("cx")
         ).alias("tie"),
     )
+    return g, t
+
+
+@register(
+    "event_value_mann_whitney",
+    oracle=f"""
+    WITH {_RANK_CTES},
+    zc AS (
+        SELECT g.event_type, g.n_g, t.n, g.r2, t.tie,
+               g.r2 - g.n_g * (g.n_g + 1) - g.n_g * (t.n - g.n_g) AS num2,
+               CAST(g.n_g AS DOUBLE) * (t.n - g.n_g) / 12.0
+                   * ((t.n + 1) - CAST(t.tie AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * (t.n - 1))) AS sigma2
+        FROM g CROSS JOIN t
+    )
+    SELECT event_type,
+           CAST(n_g AS BIGINT) AS n_type,
+           CAST(n - n_g AS BIGINT) AS n_rest,
+           CAST(r2 - n_g * (n_g + 1) AS DOUBLE) / 2 AS u_stat,
+           FLOOR(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))
+                 * 10000.0 + 0.5) / 10000.0 AS z_score,
+           ABS(CAST(num2 AS DOUBLE) / (2 * sqrt(sigma2))) >= 1.96
+               AS significant
+    FROM zc
+    """,
+)
+def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) one-vs-rest test per event
+    type over ``value`` — the nonparametric member of the drift/test
+    toolbox next to KS (max ECDF gap), PSI/JS (binned divergence) and
+    the ANOVA F (parametric means): does this event type's value
+    distribution stochastically dominate the rest?  Per type: sample
+    sizes, the exact tie-corrected U statistic, and the normal-
+    approximation z (no continuity correction; tie-corrected
+    variance).
+
+    Exactness: doubled average ranks are INTEGERS — for a tied value
+    x, 2·avgrank(x) = 2·cum_less(x) + cnt(x) + 1 — so the rank sum
+    R2 = Σ c·(2·cl + cx + 1), the tie term Σ(t³−t), and the z
+    numerator 2·(U−μ) are exact integer aggregates (shuffle-order
+    proof); the variance and z are then a FIXED sequence of IEEE
+    ops on exact-integer-valued doubles, written identically in both
+    engines, with the floor(x·1e4+0.5)/1e4 ladder at emission (sign
+    safe where ROUND is not).  At ~1e12 rows R2 ~ N² outgrows BIGINT
+    — the documented switch is DECIMAL(38,0) on the three integer
+    aggregates.
+
+    Scale shape: one (x,type) hash aggregate with map-side combine;
+    the exclusive prefix sum over DISTINCT values reuses the KS
+    bucketed two-pass (per-bucket offsets over ≤1024 rows + within-
+    bucket windows — no global single-partition sort); everything
+    downstream is a ≤|types|-row frame."""
+    g, t = _event_value_rank_sums(spark, sf_dir)
     zc = g.crossJoin(F.broadcast(t)).select(
         "event_type",
         "n_g",
@@ -883,4 +903,115 @@ def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u2").cast("double") / 2).alias("u_stat"),
         (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z_score"),
         (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+@register(
+    "event_value_kruskal_wallis",
+    defer=True,
+    oracle=f"""
+    WITH {_RANK_CTES},
+    q AS (
+        SELECT g.event_type, g.n_g, g.r2, t.n, t.tie,
+               CAST(FLOOR(CAST(g.r2 AS DOUBLE) * CAST(g.r2 AS DOUBLE)
+                          / (4.0 * g.n_g) * 1000.0) AS BIGINT) AS tq
+        FROM g CROSS JOIN t
+    ),
+    sm AS (
+        SELECT MAX(n) AS n, MAX(tie) AS tie, COUNT(*) AS k,
+               SUM(tq) AS stq
+        FROM q
+    ),
+    h AS (
+        SELECT n, tie, k,
+               12.0 / (CAST(n AS DOUBLE) * (n + 1))
+                   * (CAST(stq AS DOUBLE) / 1000.0) - 3.0 * (n + 1) AS h_raw,
+               1.0 - CAST(tie AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) AS c
+        FROM sm
+    )
+    SELECT q.event_type,
+           CAST(q.n_g AS BIGINT) AS n_type,
+           FLOOR(CAST(q.r2 AS DOUBLE) / (2.0 * q.n_g) * 10000.0 + 0.5)
+               / 10000.0 AS mean_rank,
+           CAST(h.k - 1 AS BIGINT) AS df,
+           FLOOR(h.h_raw * 10000.0 + 0.5) / 10000.0 AS h_stat,
+           FLOOR(h.h_raw / h.c * 10000.0 + 0.5) / 10000.0
+               AS h_tie_corrected
+    FROM q CROSS JOIN h
+    """,
+)
+def event_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types at once — the k-group
+    generalization of [[event_value_mann_whitney]] (one shared rank
+    pass, not k pairwise tests) and the rank-based twin of
+    [[returnflag_anova_ftest]]'s parametric F: do the k value
+    distributions share a location?  Per type: size and mean rank;
+    every row carries the global H, its tie-corrected form
+    H / (1 − ΣT/(N³−N)), and df = k−1.
+
+    Exactness: reuses the exact-integer doubled rank sums (r2, tie
+    term) from the shared rank machinery; each group's R²/n term is
+    computed by an IDENTICAL floor-quantized expression in both
+    engines (floor of the same IEEE op sequence — deterministic even
+    where the product exceeds 2^53 exactness, because determinism
+    needs identical rounding, not exact values; the ≤0.001 per-group
+    quantization slack moves H by < 1e-8), summed as exact BIGINTs,
+    and folded into H with one fixed op sequence; emissions use the
+    sign-safe floor ladder.
+
+    Scale shape: identical to the U test — the only data-sized
+    stages are the (x, type) hash aggregate and the bucketed
+    prefix sum over DISTINCT values; H folds a ≤|types|-row frame."""
+    g, t = _event_value_rank_sums(spark, sf_dir)
+    q = g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_g",
+        "r2",
+        "n",
+        "tie",
+        F.floor(
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / (4.0 * F.col("n_g"))
+            * 1000.0
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    s = q.agg(
+        F.max("n").alias("n"),
+        F.max("tie").alias("tie"),
+        F.count("*").alias("k"),
+        F.sum("tq").alias("stq"),
+    )
+    h = s.select(
+        "n",
+        "tie",
+        "k",
+        (
+            12.0
+            / (F.col("n").cast("double") * (F.col("n") + 1))
+            * (F.col("stq").cast("double") / 1000.0)
+            - 3.0 * (F.col("n") + 1)
+        ).alias("h_raw"),
+        (
+            1.0
+            - F.col("tie").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ).alias("c"),
+    )
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return q.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        F.col("n_g").cast("bigint").alias("n_type"),
+        emit(F.col("r2").cast("double") / (2.0 * F.col("n_g"))).alias(
+            "mean_rank"
+        ),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        emit(F.col("h_raw")).alias("h_stat"),
+        emit(F.col("h_raw") / F.col("c")).alias("h_tie_corrected"),
     )

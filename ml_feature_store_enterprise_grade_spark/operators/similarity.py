@@ -2773,3 +2773,112 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tssq").cast("double") / (F.col("tn") * 1000000000.0)
         ).alias("overall_mean_silhouette"),
     )
+
+
+@register(
+    "embedding_knn_label_accuracy",
+    defer=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT a.vec_id AS qid, a.label AS lab,
+               ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS c,
+               b.vec_id AS nid, b.label AS nlab
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT qid, lab,
+               MAX(struct_pack(c := c, nb := -nid, nlab := nlab)) AS m
+        FROM s GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT lab AS label, COUNT(*) AS n,
+               SUM(CASE WHEN struct_extract(m, 'nlab') = lab
+                        THEN 1 ELSE 0 END) AS n_correct
+        FROM nn GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS tn, SUM(n_correct) AS tc FROM g)
+    SELECT CAST(g.label AS INTEGER) AS label,
+           CAST(g.n AS BIGINT) AS n_vectors,
+           CAST(g.n_correct AS BIGINT) AS n_correct,
+           ROUND(CAST(g.n_correct AS DOUBLE) / g.n, 6) AS knn_accuracy,
+           ROUND(CAST(t.tc AS DOUBLE) / t.tn, 6) AS overall_accuracy
+    FROM g CROSS JOIN t
+    """,
+)
+def embedding_knn_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out 1-NN label agreement over the embedding corpus —
+    the classic label-noise / embedding-quality probe (a label whose
+    nearest neighbor disagrees is either mislabeled or sits in a
+    poorly separated region; aggregate accuracy is the k=1 case of
+    the kNN-classifier sanity check run before training on weak
+    labels).  Per label: vector count, 1-NN-agrees count, accuracy;
+    every row carries the corpus-wide accuracy.
+
+    Determinism: the neighbor election ranks on the 6-dp ROUNDED
+    cosine (the ann-family idiom — post-round ties cannot hide
+    engine-level last-ulp differences) with vec_id as the total tie
+    break, via one max(struct) hash aggregate — no window sort.
+
+    Scale shape: the exact all-pairs form is the small-SF baseline
+    (n² cosine probes, dim-bounded zip_with folds, one hash
+    aggregate); at corpus scale the election runs against the IVF
+    shortlist instead of the full cross join — the documented
+    [[ann_ivf_topk]] path, identical downstream aggregates."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    a = with_norm(e).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("lab"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = with_norm(e).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    s = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "lab",
+            F.round(
+                _dot(F.col("q_emb"), F.col("b_emb"))
+                / (F.col("q_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("c"),
+            "nid",
+            "nlab",
+        )
+    )
+    nn = s.groupBy("qid", "lab").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (-F.col("nid")).alias("nb"),
+                F.col("nlab").alias("nlab"),
+            )
+        ).alias("m")
+    )
+    g = nn.groupBy(F.col("lab").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("m.nlab") == F.col("lab"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("n_correct").alias("tc"))
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "knn_accuracy"
+        ),
+        F.round(F.col("tc").cast("double") / F.col("tn"), 6).alias(
+            "overall_accuracy"
+        ),
+    )

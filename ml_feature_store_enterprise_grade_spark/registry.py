@@ -30,6 +30,8 @@ ORACLES: dict[str, str] = {}
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
 #   - embedding_silhouette (round 10 queue)
+#   - event_value_kruskal_wallis (round 10 queue)
+#   - embedding_knn_label_accuracy (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

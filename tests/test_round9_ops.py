@@ -315,3 +315,88 @@ def test_silhouette_matches_numpy(spark):
     allv = [v for vals in per_cluster.values() for v in vals]
     any_row = next(iter(rows.values()))
     assert abs(any_row.overall_mean_silhouette - float(np.mean(allv))) < 1e-4
+
+
+# --- event_value_kruskal_wallis ------------------------------------------
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    rows = _q("event_value_kruskal_wallis")(spark, SF_SMOKE).collect()
+    assert rows
+    k = len(rows)
+    for r in rows:
+        assert r.df == k - 1
+        assert r.h_stat >= 0
+        assert r.h_tie_corrected >= r.h_stat  # c in (0,1] inflates H
+    pdf = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    x = pdf["value"].to_numpy()
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(x)
+    groups = pdf["event_type"].to_numpy()
+    h = 0.0
+    for r in rows:
+        mask = groups == r.event_type
+        rsum = ranks[mask].sum()
+        assert abs(rsum / mask.sum() - r.mean_rank) < 1e-3
+        h += rsum * rsum / mask.sum()
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(x, return_counts=True)
+    c = 1.0 - (counts**3 - counts).sum() / (n**3 - n)
+    assert abs(rows[0].h_stat - h) < 1e-3
+    assert abs(rows[0].h_tie_corrected - h / c) < 1e-3
+
+
+# --- embedding_knn_label_accuracy ----------------------------------------
+
+
+def test_knn_label_accuracy_matches_numpy(spark):
+    rows = {
+        r.label: r
+        for r in _q("embedding_knn_label_accuracy")(spark, SF_SMOKE).collect()
+    }
+    pdf = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    labs = pdf["label"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(nrm, nrm)
+    cos_r = np.round(cos, 6)  # the operator ranks on the 6dp-rounded value
+    n = len(x)
+    correct = {int(l): 0 for l in np.unique(labs)}
+    counts = {int(l): 0 for l in np.unique(labs)}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if i == j:
+                continue
+            key = (cos_r[i, j], -ids[j])
+            if best is None or key > best[0]:
+                best = (key, labs[j])
+        counts[int(labs[i])] += 1
+        correct[int(labs[i])] += int(best[1] == labs[i])
+    for lab, r in rows.items():
+        assert r.n_vectors == counts[lab]
+        assert r.n_correct == correct[lab], lab
+        assert abs(r.knn_accuracy - correct[lab] / counts[lab]) < 5e-7
+    overall = sum(correct.values()) / sum(counts.values())
+    assert abs(next(iter(rows.values())).overall_accuracy - overall) < 5e-7
