@@ -2841,7 +2841,7 @@ def embedding_knn_label_accuracy(
         F.col("nrm").alias("b_nrm"),
     )
     s = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",

@@ -520,3 +520,47 @@ def test_consistency_audit_all_broadcast_gates(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- round 9 plan promises -------------------------------------------
+
+
+def test_mann_whitney_no_cartesian_and_bucketed_windows(spark):
+    plan = plan_of(spark, "event_value_mann_whitney")
+    assert "CartesianProduct" not in plan
+    # the only cross joins are 1-row broadcast stat attachments
+    assert "BroadcastNestedLoopJoin" in plan
+    # within-bucket prefix windows partition by bucket (a Sort keyed
+    # by [b, x] — never a global single-column sort of the values)
+    assert "b#" in plan
+
+
+def test_blocklist_filter_single_scan_no_join(spark):
+    plan = plan_of(spark, "doc_blocklist_filter")
+    assert "Join" not in plan
+    assert "Exchange" in plan  # exactly the per-doc hash aggregate
+    # pruning: only the referenced columns reach the scan
+    scan = plan.split("ReadSchema")[1][:400]
+    assert "n_chars" not in scan
+
+
+def test_pit_staleness_broadcast_asof_no_window(spark):
+    plan = plan_of(spark, "pit_staleness_audit")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # max election is a hash aggregate
+
+
+def test_knn_label_accuracy_broadcast_not_cartesian(spark):
+    plan = plan_of_deferred(spark, "embedding_knn_label_accuracy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan  # neighbor election is max(struct)
+
+
+def test_llr_margins_reaggregate_not_rescan(spark):
+    plan = plan_of(spark, "corpus_bigram_llr")
+    # one corpus scan: the bigram table is built once; margins R and C
+    # re-aggregate it, so documents.parquet appears in ONE scan node.
+    assert plan.count("documents.parquet") <= plan.count("Exchange")
+    assert "CartesianProduct" not in plan

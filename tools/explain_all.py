@@ -154,6 +154,22 @@ QUERIES = (
     "graph_modularity",
     "embedding_bitext_margin",
     "multimodal_audio_energy",
+    # round 9: the rank-test pair (bucketed prefix sums, no global
+    # sort), VR test (day-frame windows), ARI/silhouette over the
+    # memoized Lloyd fit (broadcast-literal distance folds), LLR
+    # (vocab-bounded margins re-aggregated, no corpus rescan),
+    # blocklist scan (single pass, no join), PIT staleness audit
+    # (broadcast as-of + discrete percentiles), 1-NN label agreement
+    # (broadcast nested-loop all-pairs baseline, max-struct election).
+    "event_value_mann_whitney",
+    "event_value_kruskal_wallis",
+    "daily_revenue_variance_ratio",
+    "embedding_cluster_label_ari",
+    "embedding_silhouette",
+    "corpus_bigram_llr",
+    "doc_blocklist_filter",
+    "pit_staleness_audit",
+    "embedding_knn_label_accuracy",
 )
 
 
