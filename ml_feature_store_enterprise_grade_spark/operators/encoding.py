@@ -802,3 +802,165 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gain_ratio"),
     )
+
+
+#: Temporal split for the calibration audit: scores come from the
+#: first half of the event timeline, outcomes from the first day
+#: after the split (a short window keeps the base rate off 100% —
+#: over the full second half every synthetic user purchases).
+_CALIB_SPLIT = "2024-01-16 00:00:00"
+_CALIB_OUTCOME_END = "2024-01-17 00:00:00"
+_CALIB_BINS = 10
+
+
+@register(
+    "purchase_propensity_calibration",
+    defer=True,
+    oracle=f"""
+    WITH p1 AS (
+        SELECT user_id,
+               CAST(FLOOR(SUM(CASE WHEN event_type IN ('click', 'purchase')
+                                   THEN 1 ELSE 0 END)
+                          * 1000000.0 / COUNT(*)) AS BIGINT) AS sq
+        FROM events
+        WHERE user_id IS NOT NULL AND ts < TIMESTAMP '{_CALIB_SPLIT}'
+        GROUP BY 1
+    ),
+    p2 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL
+          AND ts >= TIMESTAMP '{_CALIB_SPLIT}'
+          AND ts < TIMESTAMP '{_CALIB_OUTCOME_END}'
+          AND event_type = 'purchase'
+    ),
+    u AS (
+        SELECT p1.user_id, p1.sq,
+               LEAST({_CALIB_BINS - 1}, p1.sq // 100000) AS bin,
+               CASE WHEN p2.user_id IS NULL THEN 0 ELSE 1 END AS y
+        FROM p1 LEFT JOIN p2 ON p1.user_id = p2.user_id
+    ),
+    b AS (
+        SELECT bin, COUNT(*) AS n, SUM(sq) AS ssq, SUM(y) AS pos
+        FROM u GROUP BY 1
+    ),
+    g AS (
+        SELECT bin, n, ssq, pos,
+               CAST(ssq AS DOUBLE) / (n * 1000000.0)
+                   - CAST(pos AS DOUBLE) / n AS gap
+        FROM b
+    ),
+    e AS (
+        SELECT SUM(n) AS tn,
+               SUM(n * CAST(FLOOR(ABS(gap) * 1000000000.0) AS BIGINT))
+                   AS eq
+        FROM g
+    )
+    SELECT CAST(g.bin AS INTEGER) AS bin,
+           CAST(g.n AS BIGINT) AS n_users,
+           FLOOR(CAST(g.ssq AS DOUBLE) / (g.n * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_predicted,
+           FLOOR(CAST(g.pos AS DOUBLE) / g.n * 1000000.0 + 0.5)
+               / 1000000.0 AS observed_rate,
+           FLOOR(g.gap * 1000000.0 + 0.5) / 1000000.0 AS calibration_gap,
+           FLOOR(CAST(e.eq AS DOUBLE) / (e.tn * 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ece
+    FROM g CROSS JOIN e
+    """,
+)
+def purchase_propensity_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a
+    deterministic purchase-propensity score — the serving-monitor
+    audit every deployed scorer needs (Guo et al. 2017's ECE over
+    fixed-width bins): score = a user's first-period engagement share
+    (clicks+purchases over all events, the simplest behavioral
+    propensity proxy), outcome = did they purchase in the first day
+    after the split.  Per bin: users, mean predicted, observed rate,
+    signed gap; every row carries the corpus ECE
+    Σ n_b/N · |mean_pred_b − obs_b|.  The outcome window is ONE day
+    — measured first: over the full second half every synthetic user
+    purchases (base rate 100%, audit vacuous); the 24 h window puts
+    the base rate at ~35%.
+
+    Determinism: per-user scores are quantized to floor(share·1e6)
+    integers BEFORE any cross-user sum (bin means are exact-integer
+    ratios); bins are FIXED-WIDTH from the quantized score (never
+    NTILE's global sort); the per-bin |gap| is floor-quantized to
+    1e-9 before the N-weighted ECE sum, so ECE is an exact-integer
+    ratio too; signed emissions use the sign-safe floor ladder.
+
+    Scale shape: two conditional aggregates over the event scan
+    (score pass, outcome pass — the outcome side is DISTINCT
+    user_id, shuffled once), one user-keyed broadcast-able join, and
+    a ≤10-row bin fold."""
+    split = F.lit(_CALIB_SPLIT).cast("timestamp")
+    out_end = F.lit(_CALIB_OUTCOME_END).cast("timestamp")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    p1 = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("event_type").isin("click", "purchase"), 1
+                    ).otherwise(0)
+                )
+                * 1000000.0
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("sq")
+        )
+    )
+    p2 = (
+        e.filter(
+            (F.col("ts") >= split)
+            & (F.col("ts") < out_end)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    u = p1.join(p2, "user_id", "left").select(
+        F.least(
+            F.lit(_CALIB_BINS - 1), F.expr("sq div 100000")
+        ).alias("bin"),
+        "sq",
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    b = u.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum("y").alias("pos"),
+    )
+    gap = F.col("ssq").cast("double") / (F.col("n") * 1000000.0) - F.col(
+        "pos"
+    ).cast("double") / F.col("n")
+    g = b.select("bin", "n", "ssq", "pos", gap.alias("gap"))
+    ece = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum(
+            F.col("n")
+            * F.floor(F.abs(F.col("gap")) * 1000000000.0).cast("bigint")
+        ).alias("eq"),
+    )
+    emit = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return g.crossJoin(F.broadcast(ece)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n_users"),
+        emit(F.col("ssq").cast("double") / (F.col("n") * 1000000.0)).alias(
+            "mean_predicted"
+        ),
+        emit(F.col("pos").cast("double") / F.col("n")).alias(
+            "observed_rate"
+        ),
+        emit(F.col("gap")).alias("calibration_gap"),
+        emit(
+            F.col("eq").cast("double") / (F.col("tn") * 1000000000.0)
+        ).alias("ece"),
+    )

@@ -400,3 +400,58 @@ def test_knn_label_accuracy_matches_numpy(spark):
         assert abs(r.knn_accuracy - correct[lab] / counts[lab]) < 5e-7
     overall = sum(correct.values()) / sum(counts.values())
     assert abs(next(iter(rows.values())).overall_accuracy - overall) < 5e-7
+
+
+# --- purchase_propensity_calibration ---------------------------------------
+
+
+def test_calibration_matches_python(spark):
+    import datetime as dt
+
+    rows = _q("purchase_propensity_calibration")(spark, SF_SMOKE).collect()
+    assert rows
+    split = dt.datetime(2024, 1, 16)
+    out_end = dt.datetime(2024, 1, 17)
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    import math as _m
+    from collections import defaultdict
+
+    n1 = defaultdict(int)
+    eng = defaultdict(int)
+    buyers = set()
+    for r in ev:
+        if r.ts < split:
+            n1[r.user_id] += 1
+            if r.event_type in ("click", "purchase"):
+                eng[r.user_id] += 1
+        elif r.ts < out_end and r.event_type == "purchase":
+            buyers.add(r.user_id)
+    bins = defaultdict(lambda: [0, 0, 0])  # n, ssq, pos
+    for uid, n in n1.items():
+        sq = _m.floor(eng[uid] * 1e6 / n)
+        b = min(9, sq // 100000)
+        bins[b][0] += 1
+        bins[b][1] += sq
+        bins[b][2] += 1 if uid in buyers else 0
+    tn = sum(v[0] for v in bins.values())
+    eq = sum(
+        v[0] * _m.floor(abs(v[1] / (v[0] * 1e6) - v[2] / v[0]) * 1e9)
+        for v in bins.values()
+    )
+    ece = eq / (tn * 1e9)
+    by_bin = {r.bin: r for r in rows}
+    assert set(by_bin) == set(bins)
+    base_rate = sum(v[2] for v in bins.values()) / tn
+    assert 0.05 < base_rate < 0.95, "outcome label must not be degenerate"
+    for b, (n, ssq, pos) in bins.items():
+        r = by_bin[b]
+        assert r.n_users == n
+        assert abs(r.mean_predicted - ssq / (n * 1e6)) < 5e-7
+        assert abs(r.observed_rate - pos / n) < 5e-7
+        assert abs(r.calibration_gap - (ssq / (n * 1e6) - pos / n)) < 5e-7
+        assert abs(r.ece - ece) < 5e-7
