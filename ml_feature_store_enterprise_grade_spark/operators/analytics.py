@@ -5425,3 +5425,138 @@ def daily_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 daily_revenue_variance_ratio.__doc__ = daily_revenue_variance_ratio.__doc__.format(
     q=_VR_Q
 )
+
+
+#: Top-k co-buy partners kept per item in the coverage audit.
+_REC_COV_K = 5
+
+
+@register(
+    "rec_coverage_gini",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    pair AS (
+        SELECT a.item_id AS a, b.item_id AS b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst, n_ab FROM pair
+        UNION ALL
+        SELECT b AS src, a AS dst, n_ab FROM pair
+    ),
+    rec AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY n_ab DESC, dst
+                   ) AS rk
+            FROM sym
+        ) WHERE rk <= {_REC_COV_K}
+    ),
+    freq AS (SELECT dst AS item_id, COUNT(*) AS f FROM rec GROUP BY 1),
+    r AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f, item_id) AS i
+        FROM freq
+    ),
+    t AS (SELECT COUNT(*) AS m, SUM(f) AS tf FROM freq),
+    g AS (
+        SELECT SUM((2 * r.i - t.m - 1) * r.f) AS gnum, MAX(t.m) AS m,
+               MAX(t.tf) AS tf
+        FROM r CROSS JOIN t
+    ),
+    cat AS (SELECT COUNT(*) AS n_parts FROM part),
+    slots AS (
+        SELECT COUNT(*) AS n_slots, COUNT(DISTINCT src) AS n_lists
+        FROM rec
+    )
+    SELECT CAST(cat.n_parts AS BIGINT) AS n_catalog,
+           CAST(slots.n_lists AS BIGINT) AS n_items_with_recs,
+           CAST(g.m AS BIGINT) AS n_recommended,
+           CAST(slots.n_slots AS BIGINT) AS n_rec_slots,
+           FLOOR(CAST(g.m AS DOUBLE) / cat.n_parts * 1000000.0 + 0.5)
+               / 1000000.0 AS catalog_coverage,
+           FLOOR(CAST(g.gnum AS DOUBLE) / (g.m * CAST(g.tf AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rec_gini
+    FROM g CROSS JOIN cat CROSS JOIN slots
+    """,
+)
+def rec_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate diversity of the item-item co-buy recommender
+    (Adomavicius & Kwon 2012): with each item recommending its top-{k}
+    co-purchase partners, what share of the CATALOG is ever
+    recommended (coverage), and how concentrated are the
+    recommendation slots across items (Gini of appearance counts)?
+    High NDCG with low coverage / high Gini is the popularity-bias
+    failure mode [[rec_popularity_ndcg]] alone cannot see — this is
+    the diversity half of the offline recsys eval pair.
+
+    Determinism: partner lists rank on exact co-buy counts with item
+    id tie-break; appearance counts are exact integers; the Gini uses
+    the rank identity Σ(2i−m−1)f_(i)/(m·Σf) over a (f, item_id)-total
+    order (the [[acctbal_gini_by_segment]] idiom), so the only floats
+    are two final divides emitted via the floor ladder.
+
+    Scale shape: reuses the memoized co-buy census (built map-side
+    from sorted per-order item arrays — no basket self-join); the
+    top-k window partitions by item over the catalog-bounded census;
+    the Gini rank window runs on the ≤|catalog| frequency frame; the
+    part count attaches as a 1-row broadcast."""
+    sym = cobuy_pair_census(spark, sf_dir).selectExpr(
+        "a AS src", "b AS dst", "n_ab"
+    ).unionAll(
+        cobuy_pair_census(spark, sf_dir).selectExpr(
+            "b AS src", "a AS dst", "n_ab"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_ab"), F.asc("dst"))
+    rec = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _REC_COV_K)
+        .select("src", "dst")
+    )
+    freq = rec.groupBy(F.col("dst").alias("item_id")).agg(
+        F.count("*").alias("f")
+    )
+    wr = Window.partitionBy(F.lit(0)).orderBy("f", "item_id")
+    r = freq.select("f", F.row_number().over(wr).alias("i"))
+    t = freq.agg(F.count("*").alias("m"), F.sum("f").alias("tf"))
+    g = r.crossJoin(F.broadcast(t)).agg(
+        F.sum((2 * F.col("i") - F.col("m") - 1) * F.col("f")).alias("gnum"),
+        F.max("m").alias("m"),
+        F.max("tf").alias("tf"),
+    )
+    cat = load_table(spark, sf_dir, "part").agg(
+        F.count("*").alias("n_parts")
+    )
+    slots = rec.agg(
+        F.count("*").alias("n_slots"),
+        F.countDistinct("src").alias("n_lists"),
+    )
+    emit = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        g.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(slots))
+        .select(
+            F.col("n_parts").cast("bigint").alias("n_catalog"),
+            F.col("n_lists").cast("bigint").alias("n_items_with_recs"),
+            F.col("m").cast("bigint").alias("n_recommended"),
+            F.col("n_slots").cast("bigint").alias("n_rec_slots"),
+            emit(F.col("m").cast("double") / F.col("n_parts")).alias(
+                "catalog_coverage"
+            ),
+            emit(
+                F.col("gnum").cast("double")
+                / (F.col("m") * F.col("tf").cast("double"))
+            ).alias("rec_gini"),
+        )
+    )
+
+
+rec_coverage_gini.__doc__ = rec_coverage_gini.__doc__.format(k=_REC_COV_K)

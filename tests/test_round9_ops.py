@@ -455,3 +455,49 @@ def test_calibration_matches_python(spark):
         assert abs(r.observed_rate - pos / n) < 5e-7
         assert abs(r.calibration_gap - (ssq / (n * 1e6) - pos / n)) < 5e-7
         assert abs(r.ece - ece) < 5e-7
+
+
+# --- rec_coverage_gini ------------------------------------------------
+
+
+def test_rec_coverage_gini_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    r = _q("rec_coverage_gini")(spark, SF_SMOKE).collect()[0]
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for row in li:
+        baskets[row.l_orderkey].add(row.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] += 1
+    sym = defaultdict(list)
+    for (a, b), n in pair.items():
+        if n >= 2:
+            sym[a].append((n, b))
+            sym[b].append((n, a))
+    freq = Counter()
+    slots = 0
+    for src, cands in sym.items():
+        top = sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+        slots += len(top)
+        for _, dst in top:
+            freq[dst] += 1
+    assert r.n_items_with_recs == len(sym)
+    assert r.n_rec_slots == slots
+    assert r.n_recommended == len(freq)
+    m = len(freq)
+    tf = sum(freq.values())
+    ordered = sorted(freq.items(), key=lambda kv: (kv[1], kv[0]))
+    gnum = sum((2 * (i + 1) - m - 1) * f for i, (_, f) in enumerate(ordered))
+    assert abs(r.rec_gini - gnum / (m * tf)) < 5e-7
+    assert 0.0 <= r.rec_gini < 1.0
+    assert 0.0 < r.catalog_coverage <= 1.0
