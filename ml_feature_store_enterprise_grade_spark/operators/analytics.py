@@ -5560,3 +5560,149 @@ def rec_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rec_coverage_gini.__doc__ = rec_coverage_gini.__doc__.format(k=_REC_COV_K)
+
+
+@register(
+    "discount_simpson_paradox_audit",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+        SELECT brand,
+               COUNT(*) AS n,
+               SUM(disc_pct) AS sx,
+               SUM(disc_pct * disc_pct) AS sxx,
+               SUM(qty) AS sy,
+               SUM(disc_pct * qty) AS sxy
+        FROM x GROUP BY 1
+    ),
+    pool AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+               SUM(sy) AS sy, SUM(sxy) AS sxy
+        FROM s
+    ),
+    j AS (
+        SELECT s.brand, s.n,
+               s.n * s.sxy - s.sx * s.sy AS numb,
+               s.n * s.sxx - s.sx * s.sx AS denb,
+               p.n * p.sxy - p.sx * p.sy AS nump,
+               p.n * p.sxx - p.sx * p.sx AS denp
+        FROM s CROSS JOIN pool p
+    ),
+    f AS (
+        SELECT brand, n, numb, denb, nump, denp,
+               CASE WHEN denb = 0 THEN NULL
+                    ELSE SIGN(numb) * SIGN(denb) <> SIGN(nump) * SIGN(denp)
+               END AS sign_flip
+        FROM j
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN sign_flip THEN 1 ELSE 0 END) AS n_flips,
+               COUNT(*) AS n_brands
+        FROM f
+    )
+    SELECT f.brand,
+           CAST(f.n AS BIGINT) AS n_lines,
+           FLOOR(CAST(f.numb AS DOUBLE) / f.denb * 10000.0 + 0.5)
+               / 10000.0 AS brand_slope,
+           FLOOR(CAST(f.nump AS DOUBLE) / f.denp * 10000.0 + 0.5)
+               / 10000.0 AS pooled_slope,
+           f.sign_flip,
+           CAST(agg.n_flips AS BIGINT) AS n_sign_flips,
+           CAST(agg.n_brands AS BIGINT) AS n_brands
+    FROM f CROSS JOIN agg
+    """,
+)
+def discount_simpson_paradox_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox detector for the discount→quantity relation:
+    does the POOLED regression slope point the opposite way from the
+    within-brand slopes?  A sign flip means brand mix (a confounder)
+    is driving the pooled trend — acting on the aggregate number
+    would move the levers backwards.  Per brand: line count, its
+    slope, the pooled slope, the flip verdict; every row carries the
+    corpus flip tally.  The canonical aggregation-bias audit run
+    before any per-segment feature is replaced by its global version.
+
+    Determinism: slopes come from the same exact integer moments as
+    [[discount_quantity_elasticity]] (integer discount percentage ×
+    integer quantity), and the FLIP TEST never touches floats — it
+    compares SIGN products of the exact integer numerators and
+    denominators, so near-zero slopes cannot waver between engines;
+    the two emitted slopes are integer-ratio doubles via the floor
+    ladder; zero-variance brands (denominator 0) emit NULL verdicts
+    on both engines.
+
+    Scale shape: identical to the elasticity operator — one broadcast
+    dim join, one partial hash aggregate to |brands| rows; the pooled
+    moments are a re-aggregate of THAT frame (never a second fact
+    scan) attached as a 1-row broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = l.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        l["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    s = x.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("disc_pct").alias("sx"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).alias("sxx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("qty")).alias("sxy"),
+    )
+    pool = s.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+    )
+    j = s.crossJoin(F.broadcast(pool)).select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "numb"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "denb"
+        ),
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).alias(
+            "nump"
+        ),
+        (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")).alias(
+            "denp"
+        ),
+    )
+    flip = F.when(F.col("denb") == 0, F.lit(None).cast("boolean")).otherwise(
+        F.signum(F.col("numb")) * F.signum(F.col("denb"))
+        != F.signum(F.col("nump")) * F.signum(F.col("denp"))
+    )
+    f = j.withColumn("sign_flip", flip)
+    agg = f.agg(
+        F.sum(F.when(F.col("sign_flip"), 1).otherwise(0)).alias("n_flips"),
+        F.count("*").alias("n_brands"),
+    )
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return f.crossJoin(F.broadcast(agg)).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        emit(F.col("numb").cast("double") / F.col("denb")).alias(
+            "brand_slope"
+        ),
+        emit(F.col("nump").cast("double") / F.col("denp")).alias(
+            "pooled_slope"
+        ),
+        "sign_flip",
+        F.col("n_flips").cast("bigint").alias("n_sign_flips"),
+        F.col("n_brands").cast("bigint").alias("n_brands"),
+    )

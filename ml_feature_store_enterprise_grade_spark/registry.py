@@ -34,6 +34,7 @@ ORACLES: dict[str, str] = {}
 #   - embedding_knn_label_accuracy (round 10 queue)
 #   - purchase_propensity_calibration (round 10 queue)
 #   - rec_coverage_gini (round 10 queue)
+#   - discount_simpson_paradox_audit (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

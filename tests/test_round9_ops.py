@@ -501,3 +501,44 @@ def test_rec_coverage_gini_matches_python(spark):
     assert abs(r.rec_gini - gnum / (m * tf)) < 5e-7
     assert 0.0 <= r.rec_gini < 1.0
     assert 0.0 < r.catalog_coverage <= 1.0
+
+
+# --- discount_simpson_paradox_audit ----------------------------------------
+
+
+def test_simpson_audit_matches_python(spark):
+    rows = _q("discount_simpson_paradox_audit")(spark, SF_SMOKE).collect()
+    assert rows
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .join(
+            load_table(spark, SF_SMOKE, "part").select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+
+    def moments(d):
+        n = len(d)
+        sx, sy = int(d.x.sum()), int(d.y.sum())
+        sxx = int((d.x * d.x).sum())
+        sxy = int((d.x * d.y).sum())
+        return n * sxy - sx * sy, n * sxx - sx * sx
+
+    nump, denp = moments(pdf)
+    flips = 0
+    for r in rows:
+        numb, denb = moments(pdf[pdf.brand == r.brand])
+        assert abs(r.brand_slope - numb / denb) < 1e-3
+        expected_flip = (numb > 0) != (nump > 0) if denb != 0 else None
+        assert r.sign_flip == expected_flip
+        flips += 1 if expected_flip else 0
+    assert rows[0].n_sign_flips == flips
+    assert rows[0].n_brands == len(rows)
