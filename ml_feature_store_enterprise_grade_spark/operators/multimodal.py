@@ -750,3 +750,123 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_audio_energy.__doc__ = multimodal_audio_energy.__doc__.format(
     n=_PCM_N_FRAMES, w=_PCM_FRAME
 )
+
+
+_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_val", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def image_byte_histogram(df: DataFrame) -> DataFrame:
+    """Decode each (doc_id, payload) image worker-side (the REAL PPM
+    parser) and emit its raster byte-value histogram as
+    ``(doc_id, byte_val, cnt)`` rows — the Arrow-batched decode →
+    bincount kernel.  Counts leave Python as exact integers; all
+    entropy math happens JVM-side so quantized logs match the SQL
+    oracle (never Python's libm)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            vals: list[int] = []
+            cnts: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = decode_ppm(bytes(payload))
+                hist = np.bincount(
+                    np.frombuffer(raster, dtype=np.uint8), minlength=256
+                )
+                for v in np.nonzero(hist)[0]:
+                    ids.append(int(doc_id))
+                    vals.append(int(v))
+                    cnts.append(int(hist[v]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "byte_val": vals, "cnt": cnts}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _HIST_SCHEMA)
+
+
+@register(
+    "multimodal_image_entropy",
+    defer=True,
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    ),
+    v AS (
+        SELECT doc_id,
+               LENGTH(hex) - LENGTH(REPLACE(hex, t.c, '')) AS cnt
+        FROM px, unnest(['0','1','2','3','4','5','6','7','8','9',
+                         'a','b','c','d','e','f']) AS t(c)
+    ),
+    g AS (
+        SELECT doc_id,
+               SUM(cnt) AS n,
+               COUNT(*) FILTER (WHERE cnt > 0) AS nd,
+               MAX(cnt) AS top,
+               SUM(CASE WHEN cnt = 0 THEN 0
+                        ELSE cnt * CAST(FLOOR(ln(CAST(cnt AS DOUBLE))
+                                              * 1000000.0) AS BIGINT)
+                   END) AS sclc
+        FROM v GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_raster_bytes,
+           CAST(nd AS BIGINT) AS n_distinct_bytes,
+           ROUND(CAST(top AS DOUBLE) / n, 6) AS top_byte_share,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - CAST(sclc AS DOUBLE) / (n * 1000000.0), 4)
+               AS byte_entropy_nats
+    FROM g
+    """,
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image raster byte-entropy profile — the compressibility /
+    degenerate-image screen a multimodal ingest runs right after
+    decode (an all-one-color image or a truncated/garbage raster
+    shows up as collapsed entropy or a spiked top-byte share long
+    before a model sees it).  Per image: raster byte count, distinct
+    byte values, dominant-byte share, and Shannon entropy (nats) of
+    the byte-value distribution.  The decode is REAL — the Arrow-
+    batched kernel parses the P6 header and raster and bincounts
+    worker-side ([[multimodal_decode_features]]'s pipeline with a
+    histogram head instead of band means); the oracle reconstructs
+    every count from the fixture's generative definition, so a green
+    hash row certifies the decoder byte-exactly.
+
+    Exactness: counts leave the kernel as exact integers; entropy
+    uses the quantized-leaf identity H = ln n − (Σ c·⌊ln c·1e6⌋)/(n·1e6)
+    computed JVM-side (floor only shrinks the sum, so the result
+    stays ≥ the true entropy ≥ 0 — ROUND is sign-safe here).
+
+    Scale shape: one mapInPandas pass (Arrow batches, bounded
+    ≤256-row output per image), one per-image hash aggregate —
+    embarrassingly parallel, no joins, no windows."""
+    hist = image_byte_histogram(ppm_documents(spark, sf_dir))
+    lnq = F.floor(
+        F.log(F.col("cnt").cast("double")) * 1000000.0
+    ).cast("bigint")
+    g = hist.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("nd"),
+        F.max("cnt").alias("top"),
+        F.sum(F.col("cnt") * lnq).alias("sclc"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_raster_bytes"),
+        F.col("nd").cast("bigint").alias("n_distinct_bytes"),
+        F.round(F.col("top").cast("double") / F.col("n"), 6).alias(
+            "top_byte_share"
+        ),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("sclc").cast("double") / (F.col("n") * 1000000.0),
+            4,
+        ).alias("byte_entropy_nats"),
+    )

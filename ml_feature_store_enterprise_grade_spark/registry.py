@@ -35,6 +35,7 @@ ORACLES: dict[str, str] = {}
 #   - purchase_propensity_calibration (round 10 queue)
 #   - rec_coverage_gini (round 10 queue)
 #   - discount_simpson_paradox_audit (round 10 queue)
+#   - multimodal_image_entropy (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -542,3 +542,39 @@ def test_simpson_audit_matches_python(spark):
         flips += 1 if expected_flip else 0
     assert rows[0].n_sign_flips == flips
     assert rows[0].n_brands == len(rows)
+
+
+# --- multimodal_image_entropy ----------------------------------------------
+
+
+def test_image_entropy_matches_independent_decode(spark):
+    """Independent Python re-derivation: rebuild each image's pixel
+    bytes from the generative definition (chained md5 hex of the
+    text) and recompute the histogram entropy."""
+    import math as _m
+    from collections import Counter
+
+    rows = {
+        r.doc_id: r
+        for r in _q("multimodal_image_entropy")(spark, SF_SMOKE).collect()
+    }
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    for d in docs:
+        hexes = "".join(
+            hashlib.md5(f"{d.text}#{i}".encode()).hexdigest()
+            for i in range(24)
+        )
+        cnt = Counter(hexes.encode())
+        n = sum(cnt.values())
+        sclc = sum(c * _m.floor(_m.log(c) * 1e6) for c in cnt.values())
+        ent = _m.log(n) - sclc / (n * 1e6)
+        r = rows[d.doc_id]
+        assert r.n_raster_bytes == n == 768
+        assert r.n_distinct_bytes == len(cnt)
+        assert abs(r.top_byte_share - max(cnt.values()) / n) < 5.1e-7
+        assert abs(r.byte_entropy_nats - ent) < 5e-4
