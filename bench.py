@@ -164,6 +164,18 @@ BENCH_QUERIES = (
     "corpus_bigram_llr",
     "doc_blocklist_filter",
     "pit_staleness_audit",
+    # round 9b (round-10-queue deferred, benchmarkable): k-group rank
+    # test (shared rank machinery), internal cluster validity,
+    # 1-NN label noise probe (broadcast NLJ all-pairs), calibration
+    # ECE, recsys aggregate diversity, Simpson aggregation-bias
+    # audit, image decode + byte-entropy kernel.
+    "event_value_kruskal_wallis",
+    "embedding_silhouette",
+    "embedding_knn_label_accuracy",
+    "purchase_propensity_calibration",
+    "rec_coverage_gini",
+    "discount_simpson_paradox_audit",
+    "multimodal_image_entropy",
 )
 
 

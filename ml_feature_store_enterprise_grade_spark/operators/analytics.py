@@ -5706,3 +5706,178 @@ def discount_simpson_paradox_audit(
         F.col("n_flips").cast("bigint").alias("n_sign_flips"),
         F.col("n_brands").cast("bigint").alias("n_brands"),
     )
+
+
+@register(
+    "daily_revenue_chow_test",
+    defer=True,
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS y
+        FROM orders GROUP BY 1
+    ),
+    ix AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+               CAST(y AS DECIMAL(19,4)) AS y
+        FROM d
+    ),
+    t AS (SELECT COUNT(*) AS n FROM ix),
+    seg AS (
+        SELECT CASE WHEN ix.i < t.n // 2 THEN 1 ELSE 2 END AS s,
+               ix.i, ix.y
+        FROM ix CROSS JOIN t
+    ),
+    m AS (
+        SELECT s, COUNT(*) AS n, SUM(i) AS sx, SUM(i * i) AS sxx,
+               SUM(y) AS sy, SUM(i * y) AS sxy, SUM(y * y) AS syy
+        FROM seg GROUP BY 1
+    ),
+    p AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+               SUM(sy) AS sy, SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM m
+    ),
+    ssr AS (
+        SELECT
+            (SELECT (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    / CAST(n AS DOUBLE)
+             FROM p) AS ssr_p,
+            (SELECT SUM((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    / CAST(n AS DOUBLE))
+             FROM m) AS ssr_12,
+            (SELECT MIN(n) FROM m WHERE s = 1) AS n1,
+            (SELECT MIN(n) FROM m WHERE s = 2) AS n2,
+            (SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             FROM m WHERE s = 1) AS slope1,
+            (SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             FROM m WHERE s = 2) AS slope2
+    )
+    SELECT CAST(n1 + n2 AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_pre,
+           CAST(n2 AS BIGINT) AS n_post,
+           FLOOR(slope1 * 10000.0 + 0.5) / 10000.0 AS slope_pre,
+           FLOOR(slope2 * 10000.0 + 0.5) / 10000.0 AS slope_post,
+           FLOOR(((ssr_p - ssr_12) / 2.0)
+                 / (ssr_12 / (n1 + n2 - 4.0)) * 10000.0 + 0.5)
+               / 10000.0 AS chow_f,
+           ((ssr_p - ssr_12) / 2.0) / (ssr_12 / (n1 + n2 - 4.0)) >= 3.0
+               AS break_detected
+    FROM ssr
+    """,
+)
+def daily_revenue_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at the midpoint of the daily
+    revenue series: does one OLS line fit the whole series, or do the
+    two halves demand different (intercept, slope) regimes?
+    F = ((SSR_pooled − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)), k=2
+    — the classical regression-based break test, completing the
+    trend battery (OLS slope → Mann-Kendall → runs → variance ratio
+    → [[revenue_changepoint_scan]]'s CUSUM locate) with the
+    parametric two-regime verdict.  3.0 is the 5% F(2,∞) critical
+    value.
+
+    Determinism: x is the 0-based day rank, y the exact DECIMAL daily
+    sum; all five moments per half are exact integer/decimal
+    aggregates, each SSR is the centered-moment identity
+    (n·Σyy − (Σy)² − (n·Σxy − ΣxΣy)²/(n·Σxx − (Σx)²))/n evaluated as
+    a fixed IEEE op sequence over their individually-exact double
+    conversions, identical in both engines; emissions use the
+    sign-safe floor ladder (the F numerator is mathematically ≥ 0 but
+    is a difference of large doubles).
+
+    Scale shape: one partial aggregate collapses orders to the
+    day frame; the rank window and the ≤2-row moment folds run on
+    that frame only (the repo-standard day-series pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("day")
+    ix = d.select(
+        (F.row_number().over(w) - 1).alias("i"),
+        F.col("y").cast("decimal(19,4)").alias("y"),
+    )
+    t = ix.agg(F.count("*").alias("n"))
+    seg = ix.crossJoin(F.broadcast(t)).select(
+        F.when(F.col("i") < F.expr("n div 2"), 1).otherwise(2).alias("s"),
+        "i",
+        "y",
+    )
+    m = seg.groupBy("s").agg(
+        F.count("*").alias("n"),
+        F.sum("i").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def ssr_of(pre: str = "") -> F.Column:
+        n = F.col(f"{pre}n").cast("double")
+        sx = F.col(f"{pre}sx").cast("double")
+        sxx = F.col(f"{pre}sxx").cast("double")
+        sy = F.col(f"{pre}sy").cast("double")
+        sxy = F.col(f"{pre}sxy").cast("double")
+        syy = F.col(f"{pre}syy").cast("double")
+        num = n * sxy - sx * sy
+        return (n * syy - sy * sy - num * num / (n * sxx - sx * sx)) / n
+
+    def slope_of(pre: str = "") -> F.Column:
+        n = F.col(f"{pre}n").cast("double")
+        return (n * F.col(f"{pre}sxy").cast("double")
+                - F.col(f"{pre}sx").cast("double")
+                * F.col(f"{pre}sy").cast("double")) / (
+            n * F.col(f"{pre}sxx").cast("double")
+            - F.col(f"{pre}sx").cast("double")
+            * F.col(f"{pre}sx").cast("double")
+        )
+
+    halves = m.agg(
+        F.sum(ssr_of()).alias("ssr_12"),
+        F.min(F.when(F.col("s") == 1, F.col("n"))).alias("n1"),
+        F.min(F.when(F.col("s") == 2, F.col("n"))).alias("n2"),
+        F.min(F.when(F.col("s") == 1, slope_of())).alias("slope1"),
+        F.min(F.when(F.col("s") == 2, slope_of())).alias("slope2"),
+    )
+    pooled = m.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("syy").alias("psyy"),
+    ).select(ssr_of("p").alias("ssr_p"))
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    fstat = ((F.col("ssr_p") - F.col("ssr_12")) / 2.0) / (
+        F.col("ssr_12") / (F.col("n1") + F.col("n2") - 4.0)
+    )
+    return halves.crossJoin(F.broadcast(pooled)).select(
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("n_days"),
+        F.col("n1").cast("bigint").alias("n_pre"),
+        F.col("n2").cast("bigint").alias("n_post"),
+        emit(F.col("slope1")).alias("slope_pre"),
+        emit(F.col("slope2")).alias("slope_post"),
+        emit(fstat).alias("chow_f"),
+        (fstat >= 3.0).alias("break_detected"),
+    )

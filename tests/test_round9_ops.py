@@ -578,3 +578,38 @@ def test_image_entropy_matches_independent_decode(spark):
         assert r.n_distinct_bytes == len(cnt)
         assert abs(r.top_byte_share - max(cnt.values()) / n) < 5.1e-7
         assert abs(r.byte_entropy_nats - ent) < 5e-4
+
+
+# --- daily_revenue_chow_test -------------------------------------------
+
+
+def test_chow_matches_numpy(spark):
+    r = _q("daily_revenue_chow_test")(spark, SF_SMOKE).collect()[0]
+    daily = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(16,4)")).alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily["y"].astype(float).to_numpy()
+    x = np.arange(len(y), dtype=np.float64)
+    n = len(y)
+    assert r.n_days == n
+    assert r.n_pre == n // 2
+
+    def ssr(xx, yy):
+        a = np.vstack([xx, np.ones_like(xx)]).T
+        coef, res, *_ = np.linalg.lstsq(a, yy, rcond=None)
+        pred = a @ coef
+        return float(((yy - pred) ** 2).sum()), coef[0]
+
+    h = n // 2
+    ssr_p, _ = ssr(x, y)
+    ssr_1, s1 = ssr(x[:h], y[:h])
+    ssr_2, s2 = ssr(x[h:], y[h:])
+    f = ((ssr_p - ssr_1 - ssr_2) / 2.0) / ((ssr_1 + ssr_2) / (n - 4.0))
+    assert abs(r.slope_pre - s1) < max(1e-3, abs(s1) * 1e-5)
+    assert abs(r.slope_post - s2) < max(1e-3, abs(s2) * 1e-5)
+    assert abs(r.chow_f - f) < max(1e-3, abs(f) * 1e-5)
+    assert r.break_detected == (f >= 3.0)
