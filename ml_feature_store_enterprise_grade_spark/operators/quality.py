@@ -1343,3 +1343,126 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("violation_share"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+#: Dim-side row budget under which the advisor recommends a broadcast
+#: join (stand-in for spark.sql.autoBroadcastJoinThreshold's row
+#: equivalent at this SF; the 100 TB value is a byte budget).
+_ADVISOR_BROADCAST_ROWS = 100000
+#: max/avg key-multiplicity ratio above which the advisor flags the
+#: shuffle key for salting / AQE skew-join handling.
+_ADVISOR_SKEW_RATIO = 10.0
+
+
+def _fk_profile_sql(fact: str, key: str, dim: str, dimkey: str) -> str:
+    return f"""
+    SELECT '{fact}.{key}' AS fk,
+           '{dim}' AS dim_table,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {fact}) AS fact_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {dim}) AS dim_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           FLOOR(CAST(MAX(c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+               / 10000.0 AS skew_ratio,
+           CASE WHEN (SELECT COUNT(*) FROM {dim})
+                     <= {_ADVISOR_BROADCAST_ROWS}
+                THEN 'broadcast'
+                WHEN CAST(MAX(c) AS DOUBLE)
+                     / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                     > {_ADVISOR_SKEW_RATIO}
+                THEN 'sort_merge_salted'
+                ELSE 'sort_merge' END AS strategy
+    FROM (SELECT {key} AS k, COUNT(*) AS c FROM {fact}
+          WHERE {key} IS NOT NULL GROUP BY 1)
+    """
+
+
+@register(
+    "fk_join_skew_advisor",
+    defer=True,
+    oracle=" UNION ALL ".join(
+        _fk_profile_sql(f, k, d, dk)
+        for f, k, d, dk in (
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        )
+    ),
+)
+def fk_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor over the schema's FK graph — the
+    join-planning sibling of the layout advisors
+    ([[zorder_layout_plan]], [[partition_compaction_plan]],
+    [[file_skipping_stats]]): for each fact→dim relation, the fact
+    and dim cardinalities, distinct-key count, heaviest-key
+    multiplicity, the max/avg skew ratio, and the recommended
+    physical strategy — ``broadcast`` when the dim side fits the
+    broadcast budget, else sort-merge, with ``_salted`` appended when
+    the shuffle key's skew ratio crosses the salting threshold (the
+    decision table a 100 TB pipeline derives once per schema and
+    feeds its AQE/salting config from; `functions/skew.py` is the
+    remediation toolkit the verdicts point at).
+
+    Exactness: every statistic is an exact integer aggregate; the one
+    ratio is a fixed IEEE divide emitted via the floor ladder, and
+    the strategy CASE compares the UNROUNDED ratio identically in
+    both engines.
+
+    Scale shape: one per-key hash aggregate per relation (map-side
+    combine collapses hot keys early) re-aggregated to a single row,
+    plus two COUNT(*) scalar attachments; the six relation rows union
+    into one plan — no joins anywhere, nothing driver-side."""
+    out = None
+    for fact, key, dim in (
+        ("lineitem", "l_orderkey", "orders"),
+        ("lineitem", "l_partkey", "part"),
+        ("lineitem", "l_suppkey", "supplier"),
+        ("orders", "o_custkey", "customer"),
+        ("customer", "c_nationkey", "nation"),
+        ("supplier", "s_nationkey", "nation"),
+    ):
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim)
+        fact_rows = f.agg(F.count("*").alias("fact_rows"))
+        dim_rows = d.agg(F.count("*").alias("dim_rows"))
+        per_key = (
+            f.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+                F.sum("c").alias("sum_c"),
+            )
+        )
+        ratio = F.col("max_key_rows").cast("double") / (
+            F.col("sum_c").cast("double") / F.col("n_keys")
+        )
+        row = (
+            per_key.crossJoin(F.broadcast(fact_rows))
+            .crossJoin(F.broadcast(dim_rows))
+            .select(
+                F.lit(f"{fact}.{key}").alias("fk"),
+                F.lit(dim).alias("dim_table"),
+                F.col("fact_rows").cast("bigint").alias("fact_rows"),
+                F.col("dim_rows").cast("bigint").alias("dim_rows"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("max_key_rows").cast("bigint").alias("max_key_rows"),
+                (F.floor(ratio * 10000.0 + 0.5) / 10000.0).alias(
+                    "skew_ratio"
+                ),
+                F.when(
+                    F.col("dim_rows") <= _ADVISOR_BROADCAST_ROWS,
+                    "broadcast",
+                )
+                .when(ratio > _ADVISOR_SKEW_RATIO, "sort_merge_salted")
+                .otherwise("sort_merge")
+                .alias("strategy"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -613,3 +613,26 @@ def test_chow_matches_numpy(spark):
     assert abs(r.slope_post - s2) < max(1e-3, abs(s2) * 1e-5)
     assert abs(r.chow_f - f) < max(1e-3, abs(f) * 1e-5)
     assert r.break_detected == (f >= 3.0)
+
+
+# --- fk_join_skew_advisor --------------------------------------------------
+
+
+def test_fk_advisor_verdicts_consistent(spark):
+    rows = _q("fk_join_skew_advisor")(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    by_fk = {r.fk: r for r in rows}
+    # every relation's verdict must follow its own statistics
+    for r in rows:
+        if r.dim_rows <= 100000:
+            assert r.strategy == "broadcast", r.fk
+        elif r.skew_ratio > 10.0:
+            assert r.strategy == "sort_merge_salted", r.fk
+        else:
+            assert r.strategy == "sort_merge", r.fk
+        assert r.n_keys <= r.fact_rows
+        assert r.max_key_rows >= 1
+        assert r.skew_ratio >= 1.0
+    # nation is tiny at every SF -> its two relations broadcast
+    assert by_fk["customer.c_nationkey"].strategy == "broadcast"
+    assert by_fk["supplier.s_nationkey"].strategy == "broadcast"
