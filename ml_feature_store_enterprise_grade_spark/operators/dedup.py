@@ -522,11 +522,18 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Iteration cap for min-label propagation.  Convergence needs at
-#: most the graph diameter; duplicate clusters are shallow (a near-dup
-#: chain longer than ~20 hops does not occur in practice) and the cap
-#: exists only to turn a logic bug into a loud error.
-_CC_MAX_ITERS = 20
+#: Iteration cap for min-label propagation.  The loop exits on
+#: convergence (one cheap scalar check per round), so the cap exists
+#: only to turn a logic bug into a loud error — but it must sit above
+#: the worst-case round count, which pointer jumping makes
+#: 4 + log2(diameter) + 1: reach grows ~2× per jump round (label(v)
+#: already points ~d back; label(label(v)) lands ~2d back).  MEASURED
+#: (round 9, tools/scale_probe.py cc_path probe): a 2^20-vertex
+#: single path needs 23 rounds — the old cap of 20 raised the
+#: "did not converge" error on a graph the algorithm handles fine.
+#: 48 covers a diameter-2^40 chain, far beyond any 100 TB corpus,
+#: while typical dup graphs still exit in 4-5 rounds.
+_CC_MAX_ITERS = 48
 
 #: Rounds of plain hash-to-min before the pointer-jump self-join
 #: engages.  Measured on the synthetic corpus: dup graphs have
@@ -587,8 +594,9 @@ def connected_components(
     templated documents (A~B~C~…) is exactly the adversarial case,
     and at corpus scale chains outlive any fixed iteration cap.
     Step (2) makes label trees collapse geometrically: O(log n)
-    rounds for any graph (a 2^20-vertex path converges inside the
-    20-round cap).  Sound because every label is itself a vertex id
+    rounds for any graph (a 2^20-vertex single path — the worst
+    case — converges in 23 rounds, measured by the scale probe's
+    cc_path run).  Sound because every label is itself a vertex id
     of the same component, and labels only ever decrease toward the
     component min.
 

@@ -210,6 +210,54 @@ def main() -> int:
     )
     t_mwu = timed("mwu_ranks", mwu)
 
+    # round 9: connected-components scale path (the dedup-clustering
+    # promise).  Two shapes: the ADVERSARIAL 2^20-vertex single path
+    # (diameter = n; hash-to-min alone would need n rounds — pointer
+    # jumping collapses it in 23 rounds, measured; this probe is what
+    # caught the old 20-round cap being too tight) and a 10M-vertex
+    # hub-chained forest (~5M components of mixed depth — hubs link
+    # to other hubs, so diameter exceeds a pure star's 2).
+    # Correctness asserted inline: the path must be ONE component.
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n_path = 1 << 20
+    pv = spark.range(n_path).select(F.col("id").alias("doc_id"))
+    pe = spark.range(n_path - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    t0 = time.time()
+    labels = connected_components(pv, pe)
+    n_comp = labels.select("label").distinct().count()
+    t_ccp = round(time.time() - t0, 2)
+    assert n_comp == 1, f"path CC wrong: {n_comp} components"
+    print(
+        json.dumps(
+            {"probe": "cc_path_2e20", "rows_in": n_path, "sec": t_ccp,
+             "components": n_comp}
+        ),
+        flush=True,
+    )
+
+    n_star = 10_000_000
+    sv = spark.range(n_star).select(F.col("id").alias("doc_id"))
+    se = spark.range(n_star).select(
+        F.col("id").alias("a"),
+        (F.xxhash64("id") % (n_star // 5)).alias("b"),
+    ).filter(F.col("b") >= 0)
+    t0 = time.time()
+    slabels = connected_components(sv, se)
+    n_scomp = slabels.select("label").distinct().count()
+    t_ccs = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {"probe": "cc_star_10m", "rows_in": n_star, "sec": t_ccs,
+             "components": n_scomp}
+        ),
+        flush=True,
+    )
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -222,6 +270,8 @@ def main() -> int:
         "asof_sec": t_asof,
         "exact_dedup_sec": t_dedup,
         "mwu_ranks_sec": t_mwu,
+        "cc_path_2e20_sec": t_ccp,
+        "cc_star_10m_sec": t_ccs,
     }))
     return 0
 
