@@ -5881,3 +5881,144 @@ def daily_revenue_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(fstat).alias("chow_f"),
         (fstat >= 3.0).alias("break_detected"),
     )
+
+
+@register(
+    "orders_backlog_littles_law",
+    defer=True,
+    oracle="""
+    WITH o AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS oday,
+               CAST(MAX(l.l_shipdate) AS DATE) AS sday
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(oday) AS lo, MAX(sday) AS hi FROM o),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    delta AS (
+        SELECT oday AS day, COUNT(*) AS d FROM o GROUP BY 1
+        UNION ALL
+        SELECT sday + INTERVAL 1 DAY, -COUNT(*) FROM o GROUP BY 1
+    ),
+    daily AS (
+        SELECT s.day,
+               SUM(COALESCE(dl.d, 0)) OVER (
+                   ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS wip
+        FROM spine s
+        LEFT JOIN (SELECT day, SUM(d) AS d FROM delta GROUP BY 1) dl
+          ON dl.day = s.day
+    ),
+    lmon AS (
+        SELECT date_trunc('month', day) AS month,
+               COUNT(*) AS n_days, SUM(wip) AS wip_sum
+        FROM daily GROUP BY 1
+    ),
+    amon AS (
+        SELECT date_trunc('month', oday) AS month,
+               COUNT(*) AS n_arrivals,
+               SUM(date_diff('day', oday, sday) + 1) AS cyc_sum
+        FROM o GROUP BY 1
+    )
+    SELECT CAST(l.month AS DATE) AS month,
+           CAST(a.n_arrivals AS BIGINT) AS n_arrivals,
+           CAST(l.n_days AS BIGINT) AS n_days,
+           FLOOR(CAST(l.wip_sum AS DOUBLE) / l.n_days * 10000.0 + 0.5)
+               / 10000.0 AS avg_wip,
+           FLOOR(CAST(a.cyc_sum AS DOUBLE) / a.n_arrivals * 10000.0 + 0.5)
+               / 10000.0 AS mean_cycle_days,
+           FLOOR((CAST(l.wip_sum AS DOUBLE) / l.n_days)
+                 / ((CAST(a.n_arrivals AS DOUBLE) / l.n_days)
+                    * (CAST(a.cyc_sum AS DOUBLE) / a.n_arrivals))
+                 * 10000.0 + 0.5) / 10000.0 AS littles_ratio
+    FROM lmon l JOIN amon a ON l.month = a.month
+    """,
+)
+def orders_backlog_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog audit with a Little's-law consistency check:
+    per month, the arrival count, the average work-in-progress
+    (orders open between order date and their last line's ship date,
+    by daily sweep line over a full calendar spine), the arriving
+    cohort's mean cycle time, and the ratio L / (λ·W) — ≈1 where the
+    system is stationary, drifting where arrivals or cycle times
+    shift (and at the series edges, where open orders extend past
+    the window — the boundary behavior the audit is FOR).  The
+    queueing-theory sanity check an ops/capacity dashboard runs over
+    any workflow table; here over the order→ship lifecycle.
+
+    Determinism: the sweep line is exact integer deltas prefix-summed
+    over a generated calendar spine (gap days included — unlike a
+    days-present frame, weekends with no orders still hold WIP);
+    cycle sums are exact integer day diffs; the three emitted ratios
+    are fixed IEEE divides via the floor ladder.
+
+    Scale shape: one per-order aggregate (max ship date) is the only
+    fact-table shuffle; deltas collapse to ≤2 rows per calendar day;
+    the prefix sum runs on the calendar-bounded spine (the
+    [[concurrent_sessions_daily]] sweep-line pattern) and months fold
+    that same frame."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_shipdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("oday")
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("sday"))
+    )
+    bounds = o.agg(
+        F.min("oday").alias("lo"), F.max("sday").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    delta = (
+        o.groupBy(F.col("oday").alias("day"))
+        .agg(F.count("*").alias("d"))
+        .unionAll(
+            o.groupBy(F.date_add("sday", 1).alias("day")).agg(
+                (-F.count("*")).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    daily = spine.join(delta, "day", "left").select(
+        "day",
+        F.sum(F.coalesce(F.col("d"), F.lit(0))).over(w).alias("wip"),
+    )
+    lmon = daily.groupBy(
+        F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    ).agg(F.count("*").alias("n_days"), F.sum("wip").alias("wip_sum"))
+    amon = o.groupBy(
+        F.date_trunc("month", F.col("oday")).cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n_arrivals"),
+        F.sum(F.datediff("sday", "oday") + 1).alias("cyc_sum"),
+    )
+    emit = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    avg_wip = F.col("wip_sum").cast("double") / F.col("n_days")
+    lam = F.col("n_arrivals").cast("double") / F.col("n_days")
+    mean_cyc = F.col("cyc_sum").cast("double") / F.col("n_arrivals")
+    return lmon.join(amon, "month").select(
+        "month",
+        F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        emit(avg_wip).alias("avg_wip"),
+        emit(mean_cyc).alias("mean_cycle_days"),
+        emit(avg_wip / (lam * mean_cyc)).alias("littles_ratio"),
+    )

@@ -38,6 +38,7 @@ ORACLES: dict[str, str] = {}
 #   - multimodal_image_entropy (round 10 queue)
 #   - daily_revenue_chow_test (round 10 queue)
 #   - fk_join_skew_advisor (round 10 queue)
+#   - orders_backlog_littles_law (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -691,3 +691,61 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(vdf, edf).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+# --- orders_backlog_littles_law ---------------------------------------
+
+
+def test_littles_law_matches_python(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = {
+        r.month: r
+        for r in _q("orders_backlog_littles_law")(spark, SF_SMOKE).collect()
+    }
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "lineitem").select(
+                "l_orderkey", "l_shipdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("sd"))
+        .collect()
+    )
+    lo = min(r.od for r in o)
+    hi = max(r.sd for r in o)
+    delta = defaultdict(int)
+    arrivals = defaultdict(int)
+    cyc = defaultdict(int)
+    for r in o:
+        delta[r.od] += 1
+        delta[r.sd + dt.timedelta(days=1)] -= 1
+        m = r.od.replace(day=1)
+        arrivals[m] += 1
+        cyc[m] += (r.sd - r.od).days + 1
+    wip = 0
+    wip_sum = defaultdict(int)
+    n_days = defaultdict(int)
+    day = lo
+    while day <= hi:
+        wip += delta.get(day, 0)
+        m = day.replace(day=1)
+        wip_sum[m] += wip
+        n_days[m] += 1
+        day += dt.timedelta(days=1)
+    for m, r in rows.items():
+        assert r.n_arrivals == arrivals[m]
+        assert r.n_days == n_days[m]
+        avg_wip = wip_sum[m] / n_days[m]
+        mean_cyc = cyc[m] / arrivals[m]
+        lam = arrivals[m] / n_days[m]
+        assert abs(r.avg_wip - avg_wip) < 1e-3
+        assert abs(r.mean_cycle_days - mean_cyc) < 1e-3
+        assert abs(r.littles_ratio - avg_wip / (lam * mean_cyc)) < 1e-3
+    # interior months of a stationary generator should sit near 1
+    mid = sorted(rows)[len(rows) // 2]
+    assert 0.5 < rows[mid].littles_ratio < 2.0
