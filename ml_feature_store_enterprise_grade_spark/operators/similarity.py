@@ -2882,3 +2882,152 @@ def embedding_knn_label_accuracy(
             "overall_accuracy"
         ),
     )
+
+
+#: Neighbor-list size for the hubness audit (k-occurrence counts how
+#: often a vector appears in OTHER vectors' k-NN lists).
+_HUB_K = 5
+
+
+@register(
+    "embedding_hubness_audit",
+    defer=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT a.vec_id AS qid,
+               ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS c,
+               b.vec_id AS nid
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY c DESC, nid
+                   ) AS rk
+            FROM s
+        ) WHERE rk <= {_HUB_K}
+    ),
+    occ AS (
+        SELECT e.vec_id,
+               COALESCE(k.cnt, 0) AS k_occ
+        FROM embeddings e
+        LEFT JOIN (SELECT nid, COUNT(*) AS cnt FROM topk GROUP BY 1) k
+          ON k.nid = e.vec_id
+    ),
+    g AS (
+        SELECT COUNT(*) AS n,
+               SUM(k_occ) AS total,
+               MAX(k_occ) AS max_occ,
+               SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS anti_hubs,
+               SUM(CASE WHEN k_occ > 2 * {_HUB_K} THEN 1 ELSE 0 END)
+                   AS hubs,
+               SUM(k_occ * k_occ) AS sq
+        FROM occ
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           {_HUB_K} AS k,
+           CAST(max_occ AS BIGINT) AS max_k_occurrence,
+           CAST(hubs AS BIGINT) AS n_hubs,
+           CAST(anti_hubs AS BIGINT) AS n_anti_hubs,
+           FLOOR(CAST(anti_hubs AS DOUBLE) / n * 1000000.0 + 0.5)
+               / 1000000.0 AS anti_hub_share,
+           FLOOR((CAST(n AS DOUBLE) * sq
+                  / (CAST(total AS DOUBLE) * total) - 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0
+               AS k_occurrence_cv2
+    FROM g
+    """,
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space (Radovanović et al. 2010):
+    how unevenly do vectors appear in OTHER vectors' {k}-NN lists?
+    High-dimensional spaces grow "hubs" (vectors in everyone's
+    neighbor list) and anti-hubs (in nobody's) — a pathology that
+    silently skews retrieval, kNN labeling and near-dup mining long
+    before recall metrics show it.  One row: corpus size, the max
+    k-occurrence, hub count (k-occurrence > 2k), anti-hub count and
+    share, and the squared coefficient of variation of k-occurrence
+    (0 for a perfectly balanced neighborhood graph; grows with
+    hubness) — CV² = n·Σo²/(Σo)² − 1 from exact integers.
+
+    Determinism: neighbor lists rank on the 6-dp ROUNDED cosine with
+    vec_id tie-break (the ann-family idiom); k-occurrences are exact
+    integer counts; the two emitted ratios are fixed IEEE op
+    sequences via the sign-safe floor ladder (CV² is mathematically
+    ≥ 0 but computed by subtraction).
+
+    Scale shape: same as [[embedding_knn_label_accuracy]] — the
+    all-pairs probe is the exact small-SF baseline (broadcast
+    nested-loop, map-side dim-bounded folds), swapped for the IVF
+    shortlist at corpus scale; everything after the top-k window is
+    a vector-count-bounded aggregate."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    a = with_norm(e).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = with_norm(e).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    s = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("q_emb"), F.col("b_emb"))
+                / (F.col("q_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    topk = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+        .select("nid")
+    )
+    occ = e.select("vec_id").join(
+        topk.groupBy("nid").agg(F.count("*").alias("cnt")),
+        e["vec_id"] == F.col("nid"),
+        "left",
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("k_occ"))
+    g = occ.agg(
+        F.count("*").alias("n"),
+        F.sum("k_occ").alias("total"),
+        F.max("k_occ").alias("max_occ"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0)).alias(
+            "anti_hubs"
+        ),
+        F.sum(F.when(F.col("k_occ") > 2 * _HUB_K, 1).otherwise(0)).alias(
+            "hubs"
+        ),
+        F.sum(F.col("k_occ") * F.col("k_occ")).alias("sq"),
+    )
+    emit = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return g.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.lit(_HUB_K).alias("k"),
+        F.col("max_occ").cast("bigint").alias("max_k_occurrence"),
+        F.col("hubs").cast("bigint").alias("n_hubs"),
+        F.col("anti_hubs").cast("bigint").alias("n_anti_hubs"),
+        emit(F.col("anti_hubs").cast("double") / F.col("n")).alias(
+            "anti_hub_share"
+        ),
+        emit(
+            F.col("n").cast("double") * F.col("sq")
+            / (F.col("total").cast("double") * F.col("total"))
+            - 1.0
+        ).alias("k_occurrence_cv2"),
+    )
+
+
+embedding_hubness_audit.__doc__ = embedding_hubness_audit.__doc__.format(
+    k=_HUB_K
+)

@@ -39,6 +39,7 @@ ORACLES: dict[str, str] = {}
 #   - daily_revenue_chow_test (round 10 queue)
 #   - fk_join_skew_advisor (round 10 queue)
 #   - orders_backlog_littles_law (round 10 queue)
+#   - embedding_hubness_audit (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -749,3 +749,37 @@ def test_littles_law_matches_python(spark):
     # interior months of a stationary generator should sit near 1
     mid = sorted(rows)[len(rows) // 2]
     assert 0.5 < rows[mid].littles_ratio < 2.0
+
+
+# --- embedding_hubness_audit -------------------------------------------
+
+
+def test_hubness_matches_numpy(spark):
+    r = _q("embedding_hubness_audit")(spark, SF_SMOKE).collect()[0]
+    pdf = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(x, axis=1)
+    cos = np.round((x @ x.T) / np.outer(nrm, nrm), 6)
+    n = len(x)
+    occ = {int(v): 0 for v in ids}
+    for i in range(n):
+        cands = [
+            (cos[i, j], -ids[j], ids[j]) for j in range(n) if j != i
+        ]
+        cands.sort(reverse=True)
+        for _, _, nid in cands[:5]:
+            occ[int(nid)] += 1
+    vals = np.array(list(occ.values()))
+    assert r.n_vectors == n
+    assert r.max_k_occurrence == vals.max()
+    assert r.n_anti_hubs == int((vals == 0).sum())
+    assert r.n_hubs == int((vals > 10).sum())
+    cv2 = n * (vals**2).sum() / vals.sum() ** 2 - 1.0
+    assert abs(r.k_occurrence_cv2 - cv2) < 5e-7
