@@ -2596,3 +2596,118 @@ def dup_cluster_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clusters").cast("double") / F.sum("n_clusters").over(w), 6
         ).alias("cluster_share"),
     )
+
+
+@register(
+    "dup_pair_source_matrix",
+    defer=True,
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    pm AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM e0 j
+        JOIN documents da ON j.a = da.doc_id
+        JOIN documents db ON j.b = db.doc_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT pm.source_a, pm.source_b,
+           CAST(pm.n_pairs AS BIGINT) AS n_dup_pairs,
+           CAST(ta.n_docs AS BIGINT) AS n_docs_a,
+           CAST(tb.n_docs AS BIGINT) AS n_docs_b,
+           pm.source_a <> pm.source_b AS cross_source,
+           FLOOR(CAST(pm.n_pairs AS DOUBLE)
+                 / (CAST(ta.n_docs AS DOUBLE) * tb.n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pair_density
+    FROM pm
+    JOIN tot ta ON pm.source_a = ta.source
+    JOIN tot tb ON pm.source_b = tb.source
+    """,
+)
+def dup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which sources duplicate WHICH
+    — every duplicate-relation edge (exact-hash stars ∪ MinHash-LSH
+    near-dups, the [[dedup_clusters]] edge set) attributed to its
+    endpoint sources, as an unordered source-pair census with pair
+    counts and density (pairs per doc-pair).  The curation table
+    behind source-level decisions [[dedup_rate_by_lang]]'s per-slice
+    rates cannot express: a mirror pair shows up as a dense
+    cross-source cell (drop one side entirely), while within-source
+    boilerplate shows on the diagonal (dedup inside, keep the
+    source).
+
+    Determinism: edges and counts are exact; LEAST/GREATEST on source
+    names canonicalizes the unordered pair identically in both
+    engines; density is one fixed divide via the floor ladder.
+
+    Scale shape: reuses the LSH banding machinery (bucketed
+    candidates, never all-pairs); the source attribution is two
+    broadcast-able joins of the slim edge list against the (doc_id,
+    source) projection; the matrix is |sources|²-bounded."""
+    edges = duplicate_edges(spark, sf_dir)
+    src = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    j = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("sa")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("sb")
+            ),
+            "b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    tot = src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        j.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_docs").alias("n_docs_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_docs").alias("n_docs_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_dup_pairs"),
+            F.col("n_docs_a").cast("bigint").alias("n_docs_a"),
+            F.col("n_docs_b").cast("bigint").alias("n_docs_b"),
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+            (
+                F.floor(
+                    F.col("n_pairs").cast("double")
+                    / (
+                        F.col("n_docs_a").cast("double")
+                        * F.col("n_docs_b")
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("pair_density"),
+        )
+    )

@@ -783,3 +783,35 @@ def test_hubness_matches_numpy(spark):
     assert r.n_hubs == int((vals > 10).sum())
     cv2 = n * (vals**2).sum() / vals.sum() ** 2 - 1.0
     assert abs(r.k_occurrence_cv2 - cv2) < 5e-7
+
+
+# --- dup_pair_source_matrix --------------------------------------------
+
+
+def test_dup_source_matrix_consistent_with_edges(spark):
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        duplicate_edges,
+    )
+
+    rows = _q("dup_pair_source_matrix")(spark, SF_SMOKE).collect()
+    assert rows
+    edges = duplicate_edges(spark, SF_SMOKE).collect()
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    from collections import Counter
+
+    expected = Counter()
+    for e in edges:
+        a, b = sorted((src[e.a], src[e.b]))
+        expected[(a, b)] += 1
+    got = {(r.source_a, r.source_b): r.n_dup_pairs for r in rows}
+    assert got == dict(expected)
+    # total pairs conserved
+    assert sum(got.values()) == len(edges)
+    for r in rows:
+        assert r.cross_source == (r.source_a != r.source_b)
+        assert 0.0 < r.pair_density <= 1.0
