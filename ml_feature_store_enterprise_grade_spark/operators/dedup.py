@@ -2604,10 +2604,16 @@ def dup_cluster_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
     pm AS (
+        -- SELECT DISTINCT, not plain e0: inside WITH RECURSIVE,
+        -- DuckDB (1.0) executes e0's UNION with ALL semantics, so an
+        -- edge found by BOTH the exact-hash and LSH paths appears
+        -- twice (invisible to the label/reachability consumers, but
+        -- fatal to a counting consumer — caught by the sf0.1 sweep,
+        -- where 8 exact pairs also band-collide).
         SELECT LEAST(da.source, db.source) AS source_a,
                GREATEST(da.source, db.source) AS source_b,
                COUNT(*) AS n_pairs
-        FROM e0 j
+        FROM (SELECT DISTINCT a, b FROM e0) j
         JOIN documents da ON j.a = da.doc_id
         JOIN documents db ON j.b = db.doc_id
         GROUP BY 1, 2
