@@ -2984,6 +2984,11 @@ def corpus_bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("k11"))
+        # materialize the vocab²-bounded bigram table once: four
+        # consumers (margins r and c, the total, the filtered join
+        # side) must re-aggregate THIS frame, not rescan the corpus
+        # (exchange reuse covers only the identical subtrees).
+        .localCheckpoint()
     )
     r = bc.groupBy("w1").agg(F.sum("k11").alias("r1"))
     c = bc.groupBy("w2").agg(F.sum("k11").alias("c1"))
