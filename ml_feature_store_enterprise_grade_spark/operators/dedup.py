@@ -2717,3 +2717,106 @@ def dup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_density"),
         )
     )
+
+
+@register(
+    "dedup_transitivity_audit",
+    defer=True,
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    ded_e AS (SELECT DISTINCT a, b FROM e0),
+    ded_sym AS (
+        SELECT a AS x, b AS y FROM ded_e
+        UNION ALL
+        SELECT b AS x, a AS y FROM ded_e
+    ),
+    w AS (
+        SELECT s1.x AS i, s1.y AS j, s2.y AS k
+        FROM ded_sym s1
+        JOIN ded_sym s2
+          ON s1.y = s2.x AND s2.y <> s1.x AND s1.x < s2.y
+    ),
+    cl AS (
+        SELECT COUNT(*) AS n_closed
+        FROM w JOIN ded_sym s ON w.i = s.x AND w.k = s.y
+    ),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM ded_e) AS n_edges,
+               (SELECT COUNT(*) FROM w) AS n_wedges,
+               (SELECT n_closed FROM cl) AS n_closed
+    )
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_closed AS BIGINT) AS n_closed_wedges,
+           CAST(n_wedges - n_closed AS BIGINT) AS n_open_wedges,
+           FLOOR(CAST(n_closed AS DOUBLE) / NULLIF(n_wedges, 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS closure_rate
+    FROM tot
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate relation: similarity
+    is NOT transitive (A≈B≈C does not give A≈C), but connected-
+    component clustering TREATS it as if it were — every open wedge
+    (A−B−C with no A−C edge) is a place where [[dedup_clusters]]
+    merges documents never directly measured as similar, the chain-
+    over-merge failure mode of CC-based dedup.  One row over the
+    duplicate-edge graph (exact stars ∪ LSH near-dups): edge count,
+    wedge count, closed/open wedge counts, and the closure rate —
+    near 1 means clusters are clique-like (CC is safe), low means
+    chains dominate and a stricter threshold or star-contraction
+    policy is warranted.  At sf0.1 the synthetic corpus measures 93%
+    closure with 172 open wedges — real chain structure, the thing
+    this audit exists to quantify (smaller SFs close fully).
+
+    Determinism: pure exact integer counts over the deduplicated
+    edge set (built with UNION ALL over explicitly distinct halves —
+    the WITH RECURSIVE quirk makes plain UNION unreliable for
+    counting, see [[dup_pair_source_matrix]]); the one ratio is a
+    fixed divide via the floor ladder.
+
+    Scale shape: the wedge join is the [[item_triangle_census]]
+    pattern over the slim symmetric edge list (bounded by the dup
+    graph, a small fraction of the corpus); closure checks are one
+    more equi-join of wedges against the same list — no all-pairs
+    anywhere."""
+    e = duplicate_edges(spark, sf_dir)
+    sym = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(e.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    w = s1.join(
+        s2,
+        (F.col("s1.y") == F.col("s2.x"))
+        & (F.col("s2.y") != F.col("s1.x"))
+        & (F.col("s1.x") < F.col("s2.y")),
+    ).select(
+        F.col("s1.x").alias("i"),
+        F.col("s1.y").alias("j"),
+        F.col("s2.y").alias("k"),
+    )
+    third = sym.select(F.col("x").alias("i"), F.col("y").alias("k"))
+    closed = w.join(third, ["i", "k"], "left_semi")
+    counts = (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(F.broadcast(w.agg(F.count("*").alias("n_wedges"))))
+        .crossJoin(F.broadcast(closed.agg(F.count("*").alias("n_closed"))))
+    )
+    return counts.select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_closed").cast("bigint").alias("n_closed_wedges"),
+        (F.col("n_wedges") - F.col("n_closed"))
+        .cast("bigint")
+        .alias("n_open_wedges"),
+        (
+            F.floor(
+                F.col("n_closed").cast("double")
+                / F.nullif(F.col("n_wedges"), F.lit(0))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("closure_rate"),
+    )

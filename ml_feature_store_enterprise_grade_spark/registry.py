@@ -41,6 +41,7 @@ ORACLES: dict[str, str] = {}
 #   - orders_backlog_littles_law (round 10 queue)
 #   - embedding_hubness_audit (round 10 queue)
 #   - dup_pair_source_matrix (round 10 queue)
+#   - dedup_transitivity_audit (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

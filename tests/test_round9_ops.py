@@ -815,3 +815,35 @@ def test_dup_source_matrix_consistent_with_edges(spark):
     for r in rows:
         assert r.cross_source == (r.source_a != r.source_b)
         assert 0.0 < r.pair_density <= 1.0
+
+
+# --- dedup_transitivity_audit -------------------------------------------
+
+
+def test_transitivity_audit_matches_python(spark):
+    from collections import defaultdict
+
+    from ml_feature_store_enterprise_grade_spark.operators.dedup import (
+        duplicate_edges,
+    )
+
+    r = _q("dedup_transitivity_audit")(spark, SF_SMOKE).collect()[0]
+    edges = {(e.a, e.b) for e in duplicate_edges(spark, SF_SMOKE).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for j in adj:
+        for i in adj[j]:
+            for k in adj[j]:
+                if i < k:
+                    wedges += 1
+                    if k in adj[i]:
+                        closed += 1
+    assert r.n_edges == len(edges)
+    assert r.n_wedges == wedges
+    assert r.n_closed_wedges == closed
+    assert r.n_open_wedges == wedges - closed
+    if wedges:
+        assert abs(r.closure_rate - closed / wedges) < 5e-7
