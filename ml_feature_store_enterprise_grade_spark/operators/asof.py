@@ -1153,3 +1153,141 @@ def pit_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("beyond_ttl_share"),
     )
+
+
+#: Candidate label horizons for the sweep (seconds): 1h, 6h, 24h
+#: (the production LABEL_HORIZON_HOURS), 72h.
+_HORIZON_SWEEP_S = (3600, 21600, 86400, 259200)
+
+
+@register(
+    "label_horizon_sweep",
+    defer=True,
+    oracle=f"""
+    WITH {_ENTITY_SQL_CTE},
+    conv AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    fc AS (
+        SELECT e.user_id, e.lookup_ts, MIN(c.ts) AS first_ts
+        FROM entity e
+        LEFT JOIN conv c
+          ON e.user_id = c.user_id AND c.ts > e.lookup_ts
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CASE WHEN first_ts IS NULL THEN NULL
+                    ELSE CAST(floor(epoch(first_ts)) AS BIGINT)
+                         - CAST(floor(epoch(CAST(lookup_ts AS TIMESTAMP)))
+                                AS BIGINT)
+               END AS gap_s
+        FROM fc
+    ),
+    h AS (SELECT unnest([{", ".join(str(s) for s in _HORIZON_SWEEP_S)}])
+                 AS horizon_s)
+    SELECT CAST(h.horizon_s / 3600 AS BIGINT) AS horizon_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_lookups,
+           CAST(SUM(CASE WHEN gap_s IS NOT NULL AND gap_s <= h.horizon_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           FLOOR(CAST(SUM(CASE WHEN gap_s IS NOT NULL
+                                    AND gap_s <= h.horizon_s
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS positive_rate,
+           FLOOR(CAST(SUM(CASE WHEN gap_s IS NOT NULL
+                                    AND gap_s <= h.horizon_s
+                               THEN gap_s ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN gap_s IS NOT NULL
+                                       AND gap_s <= h.horizon_s
+                                   THEN 1 ELSE 0 END), 0)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_gap_s
+    FROM g CROSS JOIN h
+    GROUP BY 1
+    """,
+)
+def label_horizon_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-horizon design sweep — the positive-rate-vs-horizon
+    curve a training-set designer reads BEFORE fixing
+    ``LABEL_HORIZON_HOURS``: for each candidate horizon, how many
+    (entity, lookup) pairs would be labeled positive under
+    [[pit_label_join]]'s exact semantics (first conversion STRICTLY
+    after the lookup, within the horizon), and how long the winning
+    conversions actually took.  Too short a horizon starves the
+    positive class; too long blurs attribution — this table is the
+    tradeoff made visible, computed from ONE unbounded first-
+    conversion pass rather than one label join per candidate.
+
+    Determinism: the first-conversion election is a hash-agg MIN;
+    gaps are exact integer epoch-second differences (both engines
+    floor identically); every per-horizon statistic is a conditional
+    integer aggregate with one fixed divide via the floor ladder.
+
+    Scale shape: one equi-join of the entity grid against the
+    conversion stream with a range predicate, collapsed map-side by
+    the MIN aggregate (no window, no per-horizon rescans — horizons
+    explode the tiny per-pair gap frame, bounded by entities ×
+    lookup times × |horizons|)."""
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            )
+        )
+    )
+    conv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_user"), F.col("ts"))
+    )
+    fc = (
+        entities.join(
+            conv,
+            (entities["user_id"] == conv["c_user"])
+            & (conv["ts"] > F.col("lookup_ts").cast("timestamp")),
+            "left",
+        )
+        .groupBy("user_id", "lookup_ts")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    gap = (
+        F.col("first_ts").cast("long")
+        - F.col("lookup_ts").cast("timestamp").cast("long")
+    )
+    g = fc.select(
+        F.when(F.col("first_ts").isNull(), F.lit(None).cast("long"))
+        .otherwise(gap)
+        .alias("gap_s")
+    )
+    h = F.explode(
+        F.array(*[F.lit(s) for s in _HORIZON_SWEEP_S])
+    ).alias("horizon_s")
+    gh = g.select("gap_s", h)
+    pos = F.when(
+        F.col("gap_s").isNotNull()
+        & (F.col("gap_s") <= F.col("horizon_s")),
+        1,
+    ).otherwise(0)
+    return gh.groupBy(
+        (F.col("horizon_s") / 3600).cast("bigint").alias("horizon_hours")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lookups"),
+        F.sum(pos).cast("bigint").alias("n_positive"),
+        (
+            F.floor(
+                F.sum(pos).cast("double") / F.count("*") * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("positive_rate"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(pos == 1, F.col("gap_s")).otherwise(0)
+                ).cast("double")
+                / F.nullif(F.sum(pos), F.lit(0))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("mean_gap_s"),
+    )

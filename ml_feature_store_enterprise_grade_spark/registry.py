@@ -42,6 +42,7 @@ ORACLES: dict[str, str] = {}
 #   - embedding_hubness_audit (round 10 queue)
 #   - dup_pair_source_matrix (round 10 queue)
 #   - dedup_transitivity_audit (round 10 queue)
+#   - label_horizon_sweep (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -847,3 +847,30 @@ def test_transitivity_audit_matches_python(spark):
     assert r.n_open_wedges == wedges - closed
     if wedges:
         assert abs(r.closure_rate - closed / wedges) < 5e-7
+
+
+# --- label_horizon_sweep -------------------------------------------------
+
+
+def test_label_horizon_sweep_monotone_and_consistent(spark):
+    rows = sorted(
+        _q("label_horizon_sweep")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.horizon_hours,
+    )
+    assert [r.horizon_hours for r in rows] == [1, 6, 24, 72]
+    # positives monotone non-decreasing in horizon; lookups constant
+    n = rows[0].n_lookups
+    prev = -1
+    for r in rows:
+        assert r.n_lookups == n
+        assert r.n_positive >= prev
+        prev = r.n_positive
+        assert abs(r.positive_rate - r.n_positive / n) < 5e-7
+        if r.n_positive:
+            assert 0 < r.mean_gap_s <= r.horizon_hours * 3600
+    # the 72h row must agree with pit_label_join (LABEL_HORIZON_HOURS=72)
+    lab = _q("pit_label_join")(spark, SF_SMOKE).collect()
+    pos72 = sum(1 for r in lab if r.label == 1)
+    r72 = next(r for r in rows if r.horizon_hours == 72)
+    assert r72.n_positive == pos72
+    assert r72.n_lookups == len(lab)
