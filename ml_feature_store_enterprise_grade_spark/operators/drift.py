@@ -1015,3 +1015,110 @@ def event_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(F.col("h_raw")).alias("h_stat"),
         emit(F.col("h_raw") / F.col("c")).alias("h_tie_corrected"),
     )
+
+
+#: Deciles reported by the quantile-shift table.
+_QSHIFT_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+@register(
+    "drift_quantile_shift",
+    defer=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS feature,
+               CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is_ref,
+               value AS x
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    q AS (
+        SELECT feature, is_ref,
+               quantile_disc(x, [{", ".join(str(q) for q in _QSHIFT_QS)}])
+                   AS qs
+        FROM s GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT feature, is_ref, qs[g.i] AS qv,
+               CAST(g.i AS BIGINT) AS decile
+        FROM q, unnest(generate_series(1, {len(_QSHIFT_QS)})) AS g(i)
+    )
+    SELECT r.feature,
+           CAST(r.decile AS INTEGER) AS decile,
+           r.qv AS ref_value,
+           c.qv AS cur_value,
+           FLOOR((c.qv - r.qv) * 1000000.0 + 0.5) / 1000000.0
+               AS shift
+    FROM u r JOIN u c
+      ON r.feature = c.feature AND r.decile = c.decile
+    WHERE r.is_ref = 1 AND c.is_ref = 0
+    """,
+)
+def drift_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile quantile-shift table — the INTERPRETABLE companion
+    to the drift detectors: KS/PSI/JS/[[event_value_mann_whitney]]
+    say THAT a feature moved; this table says WHERE in the
+    distribution and BY HOW MUCH (per event type, the ref-half and
+    cur-half decile values and their signed difference — the thing a
+    drift dashboard actually plots when the alert fires).
+
+    Determinism: deciles are DISCRETE (an actual element, the same
+    element both engines — no interpolation float); the shift is one
+    IEEE subtraction of those exact elements emitted via the
+    sign-safe floor ladder (a tiny-negative shift must not round to
+    -0.0 on one engine only).
+
+    Scale shape: one hash aggregate per (feature, half) computing all
+    nine order statistics in a single pass over the grouped values;
+    the decile join runs on the 2·9·|types|-row frame."""
+    split = F.lit(_SPLIT).cast("timestamp")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            F.col("event_type").alias("feature"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("is_ref"),
+            F.col("value").alias("x"),
+        )
+    )
+    aggs = []
+    for q in _QSHIFT_QS:
+        aggs.append(
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY x)"
+            ).alias(f"q{int(q * 10)}")
+        )
+    per = s.groupBy("feature", "is_ref").agg(*aggs)
+    long = per.select(
+        "feature",
+        "is_ref",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(q * 10)).alias("decile"),
+                        F.col(f"q{int(q * 10)}").alias("qv"),
+                    )
+                    for q in _QSHIFT_QS
+                ]
+            )
+        ).alias("d"),
+    ).select("feature", "is_ref", F.col("d.decile"), F.col("d.qv"))
+    r = long.filter(F.col("is_ref") == 1).select(
+        "feature", "decile", F.col("qv").alias("ref_value")
+    )
+    c = long.filter(F.col("is_ref") == 0).select(
+        "feature", "decile", F.col("qv").alias("cur_value")
+    )
+    return r.join(c, ["feature", "decile"]).select(
+        "feature",
+        F.col("decile").cast("int").alias("decile"),
+        "ref_value",
+        "cur_value",
+        (
+            F.floor(
+                (F.col("cur_value") - F.col("ref_value")) * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("shift"),
+    )

@@ -43,6 +43,7 @@ ORACLES: dict[str, str] = {}
 #   - dup_pair_source_matrix (round 10 queue)
 #   - dedup_transitivity_audit (round 10 queue)
 #   - label_horizon_sweep (round 10 queue)
+#   - drift_quantile_shift (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

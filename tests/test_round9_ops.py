@@ -874,3 +874,44 @@ def test_label_horizon_sweep_monotone_and_consistent(spark):
     r72 = next(r for r in rows if r.horizon_hours == 72)
     assert r72.n_positive == pos72
     assert r72.n_lookups == len(lab)
+
+
+# --- drift_quantile_shift -------------------------------------------------
+
+
+def test_quantile_shift_matches_numpy(spark):
+    import datetime as dt
+
+    rows = _q("drift_quantile_shift")(spark, SF_SMOKE).collect()
+    assert rows
+    pdf = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    split = dt.datetime(2024, 1, 16)
+    by = {}
+    for r in rows:
+        by[(r.feature, r.decile)] = r
+    for feat in pdf["event_type"].unique():
+        sub = pdf[pdf["event_type"] == feat]
+        for is_ref, half in (
+            (True, sub[sub["ts"] < split]),
+            (False, sub[sub["ts"] >= split]),
+        ):
+            xs = np.sort(half["value"].to_numpy())
+            for d in range(1, 10):
+                # discrete quantile: smallest element with cum share >= q
+                # (exact rational arithmetic — float 0.1*d*n can land a
+                # hair above an integer and shift ceil by one)
+                import math as _m
+                from fractions import Fraction
+
+                idx = _m.ceil(Fraction(d, 10) * len(xs)) - 1
+                want = xs[max(0, idx)]
+                r = by[(feat, d)]
+                got = r.ref_value if is_ref else r.cur_value
+                assert got == want, (feat, d, is_ref)
+    for r in rows:
+        assert abs(r.shift - (r.cur_value - r.ref_value)) < 5e-7
