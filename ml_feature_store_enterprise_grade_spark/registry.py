@@ -29,21 +29,6 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
-#   - embedding_silhouette (round 10 queue)
-#   - event_value_kruskal_wallis (round 10 queue)
-#   - embedding_knn_label_accuracy (round 10 queue)
-#   - purchase_propensity_calibration (round 10 queue)
-#   - rec_coverage_gini (round 10 queue)
-#   - discount_simpson_paradox_audit (round 10 queue)
-#   - multimodal_image_entropy (round 10 queue)
-#   - daily_revenue_chow_test (round 10 queue)
-#   - fk_join_skew_advisor (round 10 queue)
-#   - orders_backlog_littles_law (round 10 queue)
-#   - embedding_hubness_audit (round 10 queue)
-#   - dup_pair_source_matrix (round 10 queue)
-#   - dedup_transitivity_audit (round 10 queue)
-#   - label_horizon_sweep (round 10 queue)
-#   - drift_quantile_shift (round 10 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -91,6 +76,16 @@ _PROMOTED: frozenset[str] = frozenset((
     "segment_priority_association", "vocab_zipf_fit",
     "returnflag_anova_ftest", "feature_information_gain",
     "online_offline_skew_audit", "cross_table_consistency_audit",
+    # round-10 promotions: the 15-name r10 queue (VERDICT r9 item 1) —
+    # every one locally parity-green, now earning its first driver row.
+    "embedding_silhouette", "event_value_kruskal_wallis",
+    "embedding_knn_label_accuracy", "purchase_propensity_calibration",
+    "rec_coverage_gini", "discount_simpson_paradox_audit",
+    "multimodal_image_entropy", "daily_revenue_chow_test",
+    "fk_join_skew_advisor", "orders_backlog_littles_law",
+    "embedding_hubness_audit", "dup_pair_source_matrix",
+    "dedup_transitivity_audit", "label_horizon_sweep",
+    "drift_quantile_shift",
 ))
 
 _OPERATOR_MODULES = (
@@ -145,83 +140,76 @@ _loaded = False
 #: keeps one representative per operator family, so dropping a
 #: long-stable green from the WINDOW never drops its family from the
 #: bench trend.
-#: ROUND-10 REBUILD CHECKLIST (do this first next round): (1) run
-#: ``python tools/update_checked_names.py`` to fold the 50 round-9
+#: ROUND-11 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` to fold the 50 round-10
 #: window rows into ``_DRIVER_CHECKED``; (2) promote any overflow-
 #: comment queue names into ``_PROMOTED`` (keep the prior rounds'
 #: names in the set — they are what keeps those registrations
 #: un-deferred) and rebuild ``_FRONT`` with them at the head; (3)
 #: delete them from the overflow comment; (4) remaining slots go to
-#: new round-10 queries then the OLDEST driver greens per the
+#: new round-11 queries then the OLDEST driver greens per the
 #: rotation policy above (run the tool — it prints which _FRONT
-#: entries are rotatable; after r9 the oldest cohort is the r3-era
-#: greens not yet re-rotated, then r4).
+#: entries are rotatable; after r10 the oldest cohort is the r4-era
+#: greens, then r6).
 _FRONT: tuple[str, ...] = (
-    # --- Round 9 window.  Head: the one red r8 row, re-earning its
-    # green after the signed-zero fix (VERDICT r8 item 1).
-    "graph_modularity",
-    # --- The 20 promoted round-8 deferred queries (the r9 queue,
-    # VERDICT r8 item 3) — first driver rows.
-    "part_name_fuzzy_links",
-    "supplier_acctbal_ntile",
-    "user_value_locf_interpolation",
-    "event_value_quantile_normalization",
-    "acctbal_gini_by_segment",
-    "monthly_revenue_gap_fill",
-    "revenue_ewma_trend",
-    "user_activity_streaks",
-    "daily_revenue_runs_test",
-    "cohort_ltv_curve",
-    "item_ra_link_prediction",
-    "daily_revenue_sax",
-    "cobuy_edge_churn",
-    "markov_entropy_rate",
-    "segment_priority_association",
-    "vocab_zipf_fit",
-    "returnflag_anova_ftest",
-    "feature_information_gain",
-    "online_offline_skew_audit",
-    "cross_table_consistency_audit",
-    # --- Changed this round (emission hardened with the signed-zero
-    # `+ 0` discipline / DECIMAL sum — their old green rows are stale
-    # evidence; rotation priority 2):
-    "stream_asof_enrichment",
-    "corpus_lexical_drift",
-    "drift_js_divergence",
-    # (embedding_kmeans: pure extract-function refactor this round —
-    # its Lloyd loop moved verbatim into _km_final_assignments for
-    # reuse by the new ARI query; plan and output unchanged, local
-    # parity re-verified — but re-checked here per rotation policy.)
-    "embedding_kmeans",
-    # --- New round-9 queries (slots reserved; overflow uses
-    # defer=True and joins the r10 queue):
-    "event_value_mann_whitney",
-    "daily_revenue_variance_ratio",
-    "embedding_cluster_label_ari",
-    "corpus_bigram_llr",
-    "doc_blocklist_filter",
+    # --- Round 10 window.  Head: the 15-name r10 queue (VERDICT r9
+    # item 1) — first driver rows for every remaining zero-evidence
+    # query; bench-tracked seven first, per the r9 rotation note.
+    "embedding_silhouette",
+    "event_value_kruskal_wallis",
+    "embedding_knn_label_accuracy",
+    "purchase_propensity_calibration",
+    "rec_coverage_gini",
+    "discount_simpson_paradox_audit",
+    "multimodal_image_entropy",
+    "daily_revenue_chow_test",
+    "fk_join_skew_advisor",
+    "orders_backlog_littles_law",
+    "embedding_hubness_audit",
+    "dup_pair_source_matrix",
+    "dedup_transitivity_audit",
+    "label_horizon_sweep",
+    "drift_quantile_shift",
+    # --- Changed this round (rotation priority 2 — old green rows
+    # are stale evidence): pit_staleness_audit re-planned to the
+    # single-shuffle running-max form (VERDICT r9 item 3);
+    # embedding_bitext_margin routed through knn_candidates (item 2);
+    # corpus_bigram_pmi now shares the memoized bigram census with
+    # corpus_bigram_llr (item 4).
     "pit_staleness_audit",
-    # --- Oldest driver greens (last checked r3 — rotation priority
-    # 3, per tools/update_checked_names.py):
-    "bloom_prejoin_prune",
-    "calendar_features",
-    "cdc_merge_upsert",
-    "context_length_fit",
-    "conversion_attribution",
-    "corpus_data_card",
-    "corpus_mixture_weights",
-    "dedup_rate_by_lang",
-    "doc_bigram_logprob",
-    "doc_chunking_plan",
-    "doc_unigram_logprob",
-    "embedding_dim_stats",
-    "embedding_truncation_audit",
-    "feature_backfill_plan",
-    "feature_binning_scalable",
-    "file_skipping_stats",
-    "gdpr_deletion_audit",
-    "incremental_feature_update",
-    "inverted_index_postings",
+    "embedding_bitext_margin",
+    "corpus_bigram_pmi",
+    # --- New round-10 queries land here (slots reserved; overflow
+    # uses defer=True and joins the r11 queue):
+    # --- Oldest driver greens (last checked r3 — the final r3-era
+    # cohort, rotation priority 3 per tools/update_checked_names.py;
+    # next-oldest is the r4 cohort):
+    "item_cooccurrence_lift",
+    "late_arrival_audit",
+    "negative_sample_pairs",
+    "partition_compaction_plan",
+    "percentile_rank_features",
+    "pit_multi_view_join",
+    "purchase_interarrival_stats",
+    "rfm_segmentation",
+    "segment_dedup",
+    "semantic_dedup",
+    "sequence_packing_plan",
+    "skew_diagnostics",
+    "snapshot_diff_audit",
+    "split_leakage_audit",
+    "stream_online_materialize",
+    "stream_sliding_features",
+    "stream_topk_heavy_hitters",
+    "target_encoding_loo",
+    "tokenizer_fertility_audit",
+    "training_set_export",
+    "user_ltv_features",
+    "user_wow_delta_features",
+    "vocab_oov_rate",
+    "volume_anomaly_days",
+    "weighted_systematic_sample",
+    "zorder_layout_plan",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -233,24 +221,27 @@ _FRONT: tuple[str, ...] = (
 #: landing outside the window, shipping "claimed, not proven") fails
 #: loudly at import, not just in a pytest someone forgets to read.
 _DRIVER_CHECKED: frozenset[str] = frozenset((
-    "ab_assignment_srm_audit", "acctbal_revenue_spearman", "activity_band_interval_join",
-    "ann_cosine_topk", "ann_filtered_topk", "ann_ivf_topk",
-    "basket_size_poisson_gof", "benford_digit_audit", "bitemporal_customer_features",
-    "bloom_prejoin_prune", "bm25_search_topk", "bpe_merge_learning",
-    "brand_bracket_revenue", "calendar_features", "ccnet_perplexity_buckets",
-    "cdc_merge_upsert", "cobuy_degree_assortativity", "cohort_retention",
+    "ab_assignment_srm_audit", "acctbal_gini_by_segment", "acctbal_revenue_spearman",
+    "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
+    "ann_ivf_topk", "basket_size_poisson_gof", "benford_digit_audit",
+    "bitemporal_customer_features", "bloom_prejoin_prune", "bm25_search_topk",
+    "bpe_merge_learning", "brand_bracket_revenue", "calendar_features",
+    "ccnet_perplexity_buckets", "cdc_merge_upsert", "cobuy_degree_assortativity",
+    "cobuy_edge_churn", "cohort_ltv_curve", "cohort_retention",
     "concurrent_sessions_daily", "context_length_fit", "conversion_attribution",
-    "corpus_bigram_pmi", "corpus_contamination", "corpus_data_card",
-    "corpus_dedup_pipeline", "corpus_lang_stats", "corpus_lexical_drift",
-    "corpus_mixture_weights", "corpus_ngram_novelty", "corpus_quality_filter",
-    "corpus_sampling_plan", "corpus_top_bigrams", "countmin_heavy_hitters",
-    "crossdoc_span_heavy_hitters", "crossdoc_span_trim", "customer_order_distribution",
-    "customer_segment_migration", "customers_without_orders", "daily_event_type_pivot",
-    "dataset_split_assignment", "dedup_clusters", "dedup_crossdoc_spans",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_rate_by_lang", "dedup_simhash",
-    "dedup_simhash_pairs", "discount_quantity_elasticity", "discounted_bracket_revenue",
-    "doc_bigram_logprob", "doc_chunking_plan", "doc_fingerprint",
+    "corpus_bigram_llr", "corpus_bigram_pmi", "corpus_contamination",
+    "corpus_data_card", "corpus_dedup_pipeline", "corpus_lang_stats",
+    "corpus_lexical_drift", "corpus_mixture_weights", "corpus_ngram_novelty",
+    "corpus_quality_filter", "corpus_sampling_plan", "corpus_top_bigrams",
+    "countmin_heavy_hitters", "cross_table_consistency_audit", "crossdoc_span_heavy_hitters",
+    "crossdoc_span_trim", "customer_order_distribution", "customer_segment_migration",
+    "customers_without_orders", "daily_event_type_pivot", "daily_revenue_runs_test",
+    "daily_revenue_sax", "daily_revenue_variance_ratio", "dataset_split_assignment",
+    "dedup_clusters", "dedup_crossdoc_spans", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_rate_by_lang", "dedup_simhash", "dedup_simhash_pairs",
+    "discount_quantity_elasticity", "discounted_bracket_revenue", "doc_bigram_logprob",
+    "doc_blocklist_filter", "doc_chunking_plan", "doc_fingerprint",
     "doc_language_purity", "doc_length_mad_outliers", "doc_prefix_cluster_stats",
     "doc_rake_keyphrases", "doc_repetition_stats", "doc_shard_rendezvous",
     "doc_text_stats", "doc_tfidf_top_terms", "doc_token_entropy",
@@ -258,63 +249,69 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "dp_contribution_bounding", "drift_js_divergence", "drift_ks_click_vs_view",
     "drift_psi_multi_feature", "drift_report_multi_feature", "dsir_importance_weights",
     "dup_cluster_language_purity", "dup_cluster_size_histogram", "duplicate_key_check",
-    "embedding_bitext_margin", "embedding_centroid_drift", "embedding_covariance",
-    "embedding_dim_stats", "embedding_jl_distortion", "embedding_kmeans",
-    "embedding_label_confusion", "embedding_neardup", "embedding_norm_stats",
-    "embedding_pq_codes", "embedding_quantization_error", "embedding_top_eigenvector",
-    "embedding_truncation_audit", "event_code_projection", "event_customer_enrichment",
-    "event_customer_overlap", "event_daily_autocorrelation", "event_props_struct",
-    "event_props_variant", "event_value_percentile_disc", "event_value_percentiles",
+    "embedding_bitext_margin", "embedding_centroid_drift", "embedding_cluster_label_ari",
+    "embedding_covariance", "embedding_dim_stats", "embedding_jl_distortion",
+    "embedding_kmeans", "embedding_label_confusion", "embedding_neardup",
+    "embedding_norm_stats", "embedding_pq_codes", "embedding_quantization_error",
+    "embedding_top_eigenvector", "embedding_truncation_audit", "event_code_projection",
+    "event_customer_enrichment", "event_customer_overlap", "event_daily_autocorrelation",
+    "event_props_struct", "event_props_variant", "event_value_mann_whitney",
+    "event_value_percentile_disc", "event_value_percentiles", "event_value_quantile_normalization",
     "excess_stock_suppliers", "feature_backfill_plan", "feature_binning_quantile",
     "feature_binning_scalable", "feature_correlation_matrix", "feature_coverage",
-    "feature_freshness", "feature_hash_cross", "feature_scaling",
-    "feature_summary_stats", "feature_unpivot_long", "feature_value_histogram",
-    "file_skipping_stats", "forecast_discount_revenue", "funnel_conversion_ztest",
-    "gdpr_deletion_audit", "graph_modularity", "hard_negative_pairs",
-    "histogram_quantile_rollup", "hll_portable_distinct_rollup", "idle_rich_customers",
-    "important_parts_share", "incremental_feature_update", "inverted_index_postings",
-    "item_cooccurrence_lift", "item_kcore_membership", "item_label_propagation",
-    "item_pagerank", "item_triangle_census", "k_anonymity_audit",
-    "kmv_audience_overlap", "l_diversity_audit", "lang_id_confusion",
-    "large_volume_customers", "late_arrival_audit", "late_shipment_priority",
-    "latest_feature_snapshot", "local_supply_share", "lsh_tuning_report",
-    "min_price_supplier_region", "monthly_revenue_momentum", "multimodal_audio_energy",
-    "multimodal_decode_features", "multimodal_frame_dedup", "multimodal_frame_sample",
-    "multimodal_metadata", "multimodal_resize", "multimodal_sidecar_kv",
-    "nation_market_share", "nation_pair_trade", "nation_top_customers_lateral",
-    "nation_vip_roster", "negative_sample_pairs", "online_feature_lookup",
-    "order_reconciliation_audit", "order_value_zscore_outliers", "part_price_size_skyline",
+    "feature_freshness", "feature_hash_cross", "feature_information_gain",
+    "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
+    "feature_value_histogram", "file_skipping_stats", "forecast_discount_revenue",
+    "funnel_conversion_ztest", "gdpr_deletion_audit", "graph_modularity",
+    "hard_negative_pairs", "histogram_quantile_rollup", "hll_portable_distinct_rollup",
+    "idle_rich_customers", "important_parts_share", "incremental_feature_update",
+    "inverted_index_postings", "item_cooccurrence_lift", "item_kcore_membership",
+    "item_label_propagation", "item_pagerank", "item_ra_link_prediction",
+    "item_triangle_census", "k_anonymity_audit", "kmv_audience_overlap",
+    "l_diversity_audit", "lang_id_confusion", "large_volume_customers",
+    "late_arrival_audit", "late_shipment_priority", "latest_feature_snapshot",
+    "local_supply_share", "lsh_tuning_report", "markov_entropy_rate",
+    "min_price_supplier_region", "monthly_revenue_gap_fill", "monthly_revenue_momentum",
+    "multimodal_audio_energy", "multimodal_decode_features", "multimodal_frame_dedup",
+    "multimodal_frame_sample", "multimodal_metadata", "multimodal_resize",
+    "multimodal_sidecar_kv", "nation_market_share", "nation_pair_trade",
+    "nation_top_customers_lateral", "nation_vip_roster", "negative_sample_pairs",
+    "online_feature_lookup", "online_offline_skew_audit", "order_reconciliation_audit",
+    "order_value_zscore_outliers", "part_name_fuzzy_links", "part_price_size_skyline",
     "part_revenue_abc_classes", "part_supplier_variety", "partition_compaction_plan",
     "percentile_rank_features", "phrase_search_topdocs", "pii_scrub",
     "pit_asof_join", "pit_label_join", "pit_multi_view_join",
-    "pit_nearest_join", "pricing_summary", "priority_order_counts",
-    "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
-    "purchase_interarrival_stats", "pyds_jsonl_roundtrip", "quality_concentration_curve",
-    "quality_expectation_suite", "rec_popularity_ndcg", "region_revenue",
-    "returned_items_revenue", "revenue_changepoint_scan", "revenue_grouping_sets",
+    "pit_nearest_join", "pit_staleness_audit", "pricing_summary",
+    "priority_order_counts", "product_type_profit", "profile_distribution_stats",
+    "promo_revenue_share", "purchase_interarrival_stats", "pyds_jsonl_roundtrip",
+    "quality_concentration_curve", "quality_expectation_suite", "rec_popularity_ndcg",
+    "region_revenue", "returned_items_revenue", "returnflag_anova_ftest",
+    "revenue_changepoint_scan", "revenue_ewma_trend", "revenue_grouping_sets",
     "revenue_mann_kendall", "revenue_rollup_cube", "revenue_seasonal_decomposition",
     "revenue_trend_regression", "rfm_segmentation", "robust_order_value_stats",
     "rrf_hybrid_topk", "scd2_activity_history", "segment_dedup",
-    "semantic_dedup", "sequence_packing_plan", "session_funnel",
-    "session_path_markov", "session_survival_curve", "session_windows",
-    "shingle_containment_pairs", "sketch_distinct_users_rollup", "skew_diagnostics",
-    "small_quantity_parts", "snapshot_diff_audit", "source_ablation_report",
-    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
-    "stratified_kfold_plan", "stream_asof_enrichment", "stream_dedup",
-    "stream_dedup_within_watermark", "stream_distinct_sketch", "stream_drift_monitor",
-    "stream_event_type_share", "stream_hourly_features", "stream_online_materialize",
-    "stream_quality_monitor", "stream_session_windows", "stream_sliding_features",
-    "stream_stateful_running_totals", "stream_static_enrichment", "stream_stream_interval_join",
-    "stream_stream_left_outer_join", "stream_topk_heavy_hitters", "supply_concentration_hhi",
-    "target_encoding_loo", "temporal_split_embargo", "text_clean_projection",
-    "tokenizer_fertility_audit", "top_customers_per_nation", "top_orders_diversified",
-    "top_revenue_orders", "top_supplier_revenue", "training_set_export",
-    "training_shard_manifest", "user_activity_entropy", "user_daily_activity",
+    "segment_priority_association", "semantic_dedup", "sequence_packing_plan",
+    "session_funnel", "session_path_markov", "session_survival_curve",
+    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
+    "skew_diagnostics", "small_quantity_parts", "snapshot_diff_audit",
+    "source_ablation_report", "split_leakage_audit", "split_neardup_leakage",
+    "stratified_event_sample", "stratified_kfold_plan", "stream_asof_enrichment",
+    "stream_dedup", "stream_dedup_within_watermark", "stream_distinct_sketch",
+    "stream_drift_monitor", "stream_event_type_share", "stream_hourly_features",
+    "stream_online_materialize", "stream_quality_monitor", "stream_session_windows",
+    "stream_sliding_features", "stream_stateful_running_totals", "stream_static_enrichment",
+    "stream_stream_interval_join", "stream_stream_left_outer_join", "stream_topk_heavy_hitters",
+    "supplier_acctbal_ntile", "supply_concentration_hhi", "target_encoding_loo",
+    "temporal_split_embargo", "text_clean_projection", "tokenizer_fertility_audit",
+    "top_customers_per_nation", "top_orders_diversified", "top_revenue_orders",
+    "top_supplier_revenue", "training_set_export", "training_shard_manifest",
+    "user_activity_entropy", "user_activity_streaks", "user_daily_activity",
     "user_decay_weighted_features", "user_hourly_features", "user_ltv_features",
     "user_primary_event_type", "user_recency_features", "user_rolling_7d_features",
-    "user_sliding_features", "user_sliding_features_rollup", "user_wow_delta_features",
-    "vocab_oov_rate", "volume_anomaly_days", "waiting_supplier_audit",
-    "weighted_systematic_sample", "zorder_layout_plan",
+    "user_sliding_features", "user_sliding_features_rollup", "user_value_locf_interpolation",
+    "user_wow_delta_features", "vocab_oov_rate", "vocab_zipf_fit",
+    "volume_anomaly_days", "waiting_supplier_audit", "weighted_systematic_sample",
+    "zorder_layout_plan",
 ))
 
 
