@@ -1101,39 +1101,60 @@ def pit_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first closed window) stay NULL and are excluded from the
     staleness order statistics but counted in coverage.
 
-    Scale shape: the feature frame is users × active hours
-    (pre-aggregated, far smaller than the event stream) and
-    broadcasts; the as-of election is a hash-agg MAX (only the
-    timestamp is needed, no payload struct) keyed by event — no
-    window sort over events; the
-    per-type summary is a second bounded aggregate.  If the feature
-    frame outgrows broadcast, the documented bucketed sort-merge
-    as-of path applies unchanged."""
+    Scale shape (re-planned per VERDICT r9 item 3): the audit needs
+    the freshest close at ANY distance in the past, so the TTL-bounded
+    [[pit_asof_join]] join is not available — and the naive
+    ``fts <= ts`` fan-out join blows the fact table up by the per-user
+    active-hour count.  Instead the window closes and the events merge
+    into ONE per-user time-ordered stream (closes sort before events
+    on ties, preserving the inclusive ``fts <= ts`` rule) and a
+    running MAX over that stream elects each event's freshest prior
+    close: exactly one user-keyed shuffle, zero join fan-out, linear
+    in events + closes at any history length
+    (tools/scale_probe.py pins the linearity; the plan dump in
+    PLANS.md shows the single Exchange).  The per-type summary is a
+    bounded aggregate on top."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select("event_id", "user_id", "ts", "event_type")
+        .select("user_id", "ts", "event_type")
     )
-    f = ev.groupBy(
+    closes = ev.groupBy(
         "user_id",
         (
             F.date_trunc("hour", F.col("ts"))
             + F.expr("INTERVAL 1 HOUR")
         ).alias("fts"),
     ).agg(F.lit(1).alias("one"))
-    j = ev.join(
-        F.broadcast(f.select(F.col("user_id").alias("f_user_id"), "fts")),
-        (ev["user_id"] == F.col("f_user_id")) & (F.col("fts") <= ev["ts"]),
-        "left",
+    merged = closes.select(
+        "user_id",
+        F.col("fts").alias("t"),
+        F.lit(0).alias("kind"),
+        "fts",
+        F.lit(None).cast("string").alias("event_type"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("timestamp").alias("fts"),
+            "event_type",
+        )
     )
-    latest = j.groupBy("event_id", "event_type", "ts").agg(
-        F.max("fts").alias("fts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    st = latest.select(
-        "event_type",
-        (
-            F.col("ts").cast("long") - F.col("fts").cast("long")
-        ).alias("st"),
+    st = (
+        merged.withColumn("last_fts", F.max("fts").over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_type",
+            (
+                F.col("t").cast("long") - F.col("last_fts").cast("long")
+            ).alias("st"),
+        )
     )
     return st.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_events"),

@@ -159,6 +159,43 @@ def main() -> int:
     ).agg(F.count("*").alias("copies"), F.min("event_id").alias("keep"))
     t_dedup = timed("exact_dedup", dedup)
 
+    # round 10: the pit_staleness_audit re-plan — window closes and
+    # events merged into one per-user time-ordered stream, running
+    # MAX elects each event's freshest prior close.  Measures the
+    # promise that staleness needs ONE user-keyed shuffle and zero
+    # join fan-out regardless of per-user history length (the old
+    # fts <= ts join was Σ events × prior-hours).
+    closes = base.groupBy(
+        "user_id",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias("fts"),
+    ).agg(F.lit(1).alias("one"))
+    merged = closes.select(
+        "user_id", F.col("fts").alias("t"), F.lit(0).alias("kind"), "fts",
+        F.lit(None).cast("string").alias("event_type"),
+    ).unionByName(
+        base.select(
+            "user_id", F.col("ts").alias("t"), F.lit(1).alias("kind"),
+            F.lit(None).cast("timestamp").alias("fts"), "event_type",
+        )
+    )
+    from pyspark.sql.window import Window as _WS
+
+    w_run = (
+        _WS.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("kind"))
+        .rowsBetween(_WS.unboundedPreceding, _WS.currentRow)
+    )
+    staleness = (
+        merged.withColumn("last_fts", F.max("fts").over(w_run))
+        .filter(F.col("kind") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.col("t").cast("long") - F.col("last_fts").cast("long")).alias("mx"),
+        )
+    )
+    t_stale = timed("staleness_runmax", staleness)
+
     # round 9: the Mann-Whitney rank path — per-value counts, the
     # KS-style bucketed exclusive prefix sum (per-bucket offsets over
     # <=1024 rows + within-bucket windows), then the rank-sum join.
@@ -258,6 +295,67 @@ def main() -> int:
         flush=True,
     )
 
+    # round 10: the knn_candidates IVF shortlist path at 16× the
+    # sf0.1 vector count (32k vectors — far above any sensible exact
+    # bound; the exact path would be a 10^9-pair cross join).
+    # Measures index build (one-off) and the shortlist query for the
+    # FULL amplified corpus as the query set (self-kNN, the
+    # hubness/knn-accuracy shape).
+    import shutil as _shutil
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k_emb = 16
+    amp_emb_dir = "/tmp/scale_probe_emb_x16"
+    if not os.path.exists(os.path.join(amp_emb_dir, "_SUCCESS")):
+        _shutil.rmtree(amp_emb_dir, ignore_errors=True)
+        (
+            emb.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(k_emb - 1)))
+            )
+            .select(
+                (F.col("vec_id") * k_emb + F.col("r")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x.cast("double")
+                        + ((F.col("r") * (i + 3)) % 11 - 5).cast("double") * 0.03
+                    ),
+                ).alias("embedding"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(amp_emb_dir)
+        )
+    amp_emb = spark.read.parquet(amp_emb_dir)
+    n_vec = amp_emb.count()
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        knn_candidates,
+    )
+
+    idx_path = "/tmp/scale_probe_ivf_x16"
+    _shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.time()
+    cand = knn_candidates(
+        amp_emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        amp_emb,
+        k=5,
+        exact_below=0,
+        nprobe=3,
+        ivf_cells=32,
+        index_path=idx_path,
+        corpus_rows=n_vec,
+    )
+    n_cand = cand.count()
+    t_knn = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {"probe": "knn_ivf_shortlist", "vectors": n_vec,
+             "candidates": n_cand, "sec": t_knn,
+             "kvec_per_sec": round(n_vec / t_knn / 1e3, 1)}
+        ),
+        flush=True,
+    )
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -269,9 +367,12 @@ def main() -> int:
         "rollup_speedup": round(t_direct / t_rollup, 2),
         "asof_sec": t_asof,
         "exact_dedup_sec": t_dedup,
+        "staleness_runmax_sec": t_stale,
         "mwu_ranks_sec": t_mwu,
         "cc_path_2e20_sec": t_ccp,
         "cc_star_10m_sec": t_ccs,
+        "knn_ivf_shortlist_sec": t_knn,
+        "knn_ivf_vectors": n_vec,
     }))
     return 0
 
