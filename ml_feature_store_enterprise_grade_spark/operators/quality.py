@@ -1354,7 +1354,20 @@ _ADVISOR_BROADCAST_ROWS = 100000
 _ADVISOR_SKEW_RATIO = 10.0
 
 
-def _fk_profile_sql(fact: str, key: str, dim: str, dimkey: str) -> str:
+#: The schema's fact→dim FK relations — the ONE shared table both the
+#: advisor's oracle and its Spark loop derive from (ADVICE r9: the two
+#: lists had drifted into 4- vs 3-tuples with an unused dim-key).
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders"),
+    ("lineitem", "l_partkey", "part"),
+    ("lineitem", "l_suppkey", "supplier"),
+    ("orders", "o_custkey", "customer"),
+    ("customer", "c_nationkey", "nation"),
+    ("supplier", "s_nationkey", "nation"),
+)
+
+
+def _fk_profile_sql(fact: str, key: str, dim: str) -> str:
     return f"""
     SELECT '{fact}.{key}' AS fk,
            '{dim}' AS dim_table,
@@ -1382,15 +1395,7 @@ def _fk_profile_sql(fact: str, key: str, dim: str, dimkey: str) -> str:
     "fk_join_skew_advisor",
     defer=True,
     oracle=" UNION ALL ".join(
-        _fk_profile_sql(f, k, d, dk)
-        for f, k, d, dk in (
-            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-            ("lineitem", "l_partkey", "part", "p_partkey"),
-            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-            ("orders", "o_custkey", "customer", "c_custkey"),
-            ("customer", "c_nationkey", "nation", "n_nationkey"),
-            ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        )
+        _fk_profile_sql(f, k, d) for f, k, d in _FK_RELATIONS
     ),
 )
 def fk_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,14 +1422,7 @@ def fk_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two COUNT(*) scalar attachments; the six relation rows union
     into one plan — no joins anywhere, nothing driver-side."""
     out = None
-    for fact, key, dim in (
-        ("lineitem", "l_orderkey", "orders"),
-        ("lineitem", "l_partkey", "part"),
-        ("lineitem", "l_suppkey", "supplier"),
-        ("orders", "o_custkey", "customer"),
-        ("customer", "c_nationkey", "nation"),
-        ("supplier", "s_nationkey", "nation"),
-    ):
+    for fact, key, dim in _FK_RELATIONS:
         f = load_table(spark, sf_dir, fact)
         d = load_table(spark, sf_dir, dim)
         fact_rows = f.agg(F.count("*").alias("fact_rows"))
