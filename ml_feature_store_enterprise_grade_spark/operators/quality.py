@@ -1464,3 +1464,125 @@ def fk_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: Columns profiled by the dictionary-encoding advisor — low-to-mid
+#: cardinality string columns where parquet dictionary encoding is a
+#: real storage decision (one shared table drives the oracle AND the
+#: Spark loop, the [[_FK_RELATIONS]] discipline).
+_DICT_COLUMNS = (
+    ("events", "event_type"),
+    ("documents", "source"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("nation", "n_name"),
+)
+
+#: Plain-vs-dictionary ratio above which the advisor recommends
+#: dictionary encoding outright (below it, down to 1.0, the call is
+#: 'marginal' — dictionary still wins but not by enough to matter).
+_DICT_RATIO_STRONG = 1.5
+
+
+def _dict_profile_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_ref,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           CAST(SUM(length({col})) AS BIGINT) AS plain_bytes,
+           CAST((SELECT SUM(length(v)) FROM
+                     (SELECT DISTINCT {col} AS v FROM {table}))
+                + (COUNT(*) * length(bin(COUNT(DISTINCT {col}) - 1)) + 7)
+                  // 8 AS BIGINT) AS dict_bytes,
+           FLOOR(CAST(SUM(length({col})) AS DOUBLE)
+                 / ((SELECT SUM(length(v)) FROM
+                         (SELECT DISTINCT {col} AS v FROM {table}))
+                    + (COUNT(*) * length(bin(COUNT(DISTINCT {col}) - 1)) + 7)
+                      // 8)
+                 * 10000.0 + 0.5) / 10000.0 AS compression_ratio,
+           CASE WHEN CAST(SUM(length({col})) AS DOUBLE)
+                     / ((SELECT SUM(length(v)) FROM
+                             (SELECT DISTINCT {col} AS v FROM {table}))
+                        + (COUNT(*) * length(bin(COUNT(DISTINCT {col}) - 1))
+                           + 7) // 8)
+                     > {_DICT_RATIO_STRONG} THEN 'dictionary'
+                WHEN CAST(SUM(length({col})) AS DOUBLE)
+                     / ((SELECT SUM(length(v)) FROM
+                             (SELECT DISTINCT {col} AS v FROM {table}))
+                        + (COUNT(*) * length(bin(COUNT(DISTINCT {col}) - 1))
+                           + 7) // 8)
+                     > 1.0 THEN 'marginal'
+                ELSE 'plain' END AS recommendation
+    FROM {table}
+    """
+
+
+@register(
+    "dict_encoding_advisor",
+    oracle=" UNION ALL ".join(
+        _dict_profile_sql(t, c) for t, c in _DICT_COLUMNS
+    ),
+)
+def dict_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding advisor over the schema's string columns —
+    the storage-layout sibling of [[zorder_layout_plan]] /
+    [[partition_compaction_plan]] / [[file_skipping_stats]]: per
+    column, row count, exact NDV, the plain-encoding byte mass, the
+    dictionary-encoding byte mass modeled the way parquet actually
+    stores it (distinct-value bytes + fixed-width indexes of
+    ⌈log₂ ndv⌉ bits per row), the compression ratio, and the
+    recommendation.  At 100 TB this table is what decides per-column
+    ``parquet.enable.dictionary`` and flags the columns whose NDV has
+    quietly outgrown dictionary pages (ratio → 1).
+
+    Determinism: byte masses and NDV are exact integer aggregates;
+    the index width comes from the binary-string length of ndv−1
+    (integer-exact in both engines — no ln/log2 ulp exposure); the
+    one ratio is a fixed divide through the floor ladder and the
+    recommendation CASE compares the UNROUNDED ratio identically in
+    both engines.
+
+    Scale shape: one scan per profiled column feeding two hash
+    aggregates (global + distinct-value) — map-side combine collapses
+    low-cardinality columns to nothing; the eight 1-row profiles
+    union into one plan; no joins, nothing driver-side."""
+    out = None
+    for table, col in _DICT_COLUMNS:
+        t = load_table(spark, sf_dir, table)
+        vals = t.select(F.col(col).alias("v"))
+        dist_bytes = (
+            vals.distinct()
+            .agg(F.sum(F.length("v")).alias("dv_bytes"))
+        )
+        base = vals.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("v").alias("ndv"),
+            F.sum(F.length("v")).alias("plain_bytes"),
+        )
+        bits = F.length(F.bin(F.col("ndv") - 1))
+        dict_bytes = F.col("dv_bytes") + F.expr(
+            "(n_rows * length(bin(ndv - 1)) + 7) div 8"
+        )
+        ratio = F.col("plain_bytes").cast("double") / dict_bytes
+        row = (
+            base.crossJoin(F.broadcast(dist_bytes))
+            .select(
+                F.lit(f"{table}.{col}").alias("column_ref"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("ndv").cast("bigint").alias("ndv"),
+                F.col("plain_bytes").cast("bigint").alias("plain_bytes"),
+                dict_bytes.cast("bigint").alias("dict_bytes"),
+                (F.floor(ratio * 10000.0 + 0.5) / 10000.0).alias(
+                    "compression_ratio"
+                ),
+                F.when(ratio > _DICT_RATIO_STRONG, "dictionary")
+                .when(ratio > 1.0, "marginal")
+                .otherwise("plain")
+                .alias("recommendation"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

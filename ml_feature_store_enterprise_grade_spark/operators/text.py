@@ -3157,3 +3157,75 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("blocked_ratio"),
         (ratio <= _BLOCK_MAX_RATIO).alias("kept"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS w
+        FROM documents
+    ),
+    uc AS (SELECT w, COUNT(*) AS n FROM w GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM uc),
+    r AS (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk,
+               SUM(n) OVER (ORDER BY n DESC, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM uc
+    )
+    SELECT CAST(rnk AS INTEGER) AS vocab_rank,
+           w AS word,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS token_share,
+           ROUND(CAST(cum AS DOUBLE) / t.total, 6) AS cum_token_share
+    FROM r CROSS JOIN t
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-coverage curve by word-frequency rank — the
+    vocabulary-size design table a tokenizer builder reads before
+    fixing a vocab budget (rank-k cumulative share = the fraction of
+    the corpus a k-word vocabulary covers; the complement is the OOV
+    mass [[vocab_oov_rate]] measures for ONE fixed vocabulary, and
+    the curve's log-log slope is what [[vocab_zipf_fit]] fits).  One
+    row per vocabulary word: rank, word, token count, marginal and
+    cumulative token share.
+
+    Determinism: ranks and cumulative sums run over the total
+    (count desc, word asc) order on exact integers; both emitted
+    shares are single non-negative divides, ROUND-safe.
+
+    Scale shape: one map-side-combined token count shuffle into a
+    VOCABULARY-sized table; the ranking window sorts only that table
+    (a web corpus's vocabulary is millions of rows — one executor's
+    work), never the corpus; the grand total rides as a 1-row
+    broadcast."""
+    uc = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    t = uc.agg(F.sum("n").alias("total"))
+    win = Window.orderBy(F.desc("n"), F.asc("w"))
+    cum = Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        uc.withColumn("rnk", F.row_number().over(win))
+        .withColumn("cum", F.sum("n").over(cum))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("rnk").cast("int").alias("vocab_rank"),
+            F.col("w").alias("word"),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "cum_token_share"
+            ),
+        )
+    )

@@ -181,6 +181,11 @@ _FRONT: tuple[str, ...] = (
     "corpus_bigram_pmi",
     # --- New round-10 queries land here (slots reserved; overflow
     # uses defer=True and joins the r11 queue):
+    "minhash_jaccard_error_audit",
+    "session_gap_sensitivity",
+    "vocab_coverage_curve",
+    "dict_encoding_advisor",
+    "target_encoding_smoothing_sweep",
     # --- Oldest driver greens (last checked r3 — the final r3-era
     # cohort, rotation priority 3 per tools/update_checked_names.py;
     # next-oldest is the r4 cohort):

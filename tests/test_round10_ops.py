@@ -1,0 +1,226 @@
+"""Semantic invariants for the round-10 operator batch (session-gap
+sensitivity sweep, MinHash calibration audit, vocab coverage curve,
+dictionary-encoding advisor, target-encoding smoothing sweep) plus
+the re-planned staleness audit.  Oracle parity certifies VALUES;
+these pin the properties parity can't state: monotonicity of the
+design curves, exact Python/NumPy twins for the estimators, and the
+staleness re-plan's equivalence to the naive join on a bounded
+sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark import registry
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+_q = registry.any_query
+
+
+# --- session_gap_sensitivity ------------------------------------------
+
+
+def test_gap_sweep_monotone_and_consistent(spark):
+    rows = sorted(
+        _q("session_gap_sensitivity")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.gap_threshold_s,
+    )
+    assert [r.gap_threshold_s for r in rows] == [300, 1800, 3600, 21600]
+    n_events = rows[0].n_events
+    prev = None
+    for r in rows:
+        assert r.n_events == n_events
+        assert 1 <= r.n_sessions <= n_events
+        # a longer gap can only merge sessions, never split them
+        if prev is not None:
+            assert r.n_sessions <= prev.n_sessions
+            assert r.events_per_session >= prev.events_per_session
+            assert r.broken_gap_share <= prev.broken_gap_share
+        prev = r
+
+
+def test_gap_sweep_matches_python_sessionizer(spark):
+    """n_sessions at each threshold must equal an actual O(n log n)
+    Python sessionization of the same events."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    got = {
+        r.gap_threshold_s: r.n_sessions
+        for r in _q("session_gap_sensitivity")(spark, SF_SMOKE).collect()
+    }
+    for thr, expect in got.items():
+        n_sessions = 0
+        for evs in by_user.values():
+            evs.sort()
+            n_sessions += 1
+            for (a, _), (b, _) in zip(evs, evs[1:]):
+                if (b - a).total_seconds() > thr:
+                    n_sessions += 1
+        assert n_sessions == expect, f"threshold {thr}"
+
+
+# --- minhash_jaccard_error_audit ---------------------------------------
+
+
+def test_minhash_audit_buckets_are_calibrated(spark):
+    rows = _q("minhash_jaccard_error_audit")(spark, SF_SMOKE).collect()
+    assert rows, "LSH produced candidate pairs"
+    for r in rows:
+        assert 0 <= r.est_decile <= 9
+        assert 0.0 <= r.mean_exact_jaccard <= 1.0
+        assert 0.0 <= r.mean_abs_err <= 1.0
+        assert r.mean_abs_err <= r.max_abs_err + 1e-9
+        assert 0.0 <= r.true_dup_share <= 1.0
+    # calibration: a high-estimate bucket must hold genuinely
+    # more-similar pairs than a far-below one (adjacent deciles CAN
+    # invert — K=8 sketch noise is ±1 slot ≈ 1.25 deciles — so the
+    # check only bites when buckets are ≥3 deciles apart)
+    by = {r.est_decile: r for r in rows}
+    lo, hi = min(by), max(by)
+    if hi - lo >= 3:
+        assert by[hi].mean_exact_jaccard > by[lo].mean_exact_jaccard
+        assert by[hi].true_dup_share >= by[lo].true_dup_share
+
+
+def test_minhash_audit_error_bound_vs_sketch_theory(spark):
+    """K=8 one-permutation-style sketch: per-bucket MEAN absolute
+    error must stay within 3 standard errors of the binomial bound
+    sigma = sqrt(J(1-J)/K) evaluated at the bucket's mean exact J
+    (loose, but catches a broken estimator or a broken exact side)."""
+    rows = _q("minhash_jaccard_error_audit")(spark, SF_SMOKE).collect()
+    for r in rows:
+        j = min(max(r.mean_exact_jaccard, 0.0), 1.0)
+        sigma = math.sqrt(max(j * (1 - j), 1.0 / 64) / 8)
+        assert r.mean_abs_err <= 3 * sigma + 0.125, (
+            f"bucket {r.est_decile}: err {r.mean_abs_err} vs sigma {sigma}"
+        )
+
+
+# --- vocab_coverage_curve ----------------------------------------------
+
+
+def test_vocab_coverage_curve_shape(spark):
+    rows = sorted(
+        _q("vocab_coverage_curve")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.vocab_rank,
+    )
+    assert rows[0].vocab_rank == 1
+    assert [r.vocab_rank for r in rows] == list(range(1, len(rows) + 1))
+    # counts non-increasing in rank; cumulative share non-decreasing to ~1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_tokens >= b.n_tokens
+        assert b.cum_token_share >= a.cum_token_share - 1e-9
+    assert abs(rows[-1].cum_token_share - 1.0) < 2e-6
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert abs(r.token_share - r.n_tokens / total) < 2e-6
+
+
+# --- dict_encoding_advisor ---------------------------------------------
+
+
+def test_dict_advisor_matches_python_model(spark):
+    """Recompute the parquet dictionary model (distinct-value bytes +
+    ceil(log2 ndv)-bit indexes) per column in pure Python."""
+    rows = _q("dict_encoding_advisor")(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    for r in rows:
+        table, col = r.column_ref.split(".")
+        vals = [
+            x[0]
+            for x in load_table(spark, SF_SMOKE, table).select(col).collect()
+        ]
+        n, ndv = len(vals), len(set(vals))
+        plain = sum(len(v) for v in vals)
+        bits = max(1, (ndv - 1).bit_length()) if ndv > 1 else 1
+        dict_b = sum(len(v) for v in set(vals)) + (n * bits + 7) // 8
+        assert r.n_rows == n and r.ndv == ndv
+        assert r.plain_bytes == plain and r.dict_bytes == dict_b
+        ratio = plain / dict_b
+        assert abs(r.compression_ratio - ratio) < 2e-4
+        expect = (
+            "dictionary" if ratio > 1.5 else "marginal" if ratio > 1.0 else "plain"
+        )
+        assert r.recommendation == expect
+
+
+# --- target_encoding_smoothing_sweep ------------------------------------
+
+
+def test_te_sweep_monotone_in_m(spark):
+    rows = sorted(
+        _q("target_encoding_smoothing_sweep")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.smoothing_m,
+    )
+    assert [r.smoothing_m for r in rows] == [0, 1, 10, 100, 1000]
+    n_cat = rows[0].n_categories
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_categories == b.n_categories == n_cat
+        # more smoothing => less category weight, more shrink,
+        # less surviving spread
+        assert b.mean_category_weight <= a.mean_category_weight + 1e-9
+        assert b.mean_abs_shrink >= a.mean_abs_shrink - 1e-9
+        assert b.mean_sq_dev_from_global <= a.mean_sq_dev_from_global + 1e-9
+    # m=0 is the unsmoothed encoder: zero shrink, full weight
+    assert rows[0].mean_abs_shrink == 0.0
+    assert rows[0].mean_category_weight == 1.0
+
+
+# --- pit_staleness_audit (re-planned) -----------------------------------
+
+
+def test_staleness_runmax_equals_naive_join(spark):
+    """The single-shuffle running-max re-plan must reproduce the naive
+    fan-out join's freshest-close election event-for-event."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    closes: dict = {}
+    for r in ev:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        closes.setdefault(r.user_id, set()).add(h)
+    import datetime as dt
+
+    naive = {}
+    for r in ev:
+        cand = [
+            c + dt.timedelta(hours=1)
+            for c in closes[r.user_id]
+            if c + dt.timedelta(hours=1) <= r.ts
+        ]
+        st = (
+            int((r.ts - max(cand)).total_seconds()) if cand else None
+        )
+        key = r.event_type
+        naive.setdefault(key, []).append(st)
+    df = _q("pit_staleness_audit")(spark, SF_SMOKE).collect()
+    for row in df:
+        sts = naive[row.event_type]
+        matched = [s for s in sts if s is not None]
+        assert row.n_events == len(sts)
+        assert row.n_matched == len(matched)
+        if matched:
+            assert row.max_staleness_sec == max(matched)
+
+
+def test_staleness_plan_is_join_free(spark):
+    df = _q("pit_staleness_audit")(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # zero joins: union + window + aggregates
