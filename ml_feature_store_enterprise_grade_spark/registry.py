@@ -29,6 +29,7 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
+#   - embedding_distance_profile (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -215,6 +216,8 @@ _FRONT: tuple[str, ...] = (
     "volume_anomaly_days",
     "weighted_systematic_sample",
     "zorder_layout_plan",
+    # --- head of the NEXT-oldest cohort (r4) fills the final slot:
+    "ann_cosine_topk",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
