@@ -870,3 +870,127 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("byte_entropy_nats"),
     )
+
+
+_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_below_mid", T.IntegerType()),
+        T.StructField("n_runs", T.IntegerType()),
+        T.StructField("longest_run", T.IntegerType()),
+    ]
+)
+
+
+def audio_silence_runs(df: DataFrame) -> DataFrame:
+    """Arrow-batched run-length kernel over raw PCM8 payloads: decode
+    worker-side (numpy ``frombuffer``), threshold at the midpoint, and
+    emit exact integer run statistics per clip — the silence-trim /
+    dead-air-detection verb of an audio ingest (the modality verb the
+    frame featurizer :func:`audio_frame_features` does not cover:
+    runs need ORDER within the clip, not per-frame reductions)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nb, nr, lr = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8)[
+                    :_PCM_SAMPLES
+                ]
+                below = x < _PCM_MID
+                # run boundaries: positions where `below` turns on
+                starts = int(below[0]) + int(
+                    ((~below[:-1]) & below[1:]).sum()
+                )
+                longest = 0
+                if starts:
+                    # lengths via split on the off-positions
+                    idx = np.flatnonzero(
+                        np.diff(np.concatenate(([0], below.view(np.int8), [0])))
+                    )
+                    lengths = idx[1::2] - idx[0::2]
+                    longest = int(lengths.max())
+                ids.append(doc_id)
+                nb.append(int(below.sum()))
+                nr.append(starts)
+                lr.append(longest)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_below_mid": pd.array(nb, dtype="int32"),
+                    "n_runs": pd.array(nr, dtype="int32"),
+                    "longest_run": pd.array(lr, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _SILENCE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_silence_runs",
+    defer=True,
+    oracle=f"""
+    WITH hx AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    ),
+    u AS (
+        SELECT doc_id, t.t AS pos,
+               ascii(substring(hex, t.t + 1, 1)) < {_PCM_MID} AS below
+        FROM hx CROSS JOIN (
+            SELECT unnest(generate_series(0, {_PCM_SAMPLES - 1})) AS t
+        ) t
+    ),
+    runs AS (
+        SELECT doc_id, COUNT(*) AS len FROM (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM u WHERE below
+        ) GROUP BY doc_id, grp
+    ),
+    agg AS (
+        SELECT doc_id, SUM(len) AS n_below, COUNT(*) AS n_runs,
+               MAX(len) AS longest
+        FROM runs GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_below, 0) AS INTEGER) AS n_below_mid,
+           CAST(COALESCE(a.n_runs, 0) AS INTEGER) AS n_runs,
+           CAST(COALESCE(a.longest, 0) AS INTEGER) AS longest_run,
+           ROUND(CAST(COALESCE(a.n_below, 0) AS DOUBLE)
+                 / {_PCM_SAMPLES}, 6) AS below_mid_share
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def multimodal_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment audit over the PCM8 clips — the audio
+    dead-air / silence-trimming screen an ingest runs before paying
+    for transcription or feature extraction: per clip, how many
+    samples sit below the amplitude midpoint, how many contiguous
+    below-mid RUNS there are, and the longest run (a clip that is one
+    long run is dead air; thousands of 1-sample runs is noise).  The
+    decode is REAL — the Arrow-batched kernel parses the raw bytes
+    and computes run lengths with numpy order-preserving ops (the one
+    verb the per-frame featurizer can't express: runs span frame
+    boundaries); the oracle reconstructs every run from the fixture's
+    generative definition through a gaps-and-islands window, so a
+    green hash row certifies the run-length kernel byte-exactly.
+
+    Determinism: all four statistics are exact integers from a total
+    order (sample position); the share is one non-negative divide.
+
+    Scale shape: one mapInPandas pass (Arrow batches, one output row
+    per clip), one broadcast-size left join back to the clip ids —
+    embarrassingly parallel, no shuffles of sample-level data."""
+    runs = audio_silence_runs(pcm_documents(spark, sf_dir))
+    return runs.select(
+        "doc_id",
+        "n_below_mid",
+        "n_runs",
+        "longest_run",
+        F.round(
+            F.col("n_below_mid").cast("double") / _PCM_SAMPLES, 6
+        ).alias("below_mid_share"),
+    )

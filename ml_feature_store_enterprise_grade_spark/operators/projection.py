@@ -483,3 +483,125 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+#: Winsorization candidate levels (discrete percentiles of the value
+#: distribution; 'none' anchors the untouched baseline).
+_WINSOR_LEVELS = ("p90", "p95", "p99", "none")
+
+
+@register(
+    "event_value_winsorize_sweep",
+    defer=True,
+    oracle="""
+    WITH v AS (
+        SELECT value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    caps AS (
+        SELECT quantile_disc(value, 0.90) AS c90,
+               quantile_disc(value, 0.95) AS c95,
+               quantile_disc(value, 0.99) AS c99,
+               MAX(value) AS cmax
+        FROM v
+    ),
+    l AS (
+        SELECT (s).lvl AS clip_level, (s).cap AS cap FROM (
+            SELECT unnest([
+                struct_pack(lvl := 'p90', cap := c90),
+                struct_pack(lvl := 'p95', cap := c95),
+                struct_pack(lvl := 'p99', cap := c99),
+                struct_pack(lvl := 'none', cap := cmax)
+            ]) AS s FROM caps
+        )
+    ),
+    q AS (
+        SELECT l.clip_level, l.cap,
+               CASE WHEN v.value > l.cap THEN 1 ELSE 0 END AS clipped,
+               CAST(FLOOR(LEAST(v.value, l.cap) * 1000000.0)
+                    AS BIGINT) AS qc,
+               CAST(FLOOR(v.value * 1000000.0) AS BIGINT) AS qr
+        FROM v CROSS JOIN l
+    )
+    SELECT clip_level,
+           ROUND(cap, 6) AS cap_value,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(clipped) AS DOUBLE) / COUNT(*), 6)
+               AS clipped_share,
+           FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS mean_after,
+           FLOOR(CAST(SUM(qr) - SUM(qc) AS DOUBLE) / COUNT(*) + 0.5)
+               / 1000000.0 AS mean_reduction
+    FROM q GROUP BY 1, 2
+    """,
+)
+def event_value_winsorize_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization design sweep over the event value distribution —
+    the outlier-handling curve read BEFORE fixing a clip level in a
+    feature pipeline: per candidate cap (the exact p90/p95/p99
+    discrete percentiles, plus the untouched baseline), how many
+    values clip, and what the clipping does to the mean (tail mass
+    removed).  Too aggressive a cap biases the feature; no cap lets a
+    single 490.02 outlier dominate a 147-median distribution
+    (measured sf0.01) — the sweep quantifies the trade from ONE value
+    scan (the [[label_horizon_sweep]] / [[session_gap_sensitivity]] /
+    [[target_encoding_smoothing_sweep]] design-curve pattern; the
+    fixed-cut twin of [[robust_order_value_stats]]'s estimator view).
+
+    Determinism: caps are DISCRETE percentiles (actual elements,
+    identical in both engines); clipped values quantize at the leaf
+    (floor·1e6 on non-negative operands) so the per-level means are
+    exact integer sums with one fixed divide each through the
+    sign-safe ladder; mean_reduction subtracts quantized integers
+    (elementwise qr ≥ qc, so it is non-negative by construction).
+
+    Scale shape: one percentile aggregate (the repo's exact
+    distributed percentile_disc) and one conditional-aggregate pass
+    over values × 4 levels — no per-level rescans, no window over
+    events, the caps ride as a 1-row broadcast."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("value")
+    )
+    caps = v.agg(
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY value)").alias("c90"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("c95"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("c99"),
+        F.max("value").alias("cmax"),
+    )
+    levels = F.explode(
+        F.array(
+            F.struct(F.lit("p90").alias("lvl"), F.col("c90").alias("cap")),
+            F.struct(F.lit("p95").alias("lvl"), F.col("c95").alias("cap")),
+            F.struct(F.lit("p99").alias("lvl"), F.col("c99").alias("cap")),
+            F.struct(F.lit("none").alias("lvl"), F.col("cmax").alias("cap")),
+        )
+    )
+    l = caps.select(levels.alias("s")).select(
+        F.col("s.lvl").alias("clip_level"), F.col("s.cap").alias("cap")
+    )
+    q = v.crossJoin(F.broadcast(l)).select(
+        "clip_level",
+        "cap",
+        F.when(F.col("value") > F.col("cap"), 1).otherwise(0).alias("clipped"),
+        F.floor(F.least(F.col("value"), F.col("cap")) * 1000000.0)
+        .cast("bigint")
+        .alias("qc"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("qr"),
+    )
+    return q.groupBy("clip_level", F.round(F.col("cap"), 6).alias("cap_value")).agg(
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.sum("clipped").cast("double") / F.count("*"), 6).alias(
+            "clipped_share"
+        ),
+        (
+            F.floor(F.sum("qc").cast("double") / F.count("*") + 0.5) / 1000000.0
+        ).alias("mean_after"),
+        (
+            F.floor(
+                (F.sum("qr") - F.sum("qc")).cast("double") / F.count("*") + 0.5
+            )
+            / 1000000.0
+        ).alias("mean_reduction"),
+    )

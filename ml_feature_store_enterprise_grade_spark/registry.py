@@ -30,6 +30,9 @@ ORACLES: dict[str, str] = {}
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
 #   - embedding_distance_profile (round 11 queue)
+#   - anonymity_generalization_ladder (round 11 queue)
+#   - multimodal_audio_silence_runs (round 11 queue)
+#   - event_value_winsorize_sweep (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -224,3 +224,102 @@ def test_staleness_plan_is_join_free(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # zero joins: union + window + aggregates
+
+
+# --- embedding_distance_profile (r11 queue) ------------------------------
+
+
+def test_distance_profile_is_linear_pair_sample(spark):
+    rows = _q("embedding_distance_profile")(spark, SF_SMOKE).collect()
+    n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
+    n_pairs = sum(r.n_pairs for r in rows)
+    # ring pairing: exactly (n - buckets-with-members) pairs, so < n
+    assert 0 < n_pairs < n_vec
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert -10 <= r.cosine_band <= 9
+        assert -1.0 <= r.mean_cosine <= 1.0
+        # the band mean must actually lie in its band
+        assert r.cosine_band / 10.0 - 1e-6 <= r.mean_cosine <= (
+            r.cosine_band + 1
+        ) / 10.0 + 1e-6
+
+
+# --- anonymity_generalization_ladder (r11 queue) --------------------------
+
+
+def test_anonymity_ladder_monotone(spark):
+    rows = sorted(
+        _q("anonymity_generalization_ladder")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.qi_level,
+    )
+    assert [r.qi_level for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        # finer QI sets can only fragment groups: more groups, lower k,
+        # more suppression
+        assert b.n_groups >= a.n_groups
+        assert b.k_anonymity <= a.k_anonymity
+        assert b.suppressed_share >= a.suppressed_share - 1e-9
+    for r in rows:
+        assert 0.0 <= r.suppressed_share <= 1.0
+        assert r.k_anonymity >= 1
+
+
+# --- multimodal_audio_silence_runs (r11 queue) ----------------------------
+
+
+def test_audio_silence_runs_python_twin(spark):
+    """The run-length kernel vs a pure-Python twin over the same
+    generative payloads (first 25 clips)."""
+    import hashlib
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    )
+    got = {
+        r.doc_id: r
+        for r in _q("multimodal_audio_silence_runs")(spark, SF_SMOKE).collect()
+    }
+    for d in docs:
+        hx = "".join(
+            hashlib.md5(f"{d.text}#{i}".encode()).hexdigest() for i in range(24)
+        )
+        below = [ord(c) < 75 for c in hx[:768]]
+        n_below = sum(below)
+        runs = []
+        cur = 0
+        for b in below:
+            if b:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = got[d.doc_id]
+        assert r.n_below_mid == n_below
+        assert r.n_runs == len(runs)
+        assert r.longest_run == (max(runs) if runs else 0)
+
+
+# --- event_value_winsorize_sweep (r11 queue) -------------------------------
+
+
+def test_winsorize_sweep_monotone(spark):
+    rows = {r.clip_level: r for r in _q("event_value_winsorize_sweep")(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"p90", "p95", "p99", "none"}
+    assert rows["none"].n_clipped == 0
+    assert rows["none"].mean_reduction == 0.0
+    # tighter caps clip more and cut the mean more
+    assert rows["p90"].n_clipped >= rows["p95"].n_clipped >= rows["p99"].n_clipped
+    assert (
+        rows["p90"].mean_reduction
+        >= rows["p95"].mean_reduction
+        >= rows["p99"].mean_reduction
+    )
+    assert rows["p90"].cap_value <= rows["p95"].cap_value <= rows["p99"].cap_value
+    for r in rows.values():
+        assert r.mean_after <= rows["none"].mean_after + 1e-9
