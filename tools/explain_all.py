@@ -170,6 +170,16 @@ QUERIES = (
     "doc_blocklist_filter",
     "pit_staleness_audit",
     "embedding_knn_label_accuracy",
+    # round 10 additions
+    "minhash_jaccard_error_audit",
+    "session_gap_sensitivity",
+    "dict_encoding_advisor",
+    "target_encoding_smoothing_sweep",
+    "vocab_coverage_curve",
+    "embedding_distance_profile",
+    "anonymity_generalization_ladder",
+    "event_value_winsorize_sweep",
+    "multimodal_audio_silence_runs",
 )
 
 
