@@ -6120,3 +6120,112 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("broken_gap_share"),
     )
+
+
+@register(
+    "cobuy_community_conductance",
+    defer=True,
+    oracle=f"""
+    WITH {_lpa_cte()},
+    lab AS (SELECT item_id, label FROM l{_LPA_ROUNDS}),
+    m AS (SELECT COUNT(*) AS m2 FROM sym),
+    e AS (
+        SELECT s.label AS community,
+               CASE WHEN s.label = d.label THEN 0 ELSE 1 END AS is_cut
+        FROM sym
+        JOIN lab s ON sym.src = s.item_id
+        JOIN lab d ON sym.dst = d.item_id
+    ),
+    g AS (
+        SELECT community, COUNT(*) AS volume, SUM(is_cut) AS cut_edges
+        FROM e GROUP BY 1
+    ),
+    n AS (
+        SELECT label AS community, COUNT(*) AS n_members
+        FROM lab GROUP BY 1
+    )
+    SELECT n.community, CAST(n.n_members AS BIGINT) AS n_members,
+           CAST(g.volume AS BIGINT) AS volume,
+           CAST(g.cut_edges AS BIGINT) AS cut_edges,
+           FLOOR(CAST(g.cut_edges AS DOUBLE)
+                 / NULLIF(LEAST(g.volume, m.m2 - g.volume), 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conductance
+    FROM n JOIN g USING (community) CROSS JOIN m
+    """,
+)
+def cobuy_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the LPA partition — the
+    cut-quality twin of [[graph_modularity]] (modularity scores the
+    partition globally; conductance φ(c) = cut(c)/min(vol(c),
+    2m−vol(c)) scores each community's boundary, the standard
+    community-goodness measure of Kannan-Vempala-Vetta and the
+    quantity seed-set expansion methods optimize).  A community with
+    φ near 0 is a real module; φ near 1 means its members talk to
+    outsiders as much as insiders — LPA noise the downstream
+    recommender should not treat as a segment.  Per community: member
+    count, directed volume, cut edge count, conductance.
+
+    Determinism: reuses the per-(session, sf) memoized deterministic
+    LPA labels and cached edge list ([[item_label_propagation]]'s
+    ``_lpa_graph_labels``) — the oracle re-derives the identical
+    fixed point through the shared ``_lpa_cte``; volumes and cuts are
+    exact integer tallies; the one ratio is a fixed non-negative
+    divide through the floor ladder, NULL for a partition with a
+    single community (min(vol, 2m−vol) = 0 — NULLIF-guarded in both
+    engines).
+
+    Scale shape: the (catalog-bounded) label frame broadcasts into
+    the cached edge scan twice, cut/volume tallies collapse map-side,
+    2m rides as a 1-row broadcast — zero wide shuffles beyond the
+    per-community aggregate, the [[graph_modularity]] plan with a
+    different reduction."""
+    sym, lab = _lpa_graph_labels(spark, sf_dir)
+    m = sym.agg(F.count("*").alias("m2"))
+    e = (
+        sym.join(
+            F.broadcast(
+                lab.select(F.col("item_id").alias("src"), F.col("label").alias("sl"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                lab.select(F.col("item_id").alias("dst"), F.col("label").alias("dl"))
+            ),
+            "dst",
+        )
+        .select(
+            F.col("sl").alias("community"),
+            F.when(F.col("sl") == F.col("dl"), 0).otherwise(1).alias("is_cut"),
+        )
+    )
+    g = e.groupBy("community").agg(
+        F.count("*").alias("volume"), F.sum("is_cut").alias("cut_edges")
+    )
+    n = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        n.join(g, "community")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("volume").cast("bigint").alias("volume"),
+            F.col("cut_edges").cast("bigint").alias("cut_edges"),
+            (
+                F.floor(
+                    F.col("cut_edges").cast("double")
+                    / F.nullif(
+                        F.least(
+                            F.col("volume"), F.col("m2") - F.col("volume")
+                        ),
+                        F.lit(0),
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("conductance"),
+        )
+    )

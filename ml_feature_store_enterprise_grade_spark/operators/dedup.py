@@ -2976,3 +2976,190 @@ def minhash_jaccard_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 minhash_jaccard_error_audit.__doc__ = minhash_jaccard_error_audit.__doc__.format(
     k=_MINHASH_K, thr=_JACCARD_THRESHOLD
 )
+
+
+@register(
+    "dedup_method_agreement",
+    defer=True,
+    oracle=f"""
+    WITH {_SHINGLES_SQL_CTE},
+    tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM nd),
+    th AS (
+        SELECT doc_id, {PORTABLE_HASH64_SQL("token", seed=7)} AS h FROM tok
+    ),
+    bit AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (
+            SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS b)
+        GROUP BY doc_id, b
+    ),
+    sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                   ELSE 0 END) AS simhash
+        FROM bit GROUP BY doc_id
+    ),
+    sbytes AS (
+        SELECT doc_id, simhash, i, (simhash >> (8 * i)) & 255 AS byte
+        FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    ),
+    sp AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM sbytes a JOIN sbytes b
+              ON a.i = b.i AND a.byte = b.byte AND a.doc_id < b.doc_id
+        ) WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAMMING_MAX}
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+        FROM shf GROUP BY doc_id
+    ),
+    bands AS ({_MINHASH_BAND_SQL}),
+    mcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    ),
+    mh AS (
+        SELECT c.doc_a, c.doc_b
+        FROM mcand c JOIN sig x ON c.doc_a = x.doc_id
+                     JOIN sig y ON c.doc_b = y.doc_id
+        WHERE ({_MINHASH_AGREE_SQL}) / {float(_MINHASH_K)}
+              >= {_EST_JACCARD_THRESHOLD}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    ex AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shf a JOIN shf b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / (x.n + y.n - p.n_common)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    keys AS (
+        SELECT doc_a, doc_b FROM mh
+        UNION
+        SELECT doc_a, doc_b FROM sp
+        UNION
+        SELECT doc_a, doc_b FROM ex
+    ),
+    f AS (
+        SELECT k.doc_a, k.doc_b,
+               m.doc_a IS NOT NULL AS in_minhash,
+               s.doc_a IS NOT NULL AS in_simhash,
+               e.doc_a IS NOT NULL AS in_exact
+        FROM keys k
+        LEFT JOIN mh m ON k.doc_a = m.doc_a AND k.doc_b = m.doc_b
+        LEFT JOIN sp s ON k.doc_a = s.doc_a AND k.doc_b = s.doc_b
+        LEFT JOIN ex e ON k.doc_a = e.doc_a AND k.doc_b = e.doc_b
+    ),
+    t AS (SELECT COUNT(*) AS total FROM f)
+    SELECT in_minhash, in_simhash, in_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS pair_share
+    FROM f CROSS JOIN t
+    GROUP BY 1, 2, 3, t.total
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method near-dup agreement census — the confusion table
+    between the engine's three dedup detectors on the SAME corpus:
+    MinHash-LSH (estimated Jaccard ≥ {mthr}), SimHash byte-banding
+    (Hamming ≤ {hthr}), and exact shingle Jaccard (≥ {jthr}).  Every
+    pair any method flags lands in one of the 7 membership classes;
+    the table shows which detectors agree, which one over-fires
+    (flags nothing else confirms), and which true near-dups
+    (exact-side) each sketch misses — the evidence a pipeline owner
+    needs before trusting ONE method at 100 TB where the exact column
+    is unaffordable.
+
+    Determinism: each member set is the registered operator's own
+    deterministic pair set ([[dedup_minhash_lsh]],
+    [[dedup_simhash_pairs]], [[dedup_ngram_jaccard]] semantics,
+    re-derived through the same shared machinery); membership flags
+    are NULL-checks on equi-joins; counts are exact integers and the
+    one share is a non-negative ROUND-safe divide.
+
+    Scale shape: all three candidate generators are banded/blocked
+    equi-joins (never all-pairs); the census unions three slim pair
+    frames and aggregates 7 rows — bounded output at any corpus
+    size."""
+    sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
+    sh.count()
+    sig = minhash_signatures(sh)
+    cand = _lsh_candidate_pairs(sig)
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{j}").alias(f"xs_{j}") for j in range(_MINHASH_K)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{j}").alias(f"ys_{j}") for j in range(_MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"xs_{j}") == F.col(f"ys_{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    mh = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(agree / _MINHASH_K >= _EST_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    sp = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    ex = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    keys = mh.unionByName(sp).unionByName(ex).distinct()
+    flags = (
+        keys.join(mh.withColumn("in_minhash", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .join(sp.withColumn("in_simhash", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .join(ex.withColumn("in_exact", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .select(
+            F.coalesce(F.col("in_minhash"), F.lit(False)).alias("in_minhash"),
+            F.coalesce(F.col("in_simhash"), F.lit(False)).alias("in_simhash"),
+            F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
+        )
+    )
+    t = flags.agg(F.count("*").alias("total"))
+    return (
+        flags.groupBy("in_minhash", "in_simhash", "in_exact")
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "in_minhash",
+            "in_simhash",
+            "in_exact",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.col("n_pairs").cast("double") / F.col("total"), 6).alias(
+                "pair_share"
+            ),
+        )
+    )
+
+
+dedup_method_agreement.__doc__ = dedup_method_agreement.__doc__.format(
+    mthr=_EST_JACCARD_THRESHOLD, hthr=_SIMHASH_HAMMING_MAX, jthr=_JACCARD_THRESHOLD
+)

@@ -33,6 +33,8 @@ ORACLES: dict[str, str] = {}
 #   - anonymity_generalization_ladder (round 11 queue)
 #   - multimodal_audio_silence_runs (round 11 queue)
 #   - event_value_winsorize_sweep (round 11 queue)
+#   - cobuy_community_conductance (round 11 queue)
+#   - dedup_method_agreement (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

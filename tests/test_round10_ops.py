@@ -323,3 +323,46 @@ def test_winsorize_sweep_monotone(spark):
     assert rows["p90"].cap_value <= rows["p95"].cap_value <= rows["p99"].cap_value
     for r in rows.values():
         assert r.mean_after <= rows["none"].mean_after + 1e-9
+
+
+# --- cobuy_community_conductance (r11 queue) -------------------------------
+
+
+def test_conductance_consistent_with_modularity_frame(spark):
+    """Conductance rows must describe the SAME partition the
+    modularity query scores: identical community ids and member
+    counts, volumes equal to the degree sums, and cut + internal
+    edge tallies adding up to each community's volume."""
+    cond = {
+        r.community: r
+        for r in _q("cobuy_community_conductance")(spark, SF_SMOKE).collect()
+    }
+    mod = {r.community: r for r in _q("graph_modularity")(spark, SF_SMOKE).collect()}
+    assert set(cond) == set(mod)
+    for c, r in cond.items():
+        assert r.n_members == mod[c].n_members
+        assert r.volume == mod[c].degree_sum
+        assert r.cut_edges == r.volume - 2 * mod[c].internal_edges
+        if r.conductance is not None:
+            assert 0.0 <= r.conductance <= 1.0
+
+
+# --- dedup_method_agreement (r11 queue) ------------------------------------
+
+
+def test_method_agreement_census_is_exhaustive(spark):
+    """The census classes must partition the union of the three pair
+    sets, and the per-method marginals must equal the registered
+    operators' own pair counts."""
+    rows = _q("dedup_method_agreement")(spark, SF_SMOKE).collect()
+    total = sum(r.n_pairs for r in rows)
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-4
+    n_sim = sum(r.n_pairs for r in rows if r.in_simhash)
+    n_ex = sum(r.n_pairs for r in rows if r.in_exact)
+    n_mh = sum(r.n_pairs for r in rows if r.in_minhash)
+    assert n_sim == _q("dedup_simhash_pairs")(spark, SF_SMOKE).count()
+    assert n_ex == _q("dedup_ngram_jaccard")(spark, SF_SMOKE).count()
+    assert n_mh == _q("dedup_minhash_lsh")(spark, SF_SMOKE).count()
+    assert 0 < max(n_sim, n_ex, n_mh) <= total
+    # no all-false class can exist (every key came from some set)
+    assert all(r.in_minhash or r.in_simhash or r.in_exact for r in rows)
