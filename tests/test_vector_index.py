@@ -362,3 +362,44 @@ def test_knn_candidates_rejects_meta_collision(spark):
             emb.select("vec_id", "embedding", "label"),
             k=1,
         )
+
+
+def test_knn_candidates_asymmetric_with_meta_full_probe(spark, tmp_path):
+    """The bitext shape: disjoint query/corpus sides with metadata
+    passthrough — IVF path under a full probe must reproduce the
+    exact path's candidate top-k including the meta columns."""
+    from pyspark.sql.window import Window
+
+    from ml_feature_store_enterprise_grade_spark.operators.similarity import (
+        knn_candidates,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        (F.col("label")).alias("qlab"),
+    )
+    c = emb.filter(F.col("label") % 2 == 1).select(
+        "vec_id", "embedding", F.col("label").alias("nlab")
+    )
+    k = 3
+
+    def topk(df):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        return {
+            (r.query_id, r.rk): (r.neighbor_id, r.cosine_sim, r.qlab, r.nlab)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+
+    exact = topk(knn_candidates(q, c, k=k))
+    ivf = topk(
+        knn_candidates(
+            q, c, k=k, exact_below=0, nprobe=8, ivf_cells=8,
+            index_path=str(tmp_path / "asym"),
+        )
+    )
+    assert ivf == exact and exact
