@@ -1661,32 +1661,36 @@ def anonymity_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFra
         "balband",
         F.floor(F.col("c_acctbal") / _LADDER_BAL_WIDTH).cast("bigint"),
     )
-    total = cust.count()
+    total_df = cust.agg(F.count("*").alias("n_total"))
     out = None
     for level, desc, cols in _QI_LADDER:
         g = cust.groupBy(*[F.col(c) for c in cols]).agg(
             F.count("*").alias("group_size")
         )
         row = g.agg(
+            F.count("*").alias("n_groups_raw"),
+            F.min("group_size").alias("min_gs"),
+            F.sum(F.when(F.col("group_size") < _K_ANON, 1).otherwise(0)).alias(
+                "small_raw"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("group_size") < _K_ANON, F.col("group_size")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("supp_raw"),
+        ).crossJoin(F.broadcast(total_df)).select(
             F.lit(level).alias("qi_level"),
             F.lit(desc).alias("qi_columns"),
-            F.count("*").cast("bigint").alias("n_groups"),
-            F.min("group_size").cast("bigint").alias("k_anonymity"),
-            F.sum(F.when(F.col("group_size") < _K_ANON, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_small_groups"),
+            F.col("n_groups_raw").cast("bigint").alias("n_groups"),
+            F.col("min_gs").cast("bigint").alias("k_anonymity"),
+            F.col("small_raw").cast("bigint").alias("n_small_groups"),
             (
                 F.floor(
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                F.col("group_size") < _K_ANON,
-                                F.col("group_size"),
-                            ).otherwise(0)
-                        ),
-                        F.lit(0),
-                    ).cast("double")
-                    / total
+                    F.col("supp_raw").cast("double")
+                    / F.col("n_total")
                     * 1000000.0
                     + 0.5
                 )
