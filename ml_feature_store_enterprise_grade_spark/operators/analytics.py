@@ -6229,3 +6229,129 @@ def cobuy_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+@register(
+    "rec_novelty_by_rank",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    pair AS (
+        SELECT a.item_id AS a, b.item_id AS b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst, n_ab FROM pair
+        UNION ALL
+        SELECT b AS src, a AS dst, n_ab FROM pair
+    ),
+    rec AS (
+        SELECT src, dst, rk FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY n_ab DESC, dst
+                   ) AS rk
+            FROM sym
+        ) WHERE rk <= {_REC_COV_K}
+    ),
+    no AS (SELECT COUNT(DISTINCT order_id) AS n_orders FROM basket),
+    pop AS (
+        SELECT item_id, COUNT(*) AS n_i FROM basket GROUP BY 1
+    ),
+    q AS (
+        SELECT rec.rk,
+               CAST(FLOOR(-ln(CAST(pop.n_i AS DOUBLE) / no.n_orders)
+                          * 1000000.0) AS BIGINT) AS qn,
+               CAST(FLOOR(CAST(pop.n_i AS DOUBLE) / no.n_orders
+                          * 1000000.0) AS BIGINT) AS qp
+        FROM rec JOIN pop ON rec.dst = pop.item_id CROSS JOIN no
+    )
+    SELECT CAST(rk AS INTEGER) AS rec_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_recs,
+           FLOOR(CAST(SUM(qn) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS mean_novelty_nats,
+           FLOOR(CAST(SUM(qp) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS mean_popularity_share
+    FROM q GROUP BY 1
+    """,
+)
+def rec_novelty_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty profile of the co-buy recommender by list position
+    (Vargas & Castells 2011 self-information: −ln p(i), p = share of
+    orders containing the item): does the recommender surface
+    anything users would not find on their own, and does novelty
+    improve further down the list?  Per rec rank 1..{k}: slot count,
+    mean novelty (nats) and mean popularity share of the items
+    occupying that rank — the popularity-bias curve that NDCG
+    ([[rec_popularity_ndcg]]) and aggregate diversity
+    ([[rec_coverage_gini]]) both miss (a recommender can have decent
+    coverage while still putting the blockbuster at rank 1 of every
+    list).
+
+    Determinism: rec lists rank on exact co-buy counts with item-id
+    tie-break; popularity shares are one fixed divide of exact
+    integers; per-slot novelty quantizes at the leaf (floor·1e6 of a
+    positive operand — the repo's lnq idiom); per-rank means are
+    integer sums with one fixed divide through the sign-safe ladder.
+
+    Scale shape: reuses the memoized co-buy census (no basket
+    self-join at query time); the top-k window partitions by item
+    over the catalog-bounded census; popularity is one map-side
+    basket aggregate joined catalog-to-catalog; output is ≤{k} rows
+    at any scale."""
+    census = cobuy_pair_census(spark, sf_dir)
+    sym = census.selectExpr("a AS src", "b AS dst", "n_ab").unionAll(
+        census.selectExpr("b AS src", "a AS dst", "n_ab")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_ab"), F.asc("dst"))
+    rec = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _REC_COV_K)
+        .select("dst", "rk")
+    )
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    pop = basket.groupBy("item_id").agg(F.count("*").alias("n_i"))
+    no = basket.agg(F.countDistinct("order_id").alias("n_orders"))
+    q = (
+        rec.join(pop, rec["dst"] == pop["item_id"])
+        .crossJoin(F.broadcast(no))
+        .select(
+            "rk",
+            F.floor(
+                -F.log(F.col("n_i").cast("double") / F.col("n_orders"))
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("qn"),
+            F.floor(
+                F.col("n_i").cast("double") / F.col("n_orders") * 1000000.0
+            )
+            .cast("bigint")
+            .alias("qp"),
+        )
+    )
+    return q.groupBy(F.col("rk").cast("int").alias("rec_rank")).agg(
+        F.count("*").cast("bigint").alias("n_recs"),
+        (
+            F.floor(F.sum("qn").cast("double") / F.count("*") + 0.5) / 1000000.0
+        ).alias("mean_novelty_nats"),
+        (
+            F.floor(F.sum("qp").cast("double") / F.count("*") + 0.5) / 1000000.0
+        ).alias("mean_popularity_share"),
+    )
+
+
+rec_novelty_by_rank.__doc__ = rec_novelty_by_rank.__doc__.format(k=_REC_COV_K)

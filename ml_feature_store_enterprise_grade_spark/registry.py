@@ -35,6 +35,7 @@ ORACLES: dict[str, str] = {}
 #   - event_value_winsorize_sweep (round 11 queue)
 #   - cobuy_community_conductance (round 11 queue)
 #   - dedup_method_agreement (round 11 queue)
+#   - rec_novelty_by_rank (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

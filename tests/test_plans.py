@@ -544,11 +544,18 @@ def test_blocklist_filter_single_scan_no_join(spark):
     assert "n_chars" not in scan
 
 
-def test_pit_staleness_broadcast_asof_no_window(spark):
+def test_pit_staleness_single_shuffle_runmax_no_join(spark):
+    """Round-10 re-plan (VERDICT r9 item 3): the staleness election is
+    a per-user running MAX over the merged close/event stream — the
+    plan must be entirely JOIN-FREE (the old broadcast as-of form
+    fanned out by per-user history length) with exactly one user-keyed
+    exchange feeding the window."""
     plan = plan_of(spark, "pit_staleness_audit")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "Window" not in plan  # max election is a hash aggregate
+    assert "Join" not in plan
+    assert "Window" in plan  # the running-max election
+    # one user-keyed shuffle feeds the window (plus the hash-agg
+    # exchanges for closes and the per-type summary)
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_knn_label_accuracy_broadcast_not_cartesian(spark):

@@ -366,3 +366,24 @@ def test_method_agreement_census_is_exhaustive(spark):
     assert 0 < max(n_sim, n_ex, n_mh) <= total
     # no all-false class can exist (every key came from some set)
     assert all(r.in_minhash or r.in_simhash or r.in_exact for r in rows)
+
+
+# --- rec_novelty_by_rank (r11 queue) ---------------------------------------
+
+
+def test_rec_novelty_rank_curve(spark):
+    rows = sorted(
+        _q("rec_novelty_by_rank")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.rec_rank,
+    )
+    assert [r.rec_rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.n_recs > 0
+        assert 0.0 < r.mean_popularity_share <= 1.0
+        assert r.mean_novelty_nats >= 0.0
+        # novelty ~= -ln(popularity) must be consistent within the
+        # row (Jensen: mean(-ln p) >= -ln(mean p))
+        assert r.mean_novelty_nats >= -math.log(r.mean_popularity_share) - 1e-3
+    # rank-1 recs are the strongest co-buy partners => at least as
+    # popular on average as deep-list recs (weak check, curve exists)
+    assert rows[0].n_recs >= rows[-1].n_recs
