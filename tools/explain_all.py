@@ -180,6 +180,9 @@ QUERIES = (
     "anonymity_generalization_ladder",
     "event_value_winsorize_sweep",
     "multimodal_audio_silence_runs",
+    "cobuy_community_conductance",
+    "dedup_method_agreement",
+    "rec_novelty_by_rank",
 )
 
 
