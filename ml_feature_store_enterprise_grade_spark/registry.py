@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #   - cobuy_community_conductance (round 11 queue)
 #   - dedup_method_agreement (round 11 queue)
 #   - rec_novelty_by_rank (round 11 queue)
+#   - stream_histogram_quantile_monitor (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -1107,3 +1107,127 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type")
     )
     return run_available_now(deduped, "stream_dedup_within_watermark")
+
+
+#: Quantiles tracked by the streaming histogram monitor (the
+#: sketches-module defaults, cited not duplicated).
+from ..operators.sketches import _HQ_BIN_W as _SQM_BIN_W  # noqa: E402
+from ..operators.sketches import _HQ_QS as _SQM_QS  # noqa: E402
+
+
+@register(
+    "stream_histogram_quantile_monitor",
+    defer=True,
+    oracle=f"""
+    WITH v AS (
+        SELECT ts, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    fin AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(FLOOR(value / {_SQM_BIN_W}) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM v
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM v)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, SUM(cnt) OVER (PARTITION BY window_start
+                                 ORDER BY bin) AS cum
+        FROM fin
+    ),
+    tot AS (SELECT window_start, SUM(cnt) AS n FROM fin GROUP BY 1),
+    q AS (SELECT unnest([{", ".join(str(q) for q in _SQM_QS)}]) AS q),
+    tgt AS (
+        SELECT window_start, n, q,
+               CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS target
+        FROM tot CROSS JOIN q
+    ),
+    hit AS (
+        SELECT t.window_start, t.n, t.q,
+               CAST(c.bin AS DOUBLE) * {_SQM_BIN_W}
+                   + {_SQM_BIN_W}
+                     * CAST(t.target - (c.cum - c.cnt) AS DOUBLE)
+                     / CAST(c.cnt AS DOUBLE) AS est
+        FROM tgt t JOIN cum c ON t.window_start = c.window_start
+        WHERE c.cum >= t.target AND c.cum - c.cnt < t.target
+    )
+    SELECT window_start,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           {", ".join(
+               f"ROUND(MAX(CASE WHEN q = {q} THEN est END), 6) "
+               f"AS est_p{int(q * 100)}"
+               for q in _SQM_QS
+           )}
+    FROM hit GROUP BY 1
+    """,
+)
+def stream_histogram_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latency/value-percentile monitor: per finalized
+    hourly window, p50/p95/p99 of ``value`` estimated from a
+    fixed-width histogram sketch — THE production pattern for
+    percentiles over a stream (exact streaming percentiles need
+    unbounded state; a histogram's per-window state is bounded by the
+    bin count, merges losslessly, and its inverse-CDF estimate is
+    deterministic — the streaming twin of
+    [[histogram_quantile_rollup]]'s batch store, same bin width and
+    interpolation via the shared sketches-module constants).
+
+    Two halves, split where production splits them: the STREAMING
+    half bins values map-side and emits watermark-finalized
+    per-(window, bin) counts (one streaming aggregate, append-legal,
+    ≤ ~100 state rows per open window regardless of event volume);
+    the BATCH half over the sink runs the per-window inverse-CDF walk
+    (cumulative window over bin rows, never a sort of events) with
+    linear interpolation inside the hit bin.
+
+    Determinism: bin ids and counts are exact integers; targets are
+    ceil(q·n) on a fixed double product; the interpolation is one
+    fixed IEEE chain of exact-integer operands, identical in both
+    engines; ROUND-safe (all values non-negative)."""
+    ensure_engine_confs(spark)
+    stream = streaming_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    fin_stream = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.floor(F.col("value") / _SQM_BIN_W).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "bin", "cnt")
+    )
+    fin = run_available_now(fin_stream, "stream_histogram_quantile_monitor")
+    wcum = Window.partitionBy("window_start").orderBy("bin")
+    cum = fin.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
+    tot = fin.groupBy("window_start").agg(F.sum("cnt").cast("bigint").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in _SQM_QS], "q double")
+    tgt = tot.crossJoin(F.broadcast(qdf)).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
+    )
+    est = (
+        F.col("bin").cast("double") * F.lit(_SQM_BIN_W)
+        + F.lit(_SQM_BIN_W)
+        * (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double")
+        / F.col("cnt").cast("double")
+    )
+    hit = (
+        tgt.withColumnRenamed("window_start", "tws")
+        .join(cum, F.col("tws") == F.col("window_start"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+        .select(F.col("tws").alias("window_start"), "n", "q", est.alias("est"))
+    )
+    return hit.groupBy("window_start").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        *[
+            F.round(F.max(F.when(F.col("q") == F.lit(q), F.col("est"))), 6).alias(
+                f"est_p{int(q * 100)}"
+            )
+            for q in _SQM_QS
+        ],
+    )

@@ -387,3 +387,48 @@ def test_rec_novelty_rank_curve(spark):
     # rank-1 recs are the strongest co-buy partners => at least as
     # popular on average as deep-list recs (weak check, curve exists)
     assert rows[0].n_recs >= rows[-1].n_recs
+
+
+# --- stream_histogram_quantile_monitor (r11 queue) --------------------------
+
+
+def test_stream_quantile_monitor_error_bound(spark):
+    """The histogram estimate must sit within one bin width of the
+    EXACT per-window percentile (inverse-CDF with interpolation can
+    never leave the hit bin), and the monitor must cover exactly the
+    watermark-finalized windows."""
+    from ml_feature_store_enterprise_grade_spark.operators.sketches import (
+        _HQ_BIN_W,
+        _HQ_QS,
+    )
+
+    rows = {
+        r.window_start: r
+        for r in _q("stream_histogram_quantile_monitor")(spark, SF_SMOKE).collect()
+    }
+    assert rows
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("ts", "value")
+        .collect()
+    )
+    import datetime as dt
+
+    max_ts = max(r.ts for r in ev)
+    by_win: dict = {}
+    for r in ev:
+        w = r.ts.replace(minute=0, second=0, microsecond=0)
+        if w + dt.timedelta(hours=1) <= max_ts - dt.timedelta(minutes=15):
+            by_win.setdefault(w, []).append(r.value)
+    assert set(rows) == set(by_win)
+    for w, vals in by_win.items():
+        vals.sort()
+        r = rows[w]
+        assert r.n_events == len(vals)
+        for q in _HQ_QS:
+            exact = vals[
+                min(len(vals) - 1, max(0, -(-int(q * len(vals) * 1000000) // 1000000) - 1))
+            ]
+            est = getattr(r, f"est_p{int(q * 100)}")
+            assert abs(est - exact) <= _HQ_BIN_W + 1e-6, (w, q, est, exact)
