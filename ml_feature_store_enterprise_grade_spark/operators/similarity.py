@@ -3295,3 +3295,84 @@ def embedding_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_distance_profile.__doc__ = embedding_distance_profile.__doc__.format(
     b=_DPROF_BUCKETS
 )
+
+
+#: Probe budgets swept by the recall curve (the router default is 3).
+_RECALL_NPROBES = (1, 2, 3, 5, 8)
+
+
+@register(
+    "ann_probe_recall_curve",
+    rows_only=(
+        "IVF recall vs the exact baseline: deterministic given the "
+        "sample-trained codebook, but the numpy Lloyd fit is not "
+        "SQL-expressible; recall floor + monotonicity pinned in "
+        "tests/test_round10_ops.py"
+    ),
+)
+def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k}-vs-nprobe tuning curve for the persisted IVF index —
+    the table that PICKS the probe budget [[knn_candidates]] and
+    [[ann_ivf_topk]] hard-code: for each candidate nprobe, the exact
+    fraction of the brute-force top-{k} the cell-pruned search
+    recovers, alongside the scan share it pays (nprobe/cells).  The
+    standard IVF operating-point decision (FAISS's nprobe sweep),
+    computed once per corpus against [[ann_cosine_topk]]'s exact
+    baseline.
+
+    Determinism: the codebook is the hash-sample-trained Lloyd fit
+    (deterministic given the corpus), cell contents and rankings use
+    the 6-dp-rounded-cosine + id tie-break idiom everywhere, so every
+    recall number is a fixed exact-integer ratio — rows-only only
+    because the numpy Lloyd loop has no SQL twin.
+
+    Scale shape: ONE index build (memoized, persisted
+    cell-partitioned parquet), one exact baseline for the bounded
+    query batch (broadcast, |queries| × corpus — linear), then one
+    partition-pruned search per nprobe value; the curve is
+    |nprobes| rows at any corpus size."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("e_nid")
+    )
+    path = knn_index_path(sf_dir, "recall_curve")
+    if path not in _KNN_INDEX_CACHE or not os.path.exists(
+        f"{path}/centroids/_SUCCESS"
+    ):
+        VectorIndex.build(emb.select("vec_id", "embedding"), path, k=_IVF_K)
+        _KNN_INDEX_CACHE.add(path)
+    idx = VectorIndex(spark, path)
+    out = None
+    for p in _RECALL_NPROBES:
+        approx = idx.search(q, topk=_TOPK, nprobe=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(
+            exact,
+            (approx["query_id"] == exact["query_id"])
+            & (approx["neighbor_id"] == exact["e_nid"]),
+            "left_semi",
+        )
+        row = (
+            exact.agg(F.count("*").alias("n_exact"))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
+            .select(
+                F.lit(p).alias("nprobe"),
+                (F.col("n_exact") / F.lit(_TOPK)).cast("bigint").alias(
+                    "n_queries"
+                ),
+                F.col("n_hit").cast("bigint").alias("n_recovered"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_exact"), 6
+                ).alias("recall"),
+                F.round(F.lit(p / _IVF_K), 6).alias("scan_share"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+ann_probe_recall_curve.__doc__ = ann_probe_recall_curve.__doc__.format(k=_TOPK)

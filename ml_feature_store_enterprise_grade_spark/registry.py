@@ -223,8 +223,9 @@ _FRONT: tuple[str, ...] = (
     "volume_anomaly_days",
     "weighted_systematic_sample",
     "zorder_layout_plan",
-    # --- head of the NEXT-oldest cohort (r4) fills the final slot:
-    "ann_cosine_topk",
+    # --- new rows-only round-10 query (rows-only cannot defer, so it
+    # takes the final slot; the r4 cohort head rotates next round):
+    "ann_probe_recall_curve",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round

@@ -432,3 +432,25 @@ def test_stream_quantile_monitor_error_bound(spark):
             ]
             est = getattr(r, f"est_p{int(q * 100)}")
             assert abs(est - exact) <= _HQ_BIN_W + 1e-6, (w, q, est, exact)
+
+
+# --- ann_probe_recall_curve (rows-only) -------------------------------------
+
+
+def test_probe_recall_curve_monotone_and_exact_at_full_probe(spark):
+    rows = sorted(
+        _q("ann_probe_recall_curve")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5, 8]
+    prev = -1.0
+    for r in rows:
+        assert r.n_queries == 50
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall >= prev - 1e-9  # more probes never lose recall
+        prev = r.recall
+        assert abs(r.scan_share - r.nprobe / 8) < 1e-9
+    # a full probe scans every cell: the IVF search IS the exact search
+    assert rows[-1].recall == 1.0
+    # and a partial probe must already be useful (codebook not degenerate)
+    assert rows[2].recall >= 0.4
