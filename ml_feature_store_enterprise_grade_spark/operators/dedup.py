@@ -3163,3 +3163,146 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_method_agreement.__doc__ = dedup_method_agreement.__doc__.format(
     mthr=_EST_JACCARD_THRESHOLD, hthr=_SIMHASH_HAMMING_MAX, jthr=_JACCARD_THRESHOLD
 )
+
+
+@register(
+    "dedup_survivor_policy_audit",
+    defer=True,
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_LABEL_SQL_CTES},
+    sz AS (SELECT cluster_id, COUNT(*) AS n FROM lbl GROUP BY 1),
+    d AS (
+        SELECT l.cluster_id, l.doc_id,
+               length(doc.text) AS len,
+               len(list_distinct(string_split(
+                   {NORMALIZE_TEXT_SQL("doc.text")}, ' '))) AS rich
+        FROM lbl l
+        JOIN documents doc ON l.doc_id = doc.doc_id
+        JOIN sz ON l.cluster_id = sz.cluster_id
+        WHERE sz.n >= 2
+    ),
+    pid AS (
+        SELECT cluster_id,
+               MIN(doc_id) AS keep,
+               struct_extract(MIN(struct_pack(a := doc_id, l := len)), 'l')
+                   AS kept_len
+        FROM d GROUP BY 1
+    ),
+    plg AS (
+        SELECT cluster_id,
+               struct_extract(MIN(struct_pack(a := -len, b := doc_id)), 'b')
+                   AS keep,
+               -struct_extract(MIN(struct_pack(a := -len, b := doc_id)), 'a')
+                   AS kept_len
+        FROM d GROUP BY 1
+    ),
+    prc AS (
+        SELECT cluster_id,
+               struct_extract(MIN(struct_pack(a := -rich, b := doc_id,
+                                              l := len)), 'b') AS keep,
+               struct_extract(MIN(struct_pack(a := -rich, b := doc_id,
+                                              l := len)), 'l') AS kept_len
+        FROM d GROUP BY 1
+    ),
+    u AS (
+        SELECT 'min_doc_id' AS policy, p.cluster_id, p.keep, p.kept_len,
+               i.keep AS base FROM pid p JOIN pid i USING (cluster_id)
+        UNION ALL
+        SELECT 'longest_text', p.cluster_id, p.keep, p.kept_len, i.keep
+        FROM plg p JOIN pid i USING (cluster_id)
+        UNION ALL
+        SELECT 'richest_vocab', p.cluster_id, p.keep, p.kept_len, i.keep
+        FROM prc p JOIN pid i USING (cluster_id)
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN keep = base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree_min_id,
+           ROUND(CAST(SUM(CASE WHEN keep = base THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS agreement_share,
+           CAST(SUM(kept_len) AS BIGINT) AS kept_chars
+    FROM u GROUP BY 1
+    """,
+)
+def dedup_survivor_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-election policy audit for duplicate clusters — the
+    canonicalization decision [[dedup_clusters]] hard-codes (keep the
+    min doc_id) made visible: for each multi-doc cluster, which
+    document would keep-min-id, keep-longest-text, and
+    keep-richest-vocabulary each elect, how often the alternatives
+    agree with the default, and how many characters each policy
+    retains (C4 keeps first-seen; RefinedWeb/FineWeb-style curation
+    keeps the longest/highest-quality copy — the char delta is the
+    corpus volume at stake in that choice).
+
+    Determinism: every election is a min(struct) over total keys
+    (exact length / distinct-token counts, doc_id tie-break);
+    agreement tallies are exact integers; one ROUND-safe divide.
+
+    Scale shape: reuses the per-(session, sf) memoized cluster labels
+    (the CC rounds run once); lengths and distinct-token counts are
+    map-side per-doc projections; elections are per-cluster hash
+    aggregates over the (clustered docs only) frame; output is 3 rows
+    at any corpus size."""
+    labels = _doc_cluster_labels(spark, sf_dir).withColumnRenamed(
+        "label", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.size(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias(
+            "rich"
+        ),
+    )
+    w = Window.partitionBy("cluster_id")
+    d = (
+        labels.join(docs, "doc_id")
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.col("n") >= 2)
+        .select("cluster_id", "doc_id", "len", "rich")
+    )
+    pid = d.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep"),
+        F.min(F.struct(F.col("doc_id").alias("a"), F.col("len").alias("l"))).alias(
+            "m"
+        ),
+    ).select("cluster_id", "keep", F.col("m.l").alias("kept_len"))
+    plg = d.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("len")).alias("a"), F.col("doc_id").alias("b"))
+        ).alias("m")
+    ).select("cluster_id", F.col("m.b").alias("keep"), (-F.col("m.a")).alias("kept_len"))
+    prc = d.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("rich")).alias("a"),
+                F.col("doc_id").alias("b"),
+                F.col("len").alias("l"),
+            )
+        ).alias("m")
+    ).select("cluster_id", F.col("m.b").alias("keep"), F.col("m.l").alias("kept_len"))
+    base = pid.select("cluster_id", F.col("keep").alias("base"))
+    u = None
+    for name, frame in (
+        ("min_doc_id", pid),
+        ("longest_text", plg),
+        ("richest_vocab", prc),
+    ):
+        part = frame.join(base, "cluster_id").select(
+            F.lit(name).alias("policy"), "keep", "kept_len", "base"
+        )
+        u = part if u is None else u.unionAll(part)
+    return u.groupBy("policy").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("keep") == F.col("base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree_min_id"),
+        F.round(
+            F.sum(F.when(F.col("keep") == F.col("base"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("agreement_share"),
+        F.sum("kept_len").cast("bigint").alias("kept_chars"),
+    )

@@ -37,6 +37,7 @@ ORACLES: dict[str, str] = {}
 #   - dedup_method_agreement (round 11 queue)
 #   - rec_novelty_by_rank (round 11 queue)
 #   - stream_histogram_quantile_monitor (round 11 queue)
+#   - dedup_survivor_policy_audit (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

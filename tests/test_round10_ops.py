@@ -454,3 +454,21 @@ def test_probe_recall_curve_monotone_and_exact_at_full_probe(spark):
     assert rows[-1].recall == 1.0
     # and a partial probe must already be useful (codebook not degenerate)
     assert rows[2].recall >= 0.4
+
+
+# --- dedup_survivor_policy_audit (r11 queue) --------------------------------
+
+
+def test_survivor_policies_consistent(spark):
+    rows = {r.policy: r for r in _q("dedup_survivor_policy_audit")(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"min_doc_id", "longest_text", "richest_vocab"}
+    base = rows["min_doc_id"]
+    assert base.agreement_share == 1.0  # agrees with itself by definition
+    n = base.n_clusters
+    for r in rows.values():
+        assert r.n_clusters == n
+        assert 0.0 <= r.agreement_share <= 1.0
+        assert r.kept_chars > 0
+    # keep-longest retains at least as many chars as any other policy
+    assert rows["longest_text"].kept_chars >= rows["min_doc_id"].kept_chars
+    assert rows["longest_text"].kept_chars >= rows["richest_vocab"].kept_chars
