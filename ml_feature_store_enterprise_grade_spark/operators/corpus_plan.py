@@ -793,3 +793,125 @@ def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_share"),
     )
+
+
+#: Range-partitioner target: how many output partitions the plan
+#: lays the event history across (at 100 TB this is the write-side
+#: ``repartitionByRange`` parallelism; 8 keeps the sf-scale output a
+#: readable decision table).
+_RANGE_PARTS = 8
+
+
+@register(
+    "range_partition_balance_plan",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+        SELECT day, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before,
+               CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM d
+    ),
+    a AS (
+        SELECT day, n, total,
+               LEAST(cum_before * {_RANGE_PARTS} // total,
+                     {_RANGE_PARTS - 1}) AS pidx
+        FROM c
+    )
+    SELECT CAST(pidx AS INTEGER) AS partition_idx,
+           MIN(day) AS date_lo,
+           MAX(day) AS date_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(n) AS DOUBLE) / ANY_VALUE(total)
+                 * 1000000.0 + 0.5) / 1000000.0 AS row_share,
+           FLOOR(CAST(SUM(n) AS DOUBLE) * {_RANGE_PARTS}
+                 / ANY_VALUE(total) * 10000.0 + 0.5) / 10000.0
+               AS balance_ratio
+    FROM a GROUP BY 1
+    """,
+)
+def range_partition_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner boundary table over the event history — the
+    missing member of the layout family ([[zorder_layout_plan]] /
+    [[partition_compaction_plan]] / [[file_skipping_stats]] /
+    [[dict_encoding_advisor]]): split the time axis into
+    ``_RANGE_PARTS`` row-balanced date ranges (what
+    ``df.repartitionByRange`` samples for, computed here exactly) and
+    audit the realized balance — per partition its [date_lo, date_hi]
+    bounds, day/row counts, row share, and the balance ratio vs the
+    ideal 1/P.  At 100 TB this table IS the write-side partitioning
+    decision: the boundaries feed ``repartitionByRange`` (or the
+    lakehouse partition spec) and the balance column is what tells
+    you when time-skew (a viral day) needs the boundaries recut.
+
+    Day assignment is integer-exact: a day lands in partition
+    ``floor(rows_before_it × P / total)`` — the equal-frequency cut a
+    range partitioner converges to, with no percentile interpolation
+    (and so no float exposure) anywhere.
+
+    Determinism: day counts, cumulative sums and bounds are exact
+    integer/date aggregates; partition assignment is exact integer
+    division; the two shares are fixed IEEE divides through the
+    sign-safe floor ladder (all operands non-negative).
+
+    Scale shape: one map-side-combined hash aggregate collapses the
+    corpus to |days| rows (bounded by the calendar span, NOT corpus
+    size — 30 rows for this event history, ~3.7k even at a decade of
+    days), so the unpartitioned running-sum window and the final
+    8-group aggregate are metadata-scale by construction; no joins,
+    nothing driver-side."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    c = d.select(
+        "day",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast("bigint").alias(
+            "cum_before"
+        ),
+        F.sum("n").over(wt).cast("bigint").alias("total"),
+    )
+    a = c.select(
+        "day",
+        "n",
+        "total",
+        F.least(
+            F.expr(f"cum_before * {_RANGE_PARTS} div total"),
+            F.lit(_RANGE_PARTS - 1),
+        ).alias("pidx"),
+    )
+    return a.groupBy(F.col("pidx").cast("int").alias("partition_idx")).agg(
+        F.min("day").alias("date_lo"),
+        F.max("day").alias("date_hi"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        (
+            F.floor(
+                F.sum("n").cast("double") / F.first("total") * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("row_share"),
+        (
+            F.floor(
+                F.sum("n").cast("double")
+                * _RANGE_PARTS
+                / F.first("total")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("balance_ratio"),
+    )

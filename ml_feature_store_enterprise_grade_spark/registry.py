@@ -38,6 +38,9 @@ ORACLES: dict[str, str] = {}
 #   - rec_novelty_by_rank (round 11 queue)
 #   - stream_histogram_quantile_monitor (round 11 queue)
 #   - dedup_survivor_policy_audit (round 11 queue)
+#   - range_partition_balance_plan (round 11 queue)
+#   - part_price_dispersion_audit (round 11 queue)
+#   - embedding_effective_rank (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -197,8 +200,9 @@ _FRONT: tuple[str, ...] = (
     "target_encoding_smoothing_sweep",
     # --- Oldest driver greens (last checked r3 — the final r3-era
     # cohort, rotation priority 3 per tools/update_checked_names.py;
-    # next-oldest is the r4 cohort):
-    "item_cooccurrence_lift",
+    # next-oldest is the r4 cohort).  item_cooccurrence_lift (r4
+    # head) rotated out post-seal to make room for the second
+    # rows-only round-10 query below; it re-earns a row next cycle.
     "late_arrival_audit",
     "negative_sample_pairs",
     "partition_compaction_plan",
@@ -224,9 +228,11 @@ _FRONT: tuple[str, ...] = (
     "volume_anomaly_days",
     "weighted_systematic_sample",
     "zorder_layout_plan",
-    # --- new rows-only round-10 query (rows-only cannot defer, so it
-    # takes the final slot; the r4 cohort head rotates next round):
+    # --- new rows-only round-10 queries (rows-only cannot defer, so
+    # they take the final slots; the displaced r4 greens rotate back
+    # in next round):
     "ann_probe_recall_curve",
+    "doc_compression_ratio_screen",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round

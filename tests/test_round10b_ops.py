@@ -1,0 +1,204 @@
+"""Semantic invariants for the round-10 post-seal operator batch
+(range-partition balance plan, part price-dispersion audit, embedding
+effective rank).  Oracle parity certifies VALUES; these pin the
+properties parity can't state: exact Python twins, partition-cover
+completeness, and the participation-ratio bounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark import registry
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+_q = registry.any_query
+
+
+# --- range_partition_balance_plan ------------------------------------
+
+
+def test_range_partition_plan_covers_and_balances(spark):
+    rows = sorted(
+        _q("range_partition_balance_plan")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.partition_idx,
+    )
+    n_parts = len(rows)
+    assert [r.partition_idx for r in rows] == list(range(n_parts))
+    total = sum(r.n_rows for r in rows)
+    n_events = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull())
+        .count()
+    )
+    # every non-null-ts event lands in exactly one partition
+    assert total == n_events
+    for a, b in zip(rows, rows[1:]):
+        # ranges are disjoint and ordered: each partition's days start
+        # strictly after the previous partition's last day
+        assert a.date_hi < b.date_lo
+    for r in rows:
+        assert r.date_lo <= r.date_hi
+        assert r.n_days >= 1 and r.n_rows >= 1
+        # balance_ratio is row_share * P through the same rounding
+        assert abs(r.balance_ratio - r.row_share * n_parts) < 1e-2
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-4
+
+
+def test_range_partition_plan_matches_python_cutter(spark):
+    """Partition assignment must equal the exact integer-arithmetic
+    cut over the per-day counts computed in Python."""
+    days = sorted(
+        (r.day, r.n)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in days)
+    n_parts = 8
+    want: dict[int, list] = {}
+    cum = 0
+    for day, n in days:
+        idx = min(cum * n_parts // total, n_parts - 1)
+        want.setdefault(idx, []).append((day, n))
+        cum += n
+    got = {
+        r.partition_idx: r
+        for r in _q("range_partition_balance_plan")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for idx, lst in want.items():
+        assert got[idx].date_lo == min(d for d, _ in lst)
+        assert got[idx].date_hi == max(d for d, _ in lst)
+        assert got[idx].n_days == len(lst)
+        assert got[idx].n_rows == sum(n for _, n in lst)
+
+
+# --- part_price_dispersion_audit --------------------------------------
+
+
+def test_price_dispersion_matches_python_twin(spark):
+    """Top-k CV ranking vs an exact-integer Python twin over the same
+    quantized unit prices."""
+    items = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100.0)
+            .cast("bigint")
+            .alias("qc"),
+        )
+        .collect()
+    )
+    by_part: dict = {}
+    for r in items:
+        by_part.setdefault(r.l_partkey, []).append((r.l_suppkey, r.qc))
+    cand = []
+    for pk, lst in by_part.items():
+        supps = {s for s, _ in lst}
+        if len(supps) < 2 or len(lst) < 2:
+            continue
+        n = len(lst)
+        s1 = sum(q for _, q in lst)
+        s2 = sum(q * q for _, q in lst)
+        var = (n * s2 - s1 * s1) / (n * n)
+        cv = math.floor(math.sqrt(var) / (s1 / n) * 10000.0 + 0.5) / 10000.0
+        cand.append((pk, n, len(supps), cv))
+    cand.sort(key=lambda t: (-t[3], t[0]))
+    want = cand[:20]
+    got = sorted(
+        _q("part_price_dispersion_audit")(spark, SF_SMOKE).collect(),
+        key=lambda r: (-r.price_cv, r.l_partkey),
+    )
+    assert [(r.l_partkey, r.n_items, r.n_suppliers, r.price_cv) for r in got] == want
+
+
+def test_price_dispersion_values_sane(spark):
+    for r in _q("part_price_dispersion_audit")(spark, SF_SMOKE).collect():
+        assert r.n_suppliers >= 2
+        assert r.n_items >= r.n_suppliers
+        assert r.mean_unit_price > 0
+        assert r.price_cv >= 0
+
+
+# --- embedding_effective_rank ------------------------------------------
+
+
+def test_effective_rank_bounds_and_numpy_twin(spark):
+    import numpy as np
+
+    row = _q("embedding_effective_rank")(spark, SF_SMOKE).collect()[0]
+    d = row.n_dims
+    # participation ratio is bounded by [1, d]
+    assert 1.0 <= row.effective_rank <= d + 1e-9
+    assert abs(row.isotropy_share - row.effective_rank / d) < 1e-3
+    # numpy twin over the same quantized corpus: PR from the exact
+    # population covariance must agree to the cov_e6 quantization
+    # error (~d²·1ulp of the 1e-6 grid → loose 2% band)
+    vecs = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    X = np.floor(np.array([r.embedding for r in vecs], dtype=np.float64) * 1e6)
+    C = np.cov(X, rowvar=False, bias=True)
+    pr = np.trace(C) ** 2 / (C * C).sum()
+    assert abs(row.effective_rank - pr) / pr < 0.02
+    # trace consistency: tr(C)/1e6 vs trace_e6 (both in 1e-6 units)
+    assert abs(row.trace_e6 - np.trace(C) / 1e6) / (np.trace(C) / 1e6) < 0.01
+
+
+# --- doc_compression_ratio_screen ----------------------------------------
+
+
+def test_compression_screen_matches_zlib_twin(spark):
+    """The band table must equal a pure-Python zlib sweep over the
+    same documents (exact per-mille quantization, exact counts)."""
+    import zlib
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    want: dict = {}
+    for r in docs:
+        b = (r.text or "").encode("utf-8")
+        r_m = len(zlib.compress(b, 6)) * 1000 // len(b) if b else 1000
+        band = min(r_m // 100, 10)
+        key = (r.source, band)
+        n, s = want.get(key, (0, 0))
+        want[key] = (n + 1, s + r_m)
+    got = {
+        (r.source, r.ratio_band): r
+        for r in _q("doc_compression_ratio_screen")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, s) in want.items():
+        assert got[key].n_docs == n
+        assert got[key].mean_ratio == math.floor(s / n + 0.5) / 1000.0
+        band = key[1]
+        expect_screen = (
+            "flag_repetitive"
+            if band < 3
+            else ("flag_incompressible" if band >= 10 else "keep")
+        )
+        assert got[key].screen == expect_screen
+
+
+def test_compression_screen_band_contains_mean(spark):
+    for r in _q("doc_compression_ratio_screen")(spark, SF_SMOKE).collect():
+        lo, hi = r.ratio_band / 10.0, (r.ratio_band + 1) / 10.0
+        if r.ratio_band == 10:
+            assert r.mean_ratio >= 1.0 - 1e-9
+        else:
+            assert lo - 1e-3 <= r.mean_ratio <= hi + 1e-3
