@@ -192,6 +192,17 @@ BENCH_QUERIES = (
     "vocab_coverage_curve",
     "dict_encoding_advisor",
     "target_encoding_smoothing_sweep",
+    # round-10 post-seal batch: the range-partitioner boundary table
+    # (metadata-scale layout planning), the cross-supplier pricing
+    # audit (single part-keyed shuffle over lineitem), and the
+    # real-codec zlib screen (Arrow-batched mapInPandas over the full
+    # text corpus — the first benched Python-kernel TEXT pass).
+    # embedding_effective_rank is deliberately absent: it rides the
+    # memoized scatter moments already tracked via
+    # embedding_covariance, so its marginal cost is a d²-row fold.
+    "range_partition_balance_plan",
+    "part_price_dispersion_audit",
+    "doc_compression_ratio_screen",
 )
 
 

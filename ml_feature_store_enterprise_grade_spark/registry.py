@@ -41,6 +41,7 @@ ORACLES: dict[str, str] = {}
 #   - range_partition_balance_plan (round 11 queue)
 #   - part_price_dispersion_audit (round 11 queue)
 #   - embedding_effective_rank (round 11 queue)
+#   - embedding_pq_adc_recall (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -202,3 +202,48 @@ def test_compression_screen_band_contains_mean(spark):
             assert r.mean_ratio >= 1.0 - 1e-9
         else:
             assert lo - 1e-3 <= r.mean_ratio <= hi + 1e-3
+
+
+# --- embedding_pq_adc_recall ----------------------------------------------
+
+
+def test_pq_adc_recall_matches_numpy_twin(spark):
+    """Per-query recall@10 vs a numpy twin that replicates the exact
+    ranking discipline (6-dp-rounded cosine, id tiebreak)."""
+    import numpy as np
+
+    vecs = sorted(
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in vecs])
+    X = np.array([r.embedding for r in vecs], dtype=np.float64)
+    lo, hi = X.min(0), X.max(0)
+    rng = np.where(hi > lo, hi - lo, 1.0)
+    lev = np.clip(np.floor((X - lo) / rng * 4), 0, 3)
+    recon = np.where(hi > lo, lo + (lev + 0.5) * (hi - lo) / 4.0, lo)
+
+    def topk(qv, B, k=10, skip=None):
+        sims = B @ qv / (np.linalg.norm(B, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            (i for i in range(len(B)) if ids[i] != skip),
+            key=lambda i: (-round(sims[i], 6), ids[i]),
+        )
+        return {ids[i] for i in order[:k]}
+
+    want = {}
+    for qi in range(min(20, len(ids))):
+        e10 = topk(X[qi], X, skip=ids[qi])
+        a10 = topk(X[qi], recon, skip=ids[qi])
+        want[ids[qi]] = len(e10 & a10)
+    got = {
+        r.query_id: r
+        for r in _q("embedding_pq_adc_recall")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for qid, hits in want.items():
+        assert got[qid].n_hits == hits
+        assert abs(got[qid].recall_at_10 - hits / 10.0) < 1e-12
+        assert 0 <= got[qid].n_hits <= 10
