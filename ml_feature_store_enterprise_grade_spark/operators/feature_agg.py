@@ -372,3 +372,130 @@ def incremental_feature_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(delta_keys), ["user_id", "window_start"], "left_anti"
     )
     return kept.unionByName(recomputed)
+
+
+#: Exponential time-decay aggregation: the fixed as-of anchor (just
+#: after the event window — the rfm_segmentation stand-in for
+#: current_timestamp, per the P6 policy), the half-life, and the
+#: day-indexed weight table 0.5^(d/half_life) PRE-QUANTIZED to exact
+#: integer micro-units.  Emitting the weights as INTEGER literals
+#: removes the libm pow()/float-parse exposure entirely: both engines
+#: multiply the same exact integers and the only IEEE steps are the
+#: two final divides.
+_DECAY_ASOF = "2024-02-01"
+_DECAY_HALF_LIFE_D = 7
+_DECAY_MAX_AGE_D = 45
+_DECAY_WQ = tuple(
+    int(0.5 ** (d / _DECAY_HALF_LIFE_D) * 1000000.0)
+    for d in range(_DECAY_MAX_AGE_D + 1)
+)
+
+
+@register(
+    "user_decay_features",
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               LEAST(GREATEST(date_diff('day', CAST(ts AS DATE),
+                                        DATE '{_DECAY_ASOF}'), 0),
+                     {_DECAY_MAX_AGE_D}) AS d,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS vq
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    wt AS (
+        SELECT e.user_id, e.d, e.vq,
+               ([{", ".join(str(w) for w in _DECAY_WQ)}])[e.d + 1] AS wq
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(d) AS BIGINT) AS last_event_age_days,
+           FLOOR(CAST(SUM(wq) AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS decayed_count,
+           FLOOR(CAST(SUM(CAST(vq AS DECIMAL(38, 0)) * wq) AS DOUBLE)
+                 / 100000000.0 * 1000000.0 + 0.5) / 1000000.0
+               AS decayed_value_sum
+    FROM wt GROUP BY 1
+    """,
+)
+def user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed user features as-of a fixed anchor
+    — THE recency-weighted aggregation every feature store ships
+    (Feast/Tecton style ``decay`` aggregations; half-life
+    {hl} days here): per user, the decayed event count
+    Σ 0.5^(age_days/{hl}) and decayed value sum, plus the raw count
+    and recency for calibration.  A decayed count of ~n means "n
+    events' worth of CURRENT activity" — the feature that
+    distinguishes a lapsed heavy user from an active light one where
+    plain counts ([[user_hourly_features]]) cannot.
+
+    Determinism: the weight table is pre-quantized to exact integer
+    micro-units AT DEFINITION TIME and inlined as integer literals in
+    both engines, so there is no pow()/libm and no float-literal
+    parse anywhere; ages are exact date arithmetic; values floor to
+    exact integer cents map-side; every aggregate is an exact
+    integer/DECIMAL sum and the two emissions are single fixed IEEE
+    divides through the sign-safe floor ladder (operands
+    non-negative).
+
+    Scale shape: weight lookup is a map-side literal-array index
+    (the knn literal-codebook discipline — 46 integers, no join);
+    ONE user-keyed hash aggregate with map-side combine is the only
+    shuffle.  At 100 TB this is the same plan as any per-user
+    rollup; the as-of anchor makes it incrementally maintainable
+    (yesterday's sums age by one constant factor)."""
+    wq_arr = F.array(*[F.lit(w) for w in _DECAY_WQ])
+    asof_date = F.lit(_DECAY_ASOF).cast("date")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
+        .select(
+            "user_id",
+            F.least(
+                F.greatest(
+                    F.datediff(asof_date, F.to_date("ts")), F.lit(0)
+                ),
+                F.lit(_DECAY_MAX_AGE_D),
+            ).alias("d"),
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("vq"),
+        )
+    )
+    wt = e.select(
+        "user_id",
+        "d",
+        "vq",
+        F.element_at(wq_arr, F.col("d") + 1).alias("wq"),
+    )
+    return wt.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("d").cast("bigint").alias("last_event_age_days"),
+        (
+            F.floor(
+                F.sum("wq").cast("double") / 1000000.0 * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("decayed_count"),
+        (
+            F.floor(
+                F.sum(F.col("vq").cast("decimal(38,0)") * F.col("wq"))
+                .cast("double")
+                / 100000000.0
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("decayed_value_sum"),
+    )
+
+
+user_decay_features.__doc__ = user_decay_features.__doc__.format(
+    hl=_DECAY_HALF_LIFE_D
+)

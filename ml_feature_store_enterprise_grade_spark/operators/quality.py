@@ -1831,3 +1831,114 @@ def part_price_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_cv").desc(), "l_partkey")
         .limit(_DISP_TOPK)
     )
+
+
+#: Approximate-FD candidate set: the ONE shared table both the
+#: oracle and the Spark loop derive from (the [[_FK_RELATIONS]] /
+#: [[_DICT_COLUMNS]] discipline).  Chosen by measurement: g3 errors
+#: span 0.31-0.77 at sf0.01, so the audit ranks real violation
+#: regimes rather than reporting a wall of identical 1.0s.
+_FD_CANDIDATES = (
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("part", "p_brand", "p_type"),
+    ("documents", "source", "lang"),
+)
+
+
+def _fd_profile_sql(tab: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{tab}.{lhs}->{rhs}' AS fd,
+           CAST(SUM(tot) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE ndv > 1) AS BIGINT)
+               AS n_violating_groups,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE ndv > 1) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS violating_group_share,
+           FLOOR((1.0 - CAST(SUM(mx) AS DOUBLE) / SUM(tot))
+                 * 1000000.0 + 0.5) / 1000000.0 AS g3_error,
+           COUNT(*) FILTER (WHERE ndv > 1) = 0 AS holds
+    FROM (
+        SELECT k, SUM(n) AS tot, MAX(n) AS mx, COUNT(*) AS ndv
+        FROM (SELECT {lhs} AS k, {rhs} AS v, COUNT(*) AS n FROM {tab}
+              WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+              GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    """
+
+
+@register(
+    "approximate_fd_audit",
+    defer=True,
+    oracle=" UNION ALL ".join(
+        _fd_profile_sql(t, l, r) for t, l, r in _FD_CANDIDATES
+    ),
+)
+def approximate_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit over a candidate set —
+    the dependency-profiling sibling of [[duplicate_key_check]] (keys
+    are the FD X→all special case) and [[dict_encoding_advisor]]: per
+    candidate X→Y, the group counts, the share of X-groups carrying
+    more than one Y value, and the **g3 error** — the minimum
+    fraction of rows to delete for the FD to hold exactly
+    (Kivinen-Mannila; the measure Papenbrock's approximate-FD miners
+    rank by).  Measured here: g3 runs 0.31 (order→linestatus, the
+    closest-to-holding candidate) through 0.77 (brand→type), so the
+    table orders real dependency strength — the schema-inference /
+    normalization-advice input a 100 TB lake derives once per schema.
+
+    Determinism: every statistic is an exact integer aggregate
+    (per-(X,Y) counts → per-X total/max/ndv); the two shares are
+    fixed IEEE divides through the sign-safe floor ladder (g3's
+    ``1 − Σmax/Σtot`` is non-negative by construction since
+    max ≤ tot per group).
+
+    Scale shape: per candidate, one (X,Y)-keyed hash aggregate with
+    map-side combine feeding one X-keyed re-aggregate — both shuffles
+    carry only distinct-combination rows, never the corpus; the seven
+    1-row profiles union into one plan; no joins, nothing
+    driver-side."""
+    out = None
+    for tab, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tab)
+        c = (
+            t.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+            .groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .agg(F.count("*").alias("n"))
+        )
+        g = c.groupBy("k").agg(
+            F.sum("n").alias("tot"),
+            F.max("n").alias("mx"),
+            F.count("*").alias("ndv"),
+        )
+        viol = F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+        row = g.agg(
+            F.sum("tot").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            viol.cast("bigint").alias("n_violating_groups"),
+            (
+                F.floor(
+                    viol.cast("double") / F.count("*") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("violating_group_share"),
+            (
+                F.floor(
+                    (
+                        1.0
+                        - F.sum("mx").cast("double") / F.sum("tot")
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("g3_error"),
+            (viol == 0).alias("holds"),
+        ).select(F.lit(f"{tab}.{lhs}->{rhs}").alias("fd"), "*")
+        out = row if out is None else out.unionAll(row)
+    return out

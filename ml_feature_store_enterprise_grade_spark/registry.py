@@ -42,6 +42,8 @@ ORACLES: dict[str, str] = {}
 #   - part_price_dispersion_audit (round 11 queue)
 #   - embedding_effective_rank (round 11 queue)
 #   - embedding_pq_adc_recall (round 11 queue)
+#   - user_decay_features (round 11 queue)
+#   - approximate_fd_audit (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -247,3 +247,94 @@ def test_pq_adc_recall_matches_numpy_twin(spark):
         assert got[qid].n_hits == hits
         assert abs(got[qid].recall_at_10 - hits / 10.0) < 1e-12
         assert 0 <= got[qid].n_hits <= 10
+
+
+# --- user_decay_features ---------------------------------------------------
+
+
+def test_decay_features_matches_python_twin(spark):
+    """Decayed aggregates vs an exact-integer Python twin using the
+    same quantized weight table."""
+    from datetime import date
+
+    from ml_feature_store_enterprise_grade_spark.operators.feature_agg import (
+        _DECAY_ASOF,
+        _DECAY_MAX_AGE_D,
+        _DECAY_WQ,
+    )
+
+    anchor = date.fromisoformat(_DECAY_ASOF)
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    want: dict = {}
+    for r in ev:
+        d = min(max((anchor - r.ts.date()).days, 0), _DECAY_MAX_AGE_D)
+        vq = math.floor(r.value * 100.0)
+        n, mind, swq, svwq = want.get(r.user_id, (0, 10**9, 0, 0))
+        want[r.user_id] = (
+            n + 1,
+            min(mind, d),
+            swq + _DECAY_WQ[d],
+            svwq + vq * _DECAY_WQ[d],
+        )
+    got = {
+        r.user_id: r
+        for r in _q("user_decay_features")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, mind, swq, svwq) in want.items():
+        g = got[uid]
+        assert g.n_events == n
+        assert g.last_event_age_days == mind
+        assert g.decayed_count == math.floor(swq / 1e6 * 1e6 + 0.5) / 1e6
+        assert g.decayed_value_sum == math.floor(svwq / 1e8 * 1e6 + 0.5) / 1e6
+        # a decayed count never exceeds the raw count
+        assert g.decayed_count <= n + 1e-9
+
+
+# --- approximate_fd_audit --------------------------------------------------
+
+
+def test_fd_audit_matches_python_twin(spark):
+    from ml_feature_store_enterprise_grade_spark.operators.quality import (
+        _FD_CANDIDATES,
+    )
+
+    got = {r.fd: r for r in _q("approximate_fd_audit")(spark, SF_SMOKE).collect()}
+    assert len(got) == len(_FD_CANDIDATES)
+    for tab, lhs, rhs in _FD_CANDIDATES:
+        rows = (
+            load_table(spark, SF_SMOKE, tab)
+            .filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+            .select(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .collect()
+        )
+        cnt: dict = {}
+        for r in rows:
+            cnt[(r.k, r.v)] = cnt.get((r.k, r.v), 0) + 1
+        per_k: dict = {}
+        for (k, _v), n in cnt.items():
+            tot, mx, ndv = per_k.get(k, (0, 0, 0))
+            per_k[k] = (tot + n, max(mx, n), ndv + 1)
+        n_rows = sum(t for t, _, _ in per_k.values())
+        n_groups = len(per_k)
+        viol = sum(1 for _, _, ndv in per_k.values() if ndv > 1)
+        g3 = 1.0 - sum(m for _, m, _ in per_k.values()) / n_rows
+        g = got[f"{tab}.{lhs}->{rhs}"]
+        assert g.n_rows == n_rows
+        assert g.n_groups == n_groups
+        assert g.n_violating_groups == viol
+        assert g.holds == (viol == 0)
+        assert abs(g.g3_error - g3) < 2e-6
+        assert 0.0 <= g.g3_error <= 1.0
+        # removing the g3 fraction is enough only if some group violates
+        assert (g.g3_error > 0) == (viol > 0)
