@@ -1942,3 +1942,139 @@ def approximate_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{tab}.{lhs}->{rhs}").alias("fd"), "*")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: t-closeness policy threshold (Li et al., ICDE'07 suggest t in
+#: [0.15, 0.4] for categorical EMD; 0.3 splits this corpus's groups
+#: into real pass/fail populations — measured TVD spread 0.06–0.58).
+_T_CLOSENESS_NUM = 3
+_T_CLOSENESS_DEN = 10
+
+
+@register(
+    "t_closeness_audit",
+    defer=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_SENSITIVE_BUCKET_WIDTH}) AS INTEGER)
+                   AS sens
+        FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    gl AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS ns FROM b GROUP BY 1),
+    gr AS (
+        SELECT c_nationkey, c_mktsegment, sens,
+               CAST(COUNT(*) AS BIGINT) AS ngs
+        FROM b GROUP BY 1, 2, 3
+    ),
+    gt AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(ngs) AS BIGINT) AS ng
+        FROM gr GROUP BY 1, 2
+    ),
+    num AS (
+        SELECT gt.c_nationkey, gt.c_mktsegment, gt.ng, tot.n,
+               SUM(ABS(COALESCE(gr.ngs, 0) * CAST(tot.n AS DECIMAL(38, 0))
+                       - gl.ns * CAST(gt.ng AS DECIMAL(38, 0)))) AS tvd_num
+        FROM gt CROSS JOIN tot CROSS JOIN gl
+        LEFT JOIN gr ON gr.c_nationkey = gt.c_nationkey
+                    AND gr.c_mktsegment = gt.c_mktsegment
+                    AND gr.sens = gl.sens
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(ng AS BIGINT) AS group_size,
+           FLOOR(CAST(tvd_num AS DOUBLE)
+                 / (2.0 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tvd,
+           {_T_CLOSENESS_DEN} * tvd_num
+               <= {2 * _T_CLOSENESS_NUM} * CAST(ng AS DECIMAL(38, 0)) * n
+               AS meets_t
+    FROM num
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-gate triad
+    ([[k_anonymity_audit]]: groups big enough; [[l_diversity_audit]]:
+    sensitive values varied enough; THIS: each group's sensitive
+    DISTRIBUTION within t of the global one, Li et al. ICDE'07):
+    per QI group (nation × market segment, the l-diversity QI and
+    sensitive bucketing reused verbatim), the total-variation
+    distance between the group's account-balance-band distribution
+    and the corpus-wide one — TVD being the categorical
+    equal-distance EMD the paper specifies — and the t ≤ 0.3 policy
+    verdict (measured here: TVD runs 0.06–0.58 across the 125 sf0.01
+    groups, so both verdict populations are real).  l-diversity
+    alone admits a group with many distinct but SKEWED values; the
+    distance test is what closes that skewness attack.
+
+    Determinism: the absolute deviations run in COMMON-DENOMINATOR
+    integer form — |n_gs·N − n_s·N_g| as exact DECIMAL products —
+    so the per-group sum is order-independent with NO float
+    accumulation; the one emitted tvd is a single fixed IEEE divide
+    through the floor ladder, and the policy verdict compares the
+    EXACT integers (10·num ≤ 6·N_g·N), never the rounded double.
+
+    Scale shape: three hash aggregates (global buckets, per-group
+    buckets, group totals) all map-side-combined; the deviation grid
+    is |groups| × |buckets| rows (the global bucket table rides in as
+    a broadcast); no corpus-sized join anywhere.  DECIMAL products
+    keep n·N exact past the BIGINT range a 10-figure-row corpus
+    would overflow."""
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _SENSITIVE_BUCKET_WIDTH)
+        .cast("int")
+        .alias("sens"),
+    )
+    tot = b.agg(F.count("*").cast("bigint").alias("n"))
+    gl = b.groupBy("sens").agg(F.count("*").cast("bigint").alias("ns"))
+    gr = b.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count("*").cast("bigint").alias("ngs")
+    )
+    gt = gr.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ngs").cast("bigint").alias("ng")
+    )
+    grid = (
+        gt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gl.withColumnRenamed("sens", "g_sens")))
+        .join(
+            gr.withColumnsRenamed(
+                {"c_nationkey": "r_nat", "c_mktsegment": "r_seg", "sens": "r_sens"}
+            ),
+            (F.col("c_nationkey") == F.col("r_nat"))
+            & (F.col("c_mktsegment") == F.col("r_seg"))
+            & (F.col("g_sens") == F.col("r_sens")),
+            "left",
+        )
+    )
+    num = grid.groupBy("c_nationkey", "c_mktsegment", "ng", "n").agg(
+        F.sum(
+            F.abs(
+                F.coalesce(F.col("ngs"), F.lit(0))
+                * F.col("n").cast("decimal(38,0)")
+                - F.col("ns") * F.col("ng").cast("decimal(38,0)")
+            )
+        ).alias("tvd_num")
+    )
+    return num.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("ng").cast("bigint").alias("group_size"),
+        (
+            F.floor(
+                F.col("tvd_num").cast("double")
+                / (2.0 * F.col("ng").cast("double") * F.col("n").cast("double"))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("tvd"),
+        (
+            F.lit(_T_CLOSENESS_DEN) * F.col("tvd_num")
+            <= F.lit(2 * _T_CLOSENESS_NUM)
+            * F.col("ng").cast("decimal(38,0)")
+            * F.col("n")
+        ).alias("meets_t"),
+    )

@@ -44,6 +44,7 @@ ORACLES: dict[str, str] = {}
 #   - embedding_pq_adc_recall (round 11 queue)
 #   - user_decay_features (round 11 queue)
 #   - approximate_fd_audit (round 11 queue)
+#   - t_closeness_audit (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -338,3 +338,59 @@ def test_fd_audit_matches_python_twin(spark):
         assert 0.0 <= g.g3_error <= 1.0
         # removing the g3 fraction is enough only if some group violates
         assert (g.g3_error > 0) == (viol > 0)
+
+
+# --- t_closeness_audit -----------------------------------------------------
+
+
+def test_t_closeness_matches_python_twin(spark):
+    """Per-group TVD vs an exact-fraction Python twin, and the policy
+    verdict against the UNROUNDED value."""
+    from fractions import Fraction
+
+    from ml_feature_store_enterprise_grade_spark.operators.quality import (
+        _SENSITIVE_BUCKET_WIDTH,
+        _T_CLOSENESS_DEN,
+        _T_CLOSENESS_NUM,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    glob: dict = {}
+    grp: dict = {}
+    for r in rows:
+        s = math.floor(r.c_acctbal / _SENSITIVE_BUCKET_WIDTH)
+        glob[s] = glob.get(s, 0) + 1
+        g = (r.c_nationkey, r.c_mktsegment)
+        grp.setdefault(g, {})[s] = grp.setdefault(g, {}).get(s, 0) + 1
+    n = len(rows)
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in _q("t_closeness_audit")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(grp)
+    for g, dist in grp.items():
+        ng = sum(dist.values())
+        tvd = sum(
+            abs(Fraction(dist.get(s, 0), ng) - Fraction(ns, n))
+            for s, ns in glob.items()
+        ) / 2
+        r = got[g]
+        assert r.group_size == ng
+        assert abs(r.tvd - float(tvd)) < 2e-6
+        assert r.meets_t == (
+            tvd <= Fraction(_T_CLOSENESS_NUM, _T_CLOSENESS_DEN)
+        )
+        assert 0.0 <= r.tvd <= 1.0
+
+
+def test_t_closeness_has_both_verdicts(spark):
+    """The threshold splits real populations at smoke scale (the
+    measured-signal guarantee: 0.06-0.58 TVD spread)."""
+    verdicts = {
+        r.meets_t for r in _q("t_closeness_audit")(spark, SF_SMOKE).collect()
+    }
+    assert verdicts == {True, False}
