@@ -45,6 +45,7 @@ ORACLES: dict[str, str] = {}
 #   - user_decay_features (round 11 queue)
 #   - approximate_fd_audit (round 11 queue)
 #   - t_closeness_audit (round 11 queue)
+#   - daily_revenue_forecast_backtest (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

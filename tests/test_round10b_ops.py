@@ -394,3 +394,49 @@ def test_t_closeness_has_both_verdicts(spark):
         r.meets_t for r in _q("t_closeness_audit")(spark, SF_SMOKE).collect()
     }
     assert verdicts == {True, False}
+
+
+# --- daily_revenue_forecast_backtest ----------------------------------------
+
+
+def test_forecast_backtest_matches_python_twin(spark):
+    """Exact-integer error totals vs a Python twin replicating the
+    common-denominator floor discipline."""
+    days = sorted(
+        (r.day, r.r)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+            ).alias("r")
+        )
+        .collect()
+    )
+    rev = [r for _, r in days]
+    sums = {"naive": 0, "seasonal_naive": 0, "drift": 0, "mean": 0}
+    n = 0
+    cum = 0
+    for t1, r in enumerate(rev):
+        t = t1 + 1
+        if t >= 8:
+            n += 1
+            sums["naive"] += abs(r - rev[t1 - 1])
+            sums["seasonal_naive"] += abs(r - rev[t1 - 7])
+            sums["drift"] += math.floor(
+                abs((r - rev[t1 - 1]) * (t - 2) - (rev[t1 - 1] - rev[0]))
+                / (t - 2)
+            )
+            sums["mean"] += math.floor(abs(r * (t - 1) - cum) / (t - 1))
+        cum += r
+    got = {
+        r.method: r
+        for r in _q("daily_revenue_forecast_backtest")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(sums)
+    ranked = sorted(sums, key=lambda m: (sums[m], m))
+    for m, se in sums.items():
+        assert got[m].n_origins == n
+        assert got[m].mae == math.floor(se / n / 100.0 * 10000.0 + 0.5) / 10000.0
+        assert got[m].rnk == ranked.index(m) + 1
