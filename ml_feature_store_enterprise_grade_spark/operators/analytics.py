@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import money
+from ..functions import PORTABLE_HASH64_SQL, money
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -6507,3 +6507,200 @@ def daily_revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("mae"),
         F.row_number().over(wr).cast("int").alias("rnk"),
     )
+
+
+#: Poisson bootstrap: replicate count, hash seed, and the Poisson(1)
+#: CDF thresholds scaled to exact integers on a 1e9 grid (computed
+#: once from math.exp at definition time, inlined as INTEGER literals
+#: in both engines — the weight draw is then pure integer compares,
+#: no libm anywhere at query time).
+_BOOT_B = 100
+_BOOT_SEED = 11
+_BOOT_CDF_E9 = (
+    367879441, 735758882, 919698602, 981011843,
+    996340153, 999405815, 999916758, 999989750,
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    """Poisson(1) weight from a uniform integer on [0, 1e9): the
+    number of CDF thresholds at or below it (shared text for both
+    engines — integer compares only)."""
+    return " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_CDF_E9
+    )
+
+
+@register(
+    "order_value_bootstrap_ci",
+    defer=True,
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS vq
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(vq AS DECIMAL(38, 0))) AS sv
+        FROM o
+    ),
+    r AS (
+        SELECT b,
+               {_boot_w_sql(
+                   PORTABLE_HASH64_SQL(
+                       "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)",
+                       _BOOT_SEED,
+                   ) + " % 1000000000"
+               )} AS w,
+               vq
+        FROM o, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
+    ),
+    m AS (
+        SELECT b, SUM(w) AS sw,
+               SUM(w * CAST(vq AS DECIMAL(38, 0))) AS swv
+        FROM r GROUP BY 1
+    ),
+    mb AS (
+        SELECT b,
+               CAST(swv AS DOUBLE) / sw AS mean_b,
+               CAST(FLOOR(CAST(swv AS DOUBLE) / sw) AS BIGINT) AS mq,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(swv AS DOUBLE) / sw, b
+               ) AS rnk
+        FROM m
+    ),
+    ci AS (
+        SELECT COUNT(*) AS nb,
+               SUM(CAST(mq AS DECIMAL(38, 0))) AS s1,
+               SUM(CAST(mq AS DECIMAL(19, 0))
+                   * CAST(mq AS DECIMAL(19, 0))) AS s2,
+               MAX(CASE WHEN rnk = {int(_BOOT_B * 0.025) + 1}
+                        THEN mean_b END) AS lo,
+               MAX(CASE WHEN rnk = {int(_BOOT_B * 0.975)}
+                        THEN mean_b END) AS hi
+        FROM mb
+    )
+    SELECT pt.n_orders,
+           CAST(ci.nb AS BIGINT) AS n_replicates,
+           FLOOR(CAST(pt.sv AS DOUBLE) / pt.n_orders / 100.0
+                 * 10000.0 + 0.5) / 10000.0 AS mean_value,
+           FLOOR(SQRT(CAST(ci.nb * ci.s2 - ci.s1 * ci.s1 AS DOUBLE)
+                      / (CAST(ci.nb AS DOUBLE) * CAST(ci.nb AS DOUBLE)))
+                 / 100.0 * 10000.0 + 0.5) / 10000.0 AS boot_se,
+           FLOOR(ci.lo / 100.0 * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+           FLOOR(ci.hi / 100.0 * 10000.0 + 0.5) / 10000.0 AS ci_hi
+    FROM pt CROSS JOIN ci
+    """,
+)
+def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value
+    — resampling inference done the way it scales (Chamandy et al.,
+    Google 2012): instead of materializing B resamples, every row
+    draws an independent Poisson(1) multiplicity PER REPLICATE from
+    the portable hash, so the whole bootstrap is ONE map-side explode
+    feeding B partial sums — no sort, no driver-side resampling, and
+    at 100 TB each replicate's sums ride the same single shuffle.
+    Emits the point mean, the bootstrap SE, and the percentile 95% CI
+    — the uncertainty band every KPI dashboard should carry and
+    almost none do ([[robust_order_value_stats]] gives the robust
+    location; this gives the sampling error of the headline mean).
+
+    Determinism: the Poisson draw is inverse-CDF on the exact 60-bit
+    hash reduced mod 1e9, against INTEGER thresholds inlined at
+    definition time — pure integer compares, no libm at query time;
+    replicate sums are exact DECIMAL; each replicate mean is one
+    fixed IEEE divide, ranked with b-tiebreak so both engines elect
+    identical CI order statistics; the SE runs on floor-quantized
+    replicate means in exact integer arithmetic.
+
+    Scale shape: explode ×{b} inside whole-stage codegen (never
+    materialized), one hash aggregate keyed by replicate id (map-side
+    combine collapses each partition to {b} rows), then a {b}-row
+    window.  The statistic's data pass is identical in shape to a
+    plain aggregate — the bootstrap costs a constant factor, not a
+    new plan."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100.0).cast("bigint").alias("vq"),
+        )
+    )
+    pt = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
+    )
+    u_sql = (
+        "CAST(conv(substring(md5('"
+        + str(_BOOT_SEED)
+        + ":' || CAST(o_orderkey AS STRING) || '#' || CAST(b AS STRING)),"
+        " 1, 15), 16, 10) AS BIGINT) % 1000000000"
+    )
+    r = o.select(
+        "vq",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("o_orderkey"),
+    ).select(
+        "b",
+        "vq",
+        F.expr(_boot_w_sql(f"({u_sql})")).alias("w"),
+    )
+    m = r.groupBy("b").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("vq").cast("decimal(38,0)")).alias("swv"),
+    )
+    mean_b = F.col("swv").cast("double") / F.col("sw")
+    wr = Window.orderBy(mean_b, "b")
+    mb = m.select(
+        mean_b.alias("mean_b"),
+        F.floor(mean_b).cast("bigint").alias("mq"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    ci = mb.agg(
+        F.count("*").alias("nb"),
+        F.sum(F.col("mq").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("mq").cast("decimal(19,0)") * F.col("mq").cast("decimal(19,0)")
+        ).alias("s2"),
+        F.max(
+            F.when(F.col("rnk") == int(_BOOT_B * 0.025) + 1, F.col("mean_b"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rnk") == int(_BOOT_B * 0.975), F.col("mean_b"))
+        ).alias("hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        F.col("nb").cast("bigint").alias("n_replicates"),
+        (
+            F.floor(
+                F.col("sv").cast("double") / F.col("n_orders") / 100.0
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("mean_value"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.expr(
+                        "CAST(nb * s2 - s1 * s1 AS DOUBLE)"
+                        " / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))"
+                    )
+                )
+                / 100.0
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("boot_se"),
+        (F.floor(F.col("lo") / 100.0 * 10000.0 + 0.5) / 10000.0).alias("ci_lo"),
+        (F.floor(F.col("hi") / 100.0 * 10000.0 + 0.5) / 10000.0).alias("ci_hi"),
+    )
+
+
+order_value_bootstrap_ci.__doc__ = order_value_bootstrap_ci.__doc__.format(
+    b=_BOOT_B
+)

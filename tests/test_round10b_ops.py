@@ -440,3 +440,69 @@ def test_forecast_backtest_matches_python_twin(spark):
         assert got[m].n_origins == n
         assert got[m].mae == math.floor(se / n / 100.0 * 10000.0 + 0.5) / 10000.0
         assert got[m].rnk == ranked.index(m) + 1
+
+
+# --- order_value_bootstrap_ci ------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python_twin(spark):
+    """Full replicate-level Python twin: same hash, same Poisson
+    inverse-CDF, same rank-statistic CI."""
+    import hashlib
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _BOOT_B,
+        _BOOT_CDF_E9,
+        _BOOT_SEED,
+    )
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    vq = {r.o_orderkey: math.floor(r.o_totalprice * 100.0) for r in orders}
+    means = []
+    for b in range(_BOOT_B):
+        sw = swv = 0
+        for k, v in vq.items():
+            h = int(hashlib.md5(f"{_BOOT_SEED}:{k}#{b}".encode()).hexdigest()[:15], 16)
+            u = h % 10**9
+            w = sum(1 for t in _BOOT_CDF_E9 if u >= t)
+            sw += w
+            swv += w * v
+        means.append((swv / sw, b))
+    means.sort()
+    mq = [math.floor(m) for m, _ in means]
+    nb = len(mq)
+    s1, s2 = sum(mq), sum(m * m for m in mq)
+    se = math.sqrt((nb * s2 - s1 * s1) / (nb * nb))
+    lo = means[int(_BOOT_B * 0.025)][0]
+    hi = means[int(_BOOT_B * 0.975) - 1][0]
+    r = _q("order_value_bootstrap_ci")(spark, SF_SMOKE).collect()[0]
+    assert r.n_orders == len(vq)
+    assert r.n_replicates == _BOOT_B
+    point = sum(vq.values()) / len(vq)
+    assert r.mean_value == math.floor(point / 100.0 * 10000.0 + 0.5) / 10000.0
+    assert r.boot_se == math.floor(se / 100.0 * 10000.0 + 0.5) / 10000.0
+    assert r.ci_lo == math.floor(lo / 100.0 * 10000.0 + 0.5) / 10000.0
+    assert r.ci_hi == math.floor(hi / 100.0 * 10000.0 + 0.5) / 10000.0
+
+
+def test_bootstrap_se_tracks_analytic_se(spark):
+    """The Poisson-bootstrap SE must agree with the analytic s/sqrt(n)
+    within resampling noise (the calibration guarantee)."""
+    import statistics
+
+    vals = [
+        r.o_totalprice
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_totalprice")
+        .collect()
+    ]
+    analytic = statistics.pstdev(vals) / math.sqrt(len(vals))
+    r = _q("order_value_bootstrap_ci")(spark, SF_SMOKE).collect()[0]
+    assert abs(r.boot_se - analytic) / analytic < 0.35
+    assert r.ci_lo < r.mean_value < r.ci_hi
