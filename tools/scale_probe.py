@@ -247,6 +247,40 @@ def main() -> int:
     )
     t_mwu = timed("mwu_ranks", mwu)
 
+    # round 10 post-seal: the Poisson-bootstrap path
+    # (order_value_bootstrap_ci's plan on the amplified frame).
+    # Measures the promise that resampling inference costs a CONSTANT
+    # FACTOR over a plain aggregate — the ×B explode pipelines inside
+    # whole-stage codegen (never materialized) into B partial sums,
+    # so rows/sec should track exact_dedup's hash-agg throughput ÷ B
+    # overheads, not fall off a cliff.
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _BOOT_B,
+        _BOOT_SEED,
+        _boot_w_sql,
+    )
+
+    bu_sql = (
+        f"CAST(conv(substring(md5('{_BOOT_SEED}:' ||"
+        " CAST(event_id AS STRING) || '#' || CAST(b AS STRING)),"
+        " 1, 15), 16, 10) AS BIGINT) % 1000000000"
+    )
+    boot = (
+        base.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("vq"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select("b", "vq", F.expr(_boot_w_sql(f"({bu_sql})")).alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("vq").cast("decimal(38,0)")).alias("swv"),
+        )
+    )
+    t_boot = timed("poisson_bootstrap_x100", boot)
+
     # round 9: connected-components scale path (the dedup-clustering
     # promise).  Two shapes: the ADVERSARIAL 2^20-vertex single path
     # (diameter = n; hash-to-min alone would need n rounds — pointer
