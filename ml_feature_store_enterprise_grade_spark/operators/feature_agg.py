@@ -391,10 +391,10 @@ _DECAY_WQ = tuple(
 )
 
 
-@register(
-    "user_decay_features",
-    defer=True,
-    oracle=f"""
+#: The decay oracle, shared VERBATIM by the batch registration and
+#: the streaming twin (streaming/joins.py stream_decay_features) —
+#: one SQL string IS the batch ≡ stream correctness claim.
+_DECAY_ORACLE = f"""
     WITH e AS (
         SELECT user_id,
                LEAST(GREATEST(date_diff('day', CAST(ts AS DATE),
@@ -419,7 +419,13 @@ _DECAY_WQ = tuple(
                  / 100000000.0 * 1000000.0 + 0.5) / 1000000.0
                AS decayed_value_sum
     FROM wt GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "user_decay_features",
+    defer=True,
+    oracle=_DECAY_ORACLE,
 )
 def user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed user features as-of a fixed anchor

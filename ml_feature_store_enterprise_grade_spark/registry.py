@@ -47,6 +47,7 @@ ORACLES: dict[str, str] = {}
 #   - t_closeness_audit (round 11 queue)
 #   - daily_revenue_forecast_backtest (round 11 queue)
 #   - order_value_bootstrap_ci (round 11 queue)
+#   - stream_decay_features (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -560,3 +560,145 @@ def stream_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+# --- Streaming decayed features (the user_decay_features twin) -------
+
+_DECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("min_d", T.LongType()),
+        T.StructField("swq", T.LongType()),
+        T.StructField("svwq", T.LongType()),
+    ]
+)
+_DECAY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("min_d", T.LongType()),
+        T.StructField("swq", T.LongType()),
+        T.StructField("svwq", T.LongType()),
+    ]
+)
+
+
+def _decay_snapshots(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user decayed-feature accumulator: weights are the SAME
+    pre-quantized integer micro-units the batch operator inlines, so
+    state is four exact integers and the fold is commutative —
+    identical under any micro-batching or replay.  ``svwq`` is
+    bounded by |events/user| · 1e10 (cent values × micro-weights),
+    comfortably inside int64 at any per-user history this corpus
+    scale reaches; a petabyte deployment widens it to the Decimal
+    the batch twin already uses."""
+    import math as _m
+    from datetime import date as _date
+
+    from ..operators.feature_agg import (
+        _DECAY_ASOF,
+        _DECAY_MAX_AGE_D,
+        _DECAY_WQ,
+    )
+
+    anchor = _date.fromisoformat(_DECAY_ASOF)
+    (n, min_d, swq, svwq) = (
+        state.get if state.exists else (0, 10**9, 0, 0)
+    )
+    for pdf in pdfs:
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            d = min(max((anchor - ts.date()).days, 0), _DECAY_MAX_AGE_D)
+            vq = _m.floor(float(value) * 100.0)
+            wq = _DECAY_WQ[d]
+            n += 1
+            min_d = min(min_d, d)
+            swq += wq
+            svwq += vq * wq
+    state.update((n, min_d, swq, svwq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "min_d": [min_d],
+            "swq": [swq],
+            "svwq": [svwq],
+        }
+    )
+
+
+def _decay_oracle() -> str:
+    from ..operators.feature_agg import _DECAY_ORACLE
+
+    return _DECAY_ORACLE
+
+
+@register(
+    "stream_decay_features",
+    defer=True,
+    oracle=_decay_oracle(),
+)
+def stream_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of [[user_decay_features]] — the recency-
+    weighted feature maintained ONLINE: per-user decayed count/value
+    accumulated in explicit GroupState via ``applyInPandasWithState``
+    (the ST8 escape hatch), each micro-batch emitting the running
+    snapshot, the final snapshot per user recovered batch-side by
+    ``max_by`` on the monotone event count.  The oracle is the batch
+    operator's oracle VERBATIM (one shared SQL string) — stream ≡
+    batch is the whole correctness claim, and it holds under any
+    micro-batching because the decayed sums are commutative exact-
+    integer folds of per-event weights that depend only on (ts,
+    anchor), never on arrival order.
+
+    Determinism: the kernel reuses the batch twin's pre-quantized
+    integer weight table and cent flooring (IEEE double ops identical
+    in pandas and the JVM); state is four exact integers; the two
+    emitted doubles are the batch twin's fixed divides through the
+    floor ladder, applied AFTER streaming, on exact integers.
+
+    Scale shape: per-key state is four counters (bounded by users,
+    not history); Arrow batches amortize the Python hop; the
+    recovery aggregate touches |users| × micro-batch-count snapshot
+    rows.  In production the snapshot sink IS the online store
+    ([[stream_online_materialize]]'s generation protocol) and
+    yesterday's state ages by one constant factor — the incremental
+    form the batch docstring promises."""
+    e = streaming_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
+    snapshots = e.groupBy("user_id").applyInPandasWithState(
+        _decay_snapshots,
+        outputStructType=_DECAY_OUT_SCHEMA,
+        stateStructType=_DECAY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(snapshots, "stream_decay_features")
+    final = out.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by("min_d", "n").alias("min_d"),
+        F.max_by("swq", "n").alias("swq"),
+        F.max_by("svwq", "n").alias("svwq"),
+    )
+    return final.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("min_d").cast("bigint").alias("last_event_age_days"),
+        (
+            F.floor(
+                F.col("swq").cast("double") / 1000000.0 * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("decayed_count"),
+        (
+            F.floor(
+                F.col("svwq").cast("double") / 100000000.0 * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("decayed_value_sum"),
+    )

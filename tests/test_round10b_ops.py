@@ -506,3 +506,92 @@ def test_bootstrap_se_tracks_analytic_se(spark):
     r = _q("order_value_bootstrap_ci")(spark, SF_SMOKE).collect()[0]
     assert abs(r.boot_se - analytic) / analytic < 0.35
     assert r.ci_lo < r.mean_value < r.ci_hi
+
+
+# --- stream_decay_features ---------------------------------------------------
+
+
+def test_stream_decay_multi_batch_replay_equals_batch(spark, tmp_path):
+    """6 forced micro-batches through the stateful accumulator must
+    reproduce user_decay_features exactly (the shared-oracle claim,
+    proven under real micro-batching, not just availableNow's single
+    batch)."""
+    import time as _time
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ml_feature_store_enterprise_grade_spark.catalog import normalize_ts
+    from ml_feature_store_enterprise_grade_spark.streaming.joins import (
+        _DECAY_OUT_SCHEMA,
+        _DECAY_STATE_SCHEMA,
+        _decay_snapshots,
+    )
+
+    d = str(tmp_path / "decay_src")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) // 6
+    edges = [None, *[lo + step * i for i in range(1, 6)], None]
+    for i in range(6):
+        chunk = raw
+        if edges[i] is not None:
+            chunk = chunk.filter(F.col("ts") > edges[i])
+        if edges[i + 1] is not None:
+            chunk = chunk.filter(F.col("ts") <= edges[i + 1])
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    stream = normalize_ts(
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d),
+        ["ts"],
+    ).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
+    snapshots = stream.groupBy("user_id").applyInPandasWithState(
+        _decay_snapshots,
+        outputStructType=_DECAY_OUT_SCHEMA,
+        stateStructType=_DECAY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"decay_{uuid.uuid4().hex[:8]}"
+    q = (
+        snapshots.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname)
+    final = out.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by("min_d", "n").alias("min_d"),
+        F.max_by("swq", "n").alias("swq"),
+        F.max_by("svwq", "n").alias("svwq"),
+    )
+    got = {
+        r.user_id: (r.n, r.min_d, r.swq, r.svwq) for r in final.collect()
+    }
+    # multiple micro-batches actually happened
+    assert out.count() > final.count()
+    batch = {
+        r.user_id: r
+        for r in _q("user_decay_features")(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, min_d, swq, svwq) in got.items():
+        b = batch[uid]
+        assert b.n_events == n
+        assert b.last_event_age_days == min_d
+        assert b.decayed_count == math.floor(swq / 1e6 * 1e6 + 0.5) / 1e6
+        assert (
+            b.decayed_value_sum == math.floor(svwq / 1e8 * 1e6 + 0.5) / 1e6
+        )
