@@ -183,6 +183,17 @@ QUERIES = (
     "cobuy_community_conductance",
     "dedup_method_agreement",
     "rec_novelty_by_rank",
+    # round 10 post-seal additions
+    "range_partition_balance_plan",
+    "part_price_dispersion_audit",
+    "embedding_effective_rank",
+    "doc_compression_ratio_screen",
+    "embedding_pq_adc_recall",
+    "user_decay_features",
+    "approximate_fd_audit",
+    "t_closeness_audit",
+    "daily_revenue_forecast_backtest",
+    "order_value_bootstrap_ci",
 )
 
 
