@@ -48,6 +48,7 @@ ORACLES: dict[str, str] = {}
 #   - daily_revenue_forecast_backtest (round 11 queue)
 #   - order_value_bootstrap_ci (round 11 queue)
 #   - stream_decay_features (round 11 queue)
+#   - sequence_packing_efficiency (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -595,3 +595,62 @@ def test_stream_decay_multi_batch_replay_equals_batch(spark, tmp_path):
         assert (
             b.decayed_value_sum == math.floor(svwq / 1e8 * 1e6 + 0.5) / 1e6
         )
+
+
+# --- sequence_packing_efficiency --------------------------------------------
+
+
+def test_packing_efficiency_matches_python_twin(spark):
+    """Both strategy rows vs an exact-integer Python twin using the
+    same shard hash and prefix sums."""
+    import hashlib
+
+    from ml_feature_store_enterprise_grade_spark.operators.corpus_plan import (
+        _CHARS_PER_TOKEN,
+        _PACK_SEED,
+        _PACK_SHARDS,
+        _SEQ_LEN,
+    )
+
+    docs = sorted(
+        (r.doc_id, max(1, r.n_chars // _CHARS_PER_TOKEN))
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    shards: dict = {}
+    for doc_id, t in docs:
+        h = int(
+            hashlib.md5(f"{_PACK_SEED}:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        shards.setdefault(h % _PACK_SHARDS, []).append((doc_id, t))
+    total = sum(t for _, t in docs)
+    naive_seqs = sum((t + _SEQ_LEN - 1) // _SEQ_LEN for _, t in docs)
+    n_split = 0
+    concat_seqs = 0
+    for lst in shards.values():
+        lst.sort()
+        cum = 0
+        for _, t in lst:
+            if (cum + t - 1) // _SEQ_LEN > cum // _SEQ_LEN:
+                n_split += 1
+            cum += t
+        concat_seqs += (cum + _SEQ_LEN - 1) // _SEQ_LEN
+    got = {
+        r.strategy: r
+        for r in _q("sequence_packing_efficiency")(spark, SF_SMOKE).collect()
+    }
+    pn = got["pad_per_doc"]
+    assert pn.n_sequences == naive_seqs
+    assert pn.padding_tokens == naive_seqs * _SEQ_LEN - total
+    assert pn.docs_split == 0
+    cc = got["concat_chunk_sharded"]
+    assert cc.n_sequences == concat_seqs
+    assert cc.padding_tokens == concat_seqs * _SEQ_LEN - total
+    assert cc.docs_split == n_split
+    assert cc.docs_split_share == math.floor(
+        n_split / len(docs) * 1e6 + 0.5
+    ) / 1e6
+    # concat never needs more sequences than padding
+    assert cc.n_sequences <= pn.n_sequences
+    assert cc.waste_share <= pn.waste_share
