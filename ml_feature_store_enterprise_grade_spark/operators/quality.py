@@ -2078,3 +2078,123 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n")
         ).alias("meets_t"),
     )
+
+
+#: Salt fan-out for the registered salted-join demonstration (the
+#: functions/skew.py default is 16; 8 keeps the sf-scale replicated
+#: dim small while still spreading a hot key across real reducers).
+_SALTED_JOIN_FANOUT = 8
+
+
+@register(
+    "skew_resilient_distinct_rollup",
+    defer=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def skew_resilient_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant exact-distinct form REGISTERED as an
+    oracle-checked query — [[skew_diagnostics]] finds the hot keys,
+    `functions/skew.py` prescribes the fix, and this query PROVES the
+    fix is result-identical: per event type (a handful of groups, the
+    worst case — every row of a hot group funnels to one reducer
+    under the naive plan), the exact distinct-user count via
+    :func:`~...functions.skew.exact_distinct_two_stage` — stage 1
+    shuffles on (type, user) so the hot group spreads over its value
+    diversity, stage 2 counts per type over the deduped frame with
+    map-side combine.  The oracle is the PLAIN ``COUNT(DISTINCT)`` —
+    equivalence is the whole claim.
+
+    Determinism: exact integer counts only.
+
+    Scale shape: two hash shuffles, both fully parallel — the first
+    keyed by (type, user) (no reducer ever sees more than one group's
+    one value), the second over the |types|×|users|-bounded deduped
+    frame.  The naive single-stage form is the one that stalls at
+    100 TB; this plan's worst partition is O(rows/partitions)
+    regardless of group skew."""
+    from ..functions.skew import exact_distinct_two_stage
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    distinct = exact_distinct_two_stage(
+        e, ["event_type"], "user_id", out="n_users"
+    )
+    counts = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return distinct.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "n_events",
+    )
+
+
+@register(
+    "salted_enrichment_join",
+    defer=True,
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS user_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS user_purchases
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.user_events, d.user_purchases
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    WHERE e.user_id IS NOT NULL
+    """,
+)
+def salted_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-salting join REGISTERED as an oracle-checked query
+    — the remediation [[fk_join_skew_advisor]]'s ``sort_merge_salted``
+    verdict prescribes, proven result-identical to the plain join:
+    every event enriched with its user's profile aggregate through
+    :func:`~...functions.skew.salted_join` (big side salted 0..{n},
+    dim side replicated {n}×, join on (key, salt)).  The oracle is
+    the PLAIN equi-join — the salt must be invisible in the result.
+
+    Determinism: the salt column is dropped and the join is exact on
+    (key, salt ⊂ key's fan-out), so the output SET is independent of
+    which salt each row drew; every emitted value is an exact
+    integer.  (``rand(seed)`` varies with partition layout — which is
+    exactly why it may appear nowhere in the output.)
+
+    Scale shape: the hot key's rows land on {n} reducers instead of
+    one; the cost is an {n}× copy of the (bounded, per-user) dim —
+    the standard trade when the big side's hot key defeats AQE's
+    split-and-replicate and the dim exceeds the broadcast budget.
+    At THIS scale the dim would broadcast; the query forces the
+    salted shuffle form because proving the rewrite's equivalence is
+    its purpose."""
+    from ..functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    dim = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("user_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("user_purchases"),
+    )
+    joined = salted_join(
+        e.select("event_id", "user_id", "event_type"),
+        dim.hint("merge"),
+        "user_id",
+        n_salt=_SALTED_JOIN_FANOUT,
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "user_events", "user_purchases"
+    )
+
+
+salted_enrichment_join.__doc__ = salted_enrichment_join.__doc__.format(
+    n=_SALTED_JOIN_FANOUT
+)

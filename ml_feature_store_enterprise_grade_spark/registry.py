@@ -49,6 +49,8 @@ ORACLES: dict[str, str] = {}
 #   - order_value_bootstrap_ci (round 11 queue)
 #   - stream_decay_features (round 11 queue)
 #   - sequence_packing_efficiency (round 11 queue)
+#   - skew_resilient_distinct_rollup (round 11 queue)
+#   - salted_enrichment_join (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -632,3 +632,19 @@ def test_effective_rank_no_vector_shuffle(spark):
     plan must not re-shuffle anything keyed by vec_id."""
     plan = _deferred_plan_of(spark, "embedding_effective_rank")
     assert "vec_id" not in plan.split("HashAggregate")[0]
+
+
+def test_salted_join_actually_salts(spark):
+    """The registered salted join must really run the (key, salt)
+    shuffle form — a broadcast of the dim would make the equivalence
+    claim vacuous."""
+    plan = _deferred_plan_of(spark, "salted_enrichment_join")
+    assert "__salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_two_stage_distinct_has_no_expand(spark):
+    """The skew-resistant distinct must be the two-shuffle dedup form,
+    not Spark's single-stage distinct-aggregate Expand."""
+    plan = _deferred_plan_of(spark, "skew_resilient_distinct_rollup")
+    assert "Expand" not in plan
