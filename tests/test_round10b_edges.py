@@ -180,3 +180,83 @@ def test_fd_audit_holding_dependency(spark, tmp_path):
     assert bool(r.holds) is True
     assert r.g3_error == 0.0
     assert r.n_violating_groups == 0
+
+
+def test_stream_decay_rocksdb_provider_matches_default(spark, tmp_path):
+    """The decay accumulator's GroupState under the RocksDB provider
+    must produce the identical final per-user integers as the default
+    HDFS-backed provider (the ST8-at-scale check the running-totals
+    op carries, extended to the decay twin)."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ml_feature_store_enterprise_grade_spark.catalog import normalize_ts
+    from ml_feature_store_enterprise_grade_spark.streaming.joins import (
+        _DECAY_OUT_SCHEMA,
+        _DECAY_STATE_SCHEMA,
+        _decay_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.coalesce(2).write.mode("append").parquet(src)
+
+    def run(provider, tag):
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            stream = normalize_ts(
+                spark.readStream.schema(raw.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", 1)
+                .load(src),
+                ["ts"],
+            ).filter(
+                F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & F.col("value").isNotNull()
+                & ~F.isnan("value")
+            )
+            snaps = stream.groupBy("user_id").applyInPandasWithState(
+                _decay_snapshots,
+                outputStructType=_DECAY_OUT_SCHEMA,
+                stateStructType=_DECAY_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            qname = f"rocks_{tag}_{uuid.uuid4().hex[:6]}"
+            q = (
+                snaps.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(qname)
+            return {
+                r.user_id: (r.n, r.min_d, r.swq, r.svwq)
+                for r in out.groupBy("user_id")
+                .agg(
+                    F.max("n").alias("n"),
+                    F.max_by("min_d", "n").alias("min_d"),
+                    F.max_by("swq", "n").alias("swq"),
+                    F.max_by("svwq", "n").alias("svwq"),
+                )
+                .collect()
+            }
+        finally:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "r",
+    )
+    default = run(None, "d")
+    assert rocks == default and len(rocks) > 0
