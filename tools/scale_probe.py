@@ -281,6 +281,46 @@ def main() -> int:
     )
     t_boot = timed("poisson_bootstrap_x100", boot)
 
+    # round 10 post-seal: the exponential-decay aggregation
+    # (user_decay_features' plan on the amplified frame).  Measures
+    # the promise that the literal-array weight lookup is free and
+    # the whole feature costs exactly one user-keyed shuffle — the
+    # same profile as `hourly`.
+    from ml_feature_store_enterprise_grade_spark.operators.feature_agg import (
+        _DECAY_MAX_AGE_D,
+        _DECAY_WQ,
+    )
+
+    wq_arr = F.array(*[F.lit(wq) for wq in _DECAY_WQ])
+    asof_anchor = F.lit("2024-02-01").cast("date")
+    decay = (
+        base.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "user_id",
+            F.least(
+                F.greatest(
+                    F.datediff(asof_anchor, F.to_date("ts")), F.lit(0)
+                ),
+                F.lit(_DECAY_MAX_AGE_D),
+            ).alias("d"),
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("vq"),
+        )
+        .select(
+            "user_id", "d", "vq",
+            F.element_at(wq_arr, F.col("d") + 1).alias("wq"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("d").alias("min_d"),
+            F.sum("wq").alias("swq"),
+            F.sum(F.col("vq").cast("decimal(38,0)") * F.col("wq")).alias(
+                "svwq"
+            ),
+        )
+    )
+    t_decay = timed("decay_features", decay)
+
     # round 9: connected-components scale path (the dedup-clustering
     # promise).  Two shapes: the ADVERSARIAL 2^20-vertex single path
     # (diameter = n; hash-to-min alone would need n rounds — pointer
