@@ -51,6 +51,7 @@ ORACLES: dict[str, str] = {}
 #   - sequence_packing_efficiency (round 11 queue)
 #   - skew_resilient_distinct_rollup (round 11 queue)
 #   - salted_enrichment_join (round 11 queue)
+#   - jaccard_prefix_filter_join (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

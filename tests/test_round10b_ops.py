@@ -654,3 +654,43 @@ def test_packing_efficiency_matches_python_twin(spark):
     # concat never needs more sequences than padding
     assert cc.n_sequences <= pn.n_sequences
     assert cc.waste_share <= pn.waste_share
+
+
+# --- jaccard_prefix_filter_join ----------------------------------------------
+
+
+def test_prefix_filter_join_is_lossless_vs_brute_force(spark):
+    """The prefix theorem's guarantee, checked against an exhaustive
+    all-pairs Python ground truth: EVERY pair with exact J >= tau is
+    in the output, with the exact intersection size — and the output
+    contains nothing below tau."""
+    from ml_feature_store_enterprise_grade_spark.functions import (
+        normalize_text,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .collect()
+    )
+
+    def shingles(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    S = {r.doc_id: shingles(r.norm) for r in docs}
+    ids = sorted(S)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not S[a] or not S[b]:
+                continue
+            inter = len(S[a] & S[b])
+            if inter and inter / len(S[a] | S[b]) >= 0.7:
+                want[(a, b)] = inter
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in _q("jaccard_prefix_filter_join")(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the smoke corpus plants real near-dup pairs
