@@ -194,6 +194,10 @@ QUERIES = (
     "t_closeness_audit",
     "daily_revenue_forecast_backtest",
     "order_value_bootstrap_ci",
+    "sequence_packing_efficiency",
+    "skew_resilient_distinct_rollup",
+    "salted_enrichment_join",
+    "jaccard_prefix_filter_join",
 )
 
 
