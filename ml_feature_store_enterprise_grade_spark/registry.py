@@ -29,29 +29,6 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
-#   - embedding_distance_profile (round 11 queue)
-#   - anonymity_generalization_ladder (round 11 queue)
-#   - multimodal_audio_silence_runs (round 11 queue)
-#   - event_value_winsorize_sweep (round 11 queue)
-#   - cobuy_community_conductance (round 11 queue)
-#   - dedup_method_agreement (round 11 queue)
-#   - rec_novelty_by_rank (round 11 queue)
-#   - stream_histogram_quantile_monitor (round 11 queue)
-#   - dedup_survivor_policy_audit (round 11 queue)
-#   - range_partition_balance_plan (round 11 queue)
-#   - part_price_dispersion_audit (round 11 queue)
-#   - embedding_effective_rank (round 11 queue)
-#   - embedding_pq_adc_recall (round 11 queue)
-#   - user_decay_features (round 11 queue)
-#   - approximate_fd_audit (round 11 queue)
-#   - t_closeness_audit (round 11 queue)
-#   - daily_revenue_forecast_backtest (round 11 queue)
-#   - order_value_bootstrap_ci (round 11 queue)
-#   - stream_decay_features (round 11 queue)
-#   - sequence_packing_efficiency (round 11 queue)
-#   - skew_resilient_distinct_rollup (round 11 queue)
-#   - salted_enrichment_join (round 11 queue)
-#   - jaccard_prefix_filter_join (round 11 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -109,6 +86,31 @@ _PROMOTED: frozenset[str] = frozenset((
     "embedding_hubness_audit", "dup_pair_source_matrix",
     "dedup_transitivity_audit", "label_horizon_sweep",
     "drift_quantile_shift",
+    # round-11 promotions: the 23-name r11 queue (VERDICT r10 item 1) —
+    # every one locally parity-green, now earning its first driver row.
+    "embedding_distance_profile",
+    "anonymity_generalization_ladder",
+    "multimodal_audio_silence_runs",
+    "event_value_winsorize_sweep",
+    "cobuy_community_conductance",
+    "dedup_method_agreement",
+    "rec_novelty_by_rank",
+    "stream_histogram_quantile_monitor",
+    "dedup_survivor_policy_audit",
+    "range_partition_balance_plan",
+    "part_price_dispersion_audit",
+    "embedding_effective_rank",
+    "embedding_pq_adc_recall",
+    "user_decay_features",
+    "approximate_fd_audit",
+    "t_closeness_audit",
+    "daily_revenue_forecast_backtest",
+    "order_value_bootstrap_ci",
+    "stream_decay_features",
+    "sequence_packing_efficiency",
+    "skew_resilient_distinct_rollup",
+    "salted_enrichment_join",
+    "jaccard_prefix_filter_join",
 ))
 
 _OPERATOR_MODULES = (
@@ -175,75 +177,62 @@ _loaded = False
 #: entries are rotatable; after r10 the oldest cohort is the r4-era
 #: greens, then r6).
 _FRONT: tuple[str, ...] = (
-    # --- Round 10 window.  Head: the 15-name r10 queue (VERDICT r9
+    # --- Round 11 window.  Head: the 23-name r11 queue (VERDICT r10
     # item 1) — first driver rows for every remaining zero-evidence
-    # query; bench-tracked seven first, per the r9 rotation note.
-    "embedding_silhouette",
-    "event_value_kruskal_wallis",
-    "embedding_knn_label_accuracy",
-    "purchase_propensity_calibration",
-    "rec_coverage_gini",
-    "discount_simpson_paradox_audit",
-    "multimodal_image_entropy",
-    "daily_revenue_chow_test",
-    "fk_join_skew_advisor",
-    "orders_backlog_littles_law",
-    "embedding_hubness_audit",
-    "dup_pair_source_matrix",
-    "dedup_transitivity_audit",
-    "label_horizon_sweep",
-    "drift_quantile_shift",
-    # --- Changed this round (rotation priority 2 — old green rows
-    # are stale evidence): pit_staleness_audit re-planned to the
-    # single-shuffle running-max form (VERDICT r9 item 3);
-    # embedding_bitext_margin routed through knn_candidates (item 2);
-    # corpus_bigram_pmi now shares the memoized bigram census with
-    # corpus_bigram_llr (item 4).
-    "pit_staleness_audit",
-    "embedding_bitext_margin",
-    "corpus_bigram_pmi",
-    # --- New round-10 queries land here (slots reserved; overflow
-    # uses defer=True and joins the r11 queue):
-    "minhash_jaccard_error_audit",
-    "session_gap_sensitivity",
-    "vocab_coverage_curve",
-    "dict_encoding_advisor",
-    "target_encoding_smoothing_sweep",
-    # --- Oldest driver greens (last checked r3 — the final r3-era
-    # cohort, rotation priority 3 per tools/update_checked_names.py;
-    # next-oldest is the r4 cohort).  item_cooccurrence_lift (r4
-    # head) rotated out post-seal to make room for the second
-    # rows-only round-10 query below; it re-earns a row next cycle.
-    "late_arrival_audit",
-    "negative_sample_pairs",
-    "partition_compaction_plan",
-    "percentile_rank_features",
-    "pit_multi_view_join",
-    "purchase_interarrival_stats",
-    "rfm_segmentation",
-    "segment_dedup",
-    "semantic_dedup",
-    "sequence_packing_plan",
-    "skew_diagnostics",
-    "snapshot_diff_audit",
-    "split_leakage_audit",
-    "stream_online_materialize",
-    "stream_sliding_features",
-    "stream_topk_heavy_hitters",
-    "target_encoding_loo",
-    "tokenizer_fertility_audit",
-    "training_set_export",
-    "user_ltv_features",
-    "user_wow_delta_features",
-    "vocab_oov_rate",
-    "volume_anomaly_days",
-    "weighted_systematic_sample",
-    "zorder_layout_plan",
-    # --- new rows-only round-10 queries (rows-only cannot defer, so
-    # they take the final slots; the displaced r4 greens rotate back
-    # in next round):
-    "ann_probe_recall_curve",
-    "doc_compression_ratio_screen",
+    # query.
+    "embedding_distance_profile",
+    "anonymity_generalization_ladder",
+    "multimodal_audio_silence_runs",
+    "event_value_winsorize_sweep",
+    "cobuy_community_conductance",
+    "dedup_method_agreement",
+    "rec_novelty_by_rank",
+    "stream_histogram_quantile_monitor",
+    "dedup_survivor_policy_audit",
+    "range_partition_balance_plan",
+    "part_price_dispersion_audit",
+    "embedding_effective_rank",
+    "embedding_pq_adc_recall",
+    "user_decay_features",
+    "approximate_fd_audit",
+    "t_closeness_audit",
+    "daily_revenue_forecast_backtest",
+    "order_value_bootstrap_ci",
+    "stream_decay_features",
+    "sequence_packing_efficiency",
+    "skew_resilient_distinct_rollup",
+    "salted_enrichment_join",
+    "jaccard_prefix_filter_join",
+    # --- Oldest driver greens (item_cooccurrence_lift last checked
+    # r3, the rest the head of the r4 cohort — rotation priority 3 per
+    # tools/update_checked_names.py; next-oldest is the r4 tail).
+    "item_cooccurrence_lift",
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "corpus_lang_stats",
+    "corpus_quality_filter",
+    "crossdoc_span_heavy_hitters",
+    "crossdoc_span_trim",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_fingerprint",
+    "doc_prefix_cluster_stats",
+    "doc_text_stats",
+    "drift_ks_click_vs_view",
+    "drift_psi_multi_feature",
+    "duplicate_key_check",
+    "embedding_label_confusion",
+    "embedding_neardup",
+    "event_customer_enrichment",
+    "event_customer_overlap",
+    "event_value_percentiles",
+    "feature_coverage",
+    "feature_freshness",
+    "feature_summary_stats",
+    "k_anonymity_audit",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -257,85 +246,92 @@ _FRONT: tuple[str, ...] = (
 _DRIVER_CHECKED: frozenset[str] = frozenset((
     "ab_assignment_srm_audit", "acctbal_gini_by_segment", "acctbal_revenue_spearman",
     "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
-    "ann_ivf_topk", "basket_size_poisson_gof", "benford_digit_audit",
-    "bitemporal_customer_features", "bloom_prejoin_prune", "bm25_search_topk",
-    "bpe_merge_learning", "brand_bracket_revenue", "calendar_features",
-    "ccnet_perplexity_buckets", "cdc_merge_upsert", "cobuy_degree_assortativity",
-    "cobuy_edge_churn", "cohort_ltv_curve", "cohort_retention",
-    "concurrent_sessions_daily", "context_length_fit", "conversion_attribution",
-    "corpus_bigram_llr", "corpus_bigram_pmi", "corpus_contamination",
-    "corpus_data_card", "corpus_dedup_pipeline", "corpus_lang_stats",
-    "corpus_lexical_drift", "corpus_mixture_weights", "corpus_ngram_novelty",
-    "corpus_quality_filter", "corpus_sampling_plan", "corpus_top_bigrams",
-    "countmin_heavy_hitters", "cross_table_consistency_audit", "crossdoc_span_heavy_hitters",
-    "crossdoc_span_trim", "customer_order_distribution", "customer_segment_migration",
-    "customers_without_orders", "daily_event_type_pivot", "daily_revenue_runs_test",
-    "daily_revenue_sax", "daily_revenue_variance_ratio", "dataset_split_assignment",
-    "dedup_clusters", "dedup_crossdoc_spans", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_rate_by_lang", "dedup_simhash", "dedup_simhash_pairs",
-    "discount_quantity_elasticity", "discounted_bracket_revenue", "doc_bigram_logprob",
-    "doc_blocklist_filter", "doc_chunking_plan", "doc_fingerprint",
+    "ann_ivf_topk", "ann_probe_recall_curve", "basket_size_poisson_gof",
+    "benford_digit_audit", "bitemporal_customer_features", "bloom_prejoin_prune",
+    "bm25_search_topk", "bpe_merge_learning", "brand_bracket_revenue",
+    "calendar_features", "ccnet_perplexity_buckets", "cdc_merge_upsert",
+    "cobuy_degree_assortativity", "cobuy_edge_churn", "cohort_ltv_curve",
+    "cohort_retention", "concurrent_sessions_daily", "context_length_fit",
+    "conversion_attribution", "corpus_bigram_llr", "corpus_bigram_pmi",
+    "corpus_contamination", "corpus_data_card", "corpus_dedup_pipeline",
+    "corpus_lang_stats", "corpus_lexical_drift", "corpus_mixture_weights",
+    "corpus_ngram_novelty", "corpus_quality_filter", "corpus_sampling_plan",
+    "corpus_top_bigrams", "countmin_heavy_hitters", "cross_table_consistency_audit",
+    "crossdoc_span_heavy_hitters", "crossdoc_span_trim", "customer_order_distribution",
+    "customer_segment_migration", "customers_without_orders", "daily_event_type_pivot",
+    "daily_revenue_chow_test", "daily_revenue_runs_test", "daily_revenue_sax",
+    "daily_revenue_variance_ratio", "dataset_split_assignment", "dedup_clusters",
+    "dedup_crossdoc_spans", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_by_lang",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_transitivity_audit",
+    "dict_encoding_advisor", "discount_quantity_elasticity", "discount_simpson_paradox_audit",
+    "discounted_bracket_revenue", "doc_bigram_logprob", "doc_blocklist_filter",
+    "doc_chunking_plan", "doc_compression_ratio_screen", "doc_fingerprint",
     "doc_language_purity", "doc_length_mad_outliers", "doc_prefix_cluster_stats",
     "doc_rake_keyphrases", "doc_repetition_stats", "doc_shard_rendezvous",
     "doc_text_stats", "doc_tfidf_top_terms", "doc_token_entropy",
     "doc_unigram_logprob", "doc_winnowing_fingerprints", "doc_winnowing_matches",
     "dp_contribution_bounding", "drift_js_divergence", "drift_ks_click_vs_view",
-    "drift_psi_multi_feature", "drift_report_multi_feature", "dsir_importance_weights",
-    "dup_cluster_language_purity", "dup_cluster_size_histogram", "duplicate_key_check",
-    "embedding_bitext_margin", "embedding_centroid_drift", "embedding_cluster_label_ari",
-    "embedding_covariance", "embedding_dim_stats", "embedding_jl_distortion",
-    "embedding_kmeans", "embedding_label_confusion", "embedding_neardup",
-    "embedding_norm_stats", "embedding_pq_codes", "embedding_quantization_error",
-    "embedding_top_eigenvector", "embedding_truncation_audit", "event_code_projection",
-    "event_customer_enrichment", "event_customer_overlap", "event_daily_autocorrelation",
-    "event_props_struct", "event_props_variant", "event_value_mann_whitney",
+    "drift_psi_multi_feature", "drift_quantile_shift", "drift_report_multi_feature",
+    "dsir_importance_weights", "dup_cluster_language_purity", "dup_cluster_size_histogram",
+    "dup_pair_source_matrix", "duplicate_key_check", "embedding_bitext_margin",
+    "embedding_centroid_drift", "embedding_cluster_label_ari", "embedding_covariance",
+    "embedding_dim_stats", "embedding_hubness_audit", "embedding_jl_distortion",
+    "embedding_kmeans", "embedding_knn_label_accuracy", "embedding_label_confusion",
+    "embedding_neardup", "embedding_norm_stats", "embedding_pq_codes",
+    "embedding_quantization_error", "embedding_silhouette", "embedding_top_eigenvector",
+    "embedding_truncation_audit", "event_code_projection", "event_customer_enrichment",
+    "event_customer_overlap", "event_daily_autocorrelation", "event_props_struct",
+    "event_props_variant", "event_value_kruskal_wallis", "event_value_mann_whitney",
     "event_value_percentile_disc", "event_value_percentiles", "event_value_quantile_normalization",
     "excess_stock_suppliers", "feature_backfill_plan", "feature_binning_quantile",
     "feature_binning_scalable", "feature_correlation_matrix", "feature_coverage",
     "feature_freshness", "feature_hash_cross", "feature_information_gain",
     "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
-    "feature_value_histogram", "file_skipping_stats", "forecast_discount_revenue",
-    "funnel_conversion_ztest", "gdpr_deletion_audit", "graph_modularity",
-    "hard_negative_pairs", "histogram_quantile_rollup", "hll_portable_distinct_rollup",
-    "idle_rich_customers", "important_parts_share", "incremental_feature_update",
-    "inverted_index_postings", "item_cooccurrence_lift", "item_kcore_membership",
-    "item_label_propagation", "item_pagerank", "item_ra_link_prediction",
-    "item_triangle_census", "k_anonymity_audit", "kmv_audience_overlap",
-    "l_diversity_audit", "lang_id_confusion", "large_volume_customers",
-    "late_arrival_audit", "late_shipment_priority", "latest_feature_snapshot",
-    "local_supply_share", "lsh_tuning_report", "markov_entropy_rate",
-    "min_price_supplier_region", "monthly_revenue_gap_fill", "monthly_revenue_momentum",
+    "feature_value_histogram", "file_skipping_stats", "fk_join_skew_advisor",
+    "forecast_discount_revenue", "funnel_conversion_ztest", "gdpr_deletion_audit",
+    "graph_modularity", "hard_negative_pairs", "histogram_quantile_rollup",
+    "hll_portable_distinct_rollup", "idle_rich_customers", "important_parts_share",
+    "incremental_feature_update", "inverted_index_postings", "item_cooccurrence_lift",
+    "item_kcore_membership", "item_label_propagation", "item_pagerank",
+    "item_ra_link_prediction", "item_triangle_census", "k_anonymity_audit",
+    "kmv_audience_overlap", "l_diversity_audit", "label_horizon_sweep",
+    "lang_id_confusion", "large_volume_customers", "late_arrival_audit",
+    "late_shipment_priority", "latest_feature_snapshot", "local_supply_share",
+    "lsh_tuning_report", "markov_entropy_rate", "min_price_supplier_region",
+    "minhash_jaccard_error_audit", "monthly_revenue_gap_fill", "monthly_revenue_momentum",
     "multimodal_audio_energy", "multimodal_decode_features", "multimodal_frame_dedup",
-    "multimodal_frame_sample", "multimodal_metadata", "multimodal_resize",
-    "multimodal_sidecar_kv", "nation_market_share", "nation_pair_trade",
-    "nation_top_customers_lateral", "nation_vip_roster", "negative_sample_pairs",
-    "online_feature_lookup", "online_offline_skew_audit", "order_reconciliation_audit",
-    "order_value_zscore_outliers", "part_name_fuzzy_links", "part_price_size_skyline",
-    "part_revenue_abc_classes", "part_supplier_variety", "partition_compaction_plan",
-    "percentile_rank_features", "phrase_search_topdocs", "pii_scrub",
-    "pit_asof_join", "pit_label_join", "pit_multi_view_join",
-    "pit_nearest_join", "pit_staleness_audit", "pricing_summary",
-    "priority_order_counts", "product_type_profit", "profile_distribution_stats",
-    "promo_revenue_share", "purchase_interarrival_stats", "pyds_jsonl_roundtrip",
-    "quality_concentration_curve", "quality_expectation_suite", "rec_popularity_ndcg",
-    "region_revenue", "returned_items_revenue", "returnflag_anova_ftest",
-    "revenue_changepoint_scan", "revenue_ewma_trend", "revenue_grouping_sets",
-    "revenue_mann_kendall", "revenue_rollup_cube", "revenue_seasonal_decomposition",
-    "revenue_trend_regression", "rfm_segmentation", "robust_order_value_stats",
-    "rrf_hybrid_topk", "scd2_activity_history", "segment_dedup",
-    "segment_priority_association", "semantic_dedup", "sequence_packing_plan",
-    "session_funnel", "session_path_markov", "session_survival_curve",
-    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
-    "skew_diagnostics", "small_quantity_parts", "snapshot_diff_audit",
-    "source_ablation_report", "split_leakage_audit", "split_neardup_leakage",
-    "stratified_event_sample", "stratified_kfold_plan", "stream_asof_enrichment",
-    "stream_dedup", "stream_dedup_within_watermark", "stream_distinct_sketch",
-    "stream_drift_monitor", "stream_event_type_share", "stream_hourly_features",
-    "stream_online_materialize", "stream_quality_monitor", "stream_session_windows",
-    "stream_sliding_features", "stream_stateful_running_totals", "stream_static_enrichment",
-    "stream_stream_interval_join", "stream_stream_left_outer_join", "stream_topk_heavy_hitters",
-    "supplier_acctbal_ntile", "supply_concentration_hhi", "target_encoding_loo",
+    "multimodal_frame_sample", "multimodal_image_entropy", "multimodal_metadata",
+    "multimodal_resize", "multimodal_sidecar_kv", "nation_market_share",
+    "nation_pair_trade", "nation_top_customers_lateral", "nation_vip_roster",
+    "negative_sample_pairs", "online_feature_lookup", "online_offline_skew_audit",
+    "order_reconciliation_audit", "order_value_zscore_outliers", "orders_backlog_littles_law",
+    "part_name_fuzzy_links", "part_price_size_skyline", "part_revenue_abc_classes",
+    "part_supplier_variety", "partition_compaction_plan", "percentile_rank_features",
+    "phrase_search_topdocs", "pii_scrub", "pit_asof_join",
+    "pit_label_join", "pit_multi_view_join", "pit_nearest_join",
+    "pit_staleness_audit", "pricing_summary", "priority_order_counts",
+    "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
+    "purchase_interarrival_stats", "purchase_propensity_calibration", "pyds_jsonl_roundtrip",
+    "quality_concentration_curve", "quality_expectation_suite", "rec_coverage_gini",
+    "rec_popularity_ndcg", "region_revenue", "returned_items_revenue",
+    "returnflag_anova_ftest", "revenue_changepoint_scan", "revenue_ewma_trend",
+    "revenue_grouping_sets", "revenue_mann_kendall", "revenue_rollup_cube",
+    "revenue_seasonal_decomposition", "revenue_trend_regression", "rfm_segmentation",
+    "robust_order_value_stats", "rrf_hybrid_topk", "scd2_activity_history",
+    "segment_dedup", "segment_priority_association", "semantic_dedup",
+    "sequence_packing_plan", "session_funnel", "session_gap_sensitivity",
+    "session_path_markov", "session_survival_curve", "session_windows",
+    "shingle_containment_pairs", "sketch_distinct_users_rollup", "skew_diagnostics",
+    "small_quantity_parts", "snapshot_diff_audit", "source_ablation_report",
+    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
+    "stratified_kfold_plan", "stream_asof_enrichment", "stream_dedup",
+    "stream_dedup_within_watermark", "stream_distinct_sketch", "stream_drift_monitor",
+    "stream_event_type_share", "stream_hourly_features", "stream_online_materialize",
+    "stream_quality_monitor", "stream_session_windows", "stream_sliding_features",
+    "stream_stateful_running_totals", "stream_static_enrichment", "stream_stream_interval_join",
+    "stream_stream_left_outer_join", "stream_topk_heavy_hitters", "supplier_acctbal_ntile",
+    "supply_concentration_hhi", "target_encoding_loo", "target_encoding_smoothing_sweep",
     "temporal_split_embargo", "text_clean_projection", "tokenizer_fertility_audit",
     "top_customers_per_nation", "top_orders_diversified", "top_revenue_orders",
     "top_supplier_revenue", "training_set_export", "training_shard_manifest",
@@ -343,9 +339,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "user_decay_weighted_features", "user_hourly_features", "user_ltv_features",
     "user_primary_event_type", "user_recency_features", "user_rolling_7d_features",
     "user_sliding_features", "user_sliding_features_rollup", "user_value_locf_interpolation",
-    "user_wow_delta_features", "vocab_oov_rate", "vocab_zipf_fit",
-    "volume_anomaly_days", "waiting_supplier_audit", "weighted_systematic_sample",
-    "zorder_layout_plan",
+    "user_wow_delta_features", "vocab_coverage_curve", "vocab_oov_rate",
+    "vocab_zipf_fit", "volume_anomaly_days", "waiting_supplier_audit",
+    "weighted_systematic_sample", "zorder_layout_plan",
 ))
 
 
