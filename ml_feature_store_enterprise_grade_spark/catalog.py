@@ -99,6 +99,27 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+#: Memoized row counts for routing decisions (VERDICT r10 item 4:
+#: ``knn_candidates`` ran one count job per invocation).  Keyed by
+#: (sf_dir, tag) — the tag names the exact frame counted (a table or
+#: a documented filter of one), so repeat invocations and sibling
+#: queries sharing the frame skip the job.  Routing-only: a stale
+#: entry can never change values, only which (result-identical below
+#: the bound) plan shape runs.
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def cached_count(df: DataFrame, sf_dir: str, tag: str) -> int:
+    """Count ``df`` once per (sf_dir, tag) and memoize.
+
+    The caller owns tag uniqueness: two different frames must not
+    share a tag within one sf_dir."""
+    key = (sf_dir, tag)
+    if key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[key] = df.count()
+    return _ROW_COUNT_CACHE[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

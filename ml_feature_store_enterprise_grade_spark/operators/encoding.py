@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import MONEY_SQL, PORTABLE_HASH64_SQL, money, portable_hash64
+from ..functions.ranking import scalable_ntile
 from ..registry import register
 
 #: Smoothing pseudo-count: the encoded value is pulled toward the
@@ -310,28 +311,30 @@ def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the realized bin bounds and population.
 
     Determinism: NTILE orders on ``(value, key)`` so ties split
-    identically across engines.  Scale note: a global NTILE is a
-    total sort — every row through one task; this operator is the
-    exact-semantics form the oracle can check.  The scale path is
-    :func:`feature_binning_scalable` (sampled cut points + map-side
-    assignment, no global sort), and the histogram family
-    (``feature_value_histogram``) is the streaming-friendly variant.
+    identically across engines.  Scale note (re-planned round 11):
+    the exact NTILE routes through
+    :func:`functions.ranking.scalable_ntile` — same tile assignment,
+    no single-task total sort — and the per-bin stats come from a
+    10-row groupBy broadcast-joined back instead of a 10-partition
+    window over the fact frame.  :func:`feature_binning_scalable`
+    remains the approximate sibling (sampled cut points, zero rank
+    machinery) and ``feature_value_histogram`` the streaming-friendly
+    variant.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(_N_BINS).over(w).cast("int").alias("bin"),
+    binned = scalable_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        _N_BINS,
+        [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        out_col="bin",
     )
-    wb = Window.partitionBy("bin")
-    return binned.select(
-        "o_orderkey",
-        "o_totalprice",
-        "bin",
-        F.round(F.min("o_totalprice").over(wb), 2).alias("bin_lo"),
-        F.round(F.max("o_totalprice").over(wb), 2).alias("bin_hi"),
-        F.count("*").over(wb).cast("bigint").alias("bin_n"),
+    stats = binned.groupBy("bin").agg(
+        F.round(F.min("o_totalprice"), 2).alias("bin_lo"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_hi"),
+        F.count("*").cast("bigint").alias("bin_n"),
+    )
+    return binned.join(F.broadcast(stats), "bin").select(
+        "o_orderkey", "o_totalprice", "bin", "bin_lo", "bin_hi", "bin_n"
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table, spread
+from ..catalog import cached_count, load_table, spread
 from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 from .text import _BM25_SCORED_SQL_CTES  # no cycle: text does not import similarity
@@ -2935,6 +2935,7 @@ def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_candidates(
             a, b, k=_MARGIN_SHORTLIST,
             index_path=knn_index_path(sf_dir, "bitext_odd"),
+            corpus_rows=cached_count(b, sf_dir, "embeddings_label_odd"),
         )
         .select(
             F.col("query_id").alias("x_id"),
@@ -3275,6 +3276,7 @@ def embedding_knn_label_accuracy(
         e.select("vec_id", "embedding", F.col("label").alias("nlab")),
         k=1,
         index_path=knn_index_path(sf_dir, "knn_label"),
+        corpus_rows=cached_count(e, sf_dir, "embeddings"),
     ).select(
         F.col("query_id").alias("qid"), "lab",
         F.col("cosine_sim").alias("c"),
@@ -3396,6 +3398,7 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "embedding"),
         k=_HUB_K,
         index_path=knn_index_path(sf_dir, "hubness"),
+        corpus_rows=cached_count(e, sf_dir, "embeddings"),
     ).select(
         F.col("query_id").alias("qid"),
         F.col("neighbor_id").alias("nid"),
