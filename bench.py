@@ -203,6 +203,17 @@ BENCH_QUERIES = (
     "range_partition_balance_plan",
     "part_price_dispersion_audit",
     "doc_compression_ratio_screen",
+    # round-11 additions (VERDICT r10 item 5): one representative per
+    # round-10 post-seal family that had no bench row yet — the
+    # lossless prefix-filter similarity join, exponential-decay
+    # features (single-shuffle weighted folds), the Poisson bootstrap
+    # CI, the rolling-origin forecast backtest, and the bounded-state
+    # streaming histogram-quantile monitor.
+    "jaccard_prefix_filter_join",
+    "user_decay_features",
+    "order_value_bootstrap_ci",
+    "daily_revenue_forecast_backtest",
+    "stream_histogram_quantile_monitor",
 )
 
 

@@ -3653,3 +3653,86 @@ def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_probe_recall_curve.__doc__ = ann_probe_recall_curve.__doc__.format(k=_TOPK)
+
+
+#: Recall floor the router's forced-IVF path must clear at every
+#: tested scale (measured r11: 0.632 @ sf0.01, 0.676 @ sf0.001,
+#: 0.684 @ sf0.1 with nprobe=3 of 8 cells — random synthetic
+#: embeddings, so this is the hard regime; real clustered corpora
+#: sit higher).
+_ROUTER_RECALL_FLOOR = 0.55
+
+
+@register(
+    "knn_router_ivf_recall",
+    rows_only=(
+        "exercises knn_candidates' PRODUCTION (above-bound) IVF "
+        "shortlist path by forcing exact_below=0 — the numpy Lloyd "
+        "codebook has no SQL twin; the recall floor and the "
+        "no-BNLJ plan shape are asserted in tests/test_round11_ops.py"
+    ),
+)
+def knn_router_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous driver-surface evidence for [[knn_candidates]]'
+    PRODUCTION path (VERDICT r10 item 6): the router is forced onto
+    its above-bound IVF shortlist route (``exact_below=0``) and its
+    candidates are scored against the exact brute-force top-k
+    baseline ([[ann_cosine_topk]]) — one row per run carrying the
+    measured recall and whether it clears the pinned floor.  Before
+    this query, the IVF route only ran in unit tests or via an env
+    override; now every driver round and bench pass executes the
+    cell-pruned shortlist at the current corpus size.
+
+    Determinism: codebook is the hash-sample-trained Lloyd fit
+    (deterministic given the corpus); shortlist and baseline both
+    rank on the 6-dp-rounded cosine with vec_id tie-break; recall is
+    an exact integer ratio.
+
+    Scale shape: ONE memoized index build; the exact baseline is
+    |queries| × corpus (broadcast, linear — queries bounded at
+    {nq}); the shortlist side scans ~nprobe/{cells} of the
+    cell-partitioned corpus via static partition pruning, broadcast
+    equi-join on cell — no BroadcastNestedLoopJoin, no
+    CartesianProduct (plan-asserted)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("e_nid")
+    )
+    sl = knn_candidates(
+        q,
+        emb.select("vec_id", "embedding"),
+        k=_TOPK,
+        exact_below=0,
+        index_path=knn_index_path(sf_dir, "router_recall"),
+        corpus_rows=cached_count(emb, sf_dir, "embeddings"),
+    )
+    hits = sl.join(
+        exact,
+        (sl["query_id"] == exact["query_id"])
+        & (sl["neighbor_id"] == exact["e_nid"]),
+        "left_semi",
+    )
+    recall = F.col("n_hit").cast("double") / F.col("n_exact")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
+        .select(
+            F.lit(_TOPK).alias("k"),
+            F.lit(_NPROBE).alias("nprobe"),
+            (F.col("n_exact") / F.lit(_TOPK)).cast("bigint").alias(
+                "n_queries"
+            ),
+            F.col("n_hit").cast("bigint").alias("n_recovered"),
+            F.round(recall, 6).alias("recall"),
+            F.lit(_ROUTER_RECALL_FLOOR).alias("recall_floor"),
+            (recall >= F.lit(_ROUTER_RECALL_FLOOR)).alias("floor_met"),
+        )
+    )
+
+
+knn_router_ivf_recall.__doc__ = knn_router_ivf_recall.__doc__.format(
+    nq=_N_QUERIES, cells=_IVF_K
+)

@@ -203,9 +203,14 @@ _FRONT: tuple[str, ...] = (
     "skew_resilient_distinct_rollup",
     "salted_enrichment_join",
     "jaccard_prefix_filter_join",
+    # --- New round-11 queries (rotation priority: new names beat
+    # re-proving stable greens; rows-only cannot defer):
+    "knn_router_ivf_recall",
     # --- Oldest driver greens (item_cooccurrence_lift last checked
     # r3, the rest the head of the r4 cohort — rotation priority 3 per
-    # tools/update_checked_names.py; next-oldest is the r4 tail).
+    # tools/update_checked_names.py; next-oldest is the r4 tail;
+    # k_anonymity_audit displaced by the new rows-only query above,
+    # rotates back next cycle).
     "item_cooccurrence_lift",
     "ann_cosine_topk",
     "ann_filtered_topk",
@@ -232,7 +237,6 @@ _FRONT: tuple[str, ...] = (
     "feature_coverage",
     "feature_freshness",
     "feature_summary_stats",
-    "k_anonymity_audit",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
