@@ -430,6 +430,50 @@ def main() -> int:
         flush=True,
     )
 
+    # round 11: the scalable exact-rank path (the NTILE-family
+    # re-plan: quality_concentration_curve / rfm_segmentation /
+    # percentile_rank_features ...).  A 10M-row scored frame (2000×
+    # the sf0.1 doc count) deciled via deterministic sampled-cut-
+    # point chunking + offset correction — the promise is that exact
+    # NTILE now runs at hash-agg-like throughput with NO single-task
+    # sort.  Correctness asserted inline: the ten deciles must
+    # partition the frame into SQL-standard tile sizes.
+    from ml_feature_store_enterprise_grade_spark.functions.ranking import (
+        scalable_ntile,
+    )
+
+    n_rank = 10_000_000
+    scored = spark.range(n_rank).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id")) % 1_000_000).cast("double").alias("mq"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(5000)) + 200)
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    t0 = time.time()
+    lorenz = (
+        scalable_ntile(
+            scored, 10, [("mq", "desc"), ("doc_id", "asc")],
+            out_col="decile",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    rows10 = lorenz.collect()
+    t_rank = round(time.time() - t0, 2)
+    sizes = sorted(r["n_docs"] for r in rows10)
+    assert len(rows10) == 10 and sizes[0] == sizes[-1] == n_rank // 10, sizes
+    print(
+        json.dumps(
+            {"probe": "rank_decile_10m", "rows_in": n_rank, "sec": t_rank,
+             "mrows_per_sec": round(n_rank / t_rank / 1e6, 2)}
+        ),
+        flush=True,
+    )
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -447,6 +491,7 @@ def main() -> int:
         "cc_star_10m_sec": t_ccs,
         "knn_ivf_shortlist_sec": t_knn,
         "knn_ivf_vectors": n_vec,
+        "rank_decile_10m_sec": t_rank,
     }))
     return 0
 
