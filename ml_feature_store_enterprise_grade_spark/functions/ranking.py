@@ -63,6 +63,7 @@ from .scalar import portable_hash64
 
 __all__ = [
     "ranked",
+    "running_totals",
     "ntile_from_rank",
     "scalable_ntile",
 ]
@@ -100,6 +101,50 @@ def _sort_cols(order_by: Sequence[tuple[str, str]]) -> list[Column]:
     ]
 
 
+def _with_chunks(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    group_cols: Sequence[str],
+    num_chunks: int | None,
+) -> DataFrame:
+    """Add the deterministic monotone chunk id (module docstring §1):
+    cut points from a hash-sampled exact percentile of the leading
+    order column, broadcast and applied as a comparison fold — a pure
+    function of the key, identical on every recomputation."""
+    spark = df.sparkSession
+    if num_chunks is None:
+        num_chunks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead, lead_dir = order_by[0]
+    descending = lead_dir == "desc"
+    v = F.col(lead).cast("double")
+    if num_chunks <= 1:
+        return df.withColumn(_CHUNK, F.lit(0))
+    keystr = F.concat_ws(
+        "|", *[F.col(name).cast("string") for name, _ in order_by]
+    )
+    sample = df.filter(
+        portable_hash64(keystr, seed=_SAMPLE_SEED) % _SAMPLE_MOD == 0
+    )
+    qs = [i / num_chunks for i in range(1, num_chunks)]
+    cuts_agg = F.percentile(v, qs).alias(_CUTS)
+    if group_cols:
+        cuts = sample.groupBy(*group_cols).agg(cuts_agg)
+        base = df.join(F.broadcast(cuts), list(group_cols), "left")
+    else:
+        base = df.crossJoin(F.broadcast(sample.agg(cuts_agg)))
+    # Monotone fold: chunk = #cut points strictly passed in sort
+    # direction.  NULL cuts (group absent from the sample, or an
+    # empty sample) contribute 0 — the group degenerates to one
+    # chunk, which is slower but still exact.
+    passed = (lambda c: v < c) if descending else (lambda c: v > c)
+    chunk = F.aggregate(
+        F.coalesce(F.col(_CUTS), F.array()),
+        F.lit(0),
+        lambda acc, c: acc + F.when(passed(c), 1).otherwise(0),
+    )
+    return base.withColumn(_CHUNK, chunk).drop(_CUTS)
+
+
 def ranked(
     df: DataFrame,
     order_by: Sequence[tuple[str, str]],
@@ -120,39 +165,7 @@ def ranked(
     with no single-partition sort (see module docstring for the plan
     and the caller contract on order columns).
     """
-    spark = df.sparkSession
-    if num_chunks is None:
-        num_chunks = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    lead, lead_dir = order_by[0]
-    descending = lead_dir == "desc"
-    v = F.col(lead).cast("double")
-    if num_chunks <= 1:
-        withchunk = df.withColumn(_CHUNK, F.lit(0))
-    else:
-        keystr = F.concat_ws(
-            "|", *[F.col(name).cast("string") for name, _ in order_by]
-        )
-        sample = df.filter(
-            portable_hash64(keystr, seed=_SAMPLE_SEED) % _SAMPLE_MOD == 0
-        )
-        qs = [i / num_chunks for i in range(1, num_chunks)]
-        cuts_agg = F.percentile(v, qs).alias(_CUTS)
-        if group_cols:
-            cuts = sample.groupBy(*group_cols).agg(cuts_agg)
-            base = df.join(F.broadcast(cuts), list(group_cols), "left")
-        else:
-            base = df.crossJoin(F.broadcast(sample.agg(cuts_agg)))
-        # Monotone fold: chunk = #cut points strictly passed in sort
-        # direction.  NULL cuts (group absent from the sample, or an
-        # empty sample) contribute 0 — the group degenerates to one
-        # chunk, which is slower but still exact.
-        passed = (lambda c: v < c) if descending else (lambda c: v > c)
-        chunk = F.aggregate(
-            F.coalesce(F.col(_CUTS), F.array()),
-            F.lit(0),
-            lambda acc, c: acc + F.when(passed(c), 1).otherwise(0),
-        )
-        withchunk = base.withColumn(_CHUNK, chunk).drop(_CUTS)
+    withchunk = _with_chunks(df, order_by, group_cols, num_chunks)
     wloc = Window.partitionBy(*group_cols, _CHUNK).orderBy(
         *_sort_cols(order_by)
     )
@@ -177,6 +190,65 @@ def ranked(
         .withColumn(rn_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
         .drop(_CHUNK, _LRN, _OFF)
     )
+
+
+def running_totals(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str]],
+    values: Sequence[str],
+    *,
+    group_cols: Sequence[str] = (),
+    num_chunks: int | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Exact INCLUSIVE running sums in a total order — the scalable
+    form of ``SUM(v).over(Window.partitionBy(*group_cols)
+    .orderBy(...).rowsBetween(unboundedPreceding, 0))`` — with no
+    single-partition WindowExec: local running sums per chunk plus
+    broadcast per-chunk sum offsets (same machinery as :func:`ranked`,
+    prefix-summing VALUES instead of row counts).
+
+    Adds ``<v><suffix>`` for every name in ``values``.  Cross-engine
+    exactness requires order-independent addition: pass DECIMAL or
+    integral columns (exact at any chunking); a DOUBLE running sum is
+    order-DEPENDENT and would differ from the single-task window by
+    float association — quantize first (the house integer-ladder
+    discipline).  Value columns must be non-NULL (an all-NULL prefix
+    is NULL under window semantics but 0 here).  Same caller contract
+    as :func:`ranked` on the order columns."""
+    withchunk = _with_chunks(df, order_by, group_cols, num_chunks)
+    wloc = (
+        Window.partitionBy(*group_cols, _CHUNK)
+        .orderBy(*_sort_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = withchunk
+    for v in values:
+        loc = loc.withColumn(f"{v}{suffix}", F.sum(v).over(wloc))
+    sums = withchunk.groupBy(*group_cols, _CHUNK).agg(
+        *[F.sum(v).alias(f"_rk_s_{v}") for v in values]
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *group_cols,
+        _CHUNK,
+        *[
+            F.sum(f"_rk_s_{v}").over(woff).alias(f"_rk_o_{v}")
+            for v in values
+        ],
+    )
+    out = loc.join(F.broadcast(offsets), [*group_cols, _CHUNK])
+    for v in values:
+        out = out.withColumn(
+            f"{v}{suffix}",
+            F.col(f"{v}{suffix}")
+            + F.coalesce(F.col(f"_rk_o_{v}"), F.lit(0)),
+        )
+    return out.drop(_CHUNK, *[f"_rk_o_{v}" for v in values])
 
 
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import PORTABLE_HASH64_SQL, money
-from ..functions.ranking import ntile_from_rank, ranked, scalable_ntile
+from ..functions.ranking import (
+    ntile_from_rank,
+    ranked,
+    running_totals,
+    scalable_ntile,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -3125,13 +3130,16 @@ def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries compare exact decimals (cum*100 <= s*80), never a
     float share.
 
-    Scale shape: the fact table collapses to one row per part in a
-    single partial aggregate.  The ranked running sum is a global
-    window over the per-part frame — catalog-bounded, not
-    fact-bounded; at a catalog too large for one partition the same
-    two-level bucketed prefix-sum used by ``acctbal_gini_by_segment``
-    slots in (bucket by revenue range, per-bucket offsets broadcast).
-    Final classing collapses to 3 rows map-side."""
+    Scale shape (re-planned round 11): the fact table collapses to
+    one row per part in a single partial aggregate; the ranked
+    running sum routes through
+    :func:`functions.ranking.running_totals` — local DECIMAL running
+    sums per sampled-cut-point chunk plus broadcast chunk offsets, so
+    the per-part frame is never sorted in one task (the prior form's
+    global window was, with this exact swap promised in prose).
+    DECIMAL addition is order-independent, so the chunked sum is
+    bit-identical to the single-task window.  Final classing
+    collapses to 3 rows map-side."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.sum(
@@ -3140,11 +3148,15 @@ def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev")
     )
     tot = per_part.agg(F.sum("rev").alias("s"), F.count("*").alias("n"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = per_part.crossJoin(F.broadcast(tot)).select(
-        "l_partkey", "rev", "s", "n", F.sum("rev").over(w).alias("cum")
+    ranked = (
+        running_totals(
+            per_part.crossJoin(F.broadcast(tot)),
+            [("rev", "desc"), ("l_partkey", "asc")],
+            ["rev"],
+        )
+        .select(
+            "l_partkey", "rev", "s", "n", F.col("rev_cum").alias("cum")
+        )
     )
     abc = (
         F.when(F.col("cum") * 100 <= F.col("s") * 80, "A")

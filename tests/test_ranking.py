@@ -120,6 +120,56 @@ def test_recomputation_consistency_under_self_join(spark):
     assert j.filter(F.col("rn") != F.col("rn2")).count() == 0
 
 
+@pytest.mark.parametrize("nchunks", [1, 4, 40])
+def test_running_totals_matches_window(spark, nchunks):
+    from ml_feature_store_enterprise_grade_spark.functions.ranking import (
+        running_totals,
+    )
+
+    df = _frame(spark, n=700).withColumn(
+        "w", (F.col("id") % 97 + 1).cast("bigint")
+    ).withColumn("d", F.col("id").cast("decimal(12,2)"))
+    order = [("score", "desc"), ("id", "asc")]
+    got = running_totals(df, order, ["w", "d"], num_chunks=nchunks)
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("w_cum", F.sum("w").over(w)).withColumn(
+        "d_cum", F.sum("d").over(w)
+    )
+    assert (
+        got.select("id", "w_cum", "d_cum")
+        .exceptAll(want.select("id", "w_cum", "d_cum"))
+        .count()
+        == 0
+    )
+
+
+def test_running_totals_grouped(spark):
+    from ml_feature_store_enterprise_grade_spark.functions.ranking import (
+        running_totals,
+    )
+
+    df = _frame(spark, n=400, groups=4).withColumn(
+        "w", (F.col("id") % 13 + 1).cast("bigint")
+    )
+    order = [("score", "asc"), ("id", "asc")]
+    got = running_totals(df, order, ["w"], group_cols=["grp"], num_chunks=5)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("w_cum", F.sum("w").over(w))
+    assert (
+        got.select("id", "grp", "w_cum")
+        .exceptAll(want.select("id", "grp", "w_cum"))
+        .count()
+        == 0
+    )
+
+
 def test_ntile_from_rank_formula_exhaustive(spark):
     """Pure-Python oracle for the tile formula over every (n, k, rn)
     in a dense grid — the arithmetic itself, independent of Spark's
