@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import PORTABLE_HASH64_SQL, portable_hash64
+from ..functions.ranking import running_totals
 from ..registry import register
 
 #: Temperature exponent α for mixture weights is fixed at 0.5 (see
@@ -792,6 +793,108 @@ def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars_total").cast("double") / F.sum("n_chars_total").over(w),
             6,
         ).alias("char_share"),
+    )
+
+
+#: Token-balanced shard cuts: target tokens per training shard and
+#: the shuffle-order hash seed (own base, no collision with the HRW
+#: ring at 9100+ or any other hash family).
+_SHARD_CUT_TARGET = 4096
+_SHARD_CUT_SEED = 9300
+
+
+@register(
+    "training_shard_cut_plan",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               GREATEST(1, n_chars // {_CHARS_PER_TOKEN}) AS est_tokens,
+               {PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", _SHARD_CUT_SEED)}
+                   AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, est_tokens, h,
+               CAST(SUM(est_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM d
+    ),
+    tot AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS t FROM c),
+    s AS (
+        SELECT (cum - 1) // {_SHARD_CUT_TARGET} AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(est_tokens) AS BIGINT) AS shard_tokens,
+               CAST(MAX(cum) AS BIGINT) AS cum_end
+        FROM c GROUP BY 1
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, shard_tokens,
+           cum_end,
+           ROUND(CAST(shard_tokens AS DOUBLE) / tot.t, 6) AS token_share
+    FROM s CROSS JOIN tot
+    """,
+)
+def training_shard_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard cut plan: documents laid on a
+    deterministic hash-shuffle line (portable hash of doc_id — the
+    content-independent global shuffle every pretraining run starts
+    with), then cut into contiguous shards of ~{_SHARD_CUT_TARGET}
+    estimated tokens by the RUNNING TOKEN TOTAL — shard id is one
+    integer division of the inclusive cumulative.  Complements
+    [[range_partition_balance_plan]] (row-balanced range cuts) and
+    [[doc_shard_rendezvous]] (topology-stable hash assignment) with
+    the cut every dataloader actually wants: equal OPTIMIZER WORK
+    (tokens) per shard, not equal doc counts.  Measured signal (r11,
+    sf0.01): per-doc token estimates span 10×, σ≈25 — row-balanced
+    cuts would give shards up to ~2× apart in token load.
+
+    Determinism: hash order is the portable 60-bit MD5 (doc_id
+    tiebreak); token estimates and the running sum are exact BIGINT;
+    shard assignment is one exact integer division; the single share
+    column is one IEEE divide of exact integers.
+
+    Scale shape: metadata-only scan (doc_id, n_chars — the corpus
+    text is never read); the running total routes through
+    :func:`functions.ranking.running_totals` (sampled-cut-point
+    chunks + broadcast offsets, no single-task sort); the per-shard
+    rollup is one hash aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.floor(F.col("n_chars") / _CHARS_PER_TOKEN)
+        ).cast("bigint").alias("est_tokens"),
+        portable_hash64(
+            F.col("doc_id").cast("string"), seed=_SHARD_CUT_SEED
+        ).alias("h"),
+    )
+    c = running_totals(
+        d, [("h", "asc"), ("doc_id", "asc")], ["est_tokens"]
+    ).select(
+        "doc_id",
+        "est_tokens",
+        F.col("est_tokens_cum").cast("bigint").alias("cum"),
+    )
+    tot = c.agg(F.sum("est_tokens").cast("bigint").alias("t"))
+    s = c.groupBy(
+        (
+            (F.col("cum") - 1) - (F.col("cum") - 1) % _SHARD_CUT_TARGET
+        ).cast("bigint")
+        .alias("_cut")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("est_tokens").cast("bigint").alias("shard_tokens"),
+        F.max("cum").cast("bigint").alias("cum_end"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        (F.col("_cut") / _SHARD_CUT_TARGET).cast("bigint").alias("shard_id"),
+        "n_docs",
+        "shard_tokens",
+        "cum_end",
+        F.round(
+            F.col("shard_tokens").cast("double") / F.col("t"), 6
+        ).alias("token_share"),
     )
 
 

@@ -980,6 +980,128 @@ def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Discrete-Laplace release mechanism: per-cell ε, truncation span,
+#: hash seed, and the inverse-CDF threshold ladder (computed once at
+#: definition time, inlined as INTEGER literals in both engines — the
+#: _BOOT_CDF_E9 discipline; zero libm at query time).  With α=e^-ε,
+#: P(X=k) ∝ α^|k|; CDF F(k) = α^-k/(1+α) for k<0, 1 − α^(k+1)/(1+α)
+#: for k≥0.  Noise = −K + #thresholds ≤ u for u uniform on [0, 1e9);
+#: at K=45 the untruncated tail mass (~α^46 ≈ 5e-10) is below the
+#: 1e-9 hash resolution, so the ladder IS the inverse CDF at this
+#: resolution.
+_DPH_EPS = 0.5
+_DPH_K = 45
+_DPH_SEED = 9400
+
+
+def _dlap_thresholds_e9() -> tuple[int, ...]:
+    import math
+
+    a = math.exp(-_DPH_EPS)
+
+    def cdf(k: int) -> float:
+        if k < 0:
+            return a ** (-k) / (1 + a)
+        return 1 - a ** (k + 1) / (1 + a)
+
+    return tuple(
+        int(math.floor(cdf(k) * 1e9)) for k in range(-_DPH_K, _DPH_K)
+    )
+
+
+_DPH_THRESH_E9 = _dlap_thresholds_e9()
+
+
+@register(
+    "dp_histogram_release",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT day, event_type, true_n,
+               {PORTABLE_HASH64_SQL(
+                   "CAST(day AS VARCHAR) || '|' || event_type", _DPH_SEED
+               )} % 1000000000 AS u
+        FROM c
+    ),
+    n AS (
+        SELECT day, event_type, true_n,
+               -{_DPH_K} + len(list_filter(
+                   [{", ".join(str(t) for t in _DPH_THRESH_E9)}],
+                   t -> u >= t)) AS noise
+        FROM u
+    )
+    SELECT day, event_type, true_n,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(true_n + noise AS BIGINT) AS released,
+           CAST(GREATEST(true_n + noise, 0) AS BIGINT) AS released_nonneg
+    FROM n
+    """,
+    defer=True,
+)
+def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram RELEASE — the mechanism step
+    [[dp_contribution_bounding]] deliberately stops short of: per
+    (day, event_type) cell, the event count plus discrete-Laplace
+    noise at ε={_DPH_EPS} (Ghosh–Roughgarden–Sundararajan 2012: the
+    geometric mechanism is universally utility-optimal for counts).
+    Every event lands in exactly ONE cell, so event-level neighbors
+    change one cell by 1 — Δ=1 per cell and PARALLEL composition
+    across cells: the whole table costs ε={_DPH_EPS}, not 150ε.  The
+    released_nonneg column is the standard post-processing clamp
+    (free under DP).  Measured signal (r11, sf0.01): 150 cells with
+    true counts 47–86 vs noise scale 1/ε=2 — SNR high, so the audit
+    reads calibration (noise behaves as designed), not signal burial.
+
+    Determinism: the draw is the house portable-randomness idiom —
+    u = portable 60-bit MD5 of the cell key mod 1e9, pushed through
+    the discrete-Laplace inverse CDF as a precomputed INTEGER
+    threshold ladder (the [[order_value_bootstrap_ci]] Poisson-CDF
+    discipline); both engines count the same thresholds, so the
+    "random" noise is bit-identical and the release oracle-checkable.
+    A production deployment swaps the hash for a secret-keyed PRF —
+    one argument, same plan.
+
+    Scale shape: one hash aggregate to |days|×|types| cells, then a
+    map-side fold over a 90-literal array per cell — no joins, no
+    windows, nothing data-sized after the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("true_n"))
+    u = (
+        portable_hash64(
+            F.concat_ws(
+                "|", F.col("day").cast("string"), F.col("event_type")
+            ),
+            seed=_DPH_SEED,
+        )
+        % 1_000_000_000
+    )
+    thresh = F.array(*[F.lit(t) for t in _DPH_THRESH_E9])
+    noise = F.lit(-_DPH_K) + F.size(
+        F.filter(thresh, lambda t: u >= t)
+    )
+    released = F.col("true_n") + F.col("noise")
+    return (
+        c.withColumn("noise", noise.cast("bigint"))
+        .select(
+            "day",
+            "event_type",
+            "true_n",
+            "noise",
+            released.cast("bigint").alias("released"),
+            F.greatest(released, F.lit(0)).cast("bigint").alias(
+                "released_nonneg"
+            ),
+        )
+    )
+
+
 @register(
     "online_offline_skew_audit",
     defer=True,

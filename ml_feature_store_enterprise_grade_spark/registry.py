@@ -29,6 +29,9 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
+#   - corpus_token_budget_curriculum (round 12 queue)
+#   - training_shard_cut_plan (round 12 queue)
+#   - dp_histogram_release (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

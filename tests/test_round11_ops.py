@@ -62,3 +62,144 @@ def test_router_ivf_recall_deterministic(spark):
     a = knn_router_ivf_recall(spark, SF_ORACLE).collect()
     b = knn_router_ivf_recall(spark, SF_ORACLE).collect()
     assert a == b
+
+
+def test_curriculum_python_twin(spark):
+    """Exact pandas twin of corpus_token_budget_curriculum: score,
+    order, accumulate and phase in pure Python from the raw parquet."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.text import (
+        _CURRICULUM_CORE_DECI,
+        _CURRICULUM_WARM_DECI,
+        corpus_token_budget_curriculum,
+    )
+
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    vocab = collections.Counter()
+    per_doc = {}
+    for _, r in docs.iterrows():
+        toks = norm(r["text"]).split(" ")
+        vocab.update(toks)
+        per_doc[r["doc_id"]] = toks
+    total = sum(vocab.values())
+    cq = {
+        w: math.floor(math.log10(n / total) * 1_000_000.0)
+        for w, n in vocab.items()
+    }
+    scored = []
+    for doc_id, toks in per_doc.items():
+        nt = len(toks)
+        sq = sum(cq[t] for t in toks)
+        scored.append((doc_id, nt, sq, sq / nt))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    corpus_tokens = sum(nt for _, nt, _, _ in scored)
+    cum = 0
+    want = {}
+    for doc_id, nt, sq, mq in scored:
+        cum += nt
+        if cum * 10 <= corpus_tokens * _CURRICULUM_WARM_DECI:
+            phase = "warmup"
+        elif cum * 10 <= corpus_tokens * _CURRICULUM_CORE_DECI:
+            phase = "core"
+        else:
+            phase = "tail"
+        want[doc_id] = (nt, cum, phase)
+    got = corpus_token_budget_curriculum(spark, SF_ORACLE).collect()
+    assert len(got) == len(want)
+    for row in got:
+        nt, cum, phase = want[row["doc_id"]]
+        assert (row["n_tokens"], row["cum_tokens"], row["phase"]) == (
+            nt, cum, phase,
+        ), row
+
+
+def test_shard_cut_plan_python_twin(spark):
+    """Exact pandas twin of training_shard_cut_plan (hash order,
+    running totals, integer-division cuts)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.corpus_plan import (
+        _CHARS_PER_TOKEN,
+        _SHARD_CUT_SEED,
+        _SHARD_CUT_TARGET,
+        training_shard_cut_plan,
+    )
+
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+
+    def h64(s):
+        return int(
+            hashlib.md5(f"{_SHARD_CUT_SEED}:{s}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    rows = sorted(
+        (
+            (h64(str(r["doc_id"])), r["doc_id"],
+             max(1, int(r["n_chars"]) // _CHARS_PER_TOKEN))
+            for _, r in docs.iterrows()
+        ),
+    )
+    shards = {}
+    cum = 0
+    for h, doc_id, nt in rows:
+        cum += nt
+        sid = (cum - 1) // _SHARD_CUT_TARGET
+        n, tok, _ = shards.get(sid, (0, 0, 0))
+        shards[sid] = (n + 1, tok + nt, cum)
+    got = {
+        r["shard_id"]: (r["n_docs"], r["shard_tokens"], r["cum_end"])
+        for r in training_shard_cut_plan(spark, SF_ORACLE).collect()
+    }
+    assert got == shards
+
+
+def test_dp_histogram_noise_ladder_is_inverse_cdf(spark):
+    """The threshold ladder must equal the direct discrete-Laplace
+    inverse CDF at 1e9 resolution for every representative u, and the
+    released counts must reconcile with the true counts."""
+    import math
+
+    from ml_feature_store_enterprise_grade_spark.operators.quality import (
+        _DPH_EPS,
+        _DPH_K,
+        _DPH_THRESH_E9,
+        dp_histogram_release,
+    )
+
+    a = math.exp(-_DPH_EPS)
+
+    def cdf(k):
+        if k < 0:
+            return a ** (-k) / (1 + a)
+        return 1 - a ** (k + 1) / (1 + a)
+
+    def direct_noise(u):
+        for k in range(-_DPH_K, _DPH_K + 1):
+            if k == _DPH_K or u < math.floor(cdf(k) * 1e9):
+                return k
+        raise AssertionError
+
+    for u in list(range(0, 1_000_000_000, 13_371_337)) + [
+        0, 499_999_999, 999_999_999,
+    ]:
+        ladder = -_DPH_K + sum(1 for t in _DPH_THRESH_E9 if u >= t)
+        assert ladder == direct_noise(u), u
+    out = dp_histogram_release(spark, SF_ORACLE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["released"] == r["true_n"] + r["noise"]
+        assert r["released_nonneg"] == max(r["released"], 0)
+        assert abs(r["noise"]) <= _DPH_K
+    # noise must actually vary across cells (the mechanism is live)
+    assert len({r["noise"] for r in out}) > 1
