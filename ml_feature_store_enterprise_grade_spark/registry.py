@@ -32,6 +32,8 @@ ORACLES: dict[str, str] = {}
 #   - corpus_token_budget_curriculum (round 12 queue)
 #   - training_shard_cut_plan (round 12 queue)
 #   - dp_histogram_release (round 12 queue)
+#   - order_value_median_ci (round 12 queue)
+#   - stream_dp_histogram_release (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -1231,3 +1231,110 @@ def stream_histogram_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataF
             for q in _SQM_QS
         ],
     )
+
+#: DP release on the stream: the batch mechanism's constants, cited
+#: not duplicated (same ε, truncation span, seed and threshold
+#: ladder — the released noise for a given cell key is identical
+#: whichever engine half computes it).
+from ..operators.quality import _DPH_K as _SDP_K  # noqa: E402
+from ..operators.quality import _DPH_SEED as _SDP_SEED  # noqa: E402
+from ..operators.quality import _DPH_THRESH_E9 as _SDP_THRESH  # noqa: E402
+
+
+@register(
+    "stream_dp_histogram_release",
+    defer=True,
+    oracle=f"""
+    WITH v AS (SELECT ts, event_type FROM events),
+    fin AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM v
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT MAX(ts) - INTERVAL 15 MINUTES FROM v)
+        GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT window_start, event_type, true_n,
+               {PORTABLE_HASH64_SQL(
+                   "strftime(window_start, '%Y-%m-%d %H:%M:%S')"
+                   " || '|' || event_type",
+                   9400,
+               )} % 1000000000 AS u
+        FROM fin
+    ),
+    n AS (
+        SELECT window_start, event_type, true_n,
+               -45 + len(list_filter(
+                   [0, 0, 0, 0, 0, 1, 2, 3, 5, 9, 15, 25, 42, 70, 115, 190, 313, 517, 853, 1406, 2319, 3824, 6305, 10396, 17140, 28259, 46592, 76817, 126650, 208811, 344272, 567609, 935829, 1542922, 2543849, 4194097, 6914898, 11400740, 18796643, 30990425, 51094573, 84240709, 138889450, 228989990, 377540668, 622459331, 771010009, 861110549, 915759290, 948905426, 969009574, 981203356, 988599259, 993085101, 995805902, 997456150, 998457077, 999064170, 999432390, 999655727, 999791188, 999873349, 999923182, 999953407, 999971740, 999982859, 999989603, 999993694, 999996175, 999997680, 999998593, 999999146, 999999482, 999999686, 999999809, 999999884, 999999929, 999999957, 999999974, 999999984, 999999990, 999999994, 999999996, 999999997, 999999998, 999999999, 999999999, 999999999, 999999999, 999999999],
+                   t -> u >= t)) AS noise
+        FROM u
+    )
+    SELECT window_start, event_type, true_n,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(true_n + noise AS BIGINT) AS released,
+           CAST(GREATEST(true_n + noise, 0) AS BIGINT) AS released_nonneg
+    FROM n
+    """,
+)
+def stream_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release ON THE STREAM — the streaming
+    twin of [[dp_histogram_release]]: per watermark-FINALIZED hourly
+    window and event type, the count plus the same discrete-Laplace
+    hash-derived noise.  Releasing only finalized windows is what
+    makes streaming DP sound: a window released twice (early + final)
+    would double-spend its ε budget; append-mode watermark
+    finalization releases each cell exactly once, and because the
+    noise is a pure function of the cell KEY, the released value is
+    identical to what the batch mechanism would publish for the same
+    cell — replay-safe exactly-once semantics extend to the privacy
+    budget.
+
+    Determinism: the streaming half is one watermark-finalized
+    count aggregate (bounded state: open windows × event types); the
+    noise ladder is the batch mechanism's definition-time integer
+    table over the portable hash of (window_start formatted
+    second-resolution, event_type) — both engines format and count
+    identically.
+
+    Scale shape: one streaming aggregate (append-legal), then a
+    map-side 90-literal fold per finalized cell — no joins, no
+    windows, state bounded by open-window × type cardinality."""
+    ensure_engine_confs(spark)
+    stream = streaming_events(spark, sf_dir)
+    fin_stream = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "true_n")
+    )
+    fin = run_available_now(fin_stream, "stream_dp_histogram_release")
+    from ..functions import portable_hash64
+
+    u = (
+        portable_hash64(
+            F.concat_ws(
+                "|",
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+                F.col("event_type"),
+            ),
+            seed=_SDP_SEED,
+        )
+        % 1_000_000_000
+    )
+    thresh = F.array(*[F.lit(t) for t in _SDP_THRESH])
+    noise = F.lit(-_SDP_K) + F.size(F.filter(thresh, lambda t: u >= t))
+    released = F.col("true_n") + F.col("noise")
+    return (
+        fin.withColumn("noise", noise.cast("bigint"))
+        .select(
+            "window_start",
+            "event_type",
+            "true_n",
+            "noise",
+            released.cast("bigint").alias("released"),
+            F.greatest(released, F.lit(0)).cast("bigint").alias(
+                "released_nonneg"
+            ),
+        )
+    )

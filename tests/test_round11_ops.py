@@ -203,3 +203,67 @@ def test_dp_histogram_noise_ladder_is_inverse_cdf(spark):
         assert abs(r["noise"]) <= _DPH_K
     # noise must actually vary across cells (the mechanism is live)
     assert len({r["noise"] for r in out}) > 1
+
+
+def test_median_ci_python_twin(spark):
+    """Exact numpy twin of order_value_median_ci: sorted order stats
+    at the binomial-approximation ranks."""
+    import math
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _MED_CI_Z,
+        order_value_median_ci,
+    )
+
+    o = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    v = o[["o_totalprice", "o_orderkey"]].dropna()
+    v = v.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+    n = len(v)
+    lo = max(1, math.floor((n - _MED_CI_Z * math.sqrt(n)) / 2))
+    hi = min(n, math.ceil((n + _MED_CI_Z * math.sqrt(n)) / 2) + 1)
+    row = order_value_median_ci(spark, SF_ORACLE).collect()[0]
+    assert row["n"] == n
+    assert row["lo_rank"] == lo and row["hi_rank"] == hi
+    assert row["ci_lo"] == round(float(v["o_totalprice"].iloc[lo - 1]), 2)
+    assert row["ci_hi"] == round(float(v["o_totalprice"].iloc[hi - 1]), 2)
+    assert row["ci_lo"] <= row["median_lo"] <= row["median_hi"] <= row["ci_hi"]
+
+
+def test_stream_dp_release_matches_batch_mechanism(spark):
+    """The streaming release must publish, for every finalized cell,
+    exactly what the batch mechanism would publish for the same cell
+    key — replay-safe ε accounting (the op's core claim)."""
+    from ml_feature_store_enterprise_grade_spark.operators.quality import (
+        _DPH_K,
+        _DPH_SEED,
+        _DPH_THRESH_E9,
+    )
+    from ml_feature_store_enterprise_grade_spark.functions.scalar import (
+        portable_hash64 as _,  # noqa: F401 (imported for parity of surface)
+    )
+    import hashlib
+
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        stream_dp_histogram_release,
+    )
+
+    out = stream_dp_histogram_release(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+
+    def h64(s):
+        return int(
+            hashlib.md5(f"{_DPH_SEED}:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    for r in out[:50]:
+        key = (
+            r["window_start"].strftime("%Y-%m-%d %H:%M:%S")
+            + "|"
+            + r["event_type"]
+        )
+        u = h64(key) % 1_000_000_000
+        noise = -_DPH_K + sum(1 for t in _DPH_THRESH_E9 if u >= t)
+        assert r["noise"] == noise, (key, r["noise"], noise)
+        assert r["released"] == r["true_n"] + noise
