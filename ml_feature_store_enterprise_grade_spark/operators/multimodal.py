@@ -994,3 +994,133 @@ def multimodal_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_below_mid").cast("double") / _PCM_SAMPLES, 6
         ).alias("below_mid_share"),
     )
+
+
+_GRAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h_grad_sum", T.LongType()),
+        T.StructField("v_grad_sum", T.LongType()),
+        T.StructField("n_h_pairs", T.IntegerType()),
+        T.StructField("n_v_pairs", T.IntegerType()),
+    ]
+)
+
+
+def image_gradient_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched POSITIONAL image kernel: decode each PPM
+    worker-side and emit exact per-band |∇| sums — horizontal
+    (neighbor within a row) and vertical (same column, next row) —
+    the first image kernel whose result depends on pixel ADJACENCY,
+    not just the byte multiset (histogram/entropy are order-free; a
+    decoder that permuted the raster would still pass them)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs, vs, nh, nv = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = decode_ppm(bytes(payload))
+                a = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                hg = np.abs(a[:, 1:, :] - a[:, :-1, :]).sum()
+                vg = np.abs(a[1:, :, :] - a[:-1, :, :]).sum()
+                ids.append(int(doc_id))
+                hs.append(int(hg))
+                vs.append(int(vg))
+                nh.append(int(h * (w - 1) * 3))
+                nv.append(int((h - 1) * w * 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "h_grad_sum": hs,
+                    "v_grad_sum": vs,
+                    "n_h_pairs": nh,
+                    "n_v_pairs": nv,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, _GRAD_SCHEMA)
+
+
+def _ppm_grad_sql(vertical: bool) -> str:
+    """DuckDB twin of one gradient direction: byte at raster position
+    p is the ASCII code of hex char p+1; horizontal neighbors are 3
+    bytes apart within a row, vertical neighbors one row (w·3 bytes)
+    below.  Positions are enumerated over the raster and boundary
+    pairs skipped by the same (x or y) < limit predicate the kernel's
+    slicing applies."""
+    stride = _PPM_W * 3 if vertical else 3
+    # i enumerates raster byte positions 0..w*h*3-1; the coordinate
+    # that must not sit on the trailing edge is y for vertical, x for
+    # horizontal.
+    coord = f"(i // {_PPM_W * 3})" if vertical else f"((i // 3) % {_PPM_W})"
+    limit = _PPM_H - 1 if vertical else _PPM_W - 1
+    return (
+        "list_sum(list_transform("
+        f"generate_series(0, {_PPM_W * _PPM_H * 3 - 1}), i -> "
+        f"CASE WHEN {coord} < {limit} THEN "
+        f"ABS(ascii(substring(hex, i + 1, 1))"
+        f" - ascii(substring(hex, i + 1 + {stride}, 1))) ELSE 0 END))"
+    )
+
+
+@register(
+    "multimodal_image_edge_density",
+    defer=True,
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_PPM_HEX_SQL} AS hex FROM documents
+    )
+    SELECT doc_id,
+           CAST({_ppm_grad_sql(False)} AS BIGINT) AS h_grad_sum,
+           CAST({_ppm_grad_sql(True)} AS BIGINT) AS v_grad_sum,
+           ROUND(CAST({_ppm_grad_sql(False)} + {_ppm_grad_sql(True)}
+                      AS DOUBLE)
+                 / {(_PPM_H * (_PPM_W - 1) + (_PPM_H - 1) * _PPM_W) * 3}
+                 / 255.0, 6) AS edge_density
+    FROM px
+    """,
+)
+def multimodal_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image edge density from REAL positional decode: mean
+    normalized |gradient| over horizontal and vertical pixel-pair
+    differences — the blur/blank screen of an image ingest (a flat or
+    smoothly-varying image scores near 0, hard texture near its
+    band's step size).  The engine value here is the CONTRACT the
+    order-free kernels cannot give: the oracle recomputes every
+    gradient from the fixture's generative definition at absolute
+    raster positions, so a green hash row certifies the decoder
+    byte-exactly AND position-exactly (header offset, row stride,
+    channel interleave — a decoder that read the raster off-by-one or
+    row-major-flipped would pass the histogram ops and fail here).
+    On this corpus the fixtures are md5 noise over the 16 hex-ASCII
+    byte values, so densities concentrate at the iid expectation —
+    measured mean 0.0923 (range 0.0844–0.1001) vs the closed-form
+    E|X−Y|/255 = 0.0925: the screen reads calibration, not variety
+    (same status as [[multimodal_image_entropy]]).
+
+    Exactness: gradient sums leave the kernel as exact BIGINTs
+    (int64 numpy, no float in the kernel); the density is one IEEE
+    divide by a definition-time integer constant, rounded 6 dp
+    (nonnegative — ROUND-safe).
+
+    Scale shape: one Arrow-batched mapInPandas pass (per-image
+    bounded work, no shuffle), then a pure projection — same profile
+    as every image kernel in this module."""
+    g = image_gradient_stats(ppm_documents(spark, sf_dir))
+    denom = float(((_PPM_H * (_PPM_W - 1)) + (_PPM_H - 1) * _PPM_W) * 3)
+    return g.select(
+        "doc_id",
+        "h_grad_sum",
+        "v_grad_sum",
+        F.round(
+            (F.col("h_grad_sum") + F.col("v_grad_sum")).cast("double")
+            / F.lit(denom)
+            / 255.0,
+            6,
+        ).alias("edge_density"),
+    )

@@ -35,6 +35,7 @@ ORACLES: dict[str, str] = {}
 #   - order_value_median_ci (round 12 queue)
 #   - stream_dp_histogram_release (round 12 queue)
 #   - order_value_conformal_interval (round 12 queue)
+#   - multimodal_image_edge_density (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

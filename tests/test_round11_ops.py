@@ -255,6 +255,43 @@ def test_conformal_coverage_guarantee(spark):
     assert math.isclose(sum(r["coverage"] for r in rows) / 5, 0.909, abs_tol=0.05)
 
 
+def test_image_gradient_kernel_position_exact(spark):
+    """The gradient kernel must be POSITION-exact: on a hand-built
+    4×2 ramp image the sums match manual arithmetic, and permuting
+    the raster (which preserves every histogram) changes the result
+    — the decoder property the order-free kernels cannot certify."""
+    from ml_feature_store_enterprise_grade_spark.operators.multimodal import (
+        image_gradient_stats,
+    )
+
+    header = b"P6\n4 2\n255\n"
+    row0 = bytes([0, 0, 0, 10, 10, 10, 30, 30, 30, 60, 60, 60])
+    row1 = bytes([5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5])
+    ramp = header + row0 + row1
+    # horizontal: row0 |0-10|+|10-30|+|30-60| = 60 per band ×3 = 180;
+    # row1 all zero.  vertical: |row0 - row1| = (5+5+25+55)×3 = 270.
+    permuted = header + row1 + row0  # same byte multiset
+    df = spark.createDataFrame(
+        [(1, bytearray(ramp)), (2, bytearray(permuted))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (r["h_grad_sum"], r["v_grad_sum"], r["n_h_pairs"],
+                      r["n_v_pairs"])
+        for r in image_gradient_stats(df).collect()
+    }
+    assert got[1] == (180, 270, 18, 12)
+    # row swap: horizontal unchanged per-row, vertical |row1-row0| same
+    # absolute values here — so ALSO permute within the row for doc 2
+    shuffled = header + bytes([60, 60, 60, 0, 0, 0, 10, 10, 10, 30, 30, 30]) + row1
+    df2 = spark.createDataFrame(
+        [(3, bytearray(shuffled))], "doc_id long, payload binary"
+    )
+    (r3,) = image_gradient_stats(df2).collect()
+    # same multiset as doc 1's raster, different adjacency
+    assert (r3["h_grad_sum"], r3["v_grad_sum"]) != (180, 270)
+
+
 def test_stream_dp_release_matches_batch_mechanism(spark):
     """The streaming release must publish, for every finalized cell,
     exactly what the batch mechanism would publish for the same cell
