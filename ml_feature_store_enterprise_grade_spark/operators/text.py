@@ -1350,6 +1350,257 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+#: Pseudo-relevance feedback: pseudo-relevant set size and the
+#: number of expansion terms returned.
+_PRF_R = 10
+_PRF_TOPK = 8
+
+
+@register(
+    "bm25_prf_expansion",
+    defer=True,
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL_CTES},
+    rel AS (
+        SELECT doc_id FROM scored
+        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {_PRF_R}
+    ),
+    rterms AS (
+        SELECT t.token, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS r
+        FROM toks t JOIN rel USING (doc_id)
+        WHERE t.token NOT IN {_BM25_QUERY!r}
+        GROUP BY 1
+    ),
+    dfall AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        FROM toks GROUP BY 1
+    ),
+    ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nd),
+    wtd AS (
+        SELECT rt.token, rt.r, d.n,
+               ROUND(ln(((rt.r + 0.5) * (nd.nn - d.n - {_PRF_R} + rt.r + 0.5))
+                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5))), 6)
+                   AS rsj_weight,
+               ROUND(rt.r * ln(((rt.r + 0.5)
+                                * (nd.nn - d.n - {_PRF_R} + rt.r + 0.5))
+                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5))), 6)
+                   AS rsv
+        FROM rterms rt JOIN dfall d USING (token) CROSS JOIN ndocs nd
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rsv DESC, token) AS INTEGER)
+               AS rank,
+           token, r, n, rsj_weight, rsv
+    FROM wtd
+    ORDER BY rsv DESC, token
+    LIMIT {_PRF_TOPK}
+    """,
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Robertson/Sparck
+    Jones relevance weights + Robertson Selection Value): run the
+    fixed [[bm25_search_topk]] query, treat its top-{{_PRF_R}} as
+    pseudo-relevant, weight every non-query term by the RSJ
+    log-odds w = ln((r+0.5)(N−n−R+r+0.5) / ((n−r+0.5)(R−r+0.5))) and
+    rank candidates by RSV = r·w — the classical automatic query-
+    expansion step of a retrieval stack (the third IR verb after
+    scoring and fusion).  Measured signal (r11, sf0.01): weights
+    span 0.562 → −0.06 with 'filter'/'agg' clearly elected — the
+    selection discriminates even on this near-uniform vocabulary.
+
+    Determinism: the pseudo-relevant set is the 6-dp-rounded-score
+    top-k with doc_id tiebreak (the retrieval idiom); r, n, N are
+    exact integers; w and RSV are single fixed IEEE chains rounded
+    6 dp; the final ranking orders on (rounded RSV, token).
+
+    Scale shape: reuses the BM25 scored relation (broadcast stats,
+    postings-filtered aggregates); the pseudo-relevant doc set is a
+    {{_PRF_R}}-row broadcast into one token aggregate; document
+    frequencies are a |vocab|-row frame; the final top-{{_PRF_TOPK}}
+    is TakeOrderedAndProject."""
+    scored = bm25_scored(spark, sf_dir)
+    rel = (
+        scored.select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_PRF_R)
+        .select("doc_id")
+    )
+    nd = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
+    rterms = (
+        toks.join(F.broadcast(rel), "doc_id")
+        .filter(~F.col("token").isin(*_BM25_QUERY))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("r"))
+    )
+    dfall = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n")
+    )
+    ndocs = nd.agg(F.count("*").cast("bigint").alias("nn"))
+    w_expr = F.log(
+        ((F.col("r") + 0.5) * (F.col("nn") - F.col("n") - _PRF_R + F.col("r") + 0.5))
+        / ((F.col("n") - F.col("r") + 0.5) * (_PRF_R - F.col("r") + 0.5))
+    )
+    wtd = (
+        rterms.join(dfall, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "token",
+            "r",
+            "n",
+            F.round(w_expr, 6).alias("rsj_weight"),
+            F.round(F.col("r") * w_expr, 6).alias("rsv"),
+        )
+    )
+    top = wtd.orderBy(F.col("rsv").desc(), F.col("token")).limit(_PRF_TOPK)
+    w = Window.orderBy(F.col("rsv").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "token",
+        "r",
+        "n",
+        "rsj_weight",
+        "rsv",
+    ).orderBy("rank")
+
+
+#: Dirichlet-smoothing mass for the query-likelihood scorer — sized
+#: to the corpus (mean doc length ~54 tokens; the web-scale 2000
+#: default would drown every document signal).
+_LMD_MU = 100
+_LMD_TOPK = 20
+
+
+@register(
+    "lm_dirichlet_search_topk",
+    defer=True,
+    oracle=f"""
+    WITH nd AS (
+        SELECT doc_id, {NORMALIZE_TEXT_SQL("text")} AS norm FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM nd
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM toks GROUP BY 1),
+    cf AS (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS cf
+        FROM toks WHERE token IN {_BM25_QUERY!r} GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    bc AS (
+        SELECT SUM(ln({_LMD_MU} * cf / tot.t)) AS base_const,
+               COUNT(*) AS nq
+        FROM cf CROSS JOIN tot
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN {_BM25_QUERY!r} GROUP BY 1, 2
+    ),
+    boost AS (
+        SELECT t.doc_id,
+               SUM(ln(t.tf + {_LMD_MU} * c.cf / tot.t)
+                   - ln({_LMD_MU} * c.cf / tot.t)) AS b
+        FROM tf t JOIN cf c ON t.token = c.token CROSS JOIN tot
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT l.doc_id,
+               ROUND(bc.base_const - bc.nq * ln(l.n_tokens + {_LMD_MU})
+                     + COALESCE(b.b, 0), 6) AS score
+        FROM dl l CROSS JOIN bc LEFT JOIN boost b ON l.doc_id = b.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank,
+           doc_id, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_LMD_TOPK}
+    """,
+)
+def lm_dirichlet_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) over the same fixed query as [[bm25_search_topk]]
+    — the second classical sparse-scoring family (generative LM
+    ranking next to BM25's probabilistic relevance), and the scorer
+    whose smoothing term makes UNMATCHED documents comparable: score
+    = Σ_q ln((tf + μ·p(q|C)) / (dl + μ)) is defined for every doc,
+    decomposed here as a broadcast query constant + a document-length
+    penalty (pure map-side) + a matched-term boost from the postings
+    join — so the corpus-wide scoring costs one aggregate and one
+    broadcast join, never a dense query×doc product.
+
+    Determinism: ranking follows the retrieval-family idiom — order
+    by the 6-dp ROUNDED score with doc_id tiebreak so last-ulp libm
+    differences cannot flip ranks; μ and the query are definition-
+    time constants.
+
+    Scale shape: token stats are two hash aggregates; cf/base
+    constants are a |Q|-row broadcast; the boost join touches only
+    docs containing a query term; final top-{_LMD_TOPK} is
+    TakeOrderedAndProject (rank numbered over the truncated rows
+    only)."""
+    nd = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    tot = toks.agg(F.count("*").cast("double").alias("t"))
+    cf = (
+        toks.filter(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("cf"))
+    )
+    bc = (
+        cf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.log(_LMD_MU * F.col("cf") / F.col("t"))).alias(
+                "base_const"
+            ),
+            F.count("*").alias("nq"),
+        )
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    boost = (
+        tf.join(F.broadcast(cf), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(F.col("tf") + _LMD_MU * F.col("cf") / F.col("t"))
+                - F.log(_LMD_MU * F.col("cf") / F.col("t"))
+            ).alias("b")
+        )
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(bc))
+        .join(F.broadcast(boost), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("base_const")
+                - F.col("nq") * F.log(F.col("n_tokens") + _LMD_MU)
+                + F.coalesce(F.col("b"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        _LMD_TOPK
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
+    ).orderBy("rank")
+
+
 @register(
     "doc_token_entropy",
     oracle=f"""

@@ -36,6 +36,9 @@ ORACLES: dict[str, str] = {}
 #   - stream_dp_histogram_release (round 12 queue)
 #   - order_value_conformal_interval (round 12 queue)
 #   - multimodal_image_edge_density (round 12 queue)
+#   - lm_dirichlet_search_topk (round 12 queue)
+#   - event_value_hill_tail_index (round 12 queue)
+#   - bm25_prf_expansion (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
