@@ -39,6 +39,7 @@ ORACLES: dict[str, str] = {}
 #   - lm_dirichlet_search_topk (round 12 queue)
 #   - event_value_hill_tail_index (round 12 queue)
 #   - bm25_prf_expansion (round 12 queue)
+#   - stream_conformal_coverage_monitor (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
