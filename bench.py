@@ -214,6 +214,21 @@ BENCH_QUERIES = (
     "order_value_bootstrap_ci",
     "daily_revenue_forecast_backtest",
     "stream_histogram_quantile_monitor",
+    # round-11 additions — one representative per new class: the
+    # scalable exact-rank/cumsum machinery (curriculum rides
+    # running_totals over the scored-doc frame), conformal intervals,
+    # the DP release mechanism, the positional image kernel, the
+    # second IR scorer, the EVT tail estimator, and the streaming
+    # conformal monitor.  order_value_median_ci rides the same
+    # ranked() machinery the curriculum already tracks; knn_router_
+    # ivf_recall shares the ann_ivf_topk index path — both stay out.
+    "corpus_token_budget_curriculum",
+    "order_value_conformal_interval",
+    "dp_histogram_release",
+    "multimodal_image_edge_density",
+    "lm_dirichlet_search_topk",
+    "event_value_hill_tail_index",
+    "stream_conformal_coverage_monitor",
 )
 
 

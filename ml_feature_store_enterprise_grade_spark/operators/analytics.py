@@ -7116,3 +7116,127 @@ def event_value_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gamma * (1 - half), 6).alias("gamma_ci_lo"),
         F.round(gamma * (1 + half), 6).alias("gamma_ci_hi"),
     )
+
+
+#: Embeddedness works on the pair census's native >=2 support (the
+#: triangle census's >=3 leaves no triangles at sf0.01 - measured:
+#: every edge a bridge, a one-row degenerate histogram).
+_EMB_MIN_SUPPORT = 2
+
+
+@register(
+    "cobuy_edge_embeddedness",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a.item_id AS a, b.item_id AS b
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_EMB_MIN_SUPPORT}
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    es AS (
+        SELECT a, b FROM tri
+        UNION ALL SELECT a, c AS b FROM tri
+        UNION ALL SELECT b AS a, c AS b FROM tri
+    ),
+    sup AS (
+        SELECT e.a, e.b, CAST(COUNT(es.a) AS BIGINT) AS s
+        FROM e LEFT JOIN es ON es.a = e.a AND es.b = e.b
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM sup)
+    SELECT CAST(s.s AS BIGINT) AS embeddedness,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_edges), 6)
+               AS edge_share,
+           s.s = 0 AS is_bridge
+    FROM sup s CROSS JOIN tot t
+    GROUP BY s.s
+    """,
+)
+def cobuy_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-embeddedness census of the co-purchase graph: for every
+    support-thresholded edge, the number of triangles it closes
+    (its common-neighbor count), rolled into a histogram with the
+    structural-BRIDGE share — the edge-level sibling of
+    [[item_triangle_census]]'s vertex view and the quantity
+    community-detection pipelines threshold on (Granovetter: embedded
+    edges are strong ties inside communities, zero-support bridges
+    are the weak ties BETWEEN them — cutting them is the classic
+    pre-clustering step [[item_label_propagation]] benefits from).
+    Measured signal (r11, sf0.01): 3,264 of 3,445 edges (94.7%) are
+    bridges, 181 edges carry all triangle structure — the co-buy
+    graph is bridge-dominated, so embeddedness-thresholding would
+    shrink it 19× before any community pass.
+
+    Determinism: edge list and triangle orientation are the shared
+    a<b<c discipline; supports and the histogram are exact integers;
+    one IEEE share divide at emission.
+
+    Scale shape: reuses the memoized pair census; ONE oriented wedge
+    join + closing semi-equi-join (Σ out-deg² work, low→high-id
+    orientation caps out-degree — identical cost envelope to the
+    triangle census); the per-edge support aggregate and final
+    histogram are hash aggregates over the edge frame."""
+    e = (
+        cobuy_pair_census(spark, sf_dir)
+        .filter(F.col("n_ab") >= _EMB_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    es = (
+        tri.select("a", "b")
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+    )
+    sup = (
+        e.join(
+            es.groupBy("a", "b").agg(F.count("*").alias("s")),
+            ["a", "b"],
+            "left",
+        )
+        .select(F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("s"))
+    )
+    tot = sup.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        sup.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("s").alias("embeddedness"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.round(
+                F.count("*").cast("double") / F.max("n_edges"), 6
+            ).alias("edge_share"),
+            (F.first("s") == 0).alias("is_bridge"),
+        )
+        .select(
+            F.col("embeddedness").cast("bigint"),
+            "n_edges",
+            "edge_share",
+            "is_bridge",
+        )
+    )

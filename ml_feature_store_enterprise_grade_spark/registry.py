@@ -40,6 +40,7 @@ ORACLES: dict[str, str] = {}
 #   - event_value_hill_tail_index (round 12 queue)
 #   - bm25_prf_expansion (round 12 queue)
 #   - stream_conformal_coverage_monitor (round 12 queue)
+#   - cobuy_edge_embeddedness (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -217,6 +218,18 @@ _FRONT: tuple[str, ...] = (
     # --- New round-11 queries (rotation priority: new names beat
     # re-proving stable greens; rows-only cannot defer):
     "knn_router_ivf_recall",
+    # --- Changed this round (rotation priority 2 — old green rows
+    # are stale evidence): the NTILE-family re-plan through
+    # functions/ranking.py (VERDICT r10 items 2+3) and the ABC
+    # running-total re-route.  Displaced oldest greens rotate back
+    # next cycle.
+    "quality_concentration_curve",
+    "rfm_segmentation",
+    "percentile_rank_features",
+    "supplier_acctbal_ntile",
+    "acctbal_revenue_spearman",
+    "feature_binning_quantile",
+    "part_revenue_abc_classes",
     # --- Oldest driver greens (item_cooccurrence_lift last checked
     # r3, the rest the head of the r4 cohort — rotation priority 3 per
     # tools/update_checked_names.py; next-oldest is the r4 tail;
@@ -237,13 +250,6 @@ _FRONT: tuple[str, ...] = (
     "doc_fingerprint",
     "doc_prefix_cluster_stats",
     "doc_text_stats",
-    "drift_ks_click_vs_view",
-    "drift_psi_multi_feature",
-    "duplicate_key_check",
-    "embedding_label_confusion",
-    "embedding_neardup",
-    "event_customer_enrichment",
-    "event_customer_overlap",
     "event_value_percentiles",
     "feature_coverage",
     "feature_freshness",
