@@ -255,6 +255,104 @@ def test_conformal_coverage_guarantee(spark):
     assert math.isclose(sum(r["coverage"] for r in rows) / 5, 0.909, abs_tol=0.05)
 
 
+def test_hill_tail_index_python_twin(spark):
+    """Exact numpy twin of the Hill estimator (quantized-log ladder)."""
+    import math
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _HILL_K,
+        event_value_hill_tail_index,
+    )
+
+    e = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    v = e[["value", "event_id"]].dropna()
+    v = v[(v["value"] > 0) & (~v["value"].isna())]
+    v = v.sort_values(["value", "event_id"], ascending=[False, True])
+    top = v.head(_HILL_K + 1)["value"].tolist()
+    lnq = [math.floor(math.log(x) * 1_000_000.0) for x in top]
+    s = sum(lnq[:_HILL_K])
+    gamma = (s - _HILL_K * lnq[_HILL_K]) / (_HILL_K * 1_000_000.0)
+    row = event_value_hill_tail_index(spark, SF_ORACLE).collect()[0]
+    assert row["hill_gamma"] == round(gamma, 6)
+    assert row["threshold"] == top[_HILL_K]
+    assert row["gamma_ci_lo"] < row["hill_gamma"] < row["gamma_ci_hi"]
+
+
+def test_lm_dirichlet_python_twin(spark):
+    """Exact-ranking twin: the scorer's top-20 doc ids and 6-dp
+    scores recomputed from the raw parquet in pure Python."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.text import (
+        _BM25_QUERY,
+        _LMD_MU,
+        _LMD_TOPK,
+        lm_dirichlet_search_topk,
+    )
+
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = {
+        r["doc_id"]: " ".join(r["text"].lower().split()).split(" ")
+        for _, r in docs.iterrows()
+    }
+    total = sum(len(t) for t in toks.values())
+    cf = collections.Counter()
+    for t in toks.values():
+        cf.update(w for w in t if w in _BM25_QUERY)
+    scored = []
+    for doc_id, t in toks.items():
+        s = 0.0
+        tf = collections.Counter(w for w in t if w in _BM25_QUERY)
+        for q in _BM25_QUERY:
+            p = _LMD_MU * cf[q] / total
+            s += math.log(tf[q] + p) - math.log(len(t) + _LMD_MU)
+        scored.append((round(s, 6), doc_id))
+    want = sorted(scored, key=lambda x: (-x[0], x[1]))[:_LMD_TOPK]
+    got = lm_dirichlet_search_topk(spark, SF_ORACLE).collect()
+    assert [(r["score"], r["doc_id"]) for r in got] == want
+
+
+def test_edge_embeddedness_python_twin(spark):
+    """Pure-Python twin over the raw lineitem parquet: build the
+    >=2-support co-buy graph, count triangle support per edge,
+    compare the histogram."""
+    import collections
+    import itertools
+
+    import pandas as pd
+
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        cobuy_edge_embeddedness,
+    )
+
+    l = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    baskets = collections.defaultdict(set)
+    for _, r in l.iterrows():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    pair = collections.Counter()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair[(a, b)] += 1
+    edges = {e for e, c in pair.items() if c >= 2}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    hist = collections.Counter()
+    for a, b in edges:
+        hist[len(adj[a] & adj[b])] += 1
+    got = {
+        r["embeddedness"]: r["n_edges"]
+        for r in cobuy_edge_embeddedness(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(hist)
+
+
 def test_image_gradient_kernel_position_exact(spark):
     """The gradient kernel must be POSITION-exact: on a hand-built
     4×2 ramp image the sums match manual arithmetic, and permuting
