@@ -6559,25 +6559,55 @@ def daily_revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 #: Poisson bootstrap: replicate count, hash seed, and the Poisson(1)
-#: CDF thresholds scaled to exact integers on a 1e9 grid (computed
-#: once from math.exp at definition time, inlined as INTEGER literals
-#: in both engines — the weight draw is then pure integer compares,
-#: no libm anywhere at query time).
+#: CDF thresholds (computed once from math.exp at definition time,
+#: inlined as INTEGER literals in both engines — the weight draw is
+#: pure integer compares, no libm anywhere at query time).
 _BOOT_B = 100
 _BOOT_SEED = 11
-_BOOT_CDF_E9 = (
-    367879441, 735758882, 919698602, 981011843,
-    996340153, 999405815, 999916758, 999989750,
+
+#: Counter-based replicate randomness (re-planned round 11).  The
+#: original draw hashed every (row, replicate) pair — measured at
+#: sf0.1: the md5+conv chain was 22.5s of a 26s pass, 86% of the
+#: whole bootstrap.  The replacement is the standard counter-based
+#: construction: ONE strong seed hash per row (portable 60-bit MD5,
+#: reduced into [1, M-1]), then replicate b's uniform is a Lehmer
+#: (Park–Miller minimal standard, M=2^31−1, A=48271) skip-ahead
+#: u_b = seed·A^(b+1) mod M with the A^(b+1) multipliers precomputed
+#: at definition time as INTEGER literals — per exploded row the
+#: draw is one multiply (≤2^62, BIGINT-safe in both engines' ANSI
+#: mode) + one mod + 8 threshold compares.  Statistical contract
+#: unchanged: seeds are independent across rows; within a row the
+#: B draws are a seeded Lehmer stream (the classic minimal-standard
+#: generator); boot_se is re-validated against the analytic SE in
+#: tests/test_round11_ops.py.
+_BOOT_M = 2147483647
+_BOOT_A = 48271
+_BOOT_POWA = tuple(pow(_BOOT_A, b + 1, _BOOT_M) for b in range(_BOOT_B))
+
+#: Poisson(1) CDF thresholds scaled to the Lehmer modulus.
+import math as _bmath
+
+_BOOT_CDF_M = tuple(
+    int(_bmath.floor(
+        sum(_bmath.exp(-1) / _bmath.factorial(j) for j in range(k + 1))
+        * _BOOT_M
+    ))
+    for k in range(8)
 )
 
 
 def _boot_w_sql(u: str) -> str:
-    """Poisson(1) weight from a uniform integer on [0, 1e9): the
-    number of CDF thresholds at or below it (shared text for both
-    engines — integer compares only)."""
+    """Poisson(1) weight from a uniform integer on [0, M): the number
+    of CDF thresholds at or below it (shared text for both engines —
+    integer compares only)."""
     return " + ".join(
-        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_CDF_E9
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_CDF_M
     )
+
+
+def _boot_powa_sql() -> str:
+    """DuckDB literal list of the Lehmer skip-ahead multipliers."""
+    return "[" + ", ".join(str(x) for x in _BOOT_POWA) + "]"
 
 
 @register(
@@ -6594,16 +6624,18 @@ def _boot_w_sql(u: str) -> str:
                SUM(CAST(vq AS DECIMAL(38, 0))) AS sv
         FROM o
     ),
+    sd AS (
+        SELECT vq,
+               {PORTABLE_HASH64_SQL("CAST(o_orderkey AS VARCHAR)", _BOOT_SEED)}
+                   % {_BOOT_M - 1} + 1 AS h
+        FROM o
+    ),
     r AS (
         SELECT b,
-               {_boot_w_sql(
-                   PORTABLE_HASH64_SQL(
-                       "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)",
-                       _BOOT_SEED,
-                   ) + " % 1000000000"
-               )} AS w,
+               {_boot_w_sql(f"((h * ({_boot_powa_sql()})[b + 1]) % {_BOOT_M})")}
+                   AS w,
                vq
-        FROM o, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
+        FROM sd, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
     ),
     m AS (
         SELECT b, SUM(w) AS sw,
@@ -6655,9 +6687,11 @@ def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     almost none do ([[robust_order_value_stats]] gives the robust
     location; this gives the sampling error of the headline mean).
 
-    Determinism: the Poisson draw is inverse-CDF on the exact 60-bit
-    hash reduced mod 1e9, against INTEGER thresholds inlined at
-    definition time — pure integer compares, no libm at query time;
+    Determinism: one portable 60-bit MD5 seed per row, replicate
+    uniforms via Lehmer skip-ahead against definition-time INTEGER
+    multipliers and CDF thresholds (see _BOOT_POWA — the md5-per-
+    (row, replicate) form this replaced spent 86% of the pass in
+    hashing) — pure integer multiply/mod/compares, no libm;
     replicate sums are exact DECIMAL; each replicate mean is one
     fixed IEEE divide, ranked with b-tiebreak so both engines elect
     identical CI order statistics; the SE runs on floor-quantized
@@ -6681,20 +6715,35 @@ def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
     )
-    u_sql = (
-        "CAST(conv(substring(md5('"
-        + str(_BOOT_SEED)
-        + ":' || CAST(o_orderkey AS STRING) || '#' || CAST(b AS STRING)),"
-        " 1, 15), 16, 10) AS BIGINT) % 1000000000"
+    sd = o.select(
+        "vq",
+        (
+            portable_hash64(
+                F.col("o_orderkey").cast("string"), seed=_BOOT_SEED
+            )
+            % (_BOOT_M - 1)
+            + 1
+        ).alias("h"),
     )
-    r = o.select(
-        "vq",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        F.col("o_orderkey"),
-    ).select(
-        "b",
-        "vq",
-        F.expr(_boot_w_sql(f"({u_sql})")).alias("w"),
+    # Whole-stage-codegen discipline: the (b, A^(b+1)) pairs explode
+    # as a literal struct array (one allocation per ORDER row, not
+    # per replicate row), u is projected ONCE, and the threshold
+    # ladder is a plain CASE chain — higher-order array functions
+    # here measured 2.8x slower (interpreted, per-row allocations).
+    pa = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(x).alias("pa"))
+            for b, x in enumerate(_BOOT_POWA)
+        ]
+    )
+    r = (
+        sd.select("vq", "h", F.explode(pa).alias("s"))
+        .select(
+            F.col("s.b").alias("b"),
+            "vq",
+            ((F.col("h") * F.col("s.pa")) % _BOOT_M).alias("u"),
+        )
+        .select("b", "vq", F.expr(_boot_w_sql("u")).alias("w"))
     )
     m = r.groupBy("b").agg(
         F.sum("w").alias("sw"),

@@ -255,6 +255,85 @@ def test_conformal_coverage_guarantee(spark):
     assert math.isclose(sum(r["coverage"] for r in rows) / 5, 0.909, abs_tol=0.05)
 
 
+def test_bootstrap_se_matches_analytic(spark):
+    """The counter-based (seed-hash + Lehmer skip-ahead) bootstrap
+    must still estimate the sampling error correctly: boot_se within
+    15% of the analytic σ/√n (B=100 gives boot_se its own ~7%
+    noise), and the percentile CI must bracket the mean."""
+    import math
+
+    from ml_feature_store_enterprise_grade_spark import registry
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    q = {**registry.QUERIES, **registry.DEFERRED_QUERIES}[
+        "order_value_bootstrap_ci"
+    ]
+    row = q(spark, SF_ORACLE).collect()[0]
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    st = o.agg(
+        F.count("*").alias("n"), F.stddev("o_totalprice").alias("s")
+    ).first()
+    analytic = st["s"] / math.sqrt(st["n"])
+    assert abs(row["boot_se"] - analytic) / analytic < 0.15, (
+        row["boot_se"], analytic,
+    )
+    assert row["ci_lo"] < row["mean_value"] < row["ci_hi"]
+
+
+def test_bootstrap_weight_marginal_is_poisson(spark):
+    """Marginal Poisson(1) calibration of the Lehmer-derived weights:
+    empirical weight shares across all (row, replicate) draws at
+    sf0.01 must match the Poisson pmf within 1% absolute."""
+    import math
+
+    from ml_feature_store_enterprise_grade_spark.functions import (
+        portable_hash64,
+    )
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _BOOT_B,
+        _BOOT_M,
+        _BOOT_POWA,
+        _BOOT_SEED,
+        _boot_w_sql,
+    )
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    sd = o.select(
+        (
+            portable_hash64(
+                F.col("o_orderkey").cast("string"), seed=_BOOT_SEED
+            )
+            % (_BOOT_M - 1)
+            + 1
+        ).alias("h")
+    )
+    pa = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(x).alias("pa"))
+            for b, x in enumerate(_BOOT_POWA)
+        ]
+    )
+    w = (
+        sd.select("h", F.explode(pa).alias("s"))
+        .select(((F.col("h") * F.col("s.pa")) % _BOOT_M).alias("u"))
+        .select(F.expr(_boot_w_sql("u")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in w)
+    shares = {r["w"]: r["count"] / total for r in w}
+    for k in range(4):
+        pmf = math.exp(-1) / math.factorial(k)
+        assert abs(shares.get(k, 0.0) - pmf) < 0.01, (k, shares.get(k), pmf)
+
+
 def test_hill_tail_index_python_twin(spark):
     """Exact numpy twin of the Hill estimator (quantized-log ladder)."""
     import math

@@ -254,25 +254,41 @@ def main() -> int:
     # whole-stage codegen (never materialized) into B partial sums,
     # so rows/sec should track exact_dedup's hash-agg throughput ÷ B
     # overheads, not fall off a cliff.
+    from ml_feature_store_enterprise_grade_spark.functions import (
+        portable_hash64 as _ph64,
+    )
     from ml_feature_store_enterprise_grade_spark.operators.analytics import (
-        _BOOT_B,
+        _BOOT_M,
+        _BOOT_POWA,
         _BOOT_SEED,
         _boot_w_sql,
     )
 
-    bu_sql = (
-        f"CAST(conv(substring(md5('{_BOOT_SEED}:' ||"
-        " CAST(event_id AS STRING) || '#' || CAST(b AS STRING)),"
-        " 1, 15), 16, 10) AS BIGINT) % 1000000000"
+    # round 11: the counter-based form (one md5 seed per row + Lehmer
+    # skip-ahead, mirroring the re-planned operator exactly).
+    pa = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(x).alias("pa"))
+            for b, x in enumerate(_BOOT_POWA)
+        ]
     )
     boot = (
         base.filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
-            "event_id",
             F.floor(F.col("value") * 100.0).cast("bigint").alias("vq"),
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            (
+                _ph64(F.col("event_id").cast("string"), seed=_BOOT_SEED)
+                % (_BOOT_M - 1)
+                + 1
+            ).alias("h"),
         )
-        .select("b", "vq", F.expr(_boot_w_sql(f"({bu_sql})")).alias("w"))
+        .select("vq", "h", F.explode(pa).alias("s"))
+        .select(
+            F.col("s.b").alias("b"),
+            "vq",
+            ((F.col("h") * F.col("s.pa")) % _BOOT_M).alias("u"),
+        )
+        .select("b", "vq", F.expr(_boot_w_sql("u")).alias("w"))
         .groupBy("b")
         .agg(
             F.sum("w").alias("sw"),
