@@ -177,17 +177,19 @@ _loaded = False
 #: keeps one representative per operator family, so dropping a
 #: long-stable green from the WINDOW never drops its family from the
 #: bench trend.
-#: ROUND-11 REBUILD CHECKLIST (do this first next round): (1) run
-#: ``python tools/update_checked_names.py`` to fold the 50 round-10
-#: window rows into ``_DRIVER_CHECKED``; (2) promote any overflow-
-#: comment queue names into ``_PROMOTED`` (keep the prior rounds'
-#: names in the set — they are what keeps those registrations
-#: un-deferred) and rebuild ``_FRONT`` with them at the head; (3)
-#: delete them from the overflow comment; (4) remaining slots go to
-#: new round-11 queries then the OLDEST driver greens per the
-#: rotation policy above (run the tool — it prints which _FRONT
-#: entries are rotatable; after r10 the oldest cohort is the r4-era
-#: greens, then r6).
+#: ROUND-12 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` to fold the 50 round-11
+#: window rows into ``_DRIVER_CHECKED``; (2) promote the overflow-
+#: comment queue names (the 12-name round-12 queue) into
+#: ``_PROMOTED`` (keep the prior rounds' names in the set — they are
+#: what keeps those registrations un-deferred) and rebuild ``_FRONT``
+#: with them at the head; (3) delete them from the overflow comment;
+#: (4) remaining slots go to new round-12 queries then the OLDEST
+#: driver greens per the rotation policy above (run the tool — it
+#: prints which _FRONT entries are rotatable; after r11 the oldest
+#: cohort is the r4 tail — including the 7 greens the changed-query
+#: re-slot displaced this round plus k_anonymity_audit and
+#: item_cooccurrence_lift).
 _FRONT: tuple[str, ...] = (
     # --- Round 11 window.  Head: the 23-name r11 queue (VERDICT r10
     # item 1) — first driver rows for every remaining zero-evidence
