@@ -452,7 +452,9 @@ def test_bootstrap_ci_matches_python_twin(spark):
 
     from ml_feature_store_enterprise_grade_spark.operators.analytics import (
         _BOOT_B,
-        _BOOT_CDF_E9,
+        _BOOT_CDF_M,
+        _BOOT_M,
+        _BOOT_POWA,
         _BOOT_SEED,
     )
 
@@ -463,13 +465,18 @@ def test_bootstrap_ci_matches_python_twin(spark):
         .collect()
     )
     vq = {r.o_orderkey: math.floor(r.o_totalprice * 100.0) for r in orders}
+    seeds = {
+        k: int(hashlib.md5(f"{_BOOT_SEED}:{k}".encode()).hexdigest()[:15], 16)
+        % (_BOOT_M - 1)
+        + 1
+        for k in vq
+    }
     means = []
     for b in range(_BOOT_B):
         sw = swv = 0
         for k, v in vq.items():
-            h = int(hashlib.md5(f"{_BOOT_SEED}:{k}#{b}".encode()).hexdigest()[:15], 16)
-            u = h % 10**9
-            w = sum(1 for t in _BOOT_CDF_E9 if u >= t)
+            u = (seeds[k] * _BOOT_POWA[b]) % _BOOT_M
+            w = sum(1 for t in _BOOT_CDF_M if u >= t)
             sw += w
             swv += w * v
         means.append((swv / sw, b))
