@@ -198,6 +198,27 @@ QUERIES = (
     "skew_resilient_distinct_rollup",
     "salted_enrichment_join",
     "jaccard_prefix_filter_join",
+    # round 11 additions: the re-planned NTILE family (audit target:
+    # no unpartitioned WindowExec over a data-sized frame) plus one
+    # per new operator class.
+    "quality_concentration_curve",
+    "rfm_segmentation",
+    "percentile_rank_features",
+    "supplier_acctbal_ntile",
+    "acctbal_revenue_spearman",
+    "feature_binning_quantile",
+    "part_revenue_abc_classes",
+    "knn_router_ivf_recall",
+    "corpus_token_budget_curriculum",
+    "training_shard_cut_plan",
+    "dp_histogram_release",
+    "order_value_median_ci",
+    "order_value_conformal_interval",
+    "multimodal_image_edge_density",
+    "lm_dirichlet_search_topk",
+    "bm25_prf_expansion",
+    "event_value_hill_tail_index",
+    "cobuy_edge_embeddedness",
 )
 
 
