@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
 from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
-from ..functions.ranking import running_totals, scalable_ntile
+from ..functions.ranking import ntile_from_rank, ranked, running_totals, scalable_ntile
 from ..registry import register
 from .corpus_plan import _CHARS_PER_TOKEN
 
@@ -3708,4 +3708,202 @@ def doc_compression_ratio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("s_m").cast("double") / F.col("n_docs") + 0.5)
             / 1000.0
         ).alias("mean_ratio"),
+    )
+
+
+@register(
+    "quality_filter_agreement",
+    defer=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_TEXT_SQL("text")}, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM vocab),
+    contrib AS (
+        SELECT tok, CAST(FLOOR(log10(CAST(n AS DOUBLE) / tot.total)
+                               * 1000000.0) AS BIGINT) AS cq
+        FROM vocab, tot
+    ),
+    dtc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t GROUP BY 1, 2),
+    d AS (
+        SELECT dtc.doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS ntypes,
+               CAST(SUM(cnt * c.cq) AS BIGINT) AS score_q,
+               CAST(SUM(cnt * CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS sclc
+        FROM dtc JOIN contrib c ON c.tok = dtc.tok
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(score_q AS DOUBLE) / nt AS lp,
+               ln(CAST(nt AS DOUBLE))
+                   - CAST(sclc AS DOUBLE) / (nt * 1000000.0) AS ent,
+               CAST(ntypes AS DOUBLE) / nt AS ttr
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY lp, doc_id) AS r_lp,
+               ROW_NUMBER() OVER (ORDER BY ent, doc_id) AS r_ent,
+               ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS r_ttr,
+               NTILE(10) OVER (ORDER BY lp, doc_id) AS t_lp,
+               NTILE(10) OVER (ORDER BY ent, doc_id) AS t_ent,
+               NTILE(10) OVER (ORDER BY ttr, doc_id) AS t_ttr,
+               COUNT(*) OVER () AS n
+        FROM s
+    ),
+    pairs AS (
+        SELECT 'logprob' AS filter_a, 'entropy' AS filter_b,
+               SUM(CAST((r_lp - r_ent) * (r_lp - r_ent) AS DECIMAL(38,0))) AS d2,
+               SUM(CASE WHEN t_lp = 1 THEN 1 ELSE 0 END) AS fa,
+               SUM(CASE WHEN t_ent = 1 THEN 1 ELSE 0 END) AS fb,
+               SUM(CASE WHEN t_lp = 1 AND t_ent = 1 THEN 1 ELSE 0 END) AS fboth,
+               MAX(n) AS n
+        FROM r
+        UNION ALL
+        SELECT 'logprob', 'ttr',
+               SUM(CAST((r_lp - r_ttr) * (r_lp - r_ttr) AS DECIMAL(38,0))),
+               SUM(CASE WHEN t_lp = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN t_ttr = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN t_lp = 1 AND t_ttr = 1 THEN 1 ELSE 0 END),
+               MAX(n)
+        FROM r
+        UNION ALL
+        SELECT 'entropy', 'ttr',
+               SUM(CAST((r_ent - r_ttr) * (r_ent - r_ttr) AS DECIMAL(38,0))),
+               SUM(CASE WHEN t_ent = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN t_ttr = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN t_ent = 1 AND t_ttr = 1 THEN 1 ELSE 0 END),
+               MAX(n)
+        FROM r
+    )
+    SELECT filter_a, filter_b,
+           FLOOR((1 - 6.0 * CAST(d2 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho,
+           CAST(fa AS BIGINT) AS n_flagged_a,
+           CAST(fb AS BIGINT) AS n_flagged_b,
+           CAST(fboth AS BIGINT) AS n_both,
+           ROUND(CAST(fboth AS DOUBLE) / (fa + fb - fboth), 6) AS jaccard
+    FROM pairs
+    """,
+)
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the corpus's quality filters agree on what is junk?  Three
+    independent per-doc quality scores — ccnet mean unigram
+    log-probability, token Shannon entropy, and type-token ratio —
+    are rank-compared pairwise (exact Spearman ρ from rank
+    differences) and their BOTTOM-DECILE junk flags intersected
+    (Jaccard) — the curation-governance table that decides whether
+    filters are redundant (high agreement: drop one) or orthogonal
+    (low agreement: a doc must fail several before removal, the
+    Gopher-rules composition question).  Measured signal (r11,
+    sf0.01): the three scores are nearly orthogonal-to-opposed —
+    ρ(lp, ent) = 0.11, ρ(lp, ttr) = −0.15, ρ(ent, ttr) = −0.80 (the
+    entropy–TTR inversion is length confounding: short docs max TTR
+    while capping attainable entropy) — so the filters flag largely
+    DIFFERENT documents and must be composed, not substituted.
+
+    Determinism: scores are the house quantized-leaf chains
+    (1e-6-quantized vocabulary/log contributions, fixed IEEE
+    divides); ranks are exact with doc_id tiebreak; ρ is the
+    rank-difference identity 1 − 6Σd²/(n(n²−1)) over exact DECIMAL
+    sums, emitted via the sign-safe floor ladder (ρ spans negatives);
+    flags are exact NTILE membership; Jaccard is one IEEE divide of
+    exact counts.
+
+    Scale shape: one token pipeline (two hash aggregates + broadcast
+    vocab join); THREE exact global ranks — all through
+    :func:`functions.ranking.ranked`/:func:`scalable_ntile` (no
+    single-task sorts, the module's whole point at doc-corpus
+    cardinality); the agreement table collapses to 3 rows in one
+    aggregate pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    total = float(vocab.agg(F.sum("n")).first()[0])
+    contrib = vocab.select(
+        "tok",
+        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
+        .cast("bigint")
+        .alias("cq"),
+    )
+    dtc = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    lnq = F.floor(F.log(F.col("cnt").cast("double")) * 1000000.0).cast(
+        "bigint"
+    )
+    d = (
+        dtc.join(F.broadcast(contrib), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("nt"),
+            F.count("*").cast("bigint").alias("ntypes"),
+            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
+            F.sum(F.col("cnt") * lnq).cast("bigint").alias("sclc"),
+        )
+    )
+    s = d.select(
+        "doc_id",
+        (F.col("score_q").cast("double") / F.col("nt")).alias("lp"),
+        (
+            F.log(F.col("nt").cast("double"))
+            - F.col("sclc").cast("double") / (F.col("nt") * 1000000.0)
+        ).alias("ent"),
+        (F.col("ntypes").cast("double") / F.col("nt")).alias("ttr"),
+    )
+    r = s
+    for col in ("lp", "ent", "ttr"):
+        r = ranked(
+            r, [(col, "asc"), ("doc_id", "asc")],
+            rn_col=f"r_{col}", n_col=f"n_{col}",
+        )
+        r = r.withColumn(
+            f"t_{col}",
+            ntile_from_rank(F.col(f"r_{col}"), F.col(f"n_{col}"), 10),
+        )
+    r = r.withColumnRenamed("n_lp", "n")
+
+    def pair(a: str, b: str) -> DataFrame:
+        da = (F.col(f"r_{a}") - F.col(f"r_{b}")).cast("decimal(38,0)")
+        return r.agg(
+            F.lit({"lp": "logprob", "ent": "entropy", "ttr": "ttr"}[a]).alias(
+                "filter_a"
+            ),
+            F.lit({"lp": "logprob", "ent": "entropy", "ttr": "ttr"}[b]).alias(
+                "filter_b"
+            ),
+            F.sum(da * da).alias("d2"),
+            F.sum(F.when(F.col(f"t_{a}") == 1, 1).otherwise(0)).alias("fa"),
+            F.sum(F.when(F.col(f"t_{b}") == 1, 1).otherwise(0)).alias("fb"),
+            F.sum(
+                F.when((F.col(f"t_{a}") == 1) & (F.col(f"t_{b}") == 1), 1)
+                .otherwise(0)
+            ).alias("fboth"),
+            F.max("n").alias("n"),
+        )
+
+    pairs = pair("lp", "ent").unionAll(pair("lp", "ttr")).unionAll(
+        pair("ent", "ttr")
+    )
+    nd = F.col("n").cast("double")
+    rho = 1 - 6.0 * F.col("d2").cast("double") / (nd * (nd * F.col("n") - 1))
+    return pairs.select(
+        "filter_a",
+        "filter_b",
+        (F.floor(rho * 1000000.0 + 0.5) / 1000000.0).alias("spearman_rho"),
+        F.col("fa").cast("bigint").alias("n_flagged_a"),
+        F.col("fb").cast("bigint").alias("n_flagged_b"),
+        F.col("fboth").cast("bigint").alias("n_both"),
+        F.round(
+            F.col("fboth").cast("double")
+            / (F.col("fa") + F.col("fb") - F.col("fboth")),
+            6,
+        ).alias("jaccard"),
     )

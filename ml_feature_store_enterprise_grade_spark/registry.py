@@ -41,6 +41,7 @@ ORACLES: dict[str, str] = {}
 #   - bm25_prf_expansion (round 12 queue)
 #   - stream_conformal_coverage_monitor (round 12 queue)
 #   - cobuy_edge_embeddedness (round 12 queue)
+#   - quality_filter_agreement (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
