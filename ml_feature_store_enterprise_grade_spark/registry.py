@@ -29,19 +29,6 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
-#   - corpus_token_budget_curriculum (round 12 queue)
-#   - training_shard_cut_plan (round 12 queue)
-#   - dp_histogram_release (round 12 queue)
-#   - order_value_median_ci (round 12 queue)
-#   - stream_dp_histogram_release (round 12 queue)
-#   - order_value_conformal_interval (round 12 queue)
-#   - multimodal_image_edge_density (round 12 queue)
-#   - lm_dirichlet_search_topk (round 12 queue)
-#   - event_value_hill_tail_index (round 12 queue)
-#   - bm25_prf_expansion (round 12 queue)
-#   - stream_conformal_coverage_monitor (round 12 queue)
-#   - cobuy_edge_embeddedness (round 12 queue)
-#   - quality_filter_agreement (round 12 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -124,6 +111,21 @@ _PROMOTED: frozenset[str] = frozenset((
     "skew_resilient_distinct_rollup",
     "salted_enrichment_join",
     "jaccard_prefix_filter_join",
+    # round-12 promotions: the 13-name r12 queue (VERDICT r11 item 1) —
+    # every one locally parity-green, now earning its first driver row.
+    "corpus_token_budget_curriculum",
+    "training_shard_cut_plan",
+    "dp_histogram_release",
+    "order_value_median_ci",
+    "stream_dp_histogram_release",
+    "order_value_conformal_interval",
+    "multimodal_image_edge_density",
+    "lm_dirichlet_search_topk",
+    "event_value_hill_tail_index",
+    "bm25_prf_expansion",
+    "stream_conformal_coverage_monitor",
+    "cobuy_edge_embeddedness",
+    "quality_filter_agreement",
 ))
 
 _OPERATOR_MODULES = (
@@ -178,85 +180,82 @@ _loaded = False
 #: keeps one representative per operator family, so dropping a
 #: long-stable green from the WINDOW never drops its family from the
 #: bench trend.
-#: ROUND-12 REBUILD CHECKLIST (do this first next round): (1) run
-#: ``python tools/update_checked_names.py`` to fold the 50 round-11
+#: ROUND-13 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` to fold the 50 round-12
 #: window rows into ``_DRIVER_CHECKED``; (2) promote the overflow-
-#: comment queue names (the 12-name round-12 queue) into
-#: ``_PROMOTED`` (keep the prior rounds' names in the set — they are
-#: what keeps those registrations un-deferred) and rebuild ``_FRONT``
-#: with them at the head; (3) delete them from the overflow comment;
-#: (4) remaining slots go to new round-12 queries then the OLDEST
-#: driver greens per the rotation policy above (run the tool — it
-#: prints which _FRONT entries are rotatable; after r11 the oldest
-#: cohort is the r4 tail — including the 7 greens the changed-query
-#: re-slot displaced this round plus k_anonymity_audit and
-#: item_cooccurrence_lift).
+#: comment queue names (the round-13 queue) into ``_PROMOTED`` (keep
+#: the prior rounds' names in the set — they are what keeps those
+#: registrations un-deferred) and rebuild ``_FRONT`` with them at the
+#: head; (3) delete them from the overflow comment; (4) remaining
+#: slots go to new round-13 queries then the OLDEST driver greens per
+#: the rotation policy above (run the tool — it prints which _FRONT
+#: entries are rotatable; after r12 the oldest cohort is the r6
+#: cohort); (5) at close, regenerate QUERIES.md with
+#: ``python tools/gen_query_index.py`` (VERDICT r11 item 5 — the
+#: index header counts must match the registry before sealing).
 _FRONT: tuple[str, ...] = (
-    # --- Round 11 window.  Head: the 23-name r11 queue (VERDICT r10
+    # --- Round 12 window.  Head: the 13-name r12 queue (VERDICT r11
     # item 1) — first driver rows for every remaining zero-evidence
     # query.
-    "embedding_distance_profile",
-    "anonymity_generalization_ladder",
-    "multimodal_audio_silence_runs",
-    "event_value_winsorize_sweep",
-    "cobuy_community_conductance",
-    "dedup_method_agreement",
-    "rec_novelty_by_rank",
-    "stream_histogram_quantile_monitor",
-    "dedup_survivor_policy_audit",
-    "range_partition_balance_plan",
-    "part_price_dispersion_audit",
-    "embedding_effective_rank",
-    "embedding_pq_adc_recall",
-    "user_decay_features",
-    "approximate_fd_audit",
-    "t_closeness_audit",
-    "daily_revenue_forecast_backtest",
-    "order_value_bootstrap_ci",
-    "stream_decay_features",
-    "sequence_packing_efficiency",
-    "skew_resilient_distinct_rollup",
-    "salted_enrichment_join",
-    "jaccard_prefix_filter_join",
-    # --- New round-11 queries (rotation priority: new names beat
-    # re-proving stable greens; rows-only cannot defer):
-    "knn_router_ivf_recall",
+    "corpus_token_budget_curriculum",
+    "training_shard_cut_plan",
+    "dp_histogram_release",
+    "order_value_median_ci",
+    "stream_dp_histogram_release",
+    "order_value_conformal_interval",
+    "multimodal_image_edge_density",
+    "lm_dirichlet_search_topk",
+    "event_value_hill_tail_index",
+    "bm25_prf_expansion",
+    "stream_conformal_coverage_monitor",
+    "cobuy_edge_embeddedness",
+    "quality_filter_agreement",
     # --- Changed this round (rotation priority 2 — old green rows
-    # are stale evidence): the NTILE-family re-plan through
-    # functions/ranking.py (VERDICT r10 items 2+3) and the ABC
-    # running-total re-route.  Displaced oldest greens rotate back
-    # next cycle.
+    # are stale evidence): the per-group NTILE family re-planned
+    # through scalable_ntile(group_cols=...) (VERDICT r11 item 2),
+    # vocab_coverage_curve through ranked()+running_totals (item 3),
+    # and quality_concentration_curve re-based on the memoized
+    # unigram-census (item 4).
+    "event_value_quantile_normalization",
+    "robust_order_value_stats",
+    "customer_segment_migration",
+    "ccnet_perplexity_buckets",
+    "vocab_coverage_curve",
     "quality_concentration_curve",
-    "rfm_segmentation",
-    "percentile_rank_features",
-    "supplier_acctbal_ntile",
-    "acctbal_revenue_spearman",
-    "feature_binning_quantile",
-    "part_revenue_abc_classes",
-    # --- Oldest driver greens (item_cooccurrence_lift last checked
-    # r3, the rest the head of the r4 cohort — rotation priority 3 per
-    # tools/update_checked_names.py; next-oldest is the r4 tail;
-    # k_anonymity_audit displaced by the new rows-only query above,
-    # rotates back next cycle).
-    "item_cooccurrence_lift",
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "corpus_lang_stats",
-    "corpus_quality_filter",
-    "crossdoc_span_heavy_hitters",
-    "crossdoc_span_trim",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "doc_prefix_cluster_stats",
-    "doc_text_stats",
-    "event_value_percentiles",
-    "feature_coverage",
-    "feature_freshness",
-    "feature_summary_stats",
+    # --- Oldest driver greens (the full r4 cohort — rotation
+    # priority 3 per tools/update_checked_names.py; next-oldest is
+    # the r6 cohort).
+    "drift_ks_click_vs_view",
+    "drift_psi_multi_feature",
+    "duplicate_key_check",
+    "embedding_label_confusion",
+    "embedding_neardup",
+    "event_customer_enrichment",
+    "event_customer_overlap",
+    "k_anonymity_audit",
+    "lang_id_confusion",
+    "large_volume_customers",
+    "latest_feature_snapshot",
+    "nation_market_share",
+    "online_feature_lookup",
+    "order_reconciliation_audit",
+    "pit_asof_join",
+    "product_type_profit",
+    "quality_expectation_suite",
+    "returned_items_revenue",
+    "revenue_rollup_cube",
+    "shingle_containment_pairs",
+    "sketch_distinct_users_rollup",
+    "split_neardup_leakage",
+    "stratified_event_sample",
+    "stream_drift_monitor",
+    "stream_hourly_features",
+    "stream_session_windows",
+    "text_clean_projection",
+    "user_daily_activity",
+    "user_decay_weighted_features",
+    "user_hourly_features",
+    "user_sliding_features",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -270,10 +269,11 @@ _FRONT: tuple[str, ...] = (
 _DRIVER_CHECKED: frozenset[str] = frozenset((
     "ab_assignment_srm_audit", "acctbal_gini_by_segment", "acctbal_revenue_spearman",
     "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
-    "ann_ivf_topk", "ann_probe_recall_curve", "basket_size_poisson_gof",
-    "benford_digit_audit", "bitemporal_customer_features", "bloom_prejoin_prune",
-    "bm25_search_topk", "bpe_merge_learning", "brand_bracket_revenue",
-    "calendar_features", "ccnet_perplexity_buckets", "cdc_merge_upsert",
+    "ann_ivf_topk", "ann_probe_recall_curve", "anonymity_generalization_ladder",
+    "approximate_fd_audit", "basket_size_poisson_gof", "benford_digit_audit",
+    "bitemporal_customer_features", "bloom_prejoin_prune", "bm25_search_topk",
+    "bpe_merge_learning", "brand_bracket_revenue", "calendar_features",
+    "ccnet_perplexity_buckets", "cdc_merge_upsert", "cobuy_community_conductance",
     "cobuy_degree_assortativity", "cobuy_edge_churn", "cohort_ltv_curve",
     "cohort_retention", "concurrent_sessions_daily", "context_length_fit",
     "conversion_attribution", "corpus_bigram_llr", "corpus_bigram_pmi",
@@ -283,11 +283,12 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "corpus_top_bigrams", "countmin_heavy_hitters", "cross_table_consistency_audit",
     "crossdoc_span_heavy_hitters", "crossdoc_span_trim", "customer_order_distribution",
     "customer_segment_migration", "customers_without_orders", "daily_event_type_pivot",
-    "daily_revenue_chow_test", "daily_revenue_runs_test", "daily_revenue_sax",
-    "daily_revenue_variance_ratio", "dataset_split_assignment", "dedup_clusters",
-    "dedup_crossdoc_spans", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_by_lang",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_transitivity_audit",
+    "daily_revenue_chow_test", "daily_revenue_forecast_backtest", "daily_revenue_runs_test",
+    "daily_revenue_sax", "daily_revenue_variance_ratio", "dataset_split_assignment",
+    "dedup_clusters", "dedup_crossdoc_spans", "dedup_exact",
+    "dedup_incremental", "dedup_method_agreement", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_rate_by_lang", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_survivor_policy_audit", "dedup_transitivity_audit",
     "dict_encoding_advisor", "discount_quantity_elasticity", "discount_simpson_paradox_audit",
     "discounted_bracket_revenue", "doc_bigram_logprob", "doc_blocklist_filter",
     "doc_chunking_plan", "doc_compression_ratio_screen", "doc_fingerprint",
@@ -300,66 +301,72 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "dsir_importance_weights", "dup_cluster_language_purity", "dup_cluster_size_histogram",
     "dup_pair_source_matrix", "duplicate_key_check", "embedding_bitext_margin",
     "embedding_centroid_drift", "embedding_cluster_label_ari", "embedding_covariance",
-    "embedding_dim_stats", "embedding_hubness_audit", "embedding_jl_distortion",
-    "embedding_kmeans", "embedding_knn_label_accuracy", "embedding_label_confusion",
-    "embedding_neardup", "embedding_norm_stats", "embedding_pq_codes",
+    "embedding_dim_stats", "embedding_distance_profile", "embedding_effective_rank",
+    "embedding_hubness_audit", "embedding_jl_distortion", "embedding_kmeans",
+    "embedding_knn_label_accuracy", "embedding_label_confusion", "embedding_neardup",
+    "embedding_norm_stats", "embedding_pq_adc_recall", "embedding_pq_codes",
     "embedding_quantization_error", "embedding_silhouette", "embedding_top_eigenvector",
     "embedding_truncation_audit", "event_code_projection", "event_customer_enrichment",
     "event_customer_overlap", "event_daily_autocorrelation", "event_props_struct",
     "event_props_variant", "event_value_kruskal_wallis", "event_value_mann_whitney",
     "event_value_percentile_disc", "event_value_percentiles", "event_value_quantile_normalization",
-    "excess_stock_suppliers", "feature_backfill_plan", "feature_binning_quantile",
-    "feature_binning_scalable", "feature_correlation_matrix", "feature_coverage",
-    "feature_freshness", "feature_hash_cross", "feature_information_gain",
-    "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
-    "feature_value_histogram", "file_skipping_stats", "fk_join_skew_advisor",
-    "forecast_discount_revenue", "funnel_conversion_ztest", "gdpr_deletion_audit",
-    "graph_modularity", "hard_negative_pairs", "histogram_quantile_rollup",
-    "hll_portable_distinct_rollup", "idle_rich_customers", "important_parts_share",
-    "incremental_feature_update", "inverted_index_postings", "item_cooccurrence_lift",
-    "item_kcore_membership", "item_label_propagation", "item_pagerank",
-    "item_ra_link_prediction", "item_triangle_census", "k_anonymity_audit",
-    "kmv_audience_overlap", "l_diversity_audit", "label_horizon_sweep",
+    "event_value_winsorize_sweep", "excess_stock_suppliers", "feature_backfill_plan",
+    "feature_binning_quantile", "feature_binning_scalable", "feature_correlation_matrix",
+    "feature_coverage", "feature_freshness", "feature_hash_cross",
+    "feature_information_gain", "feature_scaling", "feature_summary_stats",
+    "feature_unpivot_long", "feature_value_histogram", "file_skipping_stats",
+    "fk_join_skew_advisor", "forecast_discount_revenue", "funnel_conversion_ztest",
+    "gdpr_deletion_audit", "graph_modularity", "hard_negative_pairs",
+    "histogram_quantile_rollup", "hll_portable_distinct_rollup", "idle_rich_customers",
+    "important_parts_share", "incremental_feature_update", "inverted_index_postings",
+    "item_cooccurrence_lift", "item_kcore_membership", "item_label_propagation",
+    "item_pagerank", "item_ra_link_prediction", "item_triangle_census",
+    "jaccard_prefix_filter_join", "k_anonymity_audit", "kmv_audience_overlap",
+    "knn_router_ivf_recall", "l_diversity_audit", "label_horizon_sweep",
     "lang_id_confusion", "large_volume_customers", "late_arrival_audit",
     "late_shipment_priority", "latest_feature_snapshot", "local_supply_share",
     "lsh_tuning_report", "markov_entropy_rate", "min_price_supplier_region",
     "minhash_jaccard_error_audit", "monthly_revenue_gap_fill", "monthly_revenue_momentum",
-    "multimodal_audio_energy", "multimodal_decode_features", "multimodal_frame_dedup",
-    "multimodal_frame_sample", "multimodal_image_entropy", "multimodal_metadata",
-    "multimodal_resize", "multimodal_sidecar_kv", "nation_market_share",
-    "nation_pair_trade", "nation_top_customers_lateral", "nation_vip_roster",
-    "negative_sample_pairs", "online_feature_lookup", "online_offline_skew_audit",
-    "order_reconciliation_audit", "order_value_zscore_outliers", "orders_backlog_littles_law",
-    "part_name_fuzzy_links", "part_price_size_skyline", "part_revenue_abc_classes",
+    "multimodal_audio_energy", "multimodal_audio_silence_runs", "multimodal_decode_features",
+    "multimodal_frame_dedup", "multimodal_frame_sample", "multimodal_image_entropy",
+    "multimodal_metadata", "multimodal_resize", "multimodal_sidecar_kv",
+    "nation_market_share", "nation_pair_trade", "nation_top_customers_lateral",
+    "nation_vip_roster", "negative_sample_pairs", "online_feature_lookup",
+    "online_offline_skew_audit", "order_reconciliation_audit", "order_value_bootstrap_ci",
+    "order_value_zscore_outliers", "orders_backlog_littles_law", "part_name_fuzzy_links",
+    "part_price_dispersion_audit", "part_price_size_skyline", "part_revenue_abc_classes",
     "part_supplier_variety", "partition_compaction_plan", "percentile_rank_features",
     "phrase_search_topdocs", "pii_scrub", "pit_asof_join",
     "pit_label_join", "pit_multi_view_join", "pit_nearest_join",
     "pit_staleness_audit", "pricing_summary", "priority_order_counts",
     "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
     "purchase_interarrival_stats", "purchase_propensity_calibration", "pyds_jsonl_roundtrip",
-    "quality_concentration_curve", "quality_expectation_suite", "rec_coverage_gini",
-    "rec_popularity_ndcg", "region_revenue", "returned_items_revenue",
-    "returnflag_anova_ftest", "revenue_changepoint_scan", "revenue_ewma_trend",
-    "revenue_grouping_sets", "revenue_mann_kendall", "revenue_rollup_cube",
-    "revenue_seasonal_decomposition", "revenue_trend_regression", "rfm_segmentation",
-    "robust_order_value_stats", "rrf_hybrid_topk", "scd2_activity_history",
+    "quality_concentration_curve", "quality_expectation_suite", "range_partition_balance_plan",
+    "rec_coverage_gini", "rec_novelty_by_rank", "rec_popularity_ndcg",
+    "region_revenue", "returned_items_revenue", "returnflag_anova_ftest",
+    "revenue_changepoint_scan", "revenue_ewma_trend", "revenue_grouping_sets",
+    "revenue_mann_kendall", "revenue_rollup_cube", "revenue_seasonal_decomposition",
+    "revenue_trend_regression", "rfm_segmentation", "robust_order_value_stats",
+    "rrf_hybrid_topk", "salted_enrichment_join", "scd2_activity_history",
     "segment_dedup", "segment_priority_association", "semantic_dedup",
-    "sequence_packing_plan", "session_funnel", "session_gap_sensitivity",
-    "session_path_markov", "session_survival_curve", "session_windows",
-    "shingle_containment_pairs", "sketch_distinct_users_rollup", "skew_diagnostics",
-    "small_quantity_parts", "snapshot_diff_audit", "source_ablation_report",
-    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
-    "stratified_kfold_plan", "stream_asof_enrichment", "stream_dedup",
+    "sequence_packing_efficiency", "sequence_packing_plan", "session_funnel",
+    "session_gap_sensitivity", "session_path_markov", "session_survival_curve",
+    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
+    "skew_diagnostics", "skew_resilient_distinct_rollup", "small_quantity_parts",
+    "snapshot_diff_audit", "source_ablation_report", "split_leakage_audit",
+    "split_neardup_leakage", "stratified_event_sample", "stratified_kfold_plan",
+    "stream_asof_enrichment", "stream_decay_features", "stream_dedup",
     "stream_dedup_within_watermark", "stream_distinct_sketch", "stream_drift_monitor",
-    "stream_event_type_share", "stream_hourly_features", "stream_online_materialize",
-    "stream_quality_monitor", "stream_session_windows", "stream_sliding_features",
-    "stream_stateful_running_totals", "stream_static_enrichment", "stream_stream_interval_join",
-    "stream_stream_left_outer_join", "stream_topk_heavy_hitters", "supplier_acctbal_ntile",
-    "supply_concentration_hhi", "target_encoding_loo", "target_encoding_smoothing_sweep",
-    "temporal_split_embargo", "text_clean_projection", "tokenizer_fertility_audit",
-    "top_customers_per_nation", "top_orders_diversified", "top_revenue_orders",
-    "top_supplier_revenue", "training_set_export", "training_shard_manifest",
-    "user_activity_entropy", "user_activity_streaks", "user_daily_activity",
+    "stream_event_type_share", "stream_histogram_quantile_monitor", "stream_hourly_features",
+    "stream_online_materialize", "stream_quality_monitor", "stream_session_windows",
+    "stream_sliding_features", "stream_stateful_running_totals", "stream_static_enrichment",
+    "stream_stream_interval_join", "stream_stream_left_outer_join", "stream_topk_heavy_hitters",
+    "supplier_acctbal_ntile", "supply_concentration_hhi", "t_closeness_audit",
+    "target_encoding_loo", "target_encoding_smoothing_sweep", "temporal_split_embargo",
+    "text_clean_projection", "tokenizer_fertility_audit", "top_customers_per_nation",
+    "top_orders_diversified", "top_revenue_orders", "top_supplier_revenue",
+    "training_set_export", "training_shard_manifest", "user_activity_entropy",
+    "user_activity_streaks", "user_daily_activity", "user_decay_features",
     "user_decay_weighted_features", "user_hourly_features", "user_ltv_features",
     "user_primary_event_type", "user_recency_features", "user_rolling_7d_features",
     "user_sliding_features", "user_sliding_features_rollup", "user_value_locf_interpolation",
