@@ -229,6 +229,19 @@ BENCH_QUERIES = (
     "lm_dirichlet_search_topk",
     "event_value_hill_tail_index",
     "stream_conformal_coverage_monitor",
+    # round-12 additions (VERDICT r11 item 6): the r12-queue families
+    # that had no bench row — PRF query expansion (second pass over
+    # the BM25 scored relation), edge embeddedness (wedge-join
+    # neighborhood intersection), the filter-orthogonality audit
+    # (three ranked() passes over the memoized unigram census), the
+    # exact median order-statistic CI, the token-budget shard cutter,
+    # and the streaming DP release (watermark-finalized noise).
+    "bm25_prf_expansion",
+    "cobuy_edge_embeddedness",
+    "quality_filter_agreement",
+    "order_value_median_ci",
+    "training_shard_cut_plan",
+    "stream_dp_histogram_release",
 )
 
 
@@ -265,8 +278,9 @@ def main() -> None:
         # under residual box load measured 206 s, tipping over the old
         # budget and silently degrading the trend line to single-sample
         # "mins" — min-of-2 is what keeps it reproducible, so the
-        # second pass must survive)
-        if p > 0 and time.perf_counter() - t_start > 340:
+        # second pass must survive; raised 340->560 in round 12 at 126
+        # queries: the cold pass measured 394 s)
+        if p > 0 and time.perf_counter() - t_start > 560:
             break
         for name in BENCH_QUERIES:
             fn = qs[name]

@@ -103,17 +103,37 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 #: ``knn_candidates`` ran one count job per invocation).  Keyed by
 #: (sf_dir, tag) — the tag names the exact frame counted (a table or
 #: a documented filter of one), so repeat invocations and sibling
-#: queries sharing the frame skip the job.  Routing-only: a stale
-#: entry can never change values, only which (result-identical below
-#: the bound) plan shape runs.
+#: queries sharing the frame skip the job.  Caveat (ADVICE r11): the
+#: cache is never invalidated, so if the data under an (sf_dir, tag)
+#: is REGENERATED within one session, a stale count can flip a
+#: router (e.g. knn_candidates' exact-vs-IVF bound) — the two paths
+#: are result-identical only below the bound, not across a data
+#: change.  Sessions that rewrite fixtures must call
+#: :func:`clear_count_cache` first; the read-only driver/test
+#: surfaces never rewrite, so the default is safe there.
 _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def clear_count_cache(sf_dir: str | None = None) -> None:
+    """Drop memoized row counts — all of them, or one ``sf_dir``'s.
+
+    Call after regenerating data under a previously-counted path so
+    routing decisions (exact vs IVF, broadcast vs shuffle) re-read
+    the real cardinality instead of the stale one."""
+    if sf_dir is None:
+        _ROW_COUNT_CACHE.clear()
+        return
+    for key in [k for k in _ROW_COUNT_CACHE if k[0] == sf_dir]:
+        del _ROW_COUNT_CACHE[key]
 
 
 def cached_count(df: DataFrame, sf_dir: str, tag: str) -> int:
     """Count ``df`` once per (sf_dir, tag) and memoize.
 
     The caller owns tag uniqueness: two different frames must not
-    share a tag within one sf_dir."""
+    share a tag within one sf_dir (and must
+    :func:`clear_count_cache` if the frame's data changes — see the
+    cache comment above)."""
     key = (sf_dir, tag)
     if key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[key] = df.count()

@@ -626,11 +626,14 @@ def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> Data
     float-sum-order flake class cannot occur); display divides are
     single IEEE ops.
 
-    Scale shape: NTILE is a within-type sort — the exact-rank twin of
-    ``feature_binning_scalable``'s approx-quantile path (at 100 TB
-    swap in approx percentile breakpoints; the mapping-table contract
-    downstream is unchanged); everything after the rank collapses to
-    |types| × 10 rows, and the reference join is a broadcast of 10
+    Scale shape: decile assignment runs through
+    ``scalable_ntile(group_cols=["event_type"])`` — sampled exact cut
+    points chunk each type's frame across tasks, so no task ever
+    sorts a fact-sized partition even though |types| is tiny (~5)
+    while the frame is the full EVENTS table; the result is
+    bit-identical to the partitioned-window NTILE at every n
+    (``tests/test_ranking.py``).  Everything after the rank collapses
+    to |types| × 10 rows, and the reference join is a broadcast of 10
     rows."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
@@ -640,13 +643,13 @@ def event_value_quantile_normalization(spark: SparkSession, sf_dir: str) -> Data
         "event_id",
         F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("qv"),
     )
-    r = q.select(
-        "event_type",
-        "qv",
-        F.ntile(_QN_BUCKETS)
-        .over(Window.partitionBy("event_type").orderBy("qv", "event_id"))
-        .alias("decile"),
-    )
+    r = scalable_ntile(
+        q,
+        _QN_BUCKETS,
+        [("qv", "asc"), ("event_id", "asc")],
+        group_cols=["event_type"],
+        out_col="decile",
+    ).select("event_type", "qv", "decile")
     g = r.groupBy("event_type", "decile").agg(
         F.count("*").cast("bigint").alias("n"),
         F.floor(F.sum("qv").cast("double") / F.count("*"))

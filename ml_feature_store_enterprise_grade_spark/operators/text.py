@@ -1354,6 +1354,10 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: number of expansion terms returned.
 _PRF_R = 10
 _PRF_TOPK = 8
+#: Floor for the RSJ log-odds argument (see the clamp comment in the
+#: operator): exp(ln(1e-6)) ≈ −13.8 caps a stopword's negative
+#: weight instead of NaN/error.
+_PRF_EPS = 1e-6
 
 
 @register(
@@ -1378,12 +1382,16 @@ _PRF_TOPK = 8
     ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nd),
     wtd AS (
         SELECT rt.token, rt.r, d.n,
-               ROUND(ln(((rt.r + 0.5) * (nd.nn - d.n - {_PRF_R} + rt.r + 0.5))
-                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5))), 6)
+               ROUND(ln(GREATEST(
+                        ((rt.r + 0.5) * (nd.nn - d.n - {_PRF_R} + rt.r + 0.5))
+                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5)),
+                        {_PRF_EPS})), 6)
                    AS rsj_weight,
-               ROUND(rt.r * ln(((rt.r + 0.5)
+               ROUND(rt.r * ln(GREATEST(
+                        ((rt.r + 0.5)
                                 * (nd.nn - d.n - {_PRF_R} + rt.r + 0.5))
-                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5))), 6)
+                        / ((d.n - rt.r + 0.5) * ({_PRF_R} - rt.r + 0.5)),
+                        {_PRF_EPS})), 6)
                    AS rsv
         FROM rterms rt JOIN dfall d USING (token) CROSS JOIN ndocs nd
     )
@@ -1438,9 +1446,17 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n")
     )
     ndocs = nd.agg(F.count("*").cast("bigint").alias("nn"))
+    # Clamp the log-odds argument (standard RSJ practice): a
+    # stopword-like term present in more than N-R+r docs drives the
+    # argument non-positive — Spark's log would yield NULL/NaN while
+    # DuckDB raises; GREATEST(arg, eps) in BOTH engines keeps the
+    # weight finite and identical (ADVICE r11).
     w_expr = F.log(
-        ((F.col("r") + 0.5) * (F.col("nn") - F.col("n") - _PRF_R + F.col("r") + 0.5))
-        / ((F.col("n") - F.col("r") + 0.5) * (_PRF_R - F.col("r") + 0.5))
+        F.greatest(
+            ((F.col("r") + 0.5) * (F.col("nn") - F.col("n") - _PRF_R + F.col("r") + 0.5))
+            / ((F.col("n") - F.col("r") + 0.5) * (_PRF_R - F.col("r") + 0.5)),
+            F.lit(_PRF_EPS),
+        )
     )
     wtd = (
         rterms.join(dfall, "token")
@@ -2946,6 +2962,74 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Memoized per-document unigram-LM census per (session, sf_dir) —
+#: the scored-doc frame every corpus-fluency consumer aggregates
+#: from: ``(doc_id, lang, n_chars, n_tokens, n_types, score_q,
+#: sclc)`` where ``score_q`` is the exact-integer 1e-6-quantized
+#: corpus-LM log-probability sum (the ccnet score numerator) and
+#: ``sclc`` the Σ cnt·⌊ln(cnt)·1e6⌋ entropy numerator.
+#: localCheckpointed ONCE so [[ccnet_perplexity_buckets]],
+#: [[quality_concentration_curve]], [[corpus_token_budget_curriculum]]
+#: and [[quality_filter_agreement]] never rescan/retokenize the
+#: corpus for a frame a sibling already materialized (VERDICT r11
+#: item 4; the ``_bigram_census`` pattern above).
+_UNIGRAM_CENSUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _unigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM fluency census (see cache comment above).
+
+    Determinism: per-WORD log contributions quantize to exact 1e-6
+    integers at the VOCABULARY level (never a per-token float sum);
+    per-doc columns are exact BIGINT sums — every consumer's floats
+    are single IEEE divides of these integers, so memoization cannot
+    change any consumer's bits (same integers in, same ops out).
+
+    Scale shape: two hash aggregates (per-doc term counts collapse
+    occurrences BEFORE the vocab join; vocabulary census is
+    vocab-bounded) plus one broadcast join — each scans the corpus
+    once; the checkpoint makes it once per SESSION across all four
+    consumers."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _UNIGRAM_CENSUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(_tokens(F.col("text"))).alias("tok"),
+    )
+    dtc = toks.groupBy("doc_id", "lang", "n_chars", "tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    total = float(vocab.agg(F.sum("n")).first()[0])
+    contrib = vocab.select(
+        "tok",
+        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
+        .cast("bigint")
+        .alias("cq"),
+    )
+    lnq = F.floor(F.log(F.col("cnt").cast("double")) * 1000000.0).cast(
+        "bigint"
+    )
+    census = (
+        dtc.join(F.broadcast(contrib), "tok")
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
+            F.sum(F.col("cnt") * lnq).cast("bigint").alias("sclc"),
+        )
+        .localCheckpoint()
+    )
+    _UNIGRAM_CENSUS_CACHE[key] = census
+    return census
+
+
 @register(
     "ccnet_perplexity_buckets",
     defer=True,
@@ -3005,39 +3089,29 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division is avoided entirely (Spark DIV truncates toward
     zero, DuckDB // floors — they disagree on negatives).
 
-    Scale shape: per-doc term counts collapse occurrences before the
-    vocab join (doc_unigram_logprob's discipline); the NTILE is a
-    within-language sort of |docs| slim rows — at 100 TB swap in
-    approx per-lang quantile cut points, same bucket contract."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    dtc = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("cnt"))
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
-    total = float(vocab.agg(F.sum("n")).first()[0])
-    contrib = vocab.select(
-        "tok",
-        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
-        .cast("bigint")
-        .alias("cq"),
-    )
-    scored = (
-        dtc.join(F.broadcast(contrib), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("cq")).alias("score_q"),
-        )
-    )
+    Scale shape: the scored-doc frame is the memoized shared
+    :func:`_unigram_census` (one corpus scan per session across all
+    four fluency consumers); the tercile runs through
+    ``scalable_ntile(group_cols=["lang"])`` — ~97 languages but
+    Zipf-skewed, so the plain partitioned window would sort most of
+    the doc frame in the head language's single task; the
+    sampled-cut-point chunking bounds every task while staying
+    bit-identical to the window NTILE."""
+    scored = _unigram_census(spark, sf_dir)
     mean_q = F.col("score_q").cast("double") / F.col("n_tokens")
-    w = Window.partitionBy("lang").orderBy(F.desc(mean_q), "doc_id")
-    return scored.select(
+    tiled = scalable_ntile(
+        scored.withColumn("_mq", mean_q),
+        3,
+        [("_mq", "desc"), ("doc_id", "asc")],
+        group_cols=["lang"],
+        out_col="tile",
+    )
+    return tiled.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(mean_q / 1000000.0, 6).alias("mean_logprob"),
-        F.ntile(3).over(w).alias("tile"),
+        F.round(F.col("_mq") / 1000000.0, 6).alias("mean_logprob"),
+        "tile",
     ).select(
         "doc_id",
         "lang",
@@ -3117,31 +3191,10 @@ def quality_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc frame (the prior form's global ``ntile(10)`` sorted every
     scored document in one task).  The only unpartitioned windows
     left are the chunk-count frame (≤ shuffle-partition-count rows)
-    and the final 10-row running-sum frame."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "n_chars", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    dtc = toks.groupBy("doc_id", "n_chars", "tok").agg(
-        F.count("*").alias("cnt")
-    )
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
-    total = float(vocab.agg(F.sum("n")).first()[0])
-    contrib = vocab.select(
-        "tok",
-        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
-        .cast("bigint")
-        .alias("cq"),
-    )
-    scored = (
-        dtc.join(F.broadcast(contrib), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.max("n_chars").alias("n_chars"),
-            F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
-        )
-    )
+    and the final 10-row running-sum frame.  The scored-doc frame is
+    the memoized shared :func:`_unigram_census` (one corpus scan per
+    session across all four fluency consumers)."""
+    scored = _unigram_census(spark, sf_dir)
     mean_q = F.col("score_q").cast("double") / F.col("n_tokens")
     deciled = scalable_ntile(
         scored.withColumn("_mq", mean_q),
@@ -3246,25 +3299,12 @@ def corpus_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFram
     broadcast vocab join; the running total routes through
     :func:`functions.ranking.running_totals` (sampled-cut-point
     chunks + broadcast offsets — no single-task sort at any corpus
-    size); the only unpartitioned window is the chunk-count frame."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    dtc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
-    total = float(vocab.agg(F.sum("n")).first()[0])
-    contrib = vocab.select(
-        "tok",
-        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
-        .cast("bigint")
-        .alias("cq"),
-    )
-    scored = (
-        dtc.join(F.broadcast(contrib), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
-        )
+    size); the only unpartitioned window is the chunk-count frame.
+    The scored-doc frame is the memoized shared
+    :func:`_unigram_census` (one corpus scan per session across all
+    four fluency consumers)."""
+    scored = _unigram_census(spark, sf_dir).select(
+        "doc_id", "n_tokens", "score_q"
     )
     tb = scored.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
     mean_q = F.col("score_q").cast("double") / F.col("n_tokens")
@@ -3584,24 +3624,24 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares are single non-negative divides, ROUND-safe.
 
     Scale shape: one map-side-combined token count shuffle into a
-    VOCABULARY-sized table; the ranking window sorts only that table
-    (a web corpus's vocabulary is millions of rows — one executor's
-    work), never the corpus; the grand total rides as a 1-row
+    VOCABULARY-sized table; rank and cumulative sum both route
+    through :func:`functions.ranking` (``ranked`` +
+    ``running_totals`` — sampled-cut-point chunks + broadcast
+    offsets), so even a billion-row web-corpus vocabulary never
+    lands in a single-task sort; the grand total rides as a 1-row
     broadcast."""
     uc = (
         spread(load_table(spark, sf_dir, "documents"))
         .select(F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
     t = uc.agg(F.sum("n").alias("total"))
-    win = Window.orderBy(F.desc("n"), F.asc("w"))
-    cum = Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    order = [("n", "desc"), ("w", "asc")]
+    r = ranked(uc, order, rn_col="rnk")
+    r = running_totals(r, order, ["n"], suffix="_cum")
     return (
-        uc.withColumn("rnk", F.row_number().over(win))
-        .withColumn("cum", F.sum("n").over(cum))
+        r.withColumnRenamed("n_cum", "cum")
         .crossJoin(F.broadcast(t))
         .select(
             F.col("rnk").cast("int").alias("vocab_rank"),
@@ -3817,37 +3857,19 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags are exact NTILE membership; Jaccard is one IEEE divide of
     exact counts.
 
-    Scale shape: one token pipeline (two hash aggregates + broadcast
-    vocab join); THREE exact global ranks — all through
+    Scale shape: the per-doc score frame is the memoized shared
+    :func:`_unigram_census` (one corpus scan per session across all
+    four fluency consumers); THREE exact global ranks — all through
     :func:`functions.ranking.ranked`/:func:`scalable_ntile` (no
     single-task sorts, the module's whole point at doc-corpus
     cardinality); the agreement table collapses to 3 rows in one
     aggregate pass."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
-    total = float(vocab.agg(F.sum("n")).first()[0])
-    contrib = vocab.select(
-        "tok",
-        F.floor(F.log10(F.col("n").cast("double") / F.lit(total)) * 1000000.0)
-        .cast("bigint")
-        .alias("cq"),
-    )
-    dtc = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    lnq = F.floor(F.log(F.col("cnt").cast("double")) * 1000000.0).cast(
-        "bigint"
-    )
-    d = (
-        dtc.join(F.broadcast(contrib), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("nt"),
-            F.count("*").cast("bigint").alias("ntypes"),
-            F.sum(F.col("cnt") * F.col("cq")).cast("bigint").alias("score_q"),
-            F.sum(F.col("cnt") * lnq).cast("bigint").alias("sclc"),
-        )
+    d = _unigram_census(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("nt"),
+        F.col("n_types").alias("ntypes"),
+        "score_q",
+        "sclc",
     )
     s = d.select(
         "doc_id",

@@ -1259,14 +1259,14 @@ from ..operators.quality import _DPH_THRESH_E9 as _SDP_THRESH  # noqa: E402
                {PORTABLE_HASH64_SQL(
                    "strftime(window_start, '%Y-%m-%d %H:%M:%S')"
                    " || '|' || event_type",
-                   9400,
+                   _SDP_SEED,
                )} % 1000000000 AS u
         FROM fin
     ),
     n AS (
         SELECT window_start, event_type, true_n,
-               -45 + len(list_filter(
-                   [0, 0, 0, 0, 0, 1, 2, 3, 5, 9, 15, 25, 42, 70, 115, 190, 313, 517, 853, 1406, 2319, 3824, 6305, 10396, 17140, 28259, 46592, 76817, 126650, 208811, 344272, 567609, 935829, 1542922, 2543849, 4194097, 6914898, 11400740, 18796643, 30990425, 51094573, 84240709, 138889450, 228989990, 377540668, 622459331, 771010009, 861110549, 915759290, 948905426, 969009574, 981203356, 988599259, 993085101, 995805902, 997456150, 998457077, 999064170, 999432390, 999655727, 999791188, 999873349, 999923182, 999953407, 999971740, 999982859, 999989603, 999993694, 999996175, 999997680, 999998593, 999999146, 999999482, 999999686, 999999809, 999999884, 999999929, 999999957, 999999974, 999999984, 999999990, 999999994, 999999996, 999999997, 999999998, 999999999, 999999999, 999999999, 999999999, 999999999],
+               -{_SDP_K} + len(list_filter(
+                   [{", ".join(str(t) for t in _SDP_THRESH)}],
                    t -> u >= t)) AS noise
         FROM u
     )
@@ -1443,7 +1443,11 @@ def stream_conformal_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataF
         cal.groupBy("event_type")
         .agg(F.sum("vc").alias("s"), F.count("*").alias("n_cal"))
         .select(
-            "event_type", ((s - s % n) / n).cast("bigint").alias("pred")
+            # pmod-based floor division: matches the oracle's `//`
+            # (which FLOORS) even for negative sums — Spark `%`
+            # truncates toward zero and would diverge by 1 there.
+            "event_type",
+            ((s - F.pmod(s, n)) / n).cast("bigint").alias("pred"),
         )
     )
     res = cal.join(F.broadcast(tr), "event_type").select(

@@ -490,6 +490,76 @@ def main() -> int:
         flush=True,
     )
 
+    # round 12: the GROUPED ranked path on a Zipf-skewed key (the
+    # per-group NTILE family re-plan: ccnet_perplexity_buckets /
+    # robust_order_value_stats / customer_segment_migration /
+    # event_value_quantile_normalization — VERDICT r11 item 2).  A
+    # 10M-row frame whose group key is exponentially skewed (group g
+    # holds ~2^-(g+1) of the rows, so the HEAD group alone is ~5M
+    # rows — the partitioned-window form sorts those in ONE task).
+    # The probe times the chunked grouped scalable_ntile against that
+    # single-task-per-group window on the same frame; correctness is
+    # asserted inline (per-group SQL-standard tile sizes).
+    skew = spark.range(n_rank).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id")) % 1_000_000).cast("double").alias("mq"),
+        # floor(log2(u+1)) over u ~ U[0, 2^20): group 19 gets half
+        # the rows, 18 a quarter, ... — a 20-group Zipf-like skew.
+        F.floor(
+            F.log2(F.pmod(F.xxhash64(F.col("id"), F.lit(7)),
+                          F.lit(1 << 20)) + 1)
+        ).cast("int").alias("grp"),
+    )
+    t0 = time.time()
+    gsizes = (
+        scalable_ntile(
+            skew, 3, [("mq", "desc"), ("doc_id", "asc")],
+            group_cols=["grp"], out_col="tercile",
+        )
+        .groupBy("grp", "tercile")
+        .agg(F.count("*").alias("n"))
+    )
+    grows = gsizes.collect()
+    t_grank = round(time.time() - t0, 2)
+    per_grp: dict[int, list[int]] = {}
+    for r in grows:
+        per_grp.setdefault(r["grp"], []).append(r["n"])
+    for g, ns in per_grp.items():
+        assert max(ns) - min(ns) <= 1, (g, ns)  # SQL NTILE size law
+    head = max(sum(ns) for ns in per_grp.values())
+    print(
+        json.dumps(
+            {"probe": "rank_grouped_zipf_10m", "rows_in": n_rank,
+             "n_groups": len(per_grp), "head_group_rows": head,
+             "sec": t_grank,
+             "mrows_per_sec": round(n_rank / t_grank / 1e6, 2)}
+        ),
+        flush=True,
+    )
+    from pyspark.sql import Window as _W
+
+    t0 = time.time()
+    wsizes = (
+        skew.select(
+            "grp",
+            F.ntile(3)
+            .over(_W.partitionBy("grp").orderBy(F.desc("mq"), "doc_id"))
+            .alias("tercile"),
+        )
+        .groupBy("grp", "tercile")
+        .agg(F.count("*").alias("n"))
+    )
+    wsizes.collect()
+    t_gwin = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {"probe": "rank_grouped_zipf_10m_window_baseline",
+             "rows_in": n_rank, "sec": t_gwin,
+             "speedup_vs_window": round(t_gwin / t_grank, 2)}
+        ),
+        flush=True,
+    )
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -508,6 +578,8 @@ def main() -> int:
         "knn_ivf_shortlist_sec": t_knn,
         "knn_ivf_vectors": n_vec,
         "rank_decile_10m_sec": t_rank,
+        "rank_grouped_zipf_10m_sec": t_grank,
+        "rank_grouped_zipf_window_sec": t_gwin,
     }))
     return 0
 
