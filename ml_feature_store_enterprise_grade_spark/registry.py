@@ -30,6 +30,9 @@ ORACLES: dict[str, str] = {}
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
 #   - daily_revenue_theil_sen (round 13 queue)
+#   - order_value_drift_fdr (round 13 queue)
+#   - item_hits_authority (round 13 queue)
+#   - bloom_filter_sizing_advisor (round 13 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
