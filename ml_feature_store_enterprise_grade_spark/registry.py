@@ -33,6 +33,8 @@ ORACLES: dict[str, str] = {}
 #   - order_value_drift_fdr (round 13 queue)
 #   - item_hits_authority (round 13 queue)
 #   - bloom_filter_sizing_advisor (round 13 queue)
+#   - dp_median_release (round 13 queue)
+#   - stream_cusum_drift_monitor (round 13 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
