@@ -242,6 +242,18 @@ BENCH_QUERIES = (
     "order_value_median_ci",
     "training_shard_cut_plan",
     "stream_dp_histogram_release",
+    # round-12 new operators (r13 driver queue) — one representative
+    # per new class: pairwise-slope robust trend (ranked() over the
+    # |days|²/2 pair frame), the FDR-adjusted KS battery (bucketed
+    # per-key ECDF), bipartite HITS (12 iterative joins), the
+    # exponential-mechanism DP release, exact-NDV bloom sizing, and
+    # the streaming CUSUM monitor.
+    "daily_revenue_theil_sen",
+    "order_value_drift_fdr",
+    "item_hits_authority",
+    "dp_median_release",
+    "bloom_filter_sizing_advisor",
+    "stream_cusum_drift_monitor",
 )
 
 

@@ -3635,13 +3635,19 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n"))
+        # rank folded into the SAME chunked pass as the cumulative
+        # sum: a running total of ones over a total order IS the row
+        # number, so one running_totals call covers both (two
+        # separate ranked()+running_totals passes would chunk and
+        # shuffle the vocab frame twice for nothing).
+        .withColumn("one", F.lit(1).cast("bigint"))
     )
     t = uc.agg(F.sum("n").alias("total"))
     order = [("n", "desc"), ("w", "asc")]
-    r = ranked(uc, order, rn_col="rnk")
-    r = running_totals(r, order, ["n"], suffix="_cum")
+    r = running_totals(uc, order, ["n", "one"], suffix="_cum")
     return (
         r.withColumnRenamed("n_cum", "cum")
+        .withColumnRenamed("one_cum", "rnk")
         .crossJoin(F.broadcast(t))
         .select(
             F.col("rnk").cast("int").alias("vocab_rank"),

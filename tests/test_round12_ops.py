@@ -1,0 +1,273 @@
+"""Round-12 operators: exact Python/numpy twins and plan-shape
+regressions for the new statistics / graph / DP / streaming ops, plus
+the per-group NTILE re-plan asserts (VERDICT r11 item 2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ml_feature_store_enterprise_grade_spark.catalog import load_table
+from ml_feature_store_enterprise_grade_spark.registry import any_query, load_all
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+load_all()
+
+
+# ---------------------------------------------------------------- #
+# daily_revenue_theil_sen: exact numpy twin                          #
+# ---------------------------------------------------------------- #
+
+
+def test_theil_sen_matches_numpy_twin(spark):
+    """The Spark pairwise-slope median and Sen CI must equal a direct
+    numpy enumeration of all |days|²/2 slopes."""
+    row = any_query("daily_revenue_theil_sen")(spark, SF_SMOKE).collect()[0]
+    d = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate").cast("date")).alias("day"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("revc"))
+        .orderBy("day")
+        .toPandas()
+    )
+    rev = d["revc"].to_numpy(dtype=np.int64)
+    t = np.arange(1, len(rev) + 1, dtype=np.int64)
+    ta, tb = np.triu_indices(len(rev), k=1)
+    slopes = (rev[tb] - rev[ta]) / (t[tb] - t[ta]).astype(np.float64)
+    order = np.lexsort((ta * 1000000 + tb + 1, slopes))
+    s = slopes[order]
+    npairs = len(s)
+    assert row["n_days"] == len(rev)
+    assert row["n_pairs"] == npairs
+    med = (s[(npairs + 1) // 2 - 1] + s[npairs // 2]) / 2.0
+    assert row["ts_slope_per_day"] == math.floor(med / 100.0 * 1e6 + 0.5) / 1e6
+    n = len(rev)
+    c = 1.959964 * math.sqrt(n * (n - 1.0) * (2.0 * n + 5.0) / 18.0)
+    k_lo = max(1, math.floor((npairs - c) / 2))
+    k_hi = min(npairs, math.ceil((npairs + c) / 2) + 1)
+    assert row["slope_ci_lo"] == math.floor(s[k_lo - 1] / 100.0 * 1e6 + 0.5) / 1e6
+    assert row["slope_ci_hi"] == math.floor(s[k_hi - 1] / 100.0 * 1e6 + 0.5) / 1e6
+    assert row["slope_ci_lo"] <= row["ts_slope_per_day"] <= row["slope_ci_hi"]
+
+
+# ---------------------------------------------------------------- #
+# order_value_drift_fdr: BH twin + stationary-data contract          #
+# ---------------------------------------------------------------- #
+
+
+def test_drift_fdr_bh_step_up_twin(spark):
+    """BH verdicts must equal the textbook step-up rule applied in
+    Python to the emitted p-values, and rejections must be monotone
+    (everything below k* rejected, nothing above)."""
+    rows = any_query("order_value_drift_fdr")(spark, SF_ORACLE).collect()
+    m = rows[0]["n_tests"]
+    assert len(rows) == m
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    pq = [int(round(r["p_value"] * 1e6)) for r in by_rank]
+    kstar = max(
+        (i + 1 for i in range(m) if pq[i] * m <= (i + 1) * 50000), default=0
+    )
+    for i, r in enumerate(by_rank):
+        assert r["reject_bh"] == (r["p_rank"] <= kstar), r
+        assert r["reject_raw"] == (pq[i] < 50000), r
+    # stationary generator: BH must reject no more than raw does
+    assert sum(r["reject_bh"] for r in rows) <= sum(
+        r["reject_raw"] for r in rows
+    )
+
+
+def test_drift_fdr_measured_signal(spark):
+    """The r12 measured signal pinned: exactly 1 raw false positive
+    at sf0.01 and 0 BH rejections (stationary data)."""
+    rows = any_query("order_value_drift_fdr")(spark, SF_ORACLE).collect()
+    assert sum(r["reject_raw"] for r in rows) == 1
+    assert sum(r["reject_bh"] for r in rows) == 0
+
+
+# ---------------------------------------------------------------- #
+# item_hits_authority: numpy power-iteration twin                    #
+# ---------------------------------------------------------------- #
+
+
+def test_hits_matches_numpy_twin(spark):
+    out = {
+        r["item_id"]: r
+        for r in any_query("item_hits_authority")(spark, SF_SMOKE).collect()
+    }
+    e = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(F.col("o_custkey").alias("u"), "o_orderkey")
+        .join(
+            load_table(spark, SF_SMOKE, "lineitem").select(
+                "l_orderkey", F.col("l_partkey").alias("i")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("u", "i")
+        .distinct()
+        .toPandas()
+    )
+    uu, ui = np.unique(e["u"].to_numpy(), return_inverse=True)
+    ii, idx = np.unique(e["i"].to_numpy(), return_inverse=True)
+    h = np.ones(len(uu))
+    a = None
+    for _ in range(6):
+        a = np.bincount(idx, weights=h[ui], minlength=len(ii))
+        a = a / a.sum()
+        h = np.bincount(ui, weights=a[idx], minlength=len(uu))
+        h = h / h.sum()
+    deg = np.bincount(idx, minlength=len(ii))
+    assert len(out) == len(ii)
+    for j, item in enumerate(ii):
+        r = out[int(item)]
+        assert r["in_degree"] == int(deg[j])
+        assert abs(r["authority_permille"] - a[j] * 1000) < 1e-5, item
+
+
+# ---------------------------------------------------------------- #
+# bloom_filter_sizing_advisor: formula twin                          #
+# ---------------------------------------------------------------- #
+
+
+def test_bloom_sizing_matches_formula(spark):
+    rows = any_query("bloom_filter_sizing_advisor")(
+        spark, SF_ORACLE
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        n = r["ndv"]
+        m = math.ceil(n * 9585058377 / 1e9)
+        k = math.floor(m / n * 693147180 / 1e9 + 0.5)
+        assert r["m_bits"] == m
+        assert r["k_hashes"] == k
+        fpp = (1.0 - math.exp(-k * n / m)) ** k
+        assert abs(r["expected_fpp"] - fpp) < 1e-7
+        # the whole point: achieved FPP lands at the 1% design target
+        assert 0.005 < r["expected_fpp"] < 0.0125, r
+
+
+# ---------------------------------------------------------------- #
+# dp_median_release: mechanism contract                              #
+# ---------------------------------------------------------------- #
+
+
+def test_dp_median_release_contract(spark):
+    """The released grid point must be a valid candidate, the rank
+    error must match an exact recount, and the release must be
+    deterministic across invocations (pure function of data+seed)."""
+    q = any_query("dp_median_release")
+    rows1 = sorted(q(spark, SF_ORACLE).collect())
+    rows2 = sorted(q(spark, SF_ORACLE).collect())
+    assert rows1 == rows2
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.col("value") >= 0)
+            & (F.col("value") < 500)
+        )
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for r in rows1:
+        assert r["released_median"] % 5 == 0
+        assert 0 <= r["released_median"] <= 500
+        vals = ev[ev["event_type"] == r["event_type"]]["value"]
+        n = len(vals)
+        assert r["n"] == n
+        rank = int((vals < r["released_median"]).sum())
+        assert r["rank_error_x2"] == abs(2 * rank - n)
+        # ε=1, n≈2000: the winner straddles the median within a few
+        # per-mille of n (measured r12)
+        assert r["rank_error_share"] < 0.05, r
+
+
+# ---------------------------------------------------------------- #
+# stream_cusum_drift_monitor: pandas recursion twin                  #
+# ---------------------------------------------------------------- #
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The window closed form S_t = P_t − min_{j≤t} P_j must equal
+    the literal Page recursion S_t = max(0, S_{t−1} + d_t) replayed
+    in pandas on the same finalized-window means."""
+    rows = (
+        any_query("stream_cusum_drift_monitor")(spark, SF_SMOKE)
+        .orderBy("window_start")
+        .collect()
+    )
+    assert len(rows) > 100
+    mq = np.array([int(round(r["mean_value"] * 100)) for r in rows], dtype=np.int64)
+    bn = min(168, len(mq))
+    burn = mq[:bn]
+    mu0 = int(burn.sum()) // bn
+    s2num = bn * int((burn.astype(object) ** 2).sum()) - int(burn.sum()) ** 2
+    kq = math.floor(math.sqrt(s2num) / (2.0 * bn))
+    hq = math.floor(5.0 * math.sqrt(s2num) / bn)
+    sp = sn = 0
+    for r, m in zip(rows, mq):
+        sp = max(0, sp + (m - mu0 - kq))
+        sn = max(0, sn + (mu0 - m - kq))
+        assert r["cusum_pos"] == sp, r
+        assert r["cusum_neg"] == sn, r
+        assert r["threshold"] == hq
+        assert r["alarm"] == (sp > hq or sn > hq)
+
+
+# ---------------------------------------------------------------- #
+# per-group NTILE re-plan (VERDICT r11 item 2): no fact-sized        #
+# single-task-per-group WindowExec remains in the four re-routed ops #
+# ---------------------------------------------------------------- #
+
+
+def _window_specs(plan: str) -> list[tuple[str, str]]:
+    import re
+
+    return re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+
+
+def test_regrouped_ntile_sites_have_no_small_key_window(spark):
+    """The four re-routed operators must not contain a WindowExec
+    that partitions ONLY by their low-cardinality group key while
+    sorting DATA columns (the fact-sized-frame-per-task shape).  Two
+    window classes are legitimate: the chunked local sort (partition
+    keys include ``_rk_chunk``) and the ranking helper's bounded
+    offsets frame (partitioned by the group key but ORDERED by
+    ``_rk_chunk`` — ≤ |groups| × chunk-count rows by construction)."""
+    for name, bad_key in (
+        ("event_value_quantile_normalization", "event_type"),
+        ("robust_order_value_stats", "segment"),
+        ("customer_segment_migration", "period"),
+        ("ccnet_perplexity_buckets", "lang"),
+    ):
+        df = any_query(name)(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        saw_chunked = False
+        for part, order in _window_specs(plan):
+            if "_rk_chunk" in part:
+                saw_chunked = True
+            elif bad_key in part:
+                assert "_rk_chunk" in order, (name, part, order)
+        assert saw_chunked, (name, "no chunked window found at all")
+
+
+def test_unigram_census_memoized_once(spark):
+    """Two census consumers must share the identical localCheckpointed
+    frame object (one corpus scan per session)."""
+    from ml_feature_store_enterprise_grade_spark.operators.text import (
+        _unigram_census,
+    )
+
+    a = _unigram_census(spark, SF_SMOKE)
+    b = _unigram_census(spark, SF_SMOKE)
+    assert a is b
+    pdf = a.toPandas()
+    assert set(
+        ["doc_id", "lang", "n_chars", "n_tokens", "n_types", "score_q", "sclc"]
+    ) <= set(pdf.columns)
+    assert len(pdf) == pdf["doc_id"].nunique()
