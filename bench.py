@@ -254,6 +254,9 @@ BENCH_QUERIES = (
     "dp_median_release",
     "bloom_filter_sizing_advisor",
     "stream_cusum_drift_monitor",
+    # MMR diversified retrieval (bounded greedy over the broadcast
+    # shortlist — tracks the 4-step iterative join machinery).
+    "mmr_diversified_topk",
 )
 
 

@@ -3736,3 +3736,255 @@ def knn_router_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 knn_router_ivf_recall.__doc__ = knn_router_ivf_recall.__doc__.format(
     nq=_N_QUERIES, cells=_IVF_K
 )
+
+
+#: MMR diversification: query batch, shortlist size, selections,
+#: and λ expressed as exact tenths (7/10 relevance, 3/10 diversity)
+#: so every greedy score is pure integer arithmetic.
+_MMR_QUERIES = 8
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+_MMR_LAM10 = 7
+
+
+def _mmr_step_sql(i: int) -> str:
+    """One unrolled greedy step: anti-join the running selection,
+    score remaining candidates 7·rel − 3·max-sim-to-selected, elect
+    the (score, id) argmax.  ``selset{i-1}`` CTEs are MATERIALIZED —
+    each is referenced twice per step, and DuckDB's default CTE
+    inlining would otherwise double the plan tree per step (the
+    item_hits_authority lesson)."""
+    prev = i - 1
+    lam, dlam = _MMR_LAM10, 10 - _MMR_LAM10
+    return f"""sc{i} AS (
+        SELECT c.query_id, c.neighbor_id, c.relq,
+               {lam} * c.relq - {dlam} * MAX(p.simq) AS score
+        FROM cand c
+        JOIN selset{prev} s ON s.query_id = c.query_id
+        JOIN ps p ON p.query_id = c.query_id
+         AND p.da = c.neighbor_id AND p.db = s.neighbor_id
+        LEFT JOIN selset{prev} x ON x.query_id = c.query_id
+         AND x.neighbor_id = c.neighbor_id
+        WHERE x.neighbor_id IS NULL
+        GROUP BY 1, 2, 3
+    ),
+    sel{i} AS (
+        SELECT query_id, neighbor_id, relq, score, {i} AS mmr_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rn FROM sc{i}
+        ) WHERE rn = 1
+    ),
+    selset{i} AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM selset{prev}
+        UNION ALL
+        SELECT query_id, neighbor_id FROM sel{i}
+    )"""
+
+
+@register(
+    "mmr_diversified_topk",
+    defer=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {_MMR_QUERIES}
+    ),
+    s AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.embedding,
+               CAST(FLOOR({_cosine_sql("q.embedding", "b.embedding")}
+                          * 1000000.0 + 0.5) AS BIGINT) AS relq
+        FROM q CROSS JOIN embeddings b
+        WHERE q.vec_id <> b.vec_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, embedding, relq
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY relq DESC, neighbor_id
+            ) AS rn FROM s
+        ) WHERE rn <= {_MMR_SHORTLIST}
+    ),
+    ps AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+               CAST(FLOOR({_cosine_sql("a.embedding", "b.embedding")}
+                          * 1000000.0 + 0.5) AS BIGINT) AS simq
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id
+         AND a.neighbor_id <> b.neighbor_id
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id, relq,
+               {_MMR_LAM10} * relq AS score, 1 AS mmr_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY relq DESC, neighbor_id
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    ),
+    selset1 AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM sel1
+    ),
+    {", ".join(_mmr_step_sql(i) for i in range(2, _MMR_K + 1))},
+    allsel AS (
+        {" UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1))}
+    )
+    SELECT query_id,
+           CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           neighbor_id,
+           relq / 1000000.0 AS cosine_sim,
+           score / 10000000.0 AS mmr_score
+    FROM allsel
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein 1998): for each query vector, greedily select
+    {_MMR_K} of the top-{_MMR_SHORTLIST} cosine shortlist maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected at λ=0.7
+    — the fourth verb of the retrieval stack after scoring
+    ([[bm25_search_topk]]/[[lm_dirichlet_search_topk]]), fusion
+    ([[rrf_hybrid_topk]]) and expansion ([[bm25_prf_expansion]]),
+    and the de-duplicating sampler a RAG/training-data pipeline runs
+    so five retrieved contexts aren't five paraphrases of one
+    document.  Measured signal (r12, sf0.01): MMR keeps only 3–4 of
+    the plain top-5 per query (changes 1–2 selections on every one
+    of the 8 queries) even on this near-isotropic corpus — the
+    diversity term is live, not decorative.
+
+    Determinism: relevance and pair similarities quantize through
+    the sign-safe floor ladder to exact 1e-6 integers; λ = 7/10 as
+    integer tenths makes every greedy score pure integer arithmetic
+    (7·relq − 3·max simq); each of the {_MMR_K} unrolled selections
+    is a (score, neighbor_id) argmax over exact integers — no float
+    comparison anywhere in the greedy loop.  The oracle unrolls the
+    same steps; its running-selection CTEs are MATERIALIZED (each is
+    referenced twice per step — default inlining doubles the tree
+    per step, the item_hits_authority lesson).
+
+    Scale shape: the shortlist is the ann_cosine_topk discipline
+    (bounded query batch broadcast against the corpus — at 100 TB
+    the shortlist comes from the IVF router instead, same contract);
+    everything after it is bounded at |queries| × {_MMR_SHORTLIST}
+    rows — the pair-sim table and the {_MMR_K}-step greedy loop
+    never touch the corpus again."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = with_norm(emb.filter(F.col("vec_id") < _MMR_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    relq = F.floor(
+        _dot(F.col("q_emb"), F.col("b_emb"))
+        / (F.col("q_nrm") * F.col("b_nrm"))
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    sims = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "b_emb", relq.alias("relq"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("relq"), F.asc("neighbor_id")
+    )
+    cand = (
+        sims.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("da"),
+        F.col("b_emb").alias("ea"),
+    )
+    cb = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("db"),
+        F.col("b_emb").alias("eb"),
+    )
+    simq = F.floor(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb")))
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    ps = (
+        ca.join(
+            cb,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("da") != F.col("db")),
+        )
+        .select("query_id", "da", "db", simq.alias("simq"))
+        .localCheckpoint()
+    )
+    slim = cand.select("query_id", "neighbor_id", "relq")
+    lam, dlam = _MMR_LAM10, 10 - _MMR_LAM10
+    sel = (
+        slim.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "relq",
+            (F.lit(lam) * F.col("relq")).alias("score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    selected = sel
+    for i in range(2, _MMR_K + 1):
+        remaining = slim.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("sid")
+                ),
+                "query_id",
+            )
+            .join(
+                ps,
+                (ps["query_id"] == remaining["query_id"])
+                & (ps["da"] == remaining["neighbor_id"])
+                & (ps["db"] == F.col("sid")),
+            )
+            .groupBy(remaining["query_id"], "neighbor_id", "relq")
+            .agg(
+                (
+                    F.lit(lam) * F.first("relq")
+                    - F.lit(dlam) * F.max("simq")
+                ).alias("score")
+            )
+        )
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w_sc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "relq",
+                "score",
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionAll(pick).localCheckpoint()
+    return selected.select(
+        "query_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "neighbor_id",
+        (F.col("relq") / 1000000.0).alias("cosine_sim"),
+        (F.col("score") / 10000000.0).alias("mmr_score"),
+    )

@@ -35,6 +35,7 @@ ORACLES: dict[str, str] = {}
 #   - bloom_filter_sizing_advisor (round 13 queue)
 #   - dp_median_release (round 13 queue)
 #   - stream_cusum_drift_monitor (round 13 queue)
+#   - mmr_diversified_topk (round 13 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
