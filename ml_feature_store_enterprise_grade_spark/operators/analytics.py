@@ -7420,14 +7420,27 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this Project into the JOIN condition, where ANSI mode may
     # evaluate the division before the tb > ta guard (measured:
     # DIVIDE_BY_ZERO at sf0.001 without the clamp).
-    pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
-        (
-            (F.col("yb") - F.col("ya"))
-            / F.greatest(F.col("tb") - F.col("ta"), F.lit(1)).cast("double")
-        ).alias("slope"),
-        (F.col("ta").cast("bigint") * 1000000 + F.col("tb")).alias(
-            "pair_id"
-        ),
+    # repartition + localCheckpoint: the nested-loop join inherits
+    # the day frame's SINGLE partition (its row_number window), so
+    # without the explicit spread every downstream pass — and
+    # ranked() reads this frame from four plan branches — hashes and
+    # folds all |days|²/2 pairs in ONE task (measured 41s at sf0.1;
+    # 7s spread + materialized once).
+    pairs = (
+        a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya"))
+                / F.greatest(F.col("tb") - F.col("ta"), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("slope"),
+            (F.col("ta").cast("bigint") * 1000000 + F.col("tb")).alias(
+                "pair_id"
+            ),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     r = ranked(
         pairs, [("slope", "asc"), ("pair_id", "asc")], rn_col="rn",
@@ -7553,7 +7566,7 @@ def item_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.count()
     h = e.select("u").distinct().withColumn("h", F.lit(1.0))
     a = None
-    for _ in range(_HITS_ITERS):
+    for it in range(_HITS_ITERS):
         ar = e.join(h, "u").groupBy("i").agg(F.sum("h").alias("s"))
         at = ar.agg(F.sum("s").alias("t"))
         a = (
@@ -7561,6 +7574,10 @@ def item_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", (F.col("s") / F.col("t")).alias("a"))
             .localCheckpoint()
         )
+        # the last h half-step is never consumed (the output reads
+        # a{N}) — skip its two jobs entirely, as the oracle does.
+        if it == _HITS_ITERS - 1:
+            break
         hr = e.join(a, "i").groupBy("u").agg(F.sum("a").alias("s"))
         ht = hr.agg(F.sum("s").alias("t"))
         h = (
