@@ -219,6 +219,14 @@ QUERIES = (
     "bm25_prf_expansion",
     "event_value_hill_tail_index",
     "cobuy_edge_embeddedness",
+    # round 12 additions
+    "daily_revenue_theil_sen",
+    "order_value_drift_fdr",
+    "item_hits_authority",
+    "bloom_filter_sizing_advisor",
+    "dp_median_release",
+    "stream_cusum_drift_monitor",
+    "mmr_diversified_topk",
 )
 
 
