@@ -257,6 +257,8 @@ BENCH_QUERIES = (
     # MMR diversified retrieval (bounded greedy over the broadcast
     # shortlist — tracks the 4-step iterative join machinery).
     "mmr_diversified_topk",
+    # reshard-movement audit (map-side multi-hash, single aggregate).
+    "shard_reshard_movement_audit",
 )
 
 

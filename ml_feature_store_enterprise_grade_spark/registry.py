@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #   - dp_median_release (round 13 queue)
 #   - stream_cusum_drift_monitor (round 13 queue)
 #   - mmr_diversified_topk (round 13 queue)
+#   - shard_reshard_movement_audit (round 13 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -324,3 +324,25 @@ def test_mmr_matches_numpy_greedy_twin(spark):
     # measured r12 signal: diversification is live — MMR never keeps
     # the full plain top-5 on any of the 8 queries
     assert overlap_total < 8 * 5
+
+
+# ---------------------------------------------------------------- #
+# shard_reshard_movement_audit: movement-law contract                #
+# ---------------------------------------------------------------- #
+
+
+def test_reshard_movement_audit_contract(spark):
+    """HRW must move dramatically fewer keys than modulo, and both
+    shares must sit near their uniform-hash expectations (CRT 8/9 for
+    modulo, 1/9 for HRW)."""
+    rows = {
+        r["method"]: r
+        for r in any_query("shard_reshard_movement_audit")(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    mod, hrw = rows["modulo"], rows["rendezvous"]
+    assert mod["n_keys"] == hrw["n_keys"] > 0
+    assert abs(mod["moved_share"] - 8 / 9) < 0.05
+    assert abs(hrw["moved_share"] - 1 / 9) < 0.05
+    assert hrw["n_moved"] * 4 < mod["n_moved"]

@@ -227,6 +227,7 @@ QUERIES = (
     "dp_median_release",
     "stream_cusum_drift_monitor",
     "mmr_diversified_topk",
+    "shard_reshard_movement_audit",
 )
 
 
