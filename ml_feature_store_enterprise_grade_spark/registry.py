@@ -29,14 +29,6 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
-#   - daily_revenue_theil_sen (round 13 queue)
-#   - order_value_drift_fdr (round 13 queue)
-#   - item_hits_authority (round 13 queue)
-#   - bloom_filter_sizing_advisor (round 13 queue)
-#   - dp_median_release (round 13 queue)
-#   - stream_cusum_drift_monitor (round 13 queue)
-#   - mmr_diversified_topk (round 13 queue)
-#   - shard_reshard_movement_audit (round 13 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -49,6 +41,11 @@ DEFERRED_ORACLES: dict[str, str] = {}
 #: guard enforces that automatically; stale names are caught by
 #: tests/test_registry.py::test_promoted_names_are_registered.
 _PROMOTED: frozenset[str] = frozenset((
+    # round-13 promotions: the 8-name r13 queue (VERDICT r12 item 1).
+    "daily_revenue_theil_sen", "order_value_drift_fdr",
+    "item_hits_authority", "bloom_filter_sizing_advisor",
+    "dp_median_release", "stream_cusum_drift_monitor",
+    "mmr_diversified_topk", "shard_reshard_movement_audit",
     "top_orders_diversified", "pit_nearest_join",
     "bitemporal_customer_features", "user_activity_entropy",
     "revenue_seasonal_decomposition", "part_price_size_skyline",
@@ -202,68 +199,66 @@ _loaded = False
 #: ``python tools/gen_query_index.py`` (VERDICT r11 item 5 — the
 #: index header counts must match the registry before sealing).
 _FRONT: tuple[str, ...] = (
-    # --- Round 12 window.  Head: the 13-name r12 queue (VERDICT r11
+    # --- Round 13 window.  Head: the 8-name r13 queue (VERDICT r12
     # item 1) — first driver rows for every remaining zero-evidence
     # query.
-    "corpus_token_budget_curriculum",
-    "training_shard_cut_plan",
-    "dp_histogram_release",
-    "order_value_median_ci",
-    "stream_dp_histogram_release",
-    "order_value_conformal_interval",
-    "multimodal_image_edge_density",
-    "lm_dirichlet_search_topk",
-    "event_value_hill_tail_index",
-    "bm25_prf_expansion",
-    "stream_conformal_coverage_monitor",
-    "cobuy_edge_embeddedness",
-    "quality_filter_agreement",
+    "daily_revenue_theil_sen",
+    "order_value_drift_fdr",
+    "item_hits_authority",
+    "bloom_filter_sizing_advisor",
+    "dp_median_release",
+    "stream_cusum_drift_monitor",
+    "mmr_diversified_topk",
+    "shard_reshard_movement_audit",
     # --- Changed this round (rotation priority 2 — old green rows
-    # are stale evidence): the per-group NTILE family re-planned
-    # through scalable_ntile(group_cols=...) (VERDICT r11 item 2),
-    # vocab_coverage_curve through ranked()+running_totals (item 3),
-    # and quality_concentration_curve re-based on the memoized
-    # unigram-census (item 4).
-    "event_value_quantile_normalization",
-    "robust_order_value_stats",
-    "customer_segment_migration",
-    "ccnet_perplexity_buckets",
-    "vocab_coverage_curve",
-    "quality_concentration_curve",
-    # --- Oldest driver greens (the full r4 cohort — rotation
-    # priority 3 per tools/update_checked_names.py; next-oldest is
-    # the r6 cohort).
-    "drift_ks_click_vs_view",
-    "drift_psi_multi_feature",
-    "duplicate_key_check",
-    "embedding_label_confusion",
-    "embedding_neardup",
-    "event_customer_enrichment",
-    "event_customer_overlap",
-    "k_anonymity_audit",
-    "lang_id_confusion",
-    "large_volume_customers",
-    "latest_feature_snapshot",
-    "nation_market_share",
-    "online_feature_lookup",
-    "order_reconciliation_audit",
-    "pit_asof_join",
-    "product_type_profit",
-    "quality_expectation_suite",
-    "returned_items_revenue",
-    "revenue_rollup_cube",
-    "shingle_containment_pairs",
-    "sketch_distinct_users_rollup",
-    "split_neardup_leakage",
-    "stratified_event_sample",
-    "stream_drift_monitor",
-    "stream_hourly_features",
-    "stream_session_windows",
-    "text_clean_projection",
-    "user_daily_activity",
-    "user_decay_weighted_features",
-    "user_hourly_features",
-    "user_sliding_features",
+    # are stale evidence): the unpartitioned row_number census
+    # family re-planned through TakeOrdered-re-rank / ranked()
+    # (VERDICT r12 item 2).
+    "doc_rake_keyphrases",
+    "rec_popularity_ndcg",
+    "vocab_zipf_fit",
+    # --- Oldest driver greens (the r6 cohort, alphabetical prefix —
+    # rotation priority 3 per tools/update_checked_names.py; the
+    # 11 r6 names that did not fit stay first in line for r14).
+    "ann_ivf_topk",
+    "bm25_search_topk",
+    "corpus_dedup_pipeline",
+    "corpus_ngram_novelty",
+    "countmin_heavy_hitters",
+    "customer_order_distribution",
+    "customers_without_orders",
+    "daily_event_type_pivot",
+    "dedup_clusters",
+    "dedup_crossdoc_spans",
+    "dedup_incremental",
+    "discounted_bracket_revenue",
+    "dup_cluster_size_histogram",
+    "embedding_covariance",
+    "event_code_projection",
+    "event_props_variant",
+    "feature_correlation_matrix",
+    "feature_unpivot_long",
+    "histogram_quantile_rollup",
+    "hll_portable_distinct_rollup",
+    "idle_rich_customers",
+    "important_parts_share",
+    "item_pagerank",
+    "kmv_audience_overlap",
+    "l_diversity_audit",
+    "lsh_tuning_report",
+    "min_price_supplier_region",
+    "multimodal_decode_features",
+    "multimodal_frame_dedup",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "multimodal_sidecar_kv",
+    "nation_pair_trade",
+    "pricing_summary",
+    "priority_order_counts",
+    "profile_distribution_stats",
+    "promo_revenue_share",
+    "pyds_jsonl_roundtrip",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round
@@ -279,15 +274,16 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "activity_band_interval_join", "ann_cosine_topk", "ann_filtered_topk",
     "ann_ivf_topk", "ann_probe_recall_curve", "anonymity_generalization_ladder",
     "approximate_fd_audit", "basket_size_poisson_gof", "benford_digit_audit",
-    "bitemporal_customer_features", "bloom_prejoin_prune", "bm25_search_topk",
-    "bpe_merge_learning", "brand_bracket_revenue", "calendar_features",
-    "ccnet_perplexity_buckets", "cdc_merge_upsert", "cobuy_community_conductance",
-    "cobuy_degree_assortativity", "cobuy_edge_churn", "cohort_ltv_curve",
-    "cohort_retention", "concurrent_sessions_daily", "context_length_fit",
-    "conversion_attribution", "corpus_bigram_llr", "corpus_bigram_pmi",
-    "corpus_contamination", "corpus_data_card", "corpus_dedup_pipeline",
-    "corpus_lang_stats", "corpus_lexical_drift", "corpus_mixture_weights",
-    "corpus_ngram_novelty", "corpus_quality_filter", "corpus_sampling_plan",
+    "bitemporal_customer_features", "bloom_prejoin_prune", "bm25_prf_expansion",
+    "bm25_search_topk", "bpe_merge_learning", "brand_bracket_revenue",
+    "calendar_features", "ccnet_perplexity_buckets", "cdc_merge_upsert",
+    "cobuy_community_conductance", "cobuy_degree_assortativity", "cobuy_edge_churn",
+    "cobuy_edge_embeddedness", "cohort_ltv_curve", "cohort_retention",
+    "concurrent_sessions_daily", "context_length_fit", "conversion_attribution",
+    "corpus_bigram_llr", "corpus_bigram_pmi", "corpus_contamination",
+    "corpus_data_card", "corpus_dedup_pipeline", "corpus_lang_stats",
+    "corpus_lexical_drift", "corpus_mixture_weights", "corpus_ngram_novelty",
+    "corpus_quality_filter", "corpus_sampling_plan", "corpus_token_budget_curriculum",
     "corpus_top_bigrams", "countmin_heavy_hitters", "cross_table_consistency_audit",
     "crossdoc_span_heavy_hitters", "crossdoc_span_trim", "customer_order_distribution",
     "customer_segment_migration", "customers_without_orders", "daily_event_type_pivot",
@@ -304,43 +300,45 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "doc_rake_keyphrases", "doc_repetition_stats", "doc_shard_rendezvous",
     "doc_text_stats", "doc_tfidf_top_terms", "doc_token_entropy",
     "doc_unigram_logprob", "doc_winnowing_fingerprints", "doc_winnowing_matches",
-    "dp_contribution_bounding", "drift_js_divergence", "drift_ks_click_vs_view",
-    "drift_psi_multi_feature", "drift_quantile_shift", "drift_report_multi_feature",
-    "dsir_importance_weights", "dup_cluster_language_purity", "dup_cluster_size_histogram",
-    "dup_pair_source_matrix", "duplicate_key_check", "embedding_bitext_margin",
-    "embedding_centroid_drift", "embedding_cluster_label_ari", "embedding_covariance",
-    "embedding_dim_stats", "embedding_distance_profile", "embedding_effective_rank",
-    "embedding_hubness_audit", "embedding_jl_distortion", "embedding_kmeans",
-    "embedding_knn_label_accuracy", "embedding_label_confusion", "embedding_neardup",
-    "embedding_norm_stats", "embedding_pq_adc_recall", "embedding_pq_codes",
-    "embedding_quantization_error", "embedding_silhouette", "embedding_top_eigenvector",
-    "embedding_truncation_audit", "event_code_projection", "event_customer_enrichment",
-    "event_customer_overlap", "event_daily_autocorrelation", "event_props_struct",
-    "event_props_variant", "event_value_kruskal_wallis", "event_value_mann_whitney",
-    "event_value_percentile_disc", "event_value_percentiles", "event_value_quantile_normalization",
-    "event_value_winsorize_sweep", "excess_stock_suppliers", "feature_backfill_plan",
-    "feature_binning_quantile", "feature_binning_scalable", "feature_correlation_matrix",
-    "feature_coverage", "feature_freshness", "feature_hash_cross",
-    "feature_information_gain", "feature_scaling", "feature_summary_stats",
-    "feature_unpivot_long", "feature_value_histogram", "file_skipping_stats",
-    "fk_join_skew_advisor", "forecast_discount_revenue", "funnel_conversion_ztest",
-    "gdpr_deletion_audit", "graph_modularity", "hard_negative_pairs",
-    "histogram_quantile_rollup", "hll_portable_distinct_rollup", "idle_rich_customers",
-    "important_parts_share", "incremental_feature_update", "inverted_index_postings",
-    "item_cooccurrence_lift", "item_kcore_membership", "item_label_propagation",
-    "item_pagerank", "item_ra_link_prediction", "item_triangle_census",
-    "jaccard_prefix_filter_join", "k_anonymity_audit", "kmv_audience_overlap",
-    "knn_router_ivf_recall", "l_diversity_audit", "label_horizon_sweep",
-    "lang_id_confusion", "large_volume_customers", "late_arrival_audit",
-    "late_shipment_priority", "latest_feature_snapshot", "local_supply_share",
+    "dp_contribution_bounding", "dp_histogram_release", "drift_js_divergence",
+    "drift_ks_click_vs_view", "drift_psi_multi_feature", "drift_quantile_shift",
+    "drift_report_multi_feature", "dsir_importance_weights", "dup_cluster_language_purity",
+    "dup_cluster_size_histogram", "dup_pair_source_matrix", "duplicate_key_check",
+    "embedding_bitext_margin", "embedding_centroid_drift", "embedding_cluster_label_ari",
+    "embedding_covariance", "embedding_dim_stats", "embedding_distance_profile",
+    "embedding_effective_rank", "embedding_hubness_audit", "embedding_jl_distortion",
+    "embedding_kmeans", "embedding_knn_label_accuracy", "embedding_label_confusion",
+    "embedding_neardup", "embedding_norm_stats", "embedding_pq_adc_recall",
+    "embedding_pq_codes", "embedding_quantization_error", "embedding_silhouette",
+    "embedding_top_eigenvector", "embedding_truncation_audit", "event_code_projection",
+    "event_customer_enrichment", "event_customer_overlap", "event_daily_autocorrelation",
+    "event_props_struct", "event_props_variant", "event_value_hill_tail_index",
+    "event_value_kruskal_wallis", "event_value_mann_whitney", "event_value_percentile_disc",
+    "event_value_percentiles", "event_value_quantile_normalization", "event_value_winsorize_sweep",
+    "excess_stock_suppliers", "feature_backfill_plan", "feature_binning_quantile",
+    "feature_binning_scalable", "feature_correlation_matrix", "feature_coverage",
+    "feature_freshness", "feature_hash_cross", "feature_information_gain",
+    "feature_scaling", "feature_summary_stats", "feature_unpivot_long",
+    "feature_value_histogram", "file_skipping_stats", "fk_join_skew_advisor",
+    "forecast_discount_revenue", "funnel_conversion_ztest", "gdpr_deletion_audit",
+    "graph_modularity", "hard_negative_pairs", "histogram_quantile_rollup",
+    "hll_portable_distinct_rollup", "idle_rich_customers", "important_parts_share",
+    "incremental_feature_update", "inverted_index_postings", "item_cooccurrence_lift",
+    "item_kcore_membership", "item_label_propagation", "item_pagerank",
+    "item_ra_link_prediction", "item_triangle_census", "jaccard_prefix_filter_join",
+    "k_anonymity_audit", "kmv_audience_overlap", "knn_router_ivf_recall",
+    "l_diversity_audit", "label_horizon_sweep", "lang_id_confusion",
+    "large_volume_customers", "late_arrival_audit", "late_shipment_priority",
+    "latest_feature_snapshot", "lm_dirichlet_search_topk", "local_supply_share",
     "lsh_tuning_report", "markov_entropy_rate", "min_price_supplier_region",
     "minhash_jaccard_error_audit", "monthly_revenue_gap_fill", "monthly_revenue_momentum",
     "multimodal_audio_energy", "multimodal_audio_silence_runs", "multimodal_decode_features",
-    "multimodal_frame_dedup", "multimodal_frame_sample", "multimodal_image_entropy",
-    "multimodal_metadata", "multimodal_resize", "multimodal_sidecar_kv",
-    "nation_market_share", "nation_pair_trade", "nation_top_customers_lateral",
-    "nation_vip_roster", "negative_sample_pairs", "online_feature_lookup",
-    "online_offline_skew_audit", "order_reconciliation_audit", "order_value_bootstrap_ci",
+    "multimodal_frame_dedup", "multimodal_frame_sample", "multimodal_image_edge_density",
+    "multimodal_image_entropy", "multimodal_metadata", "multimodal_resize",
+    "multimodal_sidecar_kv", "nation_market_share", "nation_pair_trade",
+    "nation_top_customers_lateral", "nation_vip_roster", "negative_sample_pairs",
+    "online_feature_lookup", "online_offline_skew_audit", "order_reconciliation_audit",
+    "order_value_bootstrap_ci", "order_value_conformal_interval", "order_value_median_ci",
     "order_value_zscore_outliers", "orders_backlog_littles_law", "part_name_fuzzy_links",
     "part_price_dispersion_audit", "part_price_size_skyline", "part_revenue_abc_classes",
     "part_supplier_variety", "partition_compaction_plan", "percentile_rank_features",
@@ -349,22 +347,23 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "pit_staleness_audit", "pricing_summary", "priority_order_counts",
     "product_type_profit", "profile_distribution_stats", "promo_revenue_share",
     "purchase_interarrival_stats", "purchase_propensity_calibration", "pyds_jsonl_roundtrip",
-    "quality_concentration_curve", "quality_expectation_suite", "range_partition_balance_plan",
-    "rec_coverage_gini", "rec_novelty_by_rank", "rec_popularity_ndcg",
-    "region_revenue", "returned_items_revenue", "returnflag_anova_ftest",
-    "revenue_changepoint_scan", "revenue_ewma_trend", "revenue_grouping_sets",
-    "revenue_mann_kendall", "revenue_rollup_cube", "revenue_seasonal_decomposition",
-    "revenue_trend_regression", "rfm_segmentation", "robust_order_value_stats",
-    "rrf_hybrid_topk", "salted_enrichment_join", "scd2_activity_history",
-    "segment_dedup", "segment_priority_association", "semantic_dedup",
-    "sequence_packing_efficiency", "sequence_packing_plan", "session_funnel",
-    "session_gap_sensitivity", "session_path_markov", "session_survival_curve",
-    "session_windows", "shingle_containment_pairs", "sketch_distinct_users_rollup",
-    "skew_diagnostics", "skew_resilient_distinct_rollup", "small_quantity_parts",
-    "snapshot_diff_audit", "source_ablation_report", "split_leakage_audit",
-    "split_neardup_leakage", "stratified_event_sample", "stratified_kfold_plan",
-    "stream_asof_enrichment", "stream_decay_features", "stream_dedup",
-    "stream_dedup_within_watermark", "stream_distinct_sketch", "stream_drift_monitor",
+    "quality_concentration_curve", "quality_expectation_suite", "quality_filter_agreement",
+    "range_partition_balance_plan", "rec_coverage_gini", "rec_novelty_by_rank",
+    "rec_popularity_ndcg", "region_revenue", "returned_items_revenue",
+    "returnflag_anova_ftest", "revenue_changepoint_scan", "revenue_ewma_trend",
+    "revenue_grouping_sets", "revenue_mann_kendall", "revenue_rollup_cube",
+    "revenue_seasonal_decomposition", "revenue_trend_regression", "rfm_segmentation",
+    "robust_order_value_stats", "rrf_hybrid_topk", "salted_enrichment_join",
+    "scd2_activity_history", "segment_dedup", "segment_priority_association",
+    "semantic_dedup", "sequence_packing_efficiency", "sequence_packing_plan",
+    "session_funnel", "session_gap_sensitivity", "session_path_markov",
+    "session_survival_curve", "session_windows", "shingle_containment_pairs",
+    "sketch_distinct_users_rollup", "skew_diagnostics", "skew_resilient_distinct_rollup",
+    "small_quantity_parts", "snapshot_diff_audit", "source_ablation_report",
+    "split_leakage_audit", "split_neardup_leakage", "stratified_event_sample",
+    "stratified_kfold_plan", "stream_asof_enrichment", "stream_conformal_coverage_monitor",
+    "stream_decay_features", "stream_dedup", "stream_dedup_within_watermark",
+    "stream_distinct_sketch", "stream_dp_histogram_release", "stream_drift_monitor",
     "stream_event_type_share", "stream_histogram_quantile_monitor", "stream_hourly_features",
     "stream_online_materialize", "stream_quality_monitor", "stream_session_windows",
     "stream_sliding_features", "stream_stateful_running_totals", "stream_static_enrichment",
@@ -373,14 +372,14 @@ _DRIVER_CHECKED: frozenset[str] = frozenset((
     "target_encoding_loo", "target_encoding_smoothing_sweep", "temporal_split_embargo",
     "text_clean_projection", "tokenizer_fertility_audit", "top_customers_per_nation",
     "top_orders_diversified", "top_revenue_orders", "top_supplier_revenue",
-    "training_set_export", "training_shard_manifest", "user_activity_entropy",
-    "user_activity_streaks", "user_daily_activity", "user_decay_features",
-    "user_decay_weighted_features", "user_hourly_features", "user_ltv_features",
-    "user_primary_event_type", "user_recency_features", "user_rolling_7d_features",
-    "user_sliding_features", "user_sliding_features_rollup", "user_value_locf_interpolation",
-    "user_wow_delta_features", "vocab_coverage_curve", "vocab_oov_rate",
-    "vocab_zipf_fit", "volume_anomaly_days", "waiting_supplier_audit",
-    "weighted_systematic_sample", "zorder_layout_plan",
+    "training_set_export", "training_shard_cut_plan", "training_shard_manifest",
+    "user_activity_entropy", "user_activity_streaks", "user_daily_activity",
+    "user_decay_features", "user_decay_weighted_features", "user_hourly_features",
+    "user_ltv_features", "user_primary_event_type", "user_recency_features",
+    "user_rolling_7d_features", "user_sliding_features", "user_sliding_features_rollup",
+    "user_value_locf_interpolation", "user_wow_delta_features", "vocab_coverage_curve",
+    "vocab_oov_rate", "vocab_zipf_fit", "volume_anomaly_days",
+    "waiting_supplier_audit", "weighted_systematic_sample", "zorder_layout_plan",
 ))
 
 
