@@ -113,18 +113,39 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 #: surfaces never rewrite, so the default is safe there.
 _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
+#: Extra per-module cache clearers invoked by
+#: :func:`clear_count_cache` — modules holding memoized DataFrames
+#: keyed by sf_dir (the text census caches) register a
+#: ``fn(sf_dir | None)`` here at import so ONE call invalidates
+#: every sf_dir-keyed memo in the engine.  Unlike the routing-only
+#: row counts, a stale census silently changes VALUES (ADVICE r12
+#: item 1), so these must never be left out of the clear path.
+_EXTRA_CACHE_CLEARERS: list = []
+
+
+def register_cache_clearer(fn) -> None:
+    """Register a ``fn(sf_dir: str | None) -> None`` to be invoked by
+    every :func:`clear_count_cache` call (see comment above)."""
+    _EXTRA_CACHE_CLEARERS.append(fn)
+
 
 def clear_count_cache(sf_dir: str | None = None) -> None:
-    """Drop memoized row counts — all of them, or one ``sf_dir``'s.
+    """Drop memoized row counts AND registered sf_dir-keyed frame
+    memos (the text census caches) — all of them, or one
+    ``sf_dir``'s.
 
     Call after regenerating data under a previously-counted path so
     routing decisions (exact vs IVF, broadcast vs shuffle) re-read
-    the real cardinality instead of the stale one."""
+    the real cardinality instead of the stale one, and so memoized
+    census frames (whose staleness would change VALUES, not just
+    routing) are rebuilt from the new data."""
     if sf_dir is None:
         _ROW_COUNT_CACHE.clear()
-        return
-    for key in [k for k in _ROW_COUNT_CACHE if k[0] == sf_dir]:
-        del _ROW_COUNT_CACHE[key]
+    else:
+        for key in [k for k in _ROW_COUNT_CACHE if k[0] == sf_dir]:
+            del _ROW_COUNT_CACHE[key]
+    for fn in _EXTRA_CACHE_CLEARERS:
+        fn(sf_dir)
 
 
 def cached_count(df: DataFrame, sf_dir: str, tag: str) -> int:

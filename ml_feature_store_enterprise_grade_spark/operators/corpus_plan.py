@@ -1273,8 +1273,15 @@ def bloom_filter_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: NDV is an exact distinct count; bits-per-key and
     ln 2 are definition-time INTEGER literals shared by both engines
-    (zero libm in the sizing chain — m and k are pure integer
-    arithmetic); the achieved-FPP display column is the one
+    (zero libm in the sizing chain); m and k each pass through ONE
+    exact IEEE double divide-by-1e9 on integer-valued operands —
+    bit-identical in both engines, and the ceil/floor placement is
+    mathematically exact while ndv·bits_per_key_e9 < 2^53 (ndv
+    ≲ 9.4e5 at the current 9.585 bits/key constant; the stated
+    100 TB HLL swap would cross that bound, where the divide is
+    still bit-identical cross-engine but the rounding may land one
+    bit off the infinite-precision m — size-class-irrelevant for a
+    Bloom filter); the achieved-FPP display column is the one
     EXP/POW chain, emitted through the floor ladder at 1e-8 (the
     KS-p-value precedent for cross-engine libm use).
 

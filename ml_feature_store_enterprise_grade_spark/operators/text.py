@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread
+from ..catalog import load_table, register_cache_clearer, spread
 from ..functions import NORMALIZE_TEXT_SQL, PORTABLE_HASH64_SQL, normalize_text, portable_hash64
 from ..functions.ranking import ntile_from_rank, ranked, running_totals, scalable_ntile
 from ..registry import register
@@ -2065,12 +2065,20 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_words").alias("n_words"),
         F.max("score_q").alias("score_q"),
     )
+    # Top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort of the phrase census), then re-rank the
+    # already-truncated K rows — the bare unpartitioned row_number
+    # form single-task-sorted the corpus-scale phrase frame and
+    # WindowGroupLimit does NOT rescue unpartitioned sites
+    # (VERDICT r12 item 2; same idiom as bm25_search_topk).
+    top = corpus.orderBy(
+        F.col("score_q").desc(), F.col("phrase")
+    ).limit(_RAKE_TOP_K)
     rk = F.row_number().over(
         Window.orderBy(F.col("score_q").desc(), F.col("phrase"))
     )
     return (
-        corpus.withColumn("rank", rk)
-        .filter(F.col("rank") <= _RAKE_TOP_K)
+        top.withColumn("rank", rk)
         .select(
             F.col("rank").cast("int"),
             "phrase",
@@ -2156,9 +2164,12 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars, emitted with the floor discipline.
 
     Scale shape: one flatten + one keyed aggregate builds the
-    vocabulary (vocabulary-bounded, not corpus-bounded); the rank
-    window orders that bounded frame; the moments fold to a single
-    row map-side."""
+    vocabulary (vocabulary-bounded, not corpus-bounded — but a 100 TB
+    corpus's vocabulary is still hundreds of millions of types, and
+    the regression consumes EVERY rank, so no top-k cut applies);
+    ranks come from the chunked ``ranked()`` helper — parallel
+    per-chunk sorts with broadcast offsets, never a single-task
+    global window sort; the moments fold to a single row map-side."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(_tokens(F.col("text"))).alias("w"))
@@ -2166,16 +2177,18 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = vocab.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), F.col("w")))
-        .alias("rank"),
-    )
+    # Exact global rank via the chunked ranked() helper — the
+    # regression consumes EVERY rank (no top-k cut can bound the
+    # frame), so the bare unpartitioned row_number form single-task-
+    # sorted the full vocab frame (VERDICT r12 item 2; the
+    # vocab_coverage_curve treatment).
+    rnk = ranked(
+        vocab, [("freq", "desc"), ("w", "asc")], rn_col="rank"
+    ).select("freq", "rank")
     lq = lambda c: F.floor(  # noqa: E731
         F.log(c.cast("double")) * 1000000.0
     ).cast("bigint")
-    q = ranked.select(lq(F.col("rank")).alias("lx"), lq(F.col("freq")).alias("ly"))
+    q = rnk.select(lq(F.col("rank")).alias("lx"), lq(F.col("freq")).alias("ly"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = q.agg(
         F.count("*").alias("n"),
@@ -2972,8 +2985,33 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: [[quality_concentration_curve]], [[corpus_token_budget_curriculum]]
 #: and [[quality_filter_agreement]] never rescan/retokenize the
 #: corpus for a frame a sibling already materialized (VERDICT r11
-#: item 4; the ``_bigram_census`` pattern above).
+#: item 4; the ``_bigram_census`` pattern above).  Invalidated —
+#: together with ``_BIGRAM_CENSUS_CACHE`` — by
+#: ``catalog.clear_count_cache`` via :func:`clear_census_caches`
+#: (ADVICE r12 item 1: unlike the routing-only row counts, a stale
+#: census silently changes VALUES for its four consumers if
+#: fixtures are regenerated within a session).
 _UNIGRAM_CENSUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_census_caches(sf_dir: str | None = None) -> None:
+    """Drop the memoized corpus census frames — all, or one
+    ``sf_dir``'s (keys are ``(applicationId, abspath(sf_dir))``).
+
+    Registered with ``catalog.register_cache_clearer`` so every
+    ``clear_count_cache`` call also clears these: a session that
+    regenerates fixtures makes ONE call and no memo — routing count
+    or value-bearing census — survives it."""
+    target = None if sf_dir is None else os.path.abspath(sf_dir)
+    for cache in (_BIGRAM_CENSUS_CACHE, _UNIGRAM_CENSUS_CACHE):
+        if target is None:
+            cache.clear()
+        else:
+            for key in [k for k in cache if k[1] == target]:
+                del cache[key]
+
+
+register_cache_clearer(clear_census_caches)
 
 
 def _unigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:

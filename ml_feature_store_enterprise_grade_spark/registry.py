@@ -29,6 +29,8 @@ ORACLES: dict[str, str] = {}
 #: line, format enforced by tests/test_registry.py):
 #   - stream_tws_purchase_stats (environment-gated on protobuf —
 #     permanently deferred in containers whose driver env lacks it)
+#   - order_value_permutation_test (round 14 queue)
+#   - consistent_sample_bottomk (round 14 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
@@ -217,6 +219,10 @@ _FRONT: tuple[str, ...] = (
     "doc_rake_keyphrases",
     "rec_popularity_ndcg",
     "vocab_zipf_fit",
+    # rec_coverage_gini: Gini rank re-planned through ranked() after
+    # the r13 full-registry plan audit flagged its partitionBy(lit(0))
+    # window (same class, found by the new tooling).
+    "rec_coverage_gini",
     # --- Oldest driver greens (the r6 cohort, alphabetical prefix —
     # rotation priority 3 per tools/update_checked_names.py; the
     # 11 r6 names that did not fit stay first in line for r14).
@@ -258,7 +264,6 @@ _FRONT: tuple[str, ...] = (
     "priority_order_counts",
     "profile_distribution_stats",
     "promo_revenue_share",
-    "pyds_jsonl_roundtrip",
 )
 
 #: Names with at least one driver CORRECTNESS row from a prior round

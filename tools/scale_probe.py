@@ -560,6 +560,67 @@ def main() -> int:
         flush=True,
     )
 
+    # round 13: the census top-k path (the unpartitioned row_number
+    # family re-plan: doc_rake_keyphrases / rec_popularity_ndcg —
+    # VERDICT r12 items 2+5).  A 10M-row synthetic phrase-census
+    # frame (score + text tiebreak); the re-planned orderBy+limit
+    # form (TakeOrderedAndProject: per-partition heaps, only K rows
+    # cross to the driver-side merge) against the old unpartitioned
+    # row_number window (ALL 10M rows sort in ONE task).  Correctness
+    # asserted inline: both forms elect the identical top-20.
+    census = spark.range(n_rank).select(
+        F.concat(F.lit("phrase_"), F.col("id").cast("string")).alias(
+            "phrase"
+        ),
+        (F.xxhash64(F.col("id"), F.lit(13)) % 1_000_000_000).alias(
+            "score_q"
+        ),
+    )
+    t0 = time.time()
+    topk = (
+        census.orderBy(F.col("score_q").desc(), F.col("phrase"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.orderBy(F.col("score_q").desc(), F.col("phrase"))
+            ),
+        )
+    )
+    top_rows = topk.collect()
+    t_ctopk = round(time.time() - t0, 2)
+    assert len(top_rows) == 20 and top_rows[0]["rank"] == 1
+    print(
+        json.dumps(
+            {"probe": "census_topk_10m", "rows_in": n_rank, "sec": t_ctopk,
+             "mrows_per_sec": round(n_rank / t_ctopk / 1e6, 2)}
+        ),
+        flush=True,
+    )
+    t0 = time.time()
+    win_rows = (
+        census.withColumn(
+            "rank",
+            F.row_number().over(
+                _W.orderBy(F.col("score_q").desc(), F.col("phrase"))
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .collect()
+    )
+    t_cwin = round(time.time() - t0, 2)
+    assert sorted(
+        (r["rank"], r["phrase"], r["score_q"]) for r in win_rows
+    ) == sorted((r["rank"], r["phrase"], r["score_q"]) for r in top_rows)
+    print(
+        json.dumps(
+            {"probe": "census_topk_10m_window_baseline", "rows_in": n_rank,
+             "sec": t_cwin,
+             "speedup_vs_window": round(t_cwin / t_ctopk, 2)}
+        ),
+        flush=True,
+    )
+
     print(json.dumps({
         "metric": "scale probe",
         "k": k,
@@ -580,6 +641,8 @@ def main() -> int:
         "rank_decile_10m_sec": t_rank,
         "rank_grouped_zipf_10m_sec": t_grank,
         "rank_grouped_zipf_window_sec": t_gwin,
+        "census_topk_10m_sec": t_ctopk,
+        "census_topk_window_sec": t_cwin,
     }))
     return 0
 
