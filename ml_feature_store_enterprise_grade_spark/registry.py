@@ -31,6 +31,9 @@ ORACLES: dict[str, str] = {}
 #     permanently deferred in containers whose driver env lacks it)
 #   - order_value_permutation_test (round 14 queue)
 #   - consistent_sample_bottomk (round 14 queue)
+#   - ranker_rbo_agreement (round 14 queue)
+#   - mixture_temperature_sweep (round 14 queue)
+#   - epoch_shuffle_quality_audit (round 14 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
