@@ -35,6 +35,7 @@ ORACLES: dict[str, str] = {}
 #   - mixture_temperature_sweep (round 14 queue)
 #   - epoch_shuffle_quality_audit (round 14 queue)
 #   - fellegi_sunter_weights (round 14 queue)
+#   - item_implicit_als_epoch (round 14 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 
