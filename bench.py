@@ -266,6 +266,17 @@ BENCH_QUERIES = (
     "mmr_diversified_topk",
     # reshard-movement audit (map-side multi-hash, single aggregate).
     "shard_reshard_movement_audit",
+    # round 13 additions: one per new operator family (randomization
+    # inference, consistent sampling, IR-eval, mixture planning,
+    # shuffle audit, record linkage, matrix factorization, item CF).
+    "order_value_permutation_test",
+    "consistent_sample_bottomk",
+    "ranker_rbo_agreement",
+    "mixture_temperature_sweep",
+    "epoch_shuffle_quality_audit",
+    "fellegi_sunter_weights",
+    "item_implicit_als_epoch",
+    "item_cobuy_jaccard_topk",
 )
 
 

