@@ -277,6 +277,7 @@ BENCH_QUERIES = (
     "fellegi_sunter_weights",
     "item_implicit_als_epoch",
     "item_cobuy_jaccard_topk",
+    "stream_bottomk_sample",
 )
 
 

@@ -37,6 +37,7 @@ ORACLES: dict[str, str] = {}
 #   - fellegi_sunter_weights (round 14 queue)
 #   - item_implicit_als_epoch (round 14 queue)
 #   - item_cobuy_jaccard_topk (round 14 queue)
+#   - stream_bottomk_sample (round 14 queue)
 DEFERRED_QUERIES: dict[str, QueryFn] = {}
 DEFERRED_ORACLES: dict[str, str] = {}
 

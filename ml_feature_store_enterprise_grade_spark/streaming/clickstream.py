@@ -1680,3 +1680,144 @@ def stream_cusum_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((s_pos > F.col("hq")) | (s_neg > F.col("hq"))).alias("alarm"),
     )
     return cus
+
+
+#: Streaming bottom-k consistent sample: per-event-type sample size
+#: and its own hash seed (independent of the batch documents sampler).
+_SBK_K = 8
+_SBK_SEED = 47
+_SBK_SOURCE_FILES = 8
+
+
+def _bottomk_merge_processor(state_path: str, k: int):
+    """``foreachBatch`` body: fold a micro-batch into the standing
+    per-type bottom-k table.  The merge is a set-union followed by
+    re-electing the k smallest hashes — ORDER- AND PARTITION-
+    INDEPENDENT and idempotent under micro-batch re-delivery
+    (re-processing a batch unions rows already present), which is
+    the whole exactly-once story: no generation pointers needed
+    because the state is a deterministic function of the SET of rows
+    seen.  The standing table is <= k x |event types| rows, so the
+    rewrite collects a bounded loop-control frame to the driver
+    (the CC-convergence collect discipline), never data."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import portable_hash64
+
+        spark = batch.sparkSession
+        cand = batch.filter(F.col("event_id").isNotNull()).select(
+            "event_type",
+            "event_id",
+            portable_hash64(
+                F.col("event_id").cast("string"), seed=_SBK_SEED
+            ).alias("h"),
+        )
+        w = Window.partitionBy("event_type").orderBy("h", "event_id")
+        topb = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        if os.path.exists(state_path):
+            standing = spark.read.parquet(state_path)
+            merged = standing.unionByName(topb).distinct()
+        else:
+            merged = topb
+        keep = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        rows = keep.collect()  # bounded: <= k * |event types|
+        (
+            spark.createDataFrame(rows, schema=keep.schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(state_path)
+        )
+
+    return process
+
+
+@register(
+    "stream_bottomk_sample",
+    defer=True,
+    oracle=f"""
+    SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, h
+    FROM (
+        SELECT event_type, event_id, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h, event_id) AS rn
+        FROM (
+            SELECT event_type, event_id,
+                   {PORTABLE_HASH64_SQL("CAST(event_id AS VARCHAR)", _SBK_SEED)}
+                       AS h
+            FROM events WHERE event_id IS NOT NULL
+        )
+    )
+    WHERE rn <= {_SBK_K}
+    ORDER BY event_type, rank
+    """,
+)
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consistent sampling: maintain the exact per-event-
+    type bottom-{k} sample (k smallest portable hashes) INCREMENTALLY
+    over a replayed event stream ({n} micro-batches via
+    maxFilesPerTrigger), and return the standing sample table — which
+    must equal the batch bottom-k over the full table BIT-FOR-BIT,
+    because bottom-k is a mergeable sketch: union-then-re-elect is
+    associative, commutative, and idempotent.  The streaming twin of
+    [[consistent_sample_bottomk]] and the rare streaming operator
+    with an EXACT batch oracle (most get the weaker watermark-
+    restricted form): the sample a monitoring pipeline keeps warm
+    over an infinite stream for eyeball checks and downstream joins.
+
+    Determinism: the sample is a pure function of the SET of event
+    ids seen (portable hash order, id tie-break) — file split,
+    micro-batch boundaries, re-delivery, and engine all cannot
+    change it; the oracle is the plain batch window over the same
+    hash.
+
+    Scale shape: each micro-batch does one per-type top-k
+    (WindowGroupLimit heaps over the batch) and a merge against a
+    <= k x |types| standing table; state is constant-size forever —
+    the 100 TB/infinite-stream story is the same O(batch) + O(k)
+    per trigger, with the standing table the only thing ever
+    rewritten."""
+    ensure_engine_confs(spark)
+    run_id = uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.gettempdir(), f"sbk_src_{run_id}")
+    state = os.path.join(tempfile.gettempdir(), f"sbk_state_{run_id}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sbk_ckpt_{run_id}")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    events.repartition(_SBK_SOURCE_FILES).write.mode("overwrite").parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema("event_id bigint, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                _bottomk_merge_processor(state, _SBK_K)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state)
+        w = Window.partitionBy("event_type").orderBy("h", "event_id")
+        out = (
+            final.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("event_type", "rank", "event_id", "h")
+            .orderBy("event_type", "rank")
+        )
+        # materialize before the temp state dir is torn down
+        rows = out.collect()  # bounded: <= k * |event types|
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        for d in (src, ckpt, state):
+            shutil.rmtree(d, ignore_errors=True)

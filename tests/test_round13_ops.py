@@ -435,3 +435,48 @@ def test_cobuy_jaccard_topk_matches_python_twin(spark):
         assert (r.neighbor_id, r.n_cobuy, r.n_union, r.jaccard) == (
             y, nab, un, jac,
         ), (r.item_id, r.rank)
+
+
+def test_stream_bottomk_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The incrementally-maintained sample must equal the batch
+    bottom-k, and re-delivering a micro-batch must not change the
+    standing state (the exactly-once property)."""
+    from ml_feature_store_enterprise_grade_spark.operators.projection import (
+        _BOTTOMK_K,  # noqa: F401  (sibling referenced for context)
+    )
+    from ml_feature_store_enterprise_grade_spark.streaming.clickstream import (
+        _SBK_K,
+        _SBK_SEED,
+        _bottomk_merge_processor,
+    )
+
+    rows = any_query("stream_bottomk_sample")(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    bytype: dict[str, list] = {}
+    for e in ev:
+        if e.event_id is None:
+            continue
+        bytype.setdefault(e.event_type, []).append(
+            (_ph64(str(e.event_id), _SBK_SEED), e.event_id)
+        )
+    expect = {}
+    for t, hs in bytype.items():
+        for rank, (h, eid) in enumerate(sorted(hs)[:_SBK_K], 1):
+            expect[(t, rank)] = (eid, h)
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r.event_type, r.rank)] == (r.event_id, r.h)
+
+    # idempotence: fold the same batch twice into a fresh state dir
+    state = str(tmp_path / "state")
+    proc = _bottomk_merge_processor(state, _SBK_K)
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type"
+    )
+    proc(batch, 0)
+    once = sorted(map(tuple, spark.read.parquet(state).collect()))
+    proc(batch, 0)
+    twice = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert once == twice

@@ -259,6 +259,7 @@ QUERIES = (
     "item_implicit_als_epoch",
     "item_cobuy_jaccard_topk",
     "rec_coverage_gini",
+    "stream_bottomk_sample",
 )
 
 
