@@ -3381,10 +3381,11 @@ def rec_popularity_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("cnt"))
     )
     # Top-K via orderBy+limit (TakeOrderedAndProject), then re-rank
-    # the truncated K rows — the bare unpartitioned row_number form
-    # single-task-sorted the |parts| train-count frame and
-    # WindowGroupLimit does NOT fire on unpartitioned sites
-    # (VERDICT r12 item 2; the bm25_search_topk idiom).
+    # the truncated K rows.  (r13 finding: the old filtered
+    # unpartitioned row_number form was in fact auto-rescued by
+    # LimitPushDownThroughWindow; the explicit shape is kept because
+    # it does not depend on an optimizer rule surviving conf changes
+    # — the bm25_search_topk idiom.)
     rec = (
         train.orderBy(F.col("cnt").desc(), F.col("part"))
         .limit(_REC_K)

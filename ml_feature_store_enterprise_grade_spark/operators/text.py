@@ -2067,10 +2067,12 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     # heaps, no global sort of the phrase census), then re-rank the
-    # already-truncated K rows — the bare unpartitioned row_number
-    # form single-task-sorted the corpus-scale phrase frame and
-    # WindowGroupLimit does NOT rescue unpartitioned sites
-    # (VERDICT r12 item 2; same idiom as bm25_search_topk).
+    # already-truncated K rows.  (r13 finding: Spark 4.1's
+    # LimitPushDownThroughWindow would rescue the old filtered
+    # unpartitioned row_number form too — but the explicit shape
+    # does not depend on an optimizer rule surviving conf changes
+    # (excludedRules disables the rescue) and self-documents; same
+    # idiom as bm25_search_topk.)
     top = corpus.orderBy(
         F.col("score_q").desc(), F.col("phrase")
     ).limit(_RAKE_TOP_K)

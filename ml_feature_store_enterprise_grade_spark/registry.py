@@ -194,19 +194,23 @@ _loaded = False
 #: keeps one representative per operator family, so dropping a
 #: long-stable green from the WINDOW never drops its family from the
 #: bench trend.
-#: ROUND-13 REBUILD CHECKLIST (do this first next round): (1) run
-#: ``python tools/update_checked_names.py`` to fold the 50 round-12
+#: ROUND-14 REBUILD CHECKLIST (do this first next round): (1) run
+#: ``python tools/update_checked_names.py`` to fold the 50 round-13
 #: window rows into ``_DRIVER_CHECKED``; (2) promote the overflow-
-#: comment queue names (the round-13 queue) into ``_PROMOTED`` (keep
+#: comment queue names (the round-14 queue) into ``_PROMOTED`` (keep
 #: the prior rounds' names in the set — they are what keeps those
 #: registrations un-deferred) and rebuild ``_FRONT`` with them at the
 #: head; (3) delete them from the overflow comment; (4) remaining
-#: slots go to new round-13 queries then the OLDEST driver greens per
-#: the rotation policy above (run the tool — it prints which _FRONT
-#: entries are rotatable; after r12 the oldest cohort is the r6
+#: slots go to new round-14 queries then the OLDEST driver greens per
+#: the rotation policy above (run the tool — after r13 the oldest
+#: cohort is the 11 r6 leftovers: purchase_interarrival_stats,
+#: pyds_jsonl_roundtrip and the rest the tool prints, then the r7
 #: cohort); (5) at close, regenerate QUERIES.md with
-#: ``python tools/gen_query_index.py`` (VERDICT r11 item 5 — the
-#: index header counts must match the registry before sealing).
+#: ``python tools/gen_query_index.py`` AND run the full-registry plan
+#: flag audit ``python tools/explain_all.py --audit`` (r13 item 4 —
+#: must exit 0: every flag either fixed or justified in
+#: PLAN_AUDIT_ALLOWLIST; it caught rec_coverage_gini the round it
+#: landed).
 _FRONT: tuple[str, ...] = (
     # --- Round 13 window.  Head: the 8-name r13 queue (VERDICT r12
     # item 1) — first driver rows for every remaining zero-evidence

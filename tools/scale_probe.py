@@ -597,18 +597,39 @@ def main() -> int:
         ),
         flush=True,
     )
-    t0 = time.time()
-    win_rows = (
-        census.withColumn(
-            "rank",
-            F.row_number().over(
-                _W.orderBy(F.col("score_q").desc(), F.col("phrase"))
-            ),
-        )
-        .filter(F.col("rank") <= 20)
-        .collect()
+    # Baseline honesty (round-13 finding): Spark 4.1's
+    # LimitPushDownThroughWindow RESCUES a filtered unpartitioned
+    # rank site (it inserts the limit below the window, compiling to
+    # TakeOrderedAndProject) — the verified pre-fix doc_rake plan was
+    # already rescued, and only no-filter ranks (vocab_zipf_fit) and
+    # partitionBy(lit(0)) windows (rec_coverage_gini) single-task-
+    # sort for real.  To measure the NAIVE cost the explicit re-plan
+    # insures against, the baseline disables the rescue rules; the
+    # plan is asserted to actually contain the bare window sort.
+    _EXCL = (
+        "org.apache.spark.sql.catalyst.optimizer.LimitPushDownThroughWindow,"
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
     )
-    t_cwin = round(time.time() - t0, 2)
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCL)
+    try:
+        t0 = time.time()
+        win_df = (
+            census.withColumn(
+                "rank",
+                F.row_number().over(
+                    _W.orderBy(F.col("score_q").desc(), F.col("phrase"))
+                ),
+            )
+            .filter(F.col("rank") <= 20)
+        )
+        win_rows = win_df.collect()
+        t_cwin = round(time.time() - t0, 2)
+        wplan = win_df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" not in wplan, (
+            "baseline got rescued — excludedRules did not take"
+        )
+    finally:
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
     assert sorted(
         (r["rank"], r["phrase"], r["score_q"]) for r in win_rows
     ) == sorted((r["rank"], r["phrase"], r["score_q"]) for r in top_rows)
