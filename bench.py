@@ -387,8 +387,10 @@ def main() -> None:
         # budget and silently degrading the trend line to single-sample
         # "mins" — min-of-2 is what keeps it reproducible, so the
         # second pass must survive; raised 340->560 in round 12 at 126
-        # queries: the cold pass measured 394 s)
-        if p > 0 and time.perf_counter() - t_start > 560:
+        # queries (cold pass 394 s) and 560->640 in round 13 at 143
+        # queries: +9 round-13 families, two of which (FS linkage,
+        # stream bottom-k) carry LSH/micro-batch machinery)
+        if p > 0 and time.perf_counter() - t_start > 640:
             break
         for name in BENCH_QUERIES:
             fn = qs[name]
@@ -404,7 +406,7 @@ def main() -> None:
     # micro-batch state-commit cost is the component observed to
     # swing up to 10x run-to-run on this box, so min-of-2 is not
     # enough to pin their floor.  Budget-guarded like pass 2.
-    if time.perf_counter() - t_start < 700:
+    if time.perf_counter() - t_start < 780:
         for name in BENCH_QUERIES:
             if not name.startswith("stream_") or len(samples.get(name, [])) < 2:
                 continue
