@@ -106,14 +106,31 @@ def _with_chunks(
     order_by: Sequence[tuple[str, str]],
     group_cols: Sequence[str],
     num_chunks: int | None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add the deterministic monotone chunk id (module docstring §1):
     cut points from a hash-sampled exact percentile of the leading
     order column, broadcast and applied as a comparison fold — a pure
-    function of the key, identical on every recomputation."""
+    function of the key, identical on every recomputation.
+
+    ``materialize`` (the r13 optimization-round change): the input is
+    ``localCheckpoint``-ed ONCE before the sample pass, because the
+    ranking machinery reads its input from THREE plan branches (cut
+    sample → percentile broadcast, the local-row-number window, the
+    per-chunk count aggregate) — without materialization every branch
+    recomputes the full upstream chain, and chained ``ranked()`` calls
+    (e.g. quality_filter_agreement's three ranks) compound that
+    re-execution geometrically.  Values are unaffected: ranks are a
+    pure function of the caller-guaranteed total order, and
+    ``running_totals`` requires order-independent (integral/DECIMAL)
+    value columns.  Pass ``materialize=False`` when the input is a
+    bare pushed-down scan cheaper to re-read than to spool (or is
+    already checkpointed by the caller)."""
     spark = df.sparkSession
     if num_chunks is None:
         num_chunks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if materialize:
+        df = df.localCheckpoint()
     lead, lead_dir = order_by[0]
     descending = lead_dir == "desc"
     v = F.col(lead).cast("double")
@@ -153,6 +170,7 @@ def ranked(
     rn_col: str = "rn",
     n_col: str = "n_rows",
     num_chunks: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact 1-based global (or per-group) ROW_NUMBER plus frame size.
 
@@ -165,7 +183,7 @@ def ranked(
     with no single-partition sort (see module docstring for the plan
     and the caller contract on order columns).
     """
-    withchunk = _with_chunks(df, order_by, group_cols, num_chunks)
+    withchunk = _with_chunks(df, order_by, group_cols, num_chunks, materialize)
     wloc = Window.partitionBy(*group_cols, _CHUNK).orderBy(
         *_sort_cols(order_by)
     )
@@ -200,6 +218,7 @@ def running_totals(
     group_cols: Sequence[str] = (),
     num_chunks: int | None = None,
     suffix: str = "_cum",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact INCLUSIVE running sums in a total order — the scalable
     form of ``SUM(v).over(Window.partitionBy(*group_cols)
@@ -216,7 +235,7 @@ def running_totals(
     discipline).  Value columns must be non-NULL (an all-NULL prefix
     is NULL under window semantics but 0 here).  Same caller contract
     as :func:`ranked` on the order columns."""
-    withchunk = _with_chunks(df, order_by, group_cols, num_chunks)
+    withchunk = _with_chunks(df, order_by, group_cols, num_chunks, materialize)
     wloc = (
         Window.partitionBy(*group_cols, _CHUNK)
         .orderBy(*_sort_cols(order_by))
@@ -279,6 +298,7 @@ def scalable_ntile(
     group_cols: Sequence[str] = (),
     out_col: str = "tile",
     num_chunks: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """``F.ntile(k).over(Window.partitionBy(*group_cols).orderBy(...))``
     with the parallel plan of :func:`ranked` — exact at every scale,
@@ -291,6 +311,7 @@ def scalable_ntile(
         rn_col=rn_col,
         n_col=n_col,
         num_chunks=num_chunks,
+        materialize=materialize,
     )
     return out.withColumn(
         out_col, ntile_from_rank(F.col(rn_col), F.col(n_col), k)

@@ -7437,12 +7437,12 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this Project into the JOIN condition, where ANSI mode may
     # evaluate the division before the tb > ta guard (measured:
     # DIVIDE_BY_ZERO at sf0.001 without the clamp).
-    # repartition + localCheckpoint: the nested-loop join inherits
-    # the day frame's SINGLE partition (its row_number window), so
-    # without the explicit spread every downstream pass — and
-    # ranked() reads this frame from four plan branches — hashes and
-    # folds all |days|²/2 pairs in ONE task (measured 41s at sf0.1;
-    # 7s spread + materialized once).
+    # repartition: the nested-loop join inherits the day frame's
+    # SINGLE partition (its row_number window), so without the
+    # explicit spread every downstream pass hashes and folds all
+    # |days|²/2 pairs in ONE task (measured 41s at sf0.1; 7s spread).
+    # Materialization is ranked()'s own localCheckpoint (r13: the
+    # machinery spools its input once for its three plan branches).
     pairs = (
         a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
         .select(
@@ -7457,7 +7457,6 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
     )
     r = ranked(
         pairs, [("slope", "asc"), ("pair_id", "asc")], rn_col="rn",
@@ -7587,24 +7586,37 @@ def item_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = e.select("u").distinct().withColumn("h", F.lit(1.0))
     a = None
+    # r13 optimization: checkpoint the JOIN+AGG result (ar/hr), not
+    # the normalized frame — the norm scalar and the normalized frame
+    # both read it, so checkpointing downstream of the division made
+    # every half-step execute its join+aggregate TWICE (once for the
+    # broadcast-norm job, once for the checkpoint job).  The division
+    # is a free projection over the checkpointed aggregate; lineage
+    # stays O(1) deep per round exactly as before.
     for it in range(_HITS_ITERS):
-        ar = e.join(h, "u").groupBy("i").agg(F.sum("h").alias("s"))
-        at = ar.agg(F.sum("s").alias("t"))
-        a = (
-            ar.crossJoin(F.broadcast(at))
-            .select("i", (F.col("s") / F.col("t")).alias("a"))
+        ar = (
+            e.join(h, "u")
+            .groupBy("i")
+            .agg(F.sum("h").alias("s"))
             .localCheckpoint()
+        )
+        at = ar.agg(F.sum("s").alias("t"))
+        a = ar.crossJoin(F.broadcast(at)).select(
+            "i", (F.col("s") / F.col("t")).alias("a")
         )
         # the last h half-step is never consumed (the output reads
         # a{N}) — skip its two jobs entirely, as the oracle does.
         if it == _HITS_ITERS - 1:
             break
-        hr = e.join(a, "i").groupBy("u").agg(F.sum("a").alias("s"))
-        ht = hr.agg(F.sum("s").alias("t"))
-        h = (
-            hr.crossJoin(F.broadcast(ht))
-            .select("u", (F.col("s") / F.col("t")).alias("h"))
+        hr = (
+            e.join(a, "i")
+            .groupBy("u")
+            .agg(F.sum("a").alias("s"))
             .localCheckpoint()
+        )
+        ht = hr.agg(F.sum("s").alias("t"))
+        h = hr.crossJoin(F.broadcast(ht)).select(
+            "u", (F.col("s") / F.col("t")).alias("h")
         )
     deg = e.groupBy("i").agg(F.count("*").cast("bigint").alias("in_degree"))
     return a.join(deg, "i").select(

@@ -36,6 +36,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,8 +149,60 @@ def windowed_features(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_state_confs(
+    spark: SparkSession, sf_dir: str, floor: int = 1
+) -> dict[str, str]:
+    """Scale-adaptive shuffle-partition count for a replayed file
+    stream (optimization guide §2.2/§2.4 applied to streaming state):
+    unlike batch shuffles, Structured Streaming state partitioning is
+    FIXED at query start and never AQE-coalesced, and every
+    micro-batch commits EVERY state-store instance — on this engine's
+    replay twins the per-instance commit is the dominant fixed cost,
+    not the data.  So size the count from the stream's staged input
+    bytes — one state-store instance per ``$SPARK_GRAFT_STREAM_STATE_MB``
+    (default 32 MB) of source — capped at the session's configured
+    shuffle width (the cluster-scale setting stays in charge at real
+    input sizes) and floored at ``floor`` (raise for compute-bound
+    stateful operators, e.g. stream-stream joins).  The rule is a
+    pure function of input size: ~20 MB of sf0.1 events yields 1
+    instance; a TB-scale replay saturates the configured width — no
+    local-only constant anywhere."""
+    src = _stream_source_dir(sf_dir)
+    size = sum(
+        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src)
+    )
+    per = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "32")) * (
+        1024 * 1024
+    )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(floor, min(cap, -(-size // per)))
+    return {"spark.sql.shuffle.partitions": str(n)}
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for a stream's lifetime, restoring the prior
+    values on exit (streaming knobs like shuffle partitions bind at
+    query start; the session's batch-side settings must not drift)."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def run_available_now(
-    result: DataFrame, name: str, confs: dict[str, str] | None = None
+    result: DataFrame,
+    name: str,
+    confs: dict[str, str] | None = None,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Execute a streaming frame to completion with availableNow into
     a memory sink; returns the sink table as a batch DataFrame.
@@ -161,15 +214,19 @@ def run_available_now(
     class.  Stateful queries with heavy per-instance commit cost
     (stream-stream joins keep 4 state stores per partition) pass a
     lower partition count + RocksDB here without disturbing the
-    session's batch-side settings."""
+    session's batch-side settings.
+
+    ``sf_dir`` (r13): when given, :func:`stream_state_confs` sizes the
+    stream's state partitioning from its staged input bytes; explicit
+    ``confs`` entries override the adaptive value."""
     spark = result.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{qname}")
-    saved: dict[str, str | None] = {}
-    for k, v in (confs or {}).items():
-        saved[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
+    merged: dict[str, str] = {}
+    if sf_dir is not None:
+        merged.update(stream_state_confs(spark, sf_dir))
+    merged.update(confs or {})
+    with scoped_confs(spark, merged):
         q = (
             result.writeStream.outputMode("append")
             .format("memory")
@@ -179,12 +236,6 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     # The memory sink holds the results; the per-run checkpoint has no
     # further use (query names are unique) — don't leak one dir per call.
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -216,7 +267,7 @@ def stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch aggregate restricted to watermark-finalized
     windows — stream/batch equivalence is the correctness claim."""
     result = windowed_features(streaming_events(spark, sf_dir))
-    return run_available_now(result, "stream_hourly_features")
+    return run_available_now(result, "stream_hourly_features", sf_dir=sf_dir)
 
 
 @register(
@@ -312,7 +363,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_available_now(sessions, "stream_session_windows")
+    return run_available_now(sessions, "stream_session_windows", sf_dir=sf_dir)
 
 
 @register(
@@ -337,7 +388,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return run_available_now(deduped, "stream_dedup")
+    return run_available_now(deduped, "stream_dedup", sf_dir=sf_dir)
 
 
 #: Drift-monitor binning: same decile/epsilon conventions as the
@@ -433,7 +484,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_cur"))
         .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
     )
-    cur = run_available_now(cur_stream, "stream_drift_monitor")
+    cur = run_available_now(cur_stream, "stream_drift_monitor", sf_dir=sf_dir)
     # Rename the grid axes: both grid and the probe side derive from
     # the same sink frame, and identical attribute ids in a self-join
     # are unresolvable.
@@ -615,14 +666,15 @@ def stream_online_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (online, ckpt):
         if os.path.isdir(d):
             shutil.rmtree(d)
-    q = (
-        result.writeStream.foreachBatch(online_upsert_sink(online))
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_confs(spark, stream_state_confs(spark, sf_dir)):
+        q = (
+            result.writeStream.foreachBatch(online_upsert_sink(online))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     snap_dir = resolve_online_snapshot(online)
     if snap_dir is None:
         # Nothing finalized (all events inside the watermark): an
@@ -673,7 +725,7 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    cur = run_available_now(counts, "stream_topk_heavy_hitters")
+    cur = run_available_now(counts, "stream_topk_heavy_hitters", sf_dir=sf_dir)
     wr = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         cur.withColumn("rnk", F.row_number().over(wr).cast("int"))
@@ -732,7 +784,7 @@ def stream_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_available_now(agg, "stream_sliding_features")
+    return run_available_now(agg, "stream_sliding_features", sf_dir=sf_dir)
 
 
 @register(
@@ -874,7 +926,7 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("success"),
         )
     )
-    return run_available_now(result, "stream_quality_monitor")
+    return run_available_now(result, "stream_quality_monitor", sf_dir=sf_dir)
 
 
 @register(
@@ -972,6 +1024,7 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_available_now(
         sketch.select(F.col("w.start").alias("window_start"), "register", "m_rho"),
         "stream_distinct_sketch",
+        sf_dir=sf_dir,
     )
     est = sink.groupBy("window_start").agg(
         F.count("*").alias("n_present"),
@@ -1066,7 +1119,7 @@ def stream_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = run_available_now(agg, "stream_event_type_share")
+    sink = run_available_now(agg, "stream_event_type_share", sf_dir=sf_dir)
     w_tot = Window.partitionBy("window_start")
     return sink.withColumn(
         "share",
@@ -1106,7 +1159,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(deduped, "stream_dedup_within_watermark")
+    return run_available_now(deduped, "stream_dedup_within_watermark", sf_dir=sf_dir)
 
 
 #: Quantiles tracked by the streaming histogram monitor (the
@@ -1199,7 +1252,7 @@ def stream_histogram_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "bin", "cnt")
     )
-    fin = run_available_now(fin_stream, "stream_histogram_quantile_monitor")
+    fin = run_available_now(fin_stream, "stream_histogram_quantile_monitor", sf_dir=sf_dir)
     wcum = Window.partitionBy("window_start").orderBy("bin")
     cum = fin.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
     tot = fin.groupBy("window_start").agg(F.sum("cnt").cast("bigint").alias("n"))
@@ -1308,7 +1361,7 @@ def stream_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("true_n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "true_n")
     )
-    fin = run_available_now(fin_stream, "stream_dp_histogram_release")
+    fin = run_available_now(fin_stream, "stream_dp_histogram_release", sf_dir=sf_dir)
     from ..functions import portable_hash64
 
     u = (
@@ -1500,7 +1553,7 @@ def stream_conformal_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataF
             "n_covered",
         )
     )
-    fin = run_available_now(fin_stream, "stream_conformal_coverage_monitor")
+    fin = run_available_now(fin_stream, "stream_conformal_coverage_monitor", sf_dir=sf_dir)
     cov = F.col("n_covered").cast("double") / F.col("n_scored")
     return fin.select(
         "window_start",
@@ -1620,7 +1673,7 @@ def stream_cusum_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "sc")
     )
-    fin = run_available_now(fin_stream, "stream_cusum_drift_monitor")
+    fin = run_available_now(fin_stream, "stream_cusum_drift_monitor", sf_dir=sf_dir)
     idx = fin.select(
         "*",
         F.row_number().over(Window.orderBy("window_start")).alias("t"),

@@ -38,7 +38,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..catalog import load_table
 from ..functions.scalar import MONEY, money
 from ..registry import register
-from .clickstream import WATERMARK, run_available_now, streaming_events
+from .clickstream import (
+    WATERMARK,
+    run_available_now,
+    scoped_confs,
+    stream_state_confs,
+    streaming_events,
+)
 
 
 @register(
@@ -67,7 +73,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left").select(
         F.col("c_mktsegment").alias("segment"), "value"
     )
-    out = run_available_now(enriched, "stream_static_enrichment")
+    out = run_available_now(enriched, "stream_static_enrichment", sf_dir=sf_dir)
     return out.groupBy("segment").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("sum_value"),
@@ -118,7 +124,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("user_id", "value")
-    out = run_available_now(pairs, "stream_stream_interval_join")
+    out = run_available_now(pairs, "stream_stream_interval_join", sf_dir=sf_dir)
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.round(F.sum("value"), 2).alias("joined_purchase_value"),
@@ -181,7 +187,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_available_now(snapshots, "stream_stateful_running_totals")
+    out = run_available_now(snapshots, "stream_stateful_running_totals", sf_dir=sf_dir)
     final = out.groupBy("user_id").agg(
         F.max("total_events").alias("total_events"),
         F.max_by("total_value", "total_events").alias("total_value"),
@@ -280,7 +286,7 @@ def stream_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
-    out = run_available_now(snapshots, "stream_tws_purchase_stats")
+    out = run_available_now(snapshots, "stream_tws_purchase_stats", sf_dir=sf_dir)
     final = out.groupBy("user_id").agg(
         F.max("n_purchases").alias("n_purchases"),
         F.max_by("max_value", "n_purchases").alias("mv"),
@@ -550,14 +556,15 @@ def stream_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     qname = f"stream_asof_enrichment_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{qname}")
-    q = (
-        ev.select("event_id", "user_id", "ts", "event_type")
-        .writeStream.foreachBatch(enrich)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_confs(spark, stream_state_confs(spark, sf_dir)):
+        q = (
+            ev.select("event_id", "user_id", "ts", "event_type")
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
 
@@ -678,7 +685,7 @@ def stream_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_available_now(snapshots, "stream_decay_features")
+    out = run_available_now(snapshots, "stream_decay_features", sf_dir=sf_dir)
     final = out.groupBy("user_id").agg(
         F.max("n").alias("n"),
         F.max_by("min_d", "n").alias("min_d"),
