@@ -7429,7 +7429,17 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("day")).alias("t"), "revc"
     )
     nd = idx.agg(F.count("*").cast("bigint").alias("n_days"))
-    a = idx.select(F.col("t").alias("ta"), F.col("revc").alias("ya"))
+    # Spread the LEFT side of the pair join BEFORE the nested-loop
+    # join (r13): the day frame exits its row_number window in ONE
+    # partition, so the join otherwise emits all |days|²/2 pairs from
+    # one task and the old post-join repartition then paid a full
+    # 2.9M-row shuffle just to undo that.  Spreading the 2.4k-row
+    # input instead parallelizes the pair GENERATION and the division
+    # across the cluster and removes the pair-sized exchange outright
+    # (guide §2.4).
+    a = idx.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("t").alias("ta"), F.col("revc").alias("ya")
+    )
     b = idx.select(F.col("t").alias("tb"), F.col("revc").alias("yb"))
     # greatest(dt, 1) is a no-op on every surviving pair (tb > ta ⇒
     # dt ≥ 1) but keeps the division total: ranked()'s hash-sample
@@ -7437,26 +7447,18 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this Project into the JOIN condition, where ANSI mode may
     # evaluate the division before the tb > ta guard (measured:
     # DIVIDE_BY_ZERO at sf0.001 without the clamp).
-    # repartition: the nested-loop join inherits the day frame's
-    # SINGLE partition (its row_number window), so without the
-    # explicit spread every downstream pass hashes and folds all
-    # |days|²/2 pairs in ONE task (measured 41s at sf0.1; 7s spread).
     # Materialization is ranked()'s own localCheckpoint (r13: the
     # machinery spools its input once for its three plan branches).
-    pairs = (
-        a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
-        .select(
-            (
-                (F.col("yb") - F.col("ya"))
-                / F.greatest(F.col("tb") - F.col("ta"), F.lit(1)).cast(
-                    "double"
-                )
-            ).alias("slope"),
-            (F.col("ta").cast("bigint") * 1000000 + F.col("tb")).alias(
-                "pair_id"
-            ),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+    pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
+        (
+            (F.col("yb") - F.col("ya"))
+            / F.greatest(F.col("tb") - F.col("ta"), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("slope"),
+        (F.col("ta").cast("bigint") * 1000000 + F.col("tb")).alias(
+            "pair_id"
+        ),
     )
     r = ranked(
         pairs, [("slope", "asc"), ("pair_id", "asc")], rn_col="rn",
@@ -7758,6 +7760,10 @@ def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("g1"),
         )
+        # r13 optimization: the filtered join feeds the observed-stat
+        # aggregate AND the xB explode branch; spool it once (exact
+        # integers — recomputation-identical).
+        .localCheckpoint()
     )
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     obs = base.agg(
@@ -8041,10 +8047,19 @@ def item_implicit_als_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             key, dec(v0).alias("v0q"), dec(v1).alias("v1q")
         )
 
-    vi = solve(r.join(uf, "u"), "i", "u0q", "u1q")
-    uf2 = solve(
-        r.join(vi, "i"), "u", "v0q", "v1q"
-    ).withColumnRenamed("v0q", "w0q").withColumnRenamed("v1q", "w1q")
+    # r13 optimization: checkpoint the factor frames — vi feeds THREE
+    # plan branches (the user half-step, both loss sums) and uf2 one
+    # more, so the lazy form re-ran the solve's join+aggregate three
+    # times per epoch.  The factors are (entity, 2 ints) frames; the
+    # exact-integer solve makes the spooled values bit-identical to
+    # any recomputation.
+    vi = solve(r.join(uf, "u"), "i", "u0q", "u1q").localCheckpoint()
+    uf2 = (
+        solve(r.join(vi, "i"), "u", "v0q", "v1q")
+        .withColumnRenamed("v0q", "w0q")
+        .withColumnRenamed("v1q", "w1q")
+        .localCheckpoint()
+    )
 
     one = F.lit(10**12).cast("decimal(38,0)")
 

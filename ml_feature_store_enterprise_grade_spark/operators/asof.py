@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, local_rows
 from ..registry import register
 from .feature_agg import HOURLY_FEATURES_SQL_CTE, hourly_features
 
@@ -202,8 +202,8 @@ def pit_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"))
         .crossJoin(
-            spark.createDataFrame(
-                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            local_rows(
+                spark, [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
             ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
         )
     )
@@ -254,8 +254,8 @@ def pit_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"))
         .crossJoin(
-            spark.createDataFrame(
-                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            local_rows(
+                spark, [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
             ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
         )
     )
@@ -436,8 +436,8 @@ def pit_multi_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"))
         .crossJoin(
-            spark.createDataFrame(
-                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            local_rows(
+                spark, [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
             ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
         )
     )
@@ -903,8 +903,8 @@ def pit_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"))
         .crossJoin(
-            spark.createDataFrame(
-                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            local_rows(
+                spark, [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
             ).select(F.col("lookup_ts").cast("timestamp").alias("lookup_ts"))
         )
     )
@@ -1251,8 +1251,8 @@ def label_horizon_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"))
         .crossJoin(
-            spark.createDataFrame(
-                [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
+            local_rows(
+                spark, [(t,) for t in PIT_LOOKUP_TIMES], "lookup_ts string"
             )
         )
     )

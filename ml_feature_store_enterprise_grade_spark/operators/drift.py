@@ -52,8 +52,15 @@ def ks_2samp(
     s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
         F.col(value_col).alias("x"), sample_col.alias("is1")
     )
-    per_x = s.groupBy("x").agg(
-        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    per_x = (
+        s.groupBy("x")
+        .agg(F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2"))
+        # r13 optimization: the distinct-value counts feed THREE
+        # consumers (the min/max bounds job, the per-bucket offsets,
+        # the within-bucket cumsum) — spool once instead of
+        # re-scanning and re-shuffling the input per branch.  Exact
+        # integer counts: recomputation-identical.
+        .localCheckpoint()
     )
     # Distributed prefix sum over x (two-pass, exact, no global
     # single-partition sort):
@@ -104,7 +111,13 @@ def ks_2samp(
             (F.col("o2") + F.sum("c2").over(w_in)).alias("r2"),
         )
     )
-    out = _ks_finalize(cum)
+    # totals from the checkpointed counts (Σ c == max running sum,
+    # same exact integers) — avoids re-executing the cumsum window
+    # for _ks_finalize's broadcast build.
+    totals = per_x.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    out = _ks_finalize(cum, totals)
     if min_samples is not None:
         small = (F.col("n1") < min_samples) | (F.col("n2") < min_samples)
         out = out.select(
@@ -117,8 +130,9 @@ def ks_2samp(
     return out
 
 
-def _ks_finalize(cum: DataFrame) -> DataFrame:
-    totals = cum.agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
+def _ks_finalize(cum: DataFrame, totals: DataFrame | None = None) -> DataFrame:
+    if totals is None:
+        totals = cum.agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
     d = (
         cum.crossJoin(F.broadcast(totals))
         .agg(
@@ -167,8 +181,12 @@ def ks_2samp_keyed(
     s = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
         F.col(key_col).alias("feature"), F.col(value_col).alias("x"), sample_col.alias("is1")
     )
-    per_x = s.groupBy("feature", "x").agg(
-        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    per_x = (
+        s.groupBy("feature", "x")
+        .agg(F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2"))
+        # r13 optimization: feeds both the cumsum window and the
+        # per-feature totals — spool once (exact integer counts).
+        .localCheckpoint()
     )
     w = (
         Window.partitionBy("feature")
@@ -180,7 +198,12 @@ def ks_2samp_keyed(
         F.sum("c1").over(w).alias("r1"),
         F.sum("c2").over(w).alias("r2"),
     )
-    totals = cum.groupBy("feature").agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
+    # totals from the checkpointed counts directly (Σ c == max running
+    # sum, same exact integers) — the previous max-over-cumsum form
+    # re-executed the window a second time for the broadcast build.
+    totals = per_x.groupBy("feature").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
     d = (
         cum.join(F.broadcast(totals), "feature")
         .groupBy("feature")
@@ -1240,8 +1263,12 @@ def order_value_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is1"),
     )
-    per_x = s.groupBy("feature", "x").agg(
-        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    per_x = (
+        s.groupBy("feature", "x")
+        .agg(F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2"))
+        # r13 optimization: feeds the bounds job, the bucket offsets
+        # and the within-bucket cumsum — spool once (exact integers).
+        .localCheckpoint()
     )
     bounds = per_x.groupBy("feature").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
@@ -1284,8 +1311,11 @@ def order_value_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o1") + F.sum("c1").over(w_in)).alias("r1"),
         (F.col("o2") + F.sum("c2").over(w_in)).alias("r2"),
     )
-    totals = cum.groupBy("feature").agg(
-        F.max("r1").alias("n1"), F.max("r2").alias("n2")
+    # totals directly from the checkpointed counts (Σ c == max running
+    # sum, same exact integers) — avoids re-executing the cumsum
+    # window for the broadcast build.
+    totals = per_x.groupBy("feature").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
     d = (
         cum.join(F.broadcast(totals), "feature")

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import cached_count, load_table, spread
+from ..catalog import cached_count, load_table, local_rows, spread
 from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 from .text import _BM25_SCORED_SQL_CTES  # no cycle: text does not import similarity
@@ -854,7 +854,8 @@ def ivf_codebook(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
             if len(members):
                 cents[i] = members.mean(axis=0)
     spark = emb.sparkSession
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(i, [float(v) for v in cents[i]]) for i in range(k_eff)],
         "cell int, centroid array<double>",
     )
@@ -2574,8 +2575,8 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p, round(v[p] / _math.sqrt(vv), 6), round(explained, 6))
         for p in range(d)
     ]
-    return spark.createDataFrame(
-        out, "pos int, loading double, explained_share double"
+    return local_rows(
+        spark, out, "pos int, loading double, explained_share double"
     )
 
 

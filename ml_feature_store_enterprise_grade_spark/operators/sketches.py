@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, local_rows
 from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 
@@ -452,7 +452,7 @@ def hist_quantiles(
     cum = merged.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
     tot = merged.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
 
-    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    qdf = local_rows(spark, [(q,) for q in qs], "q double")
     tgt = tot.crossJoin(F.broadcast(qdf)).withColumn(
         "target", F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
     )

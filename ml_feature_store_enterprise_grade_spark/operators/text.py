@@ -3025,11 +3025,14 @@ def _unigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single IEEE divides of these integers, so memoization cannot
     change any consumer's bits (same integers in, same ops out).
 
-    Scale shape: two hash aggregates (per-doc term counts collapse
-    occurrences BEFORE the vocab join; vocabulary census is
-    vocab-bounded) plus one broadcast join — each scans the corpus
-    once; the checkpoint makes it once per SESSION across all four
-    consumers."""
+    Scale shape (r13 optimization): the corpus is tokenized ONCE —
+    the per-doc term-count frame is checkpointed and the vocabulary
+    census, its total and the contribution table all re-aggregate
+    THAT frame (vocab n = Σ per-doc cnt, the identical integer), so
+    the expensive explode+normalize pass runs once per session
+    instead of once per plan branch (the previous shape re-tokenized
+    for the vocab census, the total scalar and the broadcast build —
+    three corpus passes inside one census build)."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _UNIGRAM_CENSUS_CACHE.get(key)
     if hit is not None:
@@ -3041,10 +3044,12 @@ def _unigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(_tokens(F.col("text"))).alias("tok"),
     )
-    dtc = toks.groupBy("doc_id", "lang", "n_chars", "tok").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    dtc = (
+        toks.groupBy("doc_id", "lang", "n_chars", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    vocab = dtc.groupBy("tok").agg(F.sum("cnt").cast("bigint").alias("n"))
     total = float(vocab.agg(F.sum("n")).first()[0])
     contrib = vocab.select(
         "tok",

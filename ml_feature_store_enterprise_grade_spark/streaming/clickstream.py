@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..catalog import load_table, normalize_ts
+from ..catalog import load_table, local_rows, normalize_ts
 from ..functions import PORTABLE_HASH64_SQL
 from ..operators.sketches import _HLL_ALPHA, _HLL_IDX_BITS, _HLL_M, _HLL_RHO_BITS, _HLL_SEED
 from ..snapshots import (
@@ -150,7 +150,7 @@ def windowed_features(events: DataFrame) -> DataFrame:
 
 
 def stream_state_confs(
-    spark: SparkSession, sf_dir: str, floor: int = 1
+    spark: SparkSession, sf_dir: str, floor: int | None = None
 ) -> dict[str, str]:
     """Scale-adaptive shuffle-partition count for a replayed file
     stream (optimization guide §2.2/§2.4 applied to streaming state):
@@ -175,8 +175,33 @@ def stream_state_confs(
         1024 * 1024
     )
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    env_floor = os.environ.get("SPARK_GRAFT_STREAM_STATE_FLOOR")
+    if floor is None and env_floor is not None:
+        floor = int(env_floor)
+    if floor is None:
+        # Default: purely state-sized.  Light windowed monitors (the
+        # common case here) are commit-bound, not compute-bound —
+        # measured at sf0.1 (warmed, min-of-2): quality 2.17→1.00 s,
+        # topk 2.37→1.18 s, dp 2.00→1.11 s, cusum 2.79→1.68 s.
+        # Sites whose PER-BATCH compute scales with data (window
+        # explosion, per-key Python state) pass compute_floor()
+        # explicitly — floor 1 measured stream_sliding_features
+        # 4.3 s → 8.4 s, so the floor is a per-operator property,
+        # not a global constant.
+        floor = 1
     n = max(floor, min(cap, -(-size // per)))
     return {"spark.sql.shuffle.partitions": str(n)}
+
+
+def compute_floor(spark: SparkSession) -> int:
+    """Width-relative state-partition floor for streams whose
+    per-batch COMPUTE is data-proportional (window-exploding
+    aggregates, ``applyInPandasWithState`` per-key Python work): a
+    quarter of the session's compute width keeps the post-shuffle
+    per-batch work parallel (streaming plans never AQE-coalesce)
+    while still cutting idle state-store instances at small inputs.
+    Scales with the session, never a local constant."""
+    return max(1, spark.sparkContext.defaultParallelism // 4)
 
 
 @contextmanager
@@ -784,7 +809,14 @@ def stream_sliding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_available_now(agg, "stream_sliding_features", sf_dir=sf_dir)
+    return run_available_now(
+        agg,
+        "stream_sliding_features",
+        # sliding windows replicate every event into 6 open windows —
+        # per-batch compute scales with data, so keep the aggregate
+        # wide (see compute_floor; floor 1 measured 4.3 s → 8.4 s).
+        confs=stream_state_confs(spark, sf_dir, floor=compute_floor(spark)),
+    )
 
 
 @register(
@@ -1256,7 +1288,7 @@ def stream_histogram_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataF
     wcum = Window.partitionBy("window_start").orderBy("bin")
     cum = fin.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint"))
     tot = fin.groupBy("window_start").agg(F.sum("cnt").cast("bigint").alias("n"))
-    qdf = spark.createDataFrame([(q,) for q in _SQM_QS], "q double")
+    qdf = local_rows(spark, [(q,) for q in _SQM_QS], "q double")
     tgt = tot.crossJoin(F.broadcast(qdf)).withColumn(
         "target", F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
     )
@@ -1783,7 +1815,7 @@ def _bottomk_merge_processor(state_path: str, k: int):
         )
         rows = keep.collect()  # bounded: <= k * |event types|
         (
-            spark.createDataFrame(rows, schema=keep.schema)
+            local_rows(spark, rows, keep.schema)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(state_path)
@@ -1852,15 +1884,16 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                _bottomk_merge_processor(state, _SBK_K)
+        with scoped_confs(spark, stream_state_confs(spark, sf_dir)):
+            q = (
+                stream.writeStream.foreachBatch(
+                    _bottomk_merge_processor(state, _SBK_K)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         final = spark.read.parquet(state)
         w = Window.partitionBy("event_type").orderBy("h", "event_id")
         out = (
@@ -1870,7 +1903,7 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the temp state dir is torn down
         rows = out.collect()  # bounded: <= k * |event types|
-        return spark.createDataFrame(rows, schema=out.schema)
+        return local_rows(spark, rows, out.schema)
     finally:
         for d in (src, ckpt, state):
             shutil.rmtree(d, ignore_errors=True)

@@ -40,6 +40,7 @@ from ..functions.scalar import MONEY, money
 from ..registry import register
 from .clickstream import (
     WATERMARK,
+    compute_floor,
     run_available_now,
     scoped_confs,
     stream_state_confs,
@@ -187,7 +188,13 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_available_now(snapshots, "stream_stateful_running_totals", sf_dir=sf_dir)
+    out = run_available_now(
+        snapshots,
+        "stream_stateful_running_totals",
+        # per-key Python state processing: per-batch compute scales
+        # with data, keep the stateful shuffle wide (compute_floor).
+        confs=stream_state_confs(spark, sf_dir, floor=compute_floor(spark)),
+    )
     final = out.groupBy("user_id").agg(
         F.max("total_events").alias("total_events"),
         F.max_by("total_value", "total_events").alias("total_value"),
@@ -286,7 +293,13 @@ def stream_tws_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
-    out = run_available_now(snapshots, "stream_tws_purchase_stats", sf_dir=sf_dir)
+    out = run_available_now(
+        snapshots,
+        "stream_tws_purchase_stats",
+        # per-key Python state processing: per-batch compute scales
+        # with data, keep the stateful shuffle wide (compute_floor).
+        confs=stream_state_confs(spark, sf_dir, floor=compute_floor(spark)),
+    )
     final = out.groupBy("user_id").agg(
         F.max("n_purchases").alias("n_purchases"),
         F.max_by("max_value", "n_purchases").alias("mv"),
@@ -685,7 +698,13 @@ def stream_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_available_now(snapshots, "stream_decay_features", sf_dir=sf_dir)
+    out = run_available_now(
+        snapshots,
+        "stream_decay_features",
+        # per-key Python state processing: per-batch compute scales
+        # with data, keep the stateful shuffle wide (compute_floor).
+        confs=stream_state_confs(spark, sf_dir, floor=compute_floor(spark)),
+    )
     final = out.groupBy("user_id").agg(
         F.max("n").alias("n"),
         F.max_by("min_d", "n").alias("min_d"),
