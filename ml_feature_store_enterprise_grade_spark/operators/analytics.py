@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions import PORTABLE_HASH64_SQL, money, portable_hash64
 from ..functions.ranking import (
     ntile_from_rank,
@@ -6744,7 +6744,14 @@ def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
     )
-    sd = o.select(
+    # r13 optimization: the orders scan is ONE partition at bench
+    # scale (a <128 MB parquet file), and without a shuffle below it
+    # the seed hash + xB explode + partial aggregation all ran in a
+    # single task (measured: the whole 15M-row explode single-
+    # threaded).  spread() parallelizes the replicate pipeline and is
+    # a no-op at 100 TB where the scan already has >= cluster-width
+    # partitions (guide §2.5 input skew / §1.2 step 1).
+    sd = spread(o).select(
         "vq",
         (
             portable_hash64(
@@ -7760,11 +7767,14 @@ def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("g1"),
         )
-        # r13 optimization: the filtered join feeds the observed-stat
-        # aggregate AND the xB explode branch; spool it once (exact
-        # integers — recomputation-identical).
-        .localCheckpoint()
     )
+    # r13 optimization: the filtered join feeds the observed-stat
+    # aggregate AND the xB explode branch — spread then spool once
+    # (exact integers — recomputation-identical).  spread() first:
+    # the orders scan is one partition at bench scale and the
+    # checkpoint preserves partitioning, so unspread the xB explode
+    # below ran single-task (no-op at 100 TB scan widths).
+    base = spread(base).localCheckpoint()
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     obs = base.agg(
         F.sum("g1").cast("bigint").alias("n1"),

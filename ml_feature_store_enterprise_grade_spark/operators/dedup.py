@@ -2906,7 +2906,11 @@ def minhash_jaccard_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     report, safe to compute on a 100 TB corpus sample or whole."""
     sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
     sh.count()
-    sig = minhash_signatures(sh)
+    # r13 optimization: cache like every sibling consumer — sig feeds
+    # the band self-join and further signature branches; uncached, the
+    # groupBy + 8 Kirsch-Mitzenmacher min-slots over the shingle frame
+    # re-ran per branch.
+    sig = minhash_signatures(sh).cache()
     cand = _lsh_candidate_pairs(sig)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -3092,7 +3096,11 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
     sh.count()
-    sig = minhash_signatures(sh)
+    # r13 optimization: cache like every sibling consumer — sig feeds
+    # the band self-join and further signature branches; uncached, the
+    # groupBy + 8 Kirsch-Mitzenmacher min-slots over the shingle frame
+    # re-ran per branch.
+    sig = minhash_signatures(sh).cache()
     cand = _lsh_candidate_pairs(sig)
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
