@@ -3427,7 +3427,14 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     )
-    pf = rk.filter(F.col("r") <= plen).select("doc_id", "shingle")
+    # r13 optimization: the prefix frame feeds BOTH sides of the
+    # candidate self-join — without spooling, the df-order window over
+    # the full shingle frame executed twice (once per alias).
+    pf = (
+        rk.filter(F.col("r") <= plen)
+        .select("doc_id", "shingle")
+        .localCheckpoint()
+    )
     a, b = pf.alias("a"), pf.alias("b")
     cand = (
         a.join(

@@ -1534,6 +1534,10 @@ def stream_conformal_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataF
             "event_type",
             ((s - F.pmod(s, n)) / n).cast("bigint").alias("pred"),
         )
+        # r13 optimization: the |types|-row model feeds the residual
+        # frame AND the broadcast model join — spool once instead of
+        # re-scanning+hashing the calibration split per branch.
+        .localCheckpoint()
     )
     res = cal.join(F.broadcast(tr), "event_type").select(
         "event_type", F.abs(F.col("vc") - F.col("pred")).alias("r")
