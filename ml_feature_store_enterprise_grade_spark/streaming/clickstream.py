@@ -1875,13 +1875,32 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten."""
     ensure_engine_confs(spark)
     run_id = uuid.uuid4().hex[:8]
-    src = os.path.join(tempfile.gettempdir(), f"sbk_src_{run_id}")
     state = os.path.join(tempfile.gettempdir(), f"sbk_state_{run_id}")
     ckpt = os.path.join(tempfile.gettempdir(), f"sbk_ckpt_{run_id}")
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type"
-    )
-    events.repartition(_SBK_SOURCE_FILES).write.mode("overwrite").parquet(src)
+    # Staged N-file replay source, memoized per (sf_dir, source
+    # size/mtime) exactly like _stream_source_dir's shared copy (r13
+    # optimization): the resharded source is a pure function of the
+    # events table, so repeated invocations replay the same files
+    # instead of re-staging ~full-table bytes per run; a marker file
+    # records the source identity so regenerated testdata re-stages.
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"sbk_src_{tag}")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    ident = f"{st.st_size}:{st.st_mtime_ns}:{_SBK_SOURCE_FILES}"
+    marker = os.path.join(src, "_STAGED_FROM")
+    try:
+        stale = open(marker).read() != ident
+    except OSError:
+        stale = True
+    if stale:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        events.repartition(_SBK_SOURCE_FILES).write.mode(
+            "overwrite"
+        ).parquet(src)
+        with open(marker, "w") as fh:
+            fh.write(ident)
     try:
         stream = (
             spark.readStream.schema("event_id bigint, event_type string")
@@ -1909,5 +1928,7 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # bounded: <= k * |event types|
         return local_rows(spark, rows, out.schema)
     finally:
-        for d in (src, ckpt, state):
+        # src is the memoized shared staging dir — kept, like the
+        # _stream_source_dir copy; only per-run state/ckpt are torn down.
+        for d in (ckpt, state):
             shutil.rmtree(d, ignore_errors=True)
