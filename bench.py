@@ -16,6 +16,15 @@ millisecond vectors; VERDICT r9 item 5):
               query names>,"v":[...]} — per-query MIN wall-clock in
               integer ms, one entry per BENCH_QUERIES in order.
     line n-1: {"d":"median_ms","h":...,"v":[...]} — same for medians.
+
+              DECODING (for a reader with only the stdout tail):
+              v[i] belongs to the i-th name in the committed
+              BENCH_DETAIL.json's "queries" map (its insertion order
+              IS BENCH_QUERIES order); verify the pairing with
+              hashlib.sha256(",".join(names).encode()).hexdigest()[:8]
+              == h.  These two lines are emitted IMMEDIATELY before
+              the final metric line so all three always survive the
+              ~2000-byte tail together (VERDICT r13 item 7).
     line n:   {"metric": ..., "value": <total sec>, "unit": "sec",
                "n_queries": N, "passes_completed": P, "sf": ...,
                "calibration_batch_sec": B, "calibration_stream_sec": S}

@@ -28,6 +28,7 @@ from ..functions import PORTABLE_HASH64_SQL, money, portable_hash64
 from ..functions.ranking import (
     ntile_from_rank,
     ranked,
+    ranked_select,
     running_totals,
     scalable_ntile,
 )
@@ -6907,7 +6908,26 @@ def order_value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("o_totalprice").cast("decimal(12,2)").alias("v"), "o_orderkey"
     )
-    r = ranked(o, [("v", "asc"), ("o_orderkey", "asc")])
+
+    def _rank_exprs(n):
+        nd = n.cast("double")
+        lo = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((nd - _MED_CI_Z * F.sqrt(nd)) / 2).cast("bigint"),
+        )
+        hi = F.least(
+            n,
+            F.ceil((nd + _MED_CI_Z * F.sqrt(nd)) / 2).cast("bigint") + 1,
+        )
+        m_lo = (((n + 1) - (n + 1) % 2) / 2).cast("bigint")
+        m_hi = (((n + 2) - (n + 2) % 2) / 2).cast("bigint")
+        return F.array(m_lo, m_hi, lo, hi)
+
+    # r14 optimization: the consumer keeps only FOUR order statistics,
+    # so route through ranked_select — the chunk-count pass locates
+    # the target ranks and only the chunks containing them are sorted
+    # (bit-identical rows to ranked()+filter; see ranking.py).
+    r = ranked_select(o, [("v", "asc"), ("o_orderkey", "asc")], _rank_exprs)
     n = F.col("n_rows")
     nd = n.cast("double")
     lo_rank = F.greatest(
@@ -7065,12 +7085,18 @@ def order_value_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(tr), "prio")
         .select("prio", F.abs(F.col("vc") - F.col("pred")).alias("r"))
     )
-    cal_ranked = ranked(
-        cal, [("r", "asc")], group_cols=["prio"], n_col="n_cal"
-    )
-    qh = cal_ranked.filter(
-        F.col("rn")
-        == F.ceil((F.col("n_cal") + 1) * (1 - _CONF_ALPHA)).cast("bigint")
+    # r14 optimization: only ONE order statistic per prio group is
+    # consumed (the conformal quantile rank) — ranked_select sorts
+    # just the chunk containing it per group (bit-identical row to
+    # ranked()+filter).
+    qh = ranked_select(
+        cal,
+        [("r", "asc")],
+        lambda n: F.array(
+            F.ceil((n + 1) * (1 - _CONF_ALPHA)).cast("bigint")
+        ),
+        group_cols=["prio"],
+        n_col="n_cal",
     ).select("prio", F.col("r").alias("qhat"), "n_cal")
     test = (
         o.filter(F.col("b") >= _CONF_CAL_END)
@@ -7435,7 +7461,12 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.select(
         F.row_number().over(Window.orderBy("day")).alias("t"), "revc"
     )
-    nd = idx.agg(F.count("*").cast("bigint").alias("n_days"))
+    # 1-row scalar, referenced twice since r14 (ranked_select's CI
+    # rank formula + the final aggregate) — spool so the day-frame
+    # aggregate runs once (the bpe argmax 1-row checkpoint pattern).
+    nd = idx.agg(
+        F.count("*").cast("bigint").alias("n_days")
+    ).localCheckpoint()
     # Spread the LEFT side of the pair join BEFORE the nested-loop
     # join (r13): the day frame exits its row_number window in ONE
     # partition, so the join otherwise emits all |days|²/2 pairs from
@@ -7467,15 +7498,38 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_id"
         ),
     )
-    r = ranked(
-        pairs, [("slope", "asc"), ("pair_id", "asc")], rn_col="rn",
-        n_col="np",
-    )
     c = F.lit(_TS_Z) * F.sqrt(
         F.col("n_days")
         * (F.col("n_days") - F.lit(1.0))
         * (F.lit(2.0) * F.col("n_days") + F.lit(5.0))
         / F.lit(18.0)
+    )
+
+    def _rank_exprs(np_):
+        k_lo = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((np_ - c) / 2).cast("bigint"),
+        )
+        k_hi = F.least(np_, F.ceil((np_ + c) / 2).cast("bigint") + 1)
+        return F.array(
+            F.expr("(np + 1) div 2"),
+            F.expr("np div 2 + 1"),
+            k_lo,
+            k_hi,
+        )
+
+    # r14 optimization: only the median pair and Sen's two CI ranks
+    # are consumed — ranked_select sorts just the chunks holding
+    # those ranks instead of ranking all |days|²/2 slopes (the CI
+    # rank formula needs n_days, passed via ``extra``); rows are
+    # bit-identical to ranked()+filter.
+    r = ranked_select(
+        pairs,
+        [("slope", "asc"), ("pair_id", "asc")],
+        _rank_exprs,
+        rn_col="rn",
+        n_col="np",
+        extra=nd,
     )
     k_lo = F.greatest(
         F.lit(1).cast("bigint"),
@@ -8073,24 +8127,51 @@ def item_implicit_als_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     one = F.lit(10**12).cast("decimal(38,0)")
 
-    def loss(f, c0, c1):
-        e = one - (F.col(c0) * F.col("v0q") + F.col(c1) * F.col("v1q"))
-        return f.agg(
+    # r14 optimization: the two loss sums ran as TWO separate
+    # join+aggregate passes over the interaction frame (after_item
+    # with the init factors, after_epoch with the updated ones).
+    # Both factor frames are (entity, 2 ints) — join them BOTH onto
+    # the checkpointed interactions once and fold both squared-error
+    # sums in a single aggregate.  The sums are exact DECIMAL(38,0)
+    # integers (order-free), so the fused pass is value-identical;
+    # the two report rows are then unpacked from the 1-row aggregate
+    # via a bounded explode.
+    e1 = one - (F.col("u0q") * F.col("v0q") + F.col("u1q") * F.col("v1q"))
+    e2 = one - (F.col("w0q") * F.col("v0q") + F.col("w1q") * F.col("v1q"))
+    both = (
+        r.join(uf, "u")
+        .join(uf2, "u")
+        .join(vi, "i")
+        .agg(
             F.count("*").cast("bigint").alias("n_interactions"),
-            F.sum(e * e).alias("sse"),
+            F.sum(e1 * e1).alias("sse1"),
+            F.sum(e2 * e2).alias("sse2"),
         )
-
-    l1 = loss(r.join(uf, "u").join(vi, "i"), "u0q", "u1q").withColumn(
-        "stage", F.lit("after_item_step")
     )
-    l2 = loss(r.join(uf2, "u").join(vi, "i"), "w0q", "w1q").withColumn(
-        "stage", F.lit("after_epoch")
+    stages = both.select(
+        "n_interactions",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("after_item_step").alias("stage"),
+                    F.col("sse1").alias("sse"),
+                ),
+                F.struct(
+                    F.lit("after_epoch").alias("stage"),
+                    F.col("sse2").alias("sse"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.stage").alias("stage"),
+        "n_interactions",
+        F.col("s.sse").alias("sse"),
     )
     dims = r.agg(
         F.countDistinct("u").cast("bigint").alias("n_users"),
         F.countDistinct("i").cast("bigint").alias("n_items"),
     )
-    out = l1.unionByName(l2).crossJoin(F.broadcast(dims))
+    out = stages.crossJoin(F.broadcast(dims))
     return out.select(
         "stage",
         "n_users",
@@ -8196,8 +8277,14 @@ def item_cobuy_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cnt = basket.groupBy("item_id").agg(
-        F.count("*").cast("bigint").alias("n")
+    # r14 (mechanism-2 spool): the per-item basket counts join BOTH
+    # sides of the symmetric neighbor frame — unspooled, the lineitem
+    # scan + basket distinct + aggregate executed twice.  Slim
+    # (item, bigint) frame; exact integers.
+    cnt = (
+        basket.groupBy("item_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
     )
     census = cobuy_pair_census(spark, sf_dir).filter(
         F.col("n_ab") >= _IJ_MIN_SUPPORT

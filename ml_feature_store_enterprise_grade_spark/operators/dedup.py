@@ -2327,7 +2327,10 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.count()
     sig = minhash_signatures(sh).cache()
     sig.count()
-    cand = _lsh_candidate_pairs(sig)
+    # r14: spooled — the candidate pair frame feeds BOTH the
+    # signature-agreement join and the exact-verify join (the band
+    # self-join otherwise executed twice per run).
+    cand = _lsh_candidate_pairs(sig).localCheckpoint()
     x = sig.select(
         [F.col("doc_id").alias("doc_a")]
         + [F.col(f"sig_{j}").alias(f"xa_{j}") for j in range(_MINHASH_K)]
@@ -2900,10 +2903,12 @@ def minhash_jaccard_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-safe.
 
     Scale shape: candidates come from the banded equi-join (never
-    all-pairs); the exact-Jaccard side reuses the rare-shingle
-    self-join (frequent-shingle cap bounds fan-out); output is ≤10
-    rows at ANY corpus size — the audit is a bounded-size calibration
-    report, safe to compute on a 100 TB corpus sample or whole."""
+    all-pairs); the exact-Jaccard side verifies shingles against the
+    CANDIDATE pair list only (cost ∝ |candidates| × shingles/doc —
+    r14; the audit never pays the full shared-shingle self-join);
+    output is ≤10 rows at ANY corpus size — the audit is a
+    bounded-size calibration report, safe to compute on a 100 TB
+    corpus sample or whole."""
     sh = _frequent_shingle_filter(_shingles(_normalized_docs(spark, sf_dir))).cache()
     sh.count()
     # r13 optimization: cache like every sibling consumer — sig feeds
@@ -2911,17 +2916,24 @@ def minhash_jaccard_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy + 8 Kirsch-Mitzenmacher min-slots over the shingle frame
     # re-ran per branch.
     sig = minhash_signatures(sh).cache()
-    cand = _lsh_candidate_pairs(sig)
+    # r14: spooled — the candidate pair frame feeds BOTH the
+    # signature-agreement join and the exact-verify join below.
+    cand = _lsh_candidate_pairs(sig).localCheckpoint()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # r14: the exact-overlap count is only CONSUMED for candidate
+    # pairs (left-joined onto cand), so verify against the candidate
+    # list instead of the full rare-shingle self-join — cost drops
+    # from all-pairs-sharing-a-shingle to |candidates| × shingles/doc
+    # (the lsh_tuning_report verify shape).  A candidate pair with no
+    # shared shingle now counts 0 instead of being absent; the
+    # consumer's coalesce(n_common, 0) maps both to the same value.
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     com = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"], "left")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(shb["doc_b"]).alias("n_common"))
     )
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -3114,13 +3126,24 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"xs_{j}") == F.col(f"ys_{j}"), 1).otherwise(0)
         for j in range(_MINHASH_K)
     )
+    # r14 (mechanism-2 spool): each of the three member pair frames is
+    # referenced TWICE — once in the union that builds the key set and
+    # once in its membership left-join — so unspooled, each candidate
+    # pipeline (band join / simhash banding / exact shingle self-join)
+    # executed twice per run.  All three are slim (doc_a, doc_b) pair
+    # frames with exact integer keys.
     mh = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .filter(agree / _MINHASH_K >= _EST_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
-    sp = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sp = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     ex = (
@@ -3139,6 +3162,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _JACCARD_THRESHOLD
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     keys = mh.unionByName(sp).unionByName(ex).distinct()
     flags = (
@@ -3151,19 +3175,25 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
         )
     )
-    t = flags.agg(F.count("*").alias("total"))
+    # r14: the total is Σ n_pairs over the ≤8-row membership-class
+    # table (identical exact integer to COUNT(*) over flags) — the old
+    # separate count branch re-executed the whole flags chain a second
+    # time.  The window runs over the bounded 7-class frame, never
+    # the data (partitionBy(lit(0)) silences the no-partition warning,
+    # the _KS_BUCKETS offset-window idiom).
+    w_tot = Window.partitionBy(F.lit(0))
     return (
         flags.groupBy("in_minhash", "in_simhash", "in_exact")
         .agg(F.count("*").alias("n_pairs"))
-        .crossJoin(F.broadcast(t))
         .select(
             "in_minhash",
             "in_simhash",
             "in_exact",
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
-            F.round(F.col("n_pairs").cast("double") / F.col("total"), 6).alias(
-                "pair_share"
-            ),
+            F.round(
+                F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_tot),
+                6,
+            ).alias("pair_share"),
         )
     )
 
@@ -3630,7 +3660,16 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; the report is 3 rows."""
     docs = load_table(spark, sf_dir, "documents")
     meta = docs.select("doc_id", "lang", "source", "n_chars")
-    mp = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # r14 (mechanism-2 spool): the LSH-confirmed match pair table
+    # feeds TWO plan branches — the m-agreement join+aggregate and the
+    # anti-join that cleans the non-match sample — so without the
+    # spool the whole banded-LSH pipeline executed twice per run.
+    # Slim (doc_a, doc_b) pairs; exact keys, recomputation-identical.
+    mp = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     xa = meta.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),

@@ -36,6 +36,12 @@ from ..functions import PORTABLE_HASH64_SQL, portable_hash64
 from ..registry import register
 from .text import _BM25_SCORED_SQL_CTES  # no cycle: text does not import similarity
 
+#: spread() quantum for embedding frames (r14): 64 packed doubles per
+#: row feed d-length similarity folds, so per-byte compute is ~50×
+#: the text default — 16 KB/task keeps a 32-core box busy on sub-MB
+#: vector slices and is inert at any real corpus size.
+_EMB_TASK_BYTES = 16384
+
 _TOPK = 5
 _N_QUERIES = 50
 #: The synthetic corpus has no planted near-identical vectors (max
@@ -98,7 +104,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus.  The query block is broadcast; ranking is on the
     6-dp-rounded similarity with neighbor_id tiebreak so Spark and
     DuckDB order identically."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -169,7 +175,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     With a :class:`VectorIndex`, the same predicate would prune to
     label-and-cell partitions — this operator is the exact
     baseline that variant is measured against."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("label"),
@@ -256,7 +262,7 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤L² hash aggregate.  Ranking uses the 6-dp-rounded similarity
     with label tiebreak (the ``ann_cosine_topk`` discipline) so both
     engines elect identical nearest centroids even on near-ties."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     dims = (
         emb.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
@@ -419,7 +425,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (asserted in tests/test_plans.py); per-bucket fan-out is
     bounded by band-key cardinality 2^R the same way dedup_minhash_lsh
     bounds its buckets."""
-    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings")))
+    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES))
     bands = emb.select(
         "vec_id", F.posexplode(lsh_band_keys(F.col("embedding"))).alias("band", "key")
     )
@@ -871,21 +877,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a map-side transform over the corpus (no shuffle);
     the per-cell search touches nprobe/k of the corpus per query.
     No all-pairs stage anywhere."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cent = with_norm(ivf_codebook(emb), "centroid").select(
-        "cell", F.col("centroid").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
+    # r14 optimization: the codebook is a bounded k-row frame whose
+    # values already live on the driver (ivf_codebook runs Lloyd's on
+    # a collected sample), so inline it as LITERAL struct arrays and
+    # make cell assignment the map-side fold the docstring promises —
+    # the old form cross-joined every corpus row with the broadcast
+    # codebook and elected the nearest cell with a row_number window,
+    # i.e. a k× row explosion plus a full corpus shuffle+sort by
+    # vec_id just to pick a per-row argmax.  Same dots, same IEEE
+    # comparisons: the (sim, -cell) struct max reproduces the window's
+    # (sim DESC, cell ASC) election exactly.
+    cent_rows = sorted(
+        with_norm(ivf_codebook(emb), "centroid").collect(),
+        key=lambda r: r.cell,
+    )  # bounded: k × (d + 2) doubles
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(r.cell).cast("int").alias("cell"),
+                F.array(*[F.lit(float(v)) for v in r.centroid]).alias(
+                    "c_emb"
+                ),
+                F.lit(float(r.nrm)).alias("c_nrm"),
+            )
+            for r in cent_rows
+        ]
     )
 
-    def nearest_cells(vecs: DataFrame, id_col: str, emb_col: str, nrm_col: str, n: int) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cell"))
+    def cell_scores(emb_col: str, nrm_col: str):
+        # (similarity, -cell) per codebook entry; struct comparison is
+        # lexicographic, so max/sort order == (sim DESC, cell ASC).
+        return F.transform(
+            carr,
+            lambda c: F.struct(
+                (
+                    _dot(F.col(emb_col), c["c_emb"])
+                    / (F.col(nrm_col) * c["c_nrm"])
+                ).alias("s"),
+                (-c["cell"]).alias("nc"),
+            ),
+        )
+
+    def nearest_cells(vecs: DataFrame, emb_col: str, nrm_col: str, n: int) -> DataFrame:
+        if n == 1:
+            best = F.array_max(cell_scores(emb_col, nrm_col))
+            return vecs.withColumn("cell", (-best["nc"]).cast("int"))
+        top = F.slice(
+            F.reverse(F.array_sort(cell_scores(emb_col, nrm_col))), 1, n
+        )
         return (
-            vecs.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "c_sim", _dot(F.col(emb_col), F.col("c_emb")) / (F.col(nrm_col) * F.col("c_nrm"))
-            )
-            .withColumn("probe_rank", F.row_number().over(w))
-            .filter(F.col("probe_rank") <= n)
-            .drop("c_emb", "c_nrm", "c_sim", "probe_rank")
+            vecs.withColumn("_probe", F.explode(top))
+            .withColumn("cell", (-F.col("_probe.nc")).cast("int"))
+            .drop("_probe")
         )
 
     q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES)).select(
@@ -893,14 +937,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    probed = nearest_cells(q, "query_id", "q_emb", "q_nrm", _NPROBE)
+    probed = nearest_cells(q, "q_emb", "q_nrm", _NPROBE)
     base = nearest_cells(
         with_norm(emb).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("b_emb"),
             F.col("nrm").alias("b_nrm"),
         ),
-        "neighbor_id",
         "b_emb",
         "b_nrm",
         1,
@@ -1061,7 +1104,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zip_with``/``aggregate`` — same deterministic order as DuckDB's
     ``list_dot_product``).  No all-pairs anything: cost is O(N·d) both
     passes."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     e = emb.select(
         "label", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
     )
@@ -1316,7 +1359,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism: planes, fold order, and the rounded-cosine election
     key replicate exactly in the DuckDB oracle (same contract as
     ``embedding_neardup``)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     e = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -1400,7 +1443,7 @@ def _embedding_scatter_moments(
     # spread(): the embeddings parquet is byte-light, so Spark's
     # size-based split can hand the O(N·d²) pair expansion ONE task
     # without it (the eigenvector path had this before the refactor).
-    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES).withColumn(
         "qv",
         F.expr(
             "transform(embedding, x ->"
@@ -1727,7 +1770,7 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.row_number().over(sw).cast("int").alias("rank_sparse")
         )
     )
-    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings")))
+    emb = with_norm(spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
@@ -1842,7 +1885,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: lo/hi are exact min/max folds; each level is ONE
     IEEE expression (sub, div, mul, floor) evaluated identically by
     both engines; codes are exact integer sums."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     iv = emb.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
@@ -1978,7 +2021,7 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch would route through the IVF shortlist like everything
     else — this probe's job is measuring the quantizer, so it scores
     the FULL corpus by design and keeps Q small."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
@@ -2213,7 +2256,7 @@ def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _KM_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     base = emb.select(
         "vec_id",
         "label",
@@ -2927,7 +2970,7 @@ def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine with ANN, rescore with the margin).  The k-NN sums and
     best-match elections are bounded windows over per-query
     partitions of the slim (x, y, cos) frame either way."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     a = emb.filter(
         (F.col("label") % 2 == 0) & (F.col("vec_id") < _MARGIN_BATCH)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -3268,7 +3311,7 @@ def embedding_knn_label_accuracy(
     instead of a cross join (no BroadcastNestedLoopJoin in the plan,
     asserted in tests/test_plans.py), identical downstream
     aggregates."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     s = knn_candidates(
         e.select(
             F.col("vec_id").alias("query_id"), "embedding",
@@ -3393,7 +3436,7 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``VectorIndex`` IVF shortlist above it (cell-pruned equi-join, no
     BroadcastNestedLoopJoin); everything after the top-k window is a
     vector-count-bounded aggregate."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     s = knn_candidates(
         e.select(F.col("vec_id").alias("query_id"), "embedding"),
         e.select("vec_id", "embedding"),
@@ -3517,7 +3560,7 @@ def embedding_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank windows (each ~n/{b} rows), one successor equi-join on
     (bucket, rank) — linear in the corpus with no quadratic stage;
     the band histogram is a ≤20-row aggregate."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    e = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     h = with_norm(e).select(
         "vec_id",
         "embedding",
@@ -3609,7 +3652,7 @@ def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch (broadcast, |queries| × corpus — linear), then one
     partition-pruned search per nprobe value; the curve is
     |nprobes| rows at any corpus size."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3695,7 +3738,7 @@ def knn_router_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned corpus via static partition pruning, broadcast
     equi-join on cell — no BroadcastNestedLoopJoin, no
     CartesianProduct (plan-asserted)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3870,7 +3913,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after it is bounded at |queries| × {_MMR_SHORTLIST}
     rows — the pair-sim table and the {_MMR_K}-step greedy loop
     never touch the corpus again."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), bytes_per_task=_EMB_TASK_BYTES)
     q = with_norm(emb.filter(F.col("vec_id") < _MMR_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -1275,6 +1275,22 @@ _BM25_SCORED_SQL_CTES = f"""nd AS (
     )"""
 
 
+def _doc_lengths(nd: DataFrame) -> DataFrame:
+    """Per-doc token counts ``(doc_id, n_tokens)`` as a MAP-SIDE
+    projection (r14, guide §2.3 taken to its limit): ``size(split)``
+    counts exactly the rows ``explode(split)`` would emit, so the old
+    explode → groupBy that shuffled the FULL token stream just to
+    count per-doc lengths is zero shuffles now.  NULL-normalized docs
+    are filtered to match the exploded form (explode drops them).
+    NOT spooled: the frame is a pure projection of the pushed-down
+    scan — re-reading is one map pass, cheaper than an eager
+    checkpoint job at any scale (the ranked() materialize=False
+    rationale)."""
+    return nd.filter(F.col("norm").isNotNull()).select(
+        "doc_id", F.size(F.split("norm", " ")).alias("n_tokens")
+    )
+
+
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BM25 scored relation ``(doc_id, score)`` for the fixed
     demo query — every doc containing ≥1 query term."""
@@ -1282,7 +1298,7 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", normalize_text(F.col("text")).alias("norm")
     )
     toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    dl = _doc_lengths(nd)
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.col("n_tokens").cast("double")).alias("avgdl"),
@@ -1561,15 +1577,21 @@ def lm_dirichlet_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", normalize_text(F.col("text")).alias("norm")
     )
     toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("token"))
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens")
-    )
-    tot = toks.agg(F.count("*").cast("double").alias("t"))
-    cf = (
+    # r14: map-side per-doc lengths (see _doc_lengths) — the old
+    # explode+groupBy full-token-stream shuffle is gone, and the
+    # corpus-total token count folds over the slim spooled lengths
+    # (Σ size ≡ count of exploded rows, same exact integer).
+    dl = _doc_lengths(nd)
+    tot = dl.agg(F.sum("n_tokens").cast("double").alias("t"))
+    tf = (
         toks.filter(F.col("token").isin(*_BM25_QUERY))
-        .groupBy("token")
-        .agg(F.count("*").cast("double").alias("cf"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
     )
+    # Collection frequency derived from tf (Σ_doc tf ≡ the old direct
+    # count over the filtered token stream — exact integer-valued
+    # doubles), saving a third corpus pass.
+    cf = tf.groupBy("token").agg(F.sum("tf").alias("cf"))
     bc = (
         cf.crossJoin(F.broadcast(tot))
         .agg(
@@ -1578,11 +1600,6 @@ def lm_dirichlet_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("nq"),
         )
-    )
-    tf = (
-        toks.filter(F.col("token").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").cast("double").alias("tf"))
     )
     boost = (
         tf.join(F.broadcast(cf), "token")
@@ -1809,7 +1826,13 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded-bucket shape as ``dedup_minhash_lsh``."""
     docs = load_table(spark, sf_dir, "documents")
     nd = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    fp = winnow_fingerprints(nd)
+    # r14 (mechanism-2 spool): the fingerprint table feeds TWO plan
+    # branches (the cross-doc df census and the per-doc report join)
+    # — unspooled, the shingle posexplode + two windows + distinct ran
+    # twice.  Size note: fp is ~2/(w+1) of the k-gram stream (slim
+    # int rows) — data-proportional; at extreme scale the ks_2samp
+    # materialize policy applies (drop the spool, pay the rescan).
+    fp = winnow_fingerprints(nd).localCheckpoint()
     hd = fp.groupBy("fph").agg(F.count_distinct("doc_id").alias("n_docs"))
     w_hash = Window.partitionBy("doc_id", "fph")
     f = fp.withColumn("min_pos_for_hash", F.min("fpos").over(w_hash)).join(hd, "fph")
@@ -2307,6 +2330,14 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
+        # r14 (mechanism-2 spool): every merge round's pair-count job
+        # re-derived the word frequency table — i.e. re-tokenized the
+        # whole corpus once per round (_BPE_MERGES rounds).  The table is the
+        # vocabulary-bounded artifact the docstring's scale story
+        # rests on (Heaps' law, ~1e6 rows at 100 TB) — spool it once
+        # and each round re-reads only symbols.  Exact integer
+        # frequencies: recomputation-identical.
+        .localCheckpoint()
     )
     v = words.select(
         "word",

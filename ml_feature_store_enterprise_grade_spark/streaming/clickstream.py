@@ -167,17 +167,29 @@ def stream_state_confs(
     pure function of input size: ~20 MB of sf0.1 events yields 1
     instance; a TB-scale replay saturates the configured width — no
     local-only constant anywhere."""
-    src = _stream_source_dir(sf_dir)
-    size = sum(
-        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src)
-    )
-    per = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "32")) * (
-        1024 * 1024
-    )
+    # Size from the source table itself (the staged replay dir is a
+    # verbatim copy of it) — statting the source avoids staging a
+    # copy as a side effect on paths that replay from their own
+    # staging dir (ADVICE r13).
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        size = os.path.getsize(src)
+    else:  # parquet dataset directory
+        size = sum(
+            e.stat().st_size for e in os.scandir(src) if e.is_file()
+        )
+    try:
+        per_mb = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "32"))
+    except ValueError:
+        per_mb = 32
+    per = max(1, per_mb) * (1024 * 1024)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     env_floor = os.environ.get("SPARK_GRAFT_STREAM_STATE_FLOOR")
     if floor is None and env_floor is not None:
-        floor = int(env_floor)
+        try:
+            floor = max(1, int(env_floor))
+        except ValueError:
+            floor = None
     if floor is None:
         # Default: purely state-sized.  Light windowed monitors (the
         # common case here) are commit-bound, not compute-bound —
@@ -1790,6 +1802,20 @@ def _bottomk_merge_processor(state_path: str, k: int):
     rewrite collects a bounded loop-control frame to the driver
     (the CC-convergence collect discipline), never data."""
 
+    # r14 optimization: the standing table is a BOUNDED
+    # <= k x |event types| set, so the union + re-election runs
+    # driver-side over exact integer tuples instead of paying a
+    # state-parquet READ job plus a second window job per micro-batch
+    # (the CC-convergence bounded-loop-control discipline).  The
+    # parquet state file is still rewritten after every batch — the
+    # on-disk artifact a restarted query resumes from is unchanged,
+    # and ``standing["rows"] is None`` re-loads it on the first batch
+    # after a restart, so the exactly-once story is intact.  The
+    # Python merge (set union, per-type sort by (h, event_id), take
+    # k) is the same election the window computed, over the same
+    # exact integers.
+    standing: dict = {"rows": None}
+
     def process(batch: DataFrame, batch_id: int) -> None:
         from ..functions import portable_hash64
 
@@ -1807,19 +1833,38 @@ def _bottomk_merge_processor(state_path: str, k: int):
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
-        if os.path.exists(state_path):
-            standing = spark.read.parquet(state_path)
-            merged = standing.unionByName(topb).distinct()
-        else:
-            merged = topb
-        keep = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn")
+        if standing["rows"] is None:
+            if os.path.exists(state_path):
+                standing["rows"] = {
+                    (r.event_type, r.event_id, r.h)
+                    for r in spark.read.parquet(state_path).collect()
+                }
+            else:
+                standing["rows"] = set()
+        # bounded: <= k * |event types in the batch|
+        merged = standing["rows"] | {
+            (r.event_type, r.event_id, r.h) for r in topb.collect()
+        }
+        by_type: dict = {}
+        for et, eid, h in merged:
+            by_type.setdefault(et, []).append((h, eid))
+        keep = {
+            (et, eid, h)
+            for et, hs in by_type.items()
+            for h, eid in sorted(hs)[:k]
+        }
+        standing["rows"] = keep
+        # Deterministic file contents (None-safe key; row order is
+        # cosmetic — the final read re-sorts by (event_type, rank)).
+        ordered = sorted(
+            keep, key=lambda t: (t[0] is not None, t[0] or "", t[2], t[1])
         )
-        rows = keep.collect()  # bounded: <= k * |event types|
         (
-            local_rows(spark, rows, keep.schema)
+            local_rows(
+                spark,
+                ordered,
+                "event_type string, event_id bigint, h bigint",
+            )
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(state_path)
@@ -1877,30 +1922,17 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:8]
     state = os.path.join(tempfile.gettempdir(), f"sbk_state_{run_id}")
     ckpt = os.path.join(tempfile.gettempdir(), f"sbk_ckpt_{run_id}")
-    # Staged N-file replay source, memoized per (sf_dir, source
-    # size/mtime) exactly like _stream_source_dir's shared copy (r13
-    # optimization): the resharded source is a pure function of the
-    # events table, so repeated invocations replay the same files
-    # instead of re-staging ~full-table bytes per run; a marker file
-    # records the source identity so regenerated testdata re-stages.
-    tag = sf_dir.strip("/").replace("/", "_")
-    src = os.path.join(tempfile.gettempdir(), f"sbk_src_{tag}")
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    ident = f"{st.st_size}:{st.st_mtime_ns}:{_SBK_SOURCE_FILES}"
-    marker = os.path.join(src, "_STAGED_FROM")
-    try:
-        stale = open(marker).read() != ident
-    except OSError:
-        stale = True
-    if stale:
-        events = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type"
-        )
-        events.repartition(_SBK_SOURCE_FILES).write.mode(
-            "overwrite"
-        ).parquet(src)
-        with open(marker, "w") as fh:
-            fh.write(ident)
+    # Per-run staged N-file replay source.  The projection+reshard is
+    # query work, so it runs INSIDE every invocation (a file stream
+    # source physically needs a directory of files to trigger N
+    # micro-batches); only a verbatim byte copy of the input would be
+    # eligible for cross-run staging, and a verbatim copy cannot
+    # carry the N-file split.  Torn down with the run.
+    src = os.path.join(tempfile.gettempdir(), f"sbk_src_{run_id}")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    events.repartition(_SBK_SOURCE_FILES).write.mode("overwrite").parquet(src)
     try:
         stream = (
             spark.readStream.schema("event_id bigint, event_type string")
@@ -1928,7 +1960,5 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # bounded: <= k * |event types|
         return local_rows(spark, rows, out.schema)
     finally:
-        # src is the memoized shared staging dir — kept, like the
-        # _stream_source_dir copy; only per-run state/ckpt are torn down.
-        for d in (ckpt, state):
+        for d in (src, ckpt, state):
             shutil.rmtree(d, ignore_errors=True)
