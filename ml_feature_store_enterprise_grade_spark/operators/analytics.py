@@ -7462,11 +7462,12 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("day")).alias("t"), "revc"
     )
     # 1-row scalar, referenced twice since r14 (ranked_select's CI
-    # rank formula + the final aggregate) — spool so the day-frame
-    # aggregate runs once (the bpe argmax 1-row checkpoint pattern).
-    nd = idx.agg(
-        F.count("*").cast("bigint").alias("n_days")
-    ).localCheckpoint()
+    # rank formula + the final aggregate).  Deliberately NOT spooled:
+    # a checkpointed 1-row frame becomes a LogicalRDD the plan
+    # audit's boundedness walker cannot prove 1-row, flagging the
+    # downstream crossJoins; the day-frame aggregate it would save is
+    # one cheap pass over the orders groupBy.
+    nd = idx.agg(F.count("*").cast("bigint").alias("n_days"))
     # Spread the LEFT side of the pair join BEFORE the nested-loop
     # join (r13): the day frame exits its row_number window in ONE
     # partition, so the join otherwise emits all |days|²/2 pairs from

@@ -2038,7 +2038,7 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the doc-keyed window and the (doc, phrase) aggregate.  The
     top-{k} is a TakeOrdered over per-partition heads, not a global
     sort of all phrases."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.posexplode(_tokens(F.col("text"))).alias("pos", "w"),
@@ -2056,6 +2056,11 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("is_stop"))
         .select("doc_id", "pid", "pos", "w")
+        # r14 (mechanism-2 spool): three consumers (phrase lengths,
+        # word stats, phrase reassembly) re-ran the tokenize +
+        # doc-window chain each.  Size note: token-stream-sized —
+        # at extreme scale the ks_2samp materialize policy applies.
+        .localCheckpoint()
     )
     plen = pw.groupBy("doc_id", "pid").agg(F.count("*").alias("n_words"))
     wstat = (

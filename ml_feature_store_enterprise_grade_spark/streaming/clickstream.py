@@ -1517,7 +1517,7 @@ def stream_conformal_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataF
     windows × types."""
     ensure_engine_confs(spark)
     from ..functions import portable_hash64
-    from ..functions.ranking import ranked as _ranked
+    from ..functions.ranking import ranked_select as _ranked_select
 
     batch = (
         load_table(spark, sf_dir, "events")
@@ -1554,14 +1554,18 @@ def stream_conformal_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataF
     res = cal.join(F.broadcast(tr), "event_type").select(
         "event_type", F.abs(F.col("vc") - F.col("pred")).alias("r")
     )
-    qh = (
-        _ranked(res, [("r", "asc")], group_cols=["event_type"], n_col="nc")
-        .filter(
-            F.col("rn")
-            == F.ceil((F.col("nc") + 1) * (1 - _SCM_ALPHA)).cast("bigint")
-        )
-        .select("event_type", F.col("r").alias("qhat"))
-    )
+    # r14: only ONE order statistic per type is consumed — sort just
+    # the chunk containing it per group (bit-identical row to
+    # ranked()+filter; see ranking.ranked_select).
+    qh = _ranked_select(
+        res,
+        [("r", "asc")],
+        lambda n: F.array(
+            F.ceil((n + 1) * (1 - _SCM_ALPHA)).cast("bigint")
+        ),
+        group_cols=["event_type"],
+        n_col="nc",
+    ).select("event_type", F.col("r").alias("qhat"))
     model = F.broadcast(tr.join(qh, "event_type"))
     stream = streaming_events(spark, sf_dir).filter(
         F.col("value").isNotNull() & ~F.isnan("value")

@@ -328,10 +328,9 @@ PLAN_AUDIT_ALLOWLIST: dict[str, str] = {
         "BNLJ broadcast side is the fixed query-vector table "
         "(q-bounded literal-derived frame)"
     ),
-    "ann_ivf_topk": (
-        "BNLJ broadcast sides are the query vectors and the k-bounded "
-        "IVF centroid table (k = definition-time constant)"
-    ),
+    # ann_ivf_topk: allowlist entry retired in r14 — the codebook is
+    # inlined as a literal struct array, so cell assignment is a
+    # map-side fold and the plan no longer contains a BNLJ.
     "ann_probe_recall_curve": (
         "BNLJ broadcast sides are query vectors / centroid tables / "
         "probe-grid rows — all k- or grid-bounded"
